@@ -1,0 +1,148 @@
+"""Text-analysis column expressions (training-data pipeline surface).
+
+Everything here is a pure Spark column expression (JVM-side,
+whole-stage-codegen-eligible) — no Python UDFs in the hot path. These
+feed the documents-table operators: language ID, quality scoring, token
+counting, fingerprinting, shingling for MinHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the heuristic language-ID
+# operator. Marker-token voting is the degenerate (n=word) case of the
+# classic character-n-gram-profile method (Cavnar & Trenkle 1994).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "des"],
+    "es": ["el", "la", "los", "y", "es", "que", "una", "de"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我"],
+}
+
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "is", "it",
+    "for", "with", "as", "at", "by", "that", "this",
+]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization: array<string> of non-empty tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count via a GPT-2-style pre-tokenizer regex:
+    splits out word pieces, numbers, and punctuation runs the way BPE
+    pre-tokenization does. A cheap, deterministic proxy for an LLM
+    tokenizer's token count."""
+    c = F.col(text) if isinstance(text, str) else text
+    # contractions | letter runs | digit runs | punctuation runs
+    pattern = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(n_punct / F.length(c))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are stopwords (quality signal:
+    natural prose has a stable stopword rate; keyword soup does not)."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    toks = tokens(text)
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(n_sw / F.size(toks))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality score: rewards prose-like stopword rate and
+    moderate length, penalizes punctuation soup. Deterministic and
+    monotone in its inputs so thresholding is stable across runs."""
+    c = F.col(text) if isinstance(text, str) else text
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    sw = stopword_ratio(c)
+    sw_score = F.least(sw / F.lit(0.3), F.lit(1.0))
+    p_score = F.lit(1.0) - F.least(punct_ratio(c) / F.lit(0.2), F.lit(1.0))
+    return F.round((len_score + sw_score + p_score) / F.lit(3.0), 6)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-token hit counts."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id_scores(text: Column | str) -> Column:
+    """Predicted language code by marker-vote argmax; 'und' when no
+    marker fires. Ties break by language-code order (deterministic)."""
+    scores = lang_scores(text)
+    # struct sort: (-score, lang) ascending → first element is argmax
+    entries = F.array(
+        *[
+            F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_sort(entries)[0]
+    return F.when(best["neg"] == 0, F.lit("und")).otherwise(best["lang"])
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: md5 of the casefolded, whitespace-normalized
+    text. Stable across formatting-only differences; the exact-dedup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def rolling_hash(text: Column | str, base: int = 31, mod: int = 2**61 - 1) -> Column:
+    """Polynomial rolling hash (Rabin–Karp) over the document's tokens,
+    computed distributively with F.aggregate — an order-sensitive
+    fingerprint that, unlike md5, can be windowed/extended incrementally."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(base) + F.abs(F.xxhash64(t)) % F.lit(base * 1000))
+        % F.lit(mod),
+    )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles (contiguous token windows) as array<string> —
+    the unit set for MinHash / Jaccard near-dup detection."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+
+
+def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    """Character n-grams of the normalized text as array<string>."""
+    c = F.col(text) if isinstance(text, str) else text
+    s = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    length = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(1)))
+    return F.when(length < n, F.array(s)).otherwise(
+        F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+    )

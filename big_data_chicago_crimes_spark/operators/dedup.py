@@ -1,0 +1,256 @@
+"""Deduplication operators (training-data pipeline surface).
+
+Five dedup strategies over the ``documents`` table, all expressed as
+distributed DataFrame transforms (no driver-side pair loops):
+
+- exact:      md5 fingerprint of normalized text → keep min doc_id.
+- MinHash+LSH: shingles → k minhashes → b bands → candidate pairs via a
+               self-join on (band, band-signature). The classic
+               Broder (1997) scheme; at 100 TB the band join is the only
+               shuffle and its key space (band hashes) is uniform.
+- SimHash:    Charikar (2002) 64-bit sign-of-weighted-sum fingerprint,
+              computed per-row with higher-order array functions (no
+              explode, no shuffle until the bucket join).
+- n-gram Jaccard: token-set Jaccard within a blocking key (exact set
+              similarity for candidate verification).
+- embedding near-dup: cosine ≥ τ within LSH/label blocks (see
+              operators.similarity for the hyperplane bucketing).
+
+All hash functions are xxhash64 (JVM-side, deterministic across runs),
+so results are reproducible — a hard requirement under the value-hash
+correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_chicago_crimes_spark.functions.text import doc_fingerprint, tokens
+from big_data_chicago_crimes_spark.functions.vectors import cosine_similarity
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one row (min id) per normalized-text fingerprint.
+    One hash aggregate on the fingerprint; deterministic survivor set."""
+    fp = doc_fingerprint(text_col).alias("fingerprint")
+    survivors = (
+        df.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(survivors.select(id_col), id_col, "left_semi")
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures as (id, h0..h{n-1} bigint).
+
+    Shape: explode k-word shingles → ``num_hashes`` codegen'd
+    xxhash64(shingle + "#i") columns → one hash aggregate taking MIN of
+    each. Hash family = xxhash64 with a literal per-index salt.
+    A per-row higher-order formulation (transform-inside-transform)
+    re-evaluates the shingle array once per hash index in interpreted
+    mode — minutes instead of seconds; the explode+agg form stays in
+    whole-stage codegen and shuffles only (id, 32 longs)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    k = shingle_k
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    exploded = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) whose minhash
+    signatures collide in ≥1 of ``bands`` bands (rows per band =
+    num_hashes/bands). Shuffle key is (band, band-signature-hash):
+    uniformly distributed, so no skew at scale; true duplicates collide
+    with probability 1-(1-s^r)^b for Jaccard similarity s."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(bands)
+    ]
+    with_bands = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
+    ).select(id_col, "bs.band", "bs.band_sig")
+    a = with_bands.alias("a")
+    b = with_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """SimHash fingerprints: (id, simhash bigint).
+
+    Shape: explode tokens → hash once per token → 64 vectorized SUM
+    aggregates of per-bit signs → reassemble the sign bits. One shuffle
+    on id (hash agg with map-side partials). A per-row higher-order-
+    function formulation avoids the shuffle but builds a 64-wide nested
+    expression per token that Catalyst optimizes for MINUTES — the
+    explode+agg form stays in whole-stage codegen and scales linearly."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    hashed = tok.select(id_col, F.xxhash64("tok").alias("h"))
+    sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum((F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") > 0,
+                F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select(F.col(id_col), out.alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup candidates: documents sharing ≥1 of the 4 16-bit SimHash
+    bands (any pair within Hamming distance 3 of a 64-bit simhash must
+    agree on at least one band — pigeonhole)."""
+    sh_table = simhash_table(df, text_col, id_col)
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sh_table.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard over pairs sharing a blocking key.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    Blocking bounds the pair count; the join shuffles on the block key."""
+    tok_set = F.array_distinct(tokens(text_col))
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], tok_set.alias("toks")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates within a blocking column.
+    At scale the block key is an LSH bucket (similarity.hyperplane_lsh);
+    here the synthetic ``label`` column doubles as the block."""
+    base = df.select(F.col(id_col), F.col(block_col).alias("blk"), F.col(vec_col).alias("v"))
+    a, b = base.alias("a"), base.alias("b")
+    sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,164 @@
+"""MLlib pipelines (reference capability: SURVEY.md §2.11, README.md:19-23).
+
+The reference trains four models (logistic regression, random forest,
+GBT regression, k-means) through hand-inlined StringIndexer →
+VectorAssembler → scaler stages. This module centralizes that as one
+``feature_pipeline`` builder and four seeded model runners, with the
+reference's bugs FIXED, not replicated:
+
+1. ``Pipeline().fit(df).transform(df)`` — the reference calls
+   ``.transform`` on the unfitted Pipeline (Dataset.py:608, 727, 835).
+2. Each boolean column casts from ITSELF (Dataset.py:114 overwrites
+   Domestic from Arrest).
+3. dtype-driven encode-column selection uses ``df.dtypes`` — the
+   reference's ``df.select().dtypes`` (empty select) silently produced
+   ``[]`` (Dataset.py:868).
+
+Seeds mirror the reference (42 / 0) so every run is reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline
+from pyspark.ml.classification import LogisticRegression, RandomForestClassifier
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.evaluation import BinaryClassificationEvaluator, RegressionEvaluator
+from pyspark.ml.feature import (
+    MinMaxScaler,
+    StandardScaler,
+    StringIndexer,
+    VectorAssembler,
+)
+from pyspark.ml.regression import GBTRegressor
+from pyspark.ml.stat import Correlation
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEED = 42
+
+
+def string_columns(df: DataFrame, exclude: tuple[str, ...] = ()) -> list[str]:
+    """Schema-reflective feature selection (the reference's dtype-driven
+    pattern, Dataset.py:578-579 — with the empty-select bug fixed)."""
+    return [c for c, t in df.dtypes if t == "string" and c not in exclude]
+
+
+def numeric_columns(df: DataFrame, exclude: tuple[str, ...] = ()) -> list[str]:
+    num = {"int", "bigint", "double", "float", "smallint", "tinyint"}
+    return [c for c, t in df.dtypes if t in num and c not in exclude]
+
+
+def feature_pipeline(
+    df: DataFrame,
+    label_col: str,
+    exclude: tuple[str, ...] = (),
+    scaler: str = "standard",
+) -> tuple[DataFrame, list[str]]:
+    """Index every string column (frequencyDesc, handleInvalid=keep —
+    Dataset.py:582-585), assemble numerics + indexed cols, scale.
+    Returns (transformed df with 'features' col, feature column names).
+    FIT-then-transform — reference bug 1 fixed."""
+    to_encode = string_columns(df, exclude=exclude + (label_col,))
+    indexers = [
+        StringIndexer(
+            inputCol=c,
+            outputCol=f"{c}_idx",
+            handleInvalid="keep",
+            stringOrderType="frequencyDesc",
+        )
+        for c in to_encode
+    ]
+    feature_cols = [
+        c for c in numeric_columns(df, exclude=exclude + (label_col,))
+    ] + [f"{c}_idx" for c in to_encode]
+    assembler = VectorAssembler(
+        inputCols=feature_cols, outputCol="features_raw", handleInvalid="keep"
+    )
+    if scaler == "minmax":  # GBT path (Dataset.py:827-829)
+        sc = MinMaxScaler(inputCol="features_raw", outputCol="features")
+    else:  # withMean=False keeps sparse vectors sparse (Dataset.py:596-599)
+        sc = StandardScaler(
+            inputCol="features_raw", outputCol="features", withMean=False, withStd=True
+        )
+    pipeline = Pipeline(stages=[*indexers, assembler, sc])
+    return pipeline.fit(df).transform(df), feature_cols
+
+
+def logistic_regression_auc(df: DataFrame, label_col: str) -> DataFrame:
+    """LR (maxIter=100, regParam=0.1 — Dataset.py:644-646) → 1-row AUC."""
+    prepared, _ = feature_pipeline(df, label_col)
+    train, test = prepared.randomSplit([0.8, 0.2], seed=SEED)
+    model = LogisticRegression(
+        featuresCol="features", labelCol=label_col, maxIter=100, regParam=0.1
+    ).fit(train)
+    preds = model.transform(test)
+    auc = BinaryClassificationEvaluator(
+        labelCol=label_col, metricName="areaUnderROC"
+    ).evaluate(preds)
+    return df.sparkSession.createDataFrame([(float(auc),)], "roc_auc double")
+
+
+def random_forest_auc(df: DataFrame, label_col: str) -> DataFrame:
+    """RF (numTrees=20, maxDepth=10, seed=42 — Dataset.py:732-735)."""
+    prepared, _ = feature_pipeline(df, label_col)
+    train, test = prepared.randomSplit([0.7, 0.3], seed=SEED)
+    model = RandomForestClassifier(
+        featuresCol="features",
+        labelCol=label_col,
+        numTrees=20,
+        maxDepth=10,
+        seed=SEED,
+    ).fit(train)
+    preds = model.transform(test)
+    auc = BinaryClassificationEvaluator(
+        labelCol=label_col, metricName="areaUnderROC"
+    ).evaluate(preds)
+    return df.sparkSession.createDataFrame([(float(auc),)], "roc_auc double")
+
+
+def gbt_regression_rmse(df: DataFrame, label_col: str) -> DataFrame:
+    """GBT regression on a pre-aggregated series (the reference trains on
+    groupBy-count output, Dataset.py:800,839-847) → 1-row RMSE."""
+    prepared, _ = feature_pipeline(df, label_col, scaler="minmax")
+    train, test = prepared.randomSplit([0.7, 0.3], seed=SEED)
+    model = GBTRegressor(
+        featuresCol="features",
+        labelCol=label_col,
+        maxIter=100,
+        maxDepth=5,
+        stepSize=0.05,
+        seed=SEED,
+    ).fit(train)
+    preds = model.transform(test)
+    rmse = RegressionEvaluator(labelCol=label_col, metricName="rmse").evaluate(preds)
+    return df.sparkSession.createDataFrame([(float(rmse),)], "rmse double")
+
+
+def kmeans_cluster_sizes(df: DataFrame, feature_cols: list[str], k: int = 3) -> DataFrame:
+    """KMeans (k=3, seed=0 — Dataset.py:286-294) → cluster size table."""
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    assembled = assembler.transform(df)
+    model = KMeans(k=k, seed=0, featuresCol="features").fit(assembled)
+    clustered = model.transform(assembled)
+    return (
+        clustered.groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("cluster")
+    )
+
+
+def pearson_correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ml.stat.Correlation (Dataset.py:883-885) flattened to (col_a,
+    col_b, corr) rows — matrix as a DataFrame, not a driver-side plot."""
+    assembler = VectorAssembler(inputCols=cols, outputCol="features")
+    assembled = assembler.transform(df.na.drop(subset=cols))
+    corr_row = Correlation.corr(assembled, "features", "pearson").head()
+    matrix = corr_row[0].toArray()
+    rows = [
+        (cols[i], cols[j], round(float(matrix[i][j]), 6))
+        for i in range(len(cols))
+        for j in range(len(cols))
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "col_a string, col_b string, corr double"
+    )

@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB engine needs both:
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  One broadcast of the query vector, one pass over the table, top-k via
+  orderBy+limit (TakeOrderedAndProject: per-partition heaps, k rows to
+  the driver — no global sort even at full scale).
+- ``hyperplane_lsh_buckets`` + ``ann_topk``: random-hyperplane LSH
+  (Charikar 2002 cosine sketch). Signatures are deterministic (seeded
+  NumPy hyperplanes baked in as literals), so the bucket assignment is
+  reproducible. ANN search probes only the query's bucket (optionally
+  multi-probe by Hamming-adjacent buckets), turning a full scan into a
+  1/2^bits partition-pruned scan when bucket is a partition column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_chicago_crimes_spark.functions.vectors import cosine_similarity
+
+_LSH_SEED = 42
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    rng = np.random.RandomState(_LSH_SEED)
+    return rng.randn(n_planes, dim)
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float] | Column,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``.
+    Output: (id, cosine) ordered desc with id tie-break."""
+    q = (
+        F.array(*[F.lit(float(x)) for x in query_vec])
+        if isinstance(query_vec, (list, tuple))
+        else query_vec
+    )
+    sim = cosine_similarity(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_signature(
+    vec_col: Column | str, dim: int, n_planes: int = 8
+) -> Column:
+    """LSH bucket id (int 0..2^n_planes-1): bit i = sign(v · plane_i).
+    The planes are fixed literals → the whole signature evaluates inside
+    codegen; no UDF, no shuffle."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes = _hyperplanes(dim, n_planes)
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(v, plane_arr, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame, dim: int, n_planes: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach the LSH bucket column. At scale, write this partitioned by
+    ``bucket`` so ANN probes become partition-pruned scans."""
+    return df.withColumn(
+        "bucket", hyperplane_signature(vec_col, dim, n_planes)
+    )
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket plus buckets
+    within ``multiprobe_hamming`` bit flips, then exact cosine re-rank.
+    Probing H=1 over 8 planes scans 9/256 of the data in expectation."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes)
+    dots = planes @ np.asarray(query_vec, dtype=float)
+    q_bucket = int(sum((1 << i) for i, d in enumerate(dots) if d > 0))
+    probes = {q_bucket}
+    if multiprobe_hamming >= 1:
+        for i in range(n_planes):
+            probes.add(q_bucket ^ (1 << i))
+    bucketed = hyperplane_lsh_buckets(df, dim, n_planes, vec_col)
+    candidates = bucketed.filter(F.col("bucket").isin(sorted(probes)))
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col)

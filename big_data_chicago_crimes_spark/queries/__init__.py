@@ -1,0 +1,12 @@
+"""Query modules — importing this package registers every named query."""
+
+from big_data_chicago_crimes_spark.queries import (  # noqa: F401
+    dedup_queries,
+    join_queries,
+    ml_queries,
+    multimodal_queries,
+    reference_queries,
+    similarity_queries,
+    text_queries,
+    window_queries,
+)

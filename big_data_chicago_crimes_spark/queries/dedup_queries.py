@@ -1,0 +1,121 @@
+"""Deduplication queries over documents + embeddings (extension surface).
+
+Exact dedup and token-Jaccard carry full DuckDB oracles. MinHash+LSH and
+SimHash are registered WITHOUT oracles (their xxhash64 hash family has no
+DuckDB equivalent → driver records the weaker rows-only check); their
+correctness is pinned instead by tests/test_dedup.py, which verifies
+planted near-duplicates are found and Jaccard-dissimilar pairs are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_chicago_crimes_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash_candidates,
+    token_jaccard_pairs,
+)
+from big_data_chicago_crimes_spark.plans.registry import register
+from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+
+@register(
+    "docs_exact_dedup",
+    oracle="""
+        WITH survivors AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        )
+        SELECT d.lang, COUNT(*) AS n_docs
+        FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+        GROUP BY d.lang ORDER BY d.lang
+    """,
+    tags=("dedup", "exact", "extension"),
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint (keep min doc_id),
+    summarized per lang. One agg + one semi join; no window sort."""
+    t = load_tables(spark, sf_dir)
+    survivors = exact_dedup(t.documents)
+    return survivors.groupBy("lang").agg(F.count("*").alias("n_docs")).orderBy("lang")
+
+
+@register(
+    "docs_jaccard_pairs",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, source,
+                   list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS t
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.t, b.t)) * 1.0 /
+                     len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
+        FROM toks a JOIN toks b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE ROUND(len(list_intersect(a.t, b.t)) * 1.0 /
+              len(list_distinct(list_concat(a.t, b.t))), 6) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "jaccard", "extension"),
+)
+def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup pairs (≥0.5) blocked on (lang, source).
+    Blocking caps the candidate set; the join shuffles only block keys."""
+    t = load_tables(spark, sf_dir)
+    return token_jaccard_pairs(
+        t.documents, ["lang", "source"], threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "docs_minhash_lsh_candidates",
+    oracle=None,  # xxhash64 family — not SQL-expressible; see tests/test_dedup.py
+    tags=("dedup", "minhash", "lsh", "extension"),
+)
+def docs_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 hashes)+LSH(8 bands) candidate near-dup pairs over
+    3-word shingles. The only shuffle is the band-signature self-join."""
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_candidates(t.documents).orderBy("id_a", "id_b")
+
+
+@register(
+    "docs_simhash_candidates",
+    oracle=None,  # xxhash64-based fingerprint — rows-only check
+    tags=("dedup", "simhash", "extension"),
+)
+def docs_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) banded candidates (4×16-bit bands ⇒ catches all
+    pairs within Hamming distance 3)."""
+    t = load_tables(spark, sf_dir)
+    return simhash_candidates(t.documents).orderBy("id_a", "id_b")
+
+
+@register(
+    "embedding_near_dups",
+    oracle="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     6) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+              (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+               sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.95
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "embedding", "extension"),
+)
+def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates (≥0.95) blocked on label (the
+    scale path swaps label for an LSH bucket — operators.similarity)."""
+    t = load_tables(spark, sf_dir)
+    return embedding_near_dups(t.embeddings, threshold=0.95).orderBy("id_a", "id_b")

@@ -1,0 +1,261 @@
+"""Join / set-operation queries (SURVEY.md §2.3, §2.7).
+
+The reference's only join-shaped operation is a driver-side dict lookup
+(Dataset.py:291-312); this module provides the real distributed surface
+on the TPC-H-shaped star schema, engineered for 100 TB:
+
+- dimension tables (region, nation — and customer relative to lineitem)
+  are broadcast: the fact side never shuffles for the join;
+- semi/anti joins never materialize right-side columns;
+- money sums are rounded in query (floating-point addition is
+  order-sensitive; the oracle hash needs a stable value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_chicago_crimes_spark.operators.relational import (
+    anti_join,
+    dim_join,
+    semi_join,
+)
+from big_data_chicago_crimes_spark.plans.registry import register
+from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+def REVENUE():
+    # built lazily — Column construction needs an active SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("join", "flagship", "reference:§2.3"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship 5-table star join (TPC-H Q5 shape): revenue per nation.
+
+    Plan shape at scale: lineitem (the 100 TB side) shuffles ONCE on
+    l_orderkey to meet orders; customer/nation/region are broadcast —
+    with AQE the orders join may itself flip to broadcast at low SF."""
+    t = load_tables(spark, sf_dir)
+    enriched_orders = dim_join(
+        t.orders.select("o_orderkey", "o_custkey"),
+        t.customer.select("c_custkey", "c_nationkey"),
+        t.orders.o_custkey == t.customer.c_custkey,
+    )
+    enriched_orders = dim_join(
+        enriched_orders,
+        t.nation.select("n_nationkey", "n_name", "n_regionkey"),
+        enriched_orders.c_nationkey == t.nation.n_nationkey,
+    )
+    enriched_orders = dim_join(
+        enriched_orders,
+        t.region.select("r_regionkey"),
+        enriched_orders.n_regionkey == t.region.r_regionkey,
+    )
+    fact = t.lineitem.select("l_orderkey", REVENUE().alias("rev"))
+    joined = fact.join(
+        enriched_orders.select("o_orderkey", "n_name"),
+        fact.l_orderkey == enriched_orders.o_orderkey,
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 6) AS avg_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "tpch:q1"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the canonical wide hash-aggregate:
+    8 aggregates over a 6-group key, filter pushed to the parquet scan,
+    map-side partials make the shuffle carry only 6 rows per task."""
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(REVENUE()), 2).alias("sum_disc_price"),
+            F.round(F.sum(REVENUE() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "top_revenue_orders",
+    oracle="""
+        SELECT o_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    tags=("join", "topk", "tpch:q3"),
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 orders by revenue for one market segment.
+    The customer filter is applied BEFORE the join (semi-join style
+    reduction) and broadcast; top-k is TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    building = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = dim_join(
+        t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        building,
+        t.orders.o_custkey == building.c_custkey,
+    ).select("o_orderkey", "o_orderdate")
+    li = t.lineitem.select("l_orderkey", REVENUE().alias("rev"))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "segment_customers_with_orders",
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("join", "semi"),
+)
+def segment_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers having ≥1 order, per segment.
+    Right side reduced to its join key; no column materialization."""
+    t = load_tables(spark, sf_dir)
+    have = semi_join(t.customer, t.orders.select("o_custkey"),
+                     t.customer.c_custkey == F.col("o_custkey"))
+    return have.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers")
+    ).orderBy("c_mktsegment")
+
+
+@register(
+    "parts_never_ordered",
+    oracle="""
+        SELECT p_brand, COUNT(*) AS n_parts
+        FROM part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    tags=("join", "anti"),
+)
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): parts absent from lineitem, by brand."""
+    t = load_tables(spark, sf_dir)
+    never = anti_join(t.part, t.lineitem.select("l_partkey"),
+                      t.part.p_partkey == F.col("l_partkey"))
+    return never.groupBy("p_brand").agg(F.count("*").alias("n_parts")).orderBy("p_brand")
+
+
+@register(
+    "purchasers_without_errors",
+    oracle="""
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error'
+        ORDER BY user_id
+    """,
+    tags=("setop", "reference:§2.7"),
+)
+def purchasers_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): users who purchased and never errored."""
+    t = load_tables(spark, sf_dir)
+    buy = t.events.filter(F.col("event_type") == "purchase").select("user_id")
+    err = t.events.filter(F.col("event_type") == "error").select("user_id")
+    return buy.subtract(err).orderBy("user_id")
+
+
+@register(
+    "purchasers_with_errors",
+    oracle="""
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'error'
+        ORDER BY user_id
+    """,
+    tags=("setop",),
+)
+def purchasers_with_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: users who both purchased and errored."""
+    t = load_tables(spark, sf_dir)
+    buy = t.events.filter(F.col("event_type") == "purchase").select("user_id")
+    err = t.events.filter(F.col("event_type") == "error").select("user_id")
+    return buy.intersect(err).orderBy("user_id")
+
+
+@register(
+    "all_account_balances",
+    oracle="""
+        SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(acctbal), 2) AS total_bal
+        FROM (
+            SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+            UNION ALL
+            SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
+        ) GROUP BY kind ORDER BY kind
+    """,
+    tags=("setop", "union"),
+)
+def all_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL by name across heterogeneous tables, then aggregate."""
+    t = load_tables(spark, sf_dir)
+    cust = t.customer.select(F.lit("customer").alias("kind"), F.col("c_acctbal").alias("acctbal"))
+    supp = t.supplier.select(F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("acctbal"))
+    return (
+        cust.unionByName(supp)
+        .groupBy("kind")
+        .agg(F.count("*").alias("n"), F.round(F.sum("acctbal"), 2).alias("total_bal"))
+        .orderBy("kind")
+    )

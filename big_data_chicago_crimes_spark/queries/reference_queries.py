@@ -1,0 +1,291 @@
+"""Reference-derived analytical queries (SURVEY.md §2.2/2.4/2.6/2.8).
+
+Each reference query shape (FIXTURES.md fixture-3 mapping) transposed to
+the driver's synthetic tables. Citations point at the reference use-site
+whose capability the query certifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_chicago_crimes_spark.functions.temporal import quarter_name, season
+from big_data_chicago_crimes_spark.operators.aggregates import (
+    count_by,
+    count_then_max,
+    distinct_values,
+    pivot_counts,
+    ratio_of,
+    top_k,
+)
+from big_data_chicago_crimes_spark.operators.cleaning import null_census
+from big_data_chicago_crimes_spark.plans.registry import register
+from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+
+@register(
+    "events_count_by_type",
+    oracle="""
+        SELECT event_type, COUNT(*) AS cnt
+        FROM events GROUP BY event_type
+        ORDER BY cnt DESC, event_type
+    """,
+    tags=("agg", "reference:A2"),
+)
+def events_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crimes-per-Primary-Type (Dataset.py:214) → events per type.
+    Scan → partial agg → 1 shuffle on a 5-value key → final agg."""
+    t = load_tables(spark, sf_dir)
+    return count_by(t.events, "event_type").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+
+
+@register(
+    "orders_count_by_priority",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS cnt
+        FROM orders GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("agg", "reference:A2"),
+)
+def orders_count_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crimes-per-District (Dataset.py:344) → orders per priority."""
+    t = load_tables(spark, sf_dir)
+    return count_by(t.orders, "o_orderpriority").orderBy("o_orderpriority")
+
+
+@register(
+    "hourly_max_event_count",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+                   event_type, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        )
+        SELECT hour, CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        FROM c GROUP BY hour ORDER BY hour
+    """,
+    tags=("agg", "reference:A4"),
+)
+def hourly_max_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Busiest-crime-type-count per hour (Dataset.py:180-181): two-level
+    count-then-max. Two hash aggregates, both with map-side partials."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.withColumn("hour", F.hour("ts"))
+    return count_then_max(ev, ["hour", "event_type"], ["hour"]).orderBy("hour")
+
+
+@register(
+    "orders_quarter_pivot",
+    oracle="""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+               CAST(COUNT(*) FILTER (WHERE EXTRACT(quarter FROM o_orderdate) = 1) AS BIGINT) AS "Q1",
+               CAST(COUNT(*) FILTER (WHERE EXTRACT(quarter FROM o_orderdate) = 2) AS BIGINT) AS "Q2",
+               CAST(COUNT(*) FILTER (WHERE EXTRACT(quarter FROM o_orderdate) = 3) AS BIGINT) AS "Q3",
+               CAST(COUNT(*) FILTER (WHERE EXTRACT(quarter FROM o_orderdate) = 4) AS BIGINT) AS "Q4"
+        FROM orders GROUP BY 1 ORDER BY year
+    """,
+    tags=("pivot", "reference:A7"),
+)
+def orders_quarter_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Season×year pivot (Dataset.py:382-390) → order counts year×quarter.
+    Pivot values seeded → stable schema, no extra distinct job."""
+    t = load_tables(spark, sf_dir)
+    df = t.orders.select(
+        F.year("o_orderdate").alias("year"), quarter_name("o_orderdate").alias("q")
+    )
+    return pivot_counts(df, "year", "q", ["Q1", "Q2", "Q3", "Q4"]).orderBy("year")
+
+
+@register(
+    "orders_filled_pct",
+    oracle="""
+        SELECT ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0
+                     / COUNT(*), 6) AS pct
+        FROM orders
+    """,
+    tags=("agg", "reference:A6"),
+)
+def orders_filled_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrest percentage (Dataset.py:463-465) → % of orders with status F.
+    Single global aggregate; no self-join, no collect."""
+    t = load_tables(spark, sf_dir)
+    return ratio_of(t.orders, F.col("o_orderstatus") == "F")
+
+
+@register(
+    "top10_part_types",
+    oracle="""
+        SELECT p_type, COUNT(*) AS cnt
+        FROM part GROUP BY p_type
+        ORDER BY cnt DESC, p_type LIMIT 10
+    """,
+    tags=("topk", "reference:O4"),
+)
+def top10_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 crime locations (Dataset.py:477) → top-10 part types.
+    orderBy+limit → TakeOrderedAndProject; p_type tie-break for
+    deterministic hashing."""
+    t = load_tables(spark, sf_dir)
+    return top_k(t.part, ["p_type"], 10)
+
+
+@register(
+    "purchase_top_users",
+    oracle="""
+        SELECT user_id, COUNT(*) AS cnt
+        FROM events
+        WHERE event_type IN ('purchase', 'signup')
+        GROUP BY user_id
+        ORDER BY cnt DESC, user_id LIMIT 10
+    """,
+    tags=("topk", "filter", "reference:P8,O4"),
+)
+def purchase_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violent-crimes IN-list + top-k areas (Dataset.py:507-509) →
+    top-10 users by purchase/signup events. Filter pushed to the scan."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.filter(F.col("event_type").isin(["purchase", "signup"]))
+    return top_k(ev, ["user_id"], 10)
+
+
+@register(
+    "events_not_in_filter",
+    oracle="""
+        SELECT event_type, COUNT(*) AS cnt
+        FROM events
+        WHERE event_type NOT IN ('error', 'view')
+        GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("filter", "reference:P9"),
+)
+def events_not_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-IN category exclusion (Dataset.py:143-145)."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.filter(~F.col("event_type").isin(["error", "view"]))
+    return count_by(ev, "event_type").orderBy("event_type")
+
+
+@register(
+    "orders_year_range_filter",
+    oracle="""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+               COUNT(*) AS cnt
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) % 2 = 0
+          AND EXTRACT(year FROM o_orderdate) > 1995
+          AND EXTRACT(year FROM o_orderdate) < 2001
+        GROUP BY 1 ORDER BY year
+    """,
+    tags=("filter", "reference:P6,P7"),
+)
+def orders_year_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leap-year modulo + AND-range predicate (Dataset.py:101,103)
+    transposed to the 1995-2001 order dates. Both predicates fold into
+    one scan filter."""
+    t = load_tables(spark, sf_dir)
+    y = F.year("o_orderdate")
+    df = t.orders.filter((y % 2 == 0) & (y > 1995) & (y < 2001))
+    return count_by(df.withColumn("year", y), "year").orderBy("year")
+
+
+@register(
+    "events_null_census",
+    oracle="""
+        SELECT COUNT(*) FILTER (WHERE event_id IS NULL) AS event_id,
+               COUNT(*) FILTER (WHERE ts IS NULL) AS ts,
+               COUNT(*) FILTER (WHERE user_id IS NULL) AS user_id,
+               COUNT(*) FILTER (WHERE event_type IS NULL) AS event_type,
+               COUNT(*) FILTER (WHERE value IS NULL) AS value,
+               COUNT(*) FILTER (WHERE props IS NULL) AS props
+        FROM events
+    """,
+    tags=("cleaning", "reference:A1"),
+)
+def events_null_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null census (Dataset.py:79): one pass, one global agg."""
+    t = load_tables(spark, sf_dir)
+    return null_census(t.events)
+
+
+@register(
+    "events_dedup_keyed",
+    oracle="""
+        SELECT user_id, event_type, CAST(MIN(event_id) AS BIGINT) AS event_id
+        FROM events GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+    """,
+    tags=("dedup", "reference:P13"),
+)
+def events_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_duplicates (Dataset.py:85) with DETERMINISTIC keep-one
+    semantics: keep the min event_id per (user_id, event_type). Plain
+    dropDuplicates keeps an arbitrary row — unusable under a value-hash
+    oracle; min-per-group is one hash aggregate (cheaper than the
+    row_number window alternative: no sort)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("event_id"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "distinct_event_types",
+    oracle="SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    tags=("agg", "reference:A8"),
+)
+def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select(col).distinct() (Dataset.py:210)."""
+    t = load_tables(spark, sf_dir)
+    return distinct_values(t.events, "event_type").orderBy("event_type")
+
+
+@register(
+    "orders_by_season",
+    oracle="""
+        SELECT CASE
+                 WHEN EXTRACT(month FROM o_orderdate) IN (12, 1, 2) THEN 'Winter'
+                 WHEN EXTRACT(month FROM o_orderdate) BETWEEN 3 AND 5 THEN 'Spring'
+                 WHEN EXTRACT(month FROM o_orderdate) BETWEEN 6 AND 8 THEN 'Summer'
+                 ELSE 'Autumn'
+               END AS season,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1 ORDER BY season
+    """,
+    tags=("expr", "reference:P14"),
+)
+def orders_by_season(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Season when/otherwise bucketing (Dataset.py:123-129) over order
+    dates — same disjunction-of-ranges CASE shape."""
+    t = load_tables(spark, sf_dir)
+    df = t.orders.withColumn("season", season(F.month("o_orderdate")))
+    return count_by(df, "season").orderBy("season")
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("json", "extension"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction over events.props (engine extension;
+    the reference has no JSON columns — SURVEY.md §2.8). JVM-side
+    get_json_object, no UDF."""
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        t.events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.round(F.avg("k"), 6).alias("avg_k"))
+        .orderBy("event_type")
+    )

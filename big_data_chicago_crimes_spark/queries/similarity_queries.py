@@ -1,0 +1,97 @@
+"""Similarity-search queries over the embeddings table.
+
+The exact brute-force top-k carries a DuckDB oracle (double-precision
+dot products on both sides, rounded). The LSH/ANN variants have no SQL
+equivalent for the hyperplane bucketing → rows-only checks, with recall
+pinned by tests/test_similarity.py against the exact result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_chicago_crimes_spark.operators.similarity import (
+    ann_topk,
+    cosine_topk,
+    hyperplane_lsh_buckets,
+)
+from big_data_chicago_crimes_spark.plans.registry import register
+from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+_EMB_DIM = 64
+_QUERY_VEC_ID = 0  # deterministic probe: the first vector in the table
+
+
+def _query_vec_col(t):
+    """The query vector as a broadcastable 1-row DataFrame (no collect)."""
+    return t.embeddings.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = {_QUERY_VEC_ID})
+        SELECT e.vec_id,
+               ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                     (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> {_QUERY_VEC_ID}
+        ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """,
+    tags=("similarity", "topk", "extension"),
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0: broadcast the 1-row
+    query vector, one scan, TakeOrderedAndProject top-k. The baseline
+    every ANN variant is measured against."""
+    t = load_tables(spark, sf_dir)
+    q = _query_vec_col(t)
+    joined = t.embeddings.filter(F.col("vec_id") != _QUERY_VEC_ID).crossJoin(
+        F.broadcast(q)
+    )
+    return cosine_topk(joined, F.col("qvec"), k=10)
+
+
+@register(
+    "embedding_ann_lsh_topk",
+    oracle=None,  # hyperplane bucketing has no SQL equivalent — recall pinned in tests
+    tags=("similarity", "ann", "lsh", "extension"),
+)
+def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH (8 planes, multiprobe
+    Hamming-1): probes ~9/256 of the table, exact re-rank inside the
+    probed buckets. At scale the bucket column is a partition key →
+    partition-pruned scan."""
+    spark_tables = load_tables(spark, sf_dir)
+    import pyarrow.parquet as pq
+
+    qvec = [
+        float(x)
+        for x in pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .slice(0, 1)
+        .to_pylist()[0]["embedding"]
+    ]
+    return ann_topk(
+        spark_tables.embeddings.filter(F.col("vec_id") != _QUERY_VEC_ID),
+        qvec,
+        k=10,
+        n_planes=8,
+    )
+
+
+@register(
+    "embedding_lsh_bucket_histogram",
+    oracle=None,  # bucketing itself is the operator under test
+    tags=("similarity", "lsh", "extension"),
+)
+def embedding_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket occupancy histogram — the skew diagnostic for the ANN
+    path (a hot bucket = a hot partition at scale)."""
+    t = load_tables(spark, sf_dir)
+    bucketed = hyperplane_lsh_buckets(t.embeddings, _EMB_DIM, n_planes=8)
+    return bucketed.groupBy("bucket").agg(F.count("*").alias("n_vecs")).orderBy("bucket")

@@ -1,0 +1,154 @@
+"""Text-analysis queries over the documents table (extension surface:
+language ID, quality scoring, token counting, fingerprinting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_chicago_crimes_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    doc_fingerprint,
+    lang_id_scores,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+from big_data_chicago_crimes_spark.plans.registry import register
+from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+
+@register(
+    "docs_token_stats",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(len(regexp_split_to_array(trim(text), '\\s+'))), 6) AS avg_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "extension"),
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per language — pure JVM expressions
+    (split/size), no UDF in the scan path."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.select("lang", "n_chars", token_count("text").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "docs_quality_by_source",
+    oracle=f"""
+        WITH scored AS (
+            SELECT source,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE (length(text) - length(regexp_replace(text,
+                              '[!-/:-@\\[-`{{-~]', '', 'g'))) * 1.0 / length(text)
+                   END AS punct_ratio,
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
+                        ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> list_contains([{_SW_LIST}], lower(t)))) * 1.0
+                             / len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS stopword_ratio
+            FROM documents
+        )
+        SELECT source,
+               ROUND(AVG(punct_ratio), 6) AS avg_punct_ratio,
+               ROUND(AVG(stopword_ratio), 6) AS avg_stopword_ratio
+        FROM scored GROUP BY source ORDER BY source
+    """,
+    tags=("text", "quality", "extension"),
+)
+def docs_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal aggregates per source: punctuation ratio and
+    stopword ratio (prose-likeness). Higher-order array functions keep
+    the token filtering inside codegen."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.select(
+            "source",
+            punct_ratio("text").alias("pr"),
+            stopword_ratio("text").alias("sr"),
+        )
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("pr"), 6).alias("avg_punct_ratio"),
+            F.round(F.avg("sr"), 6).alias("avg_stopword_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "docs_fingerprint_census",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)),
+                    '\\s+', ' ', 'g'))) AS BIGINT) AS n_unique,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(trim(text)),
+                    '\\s+', ' ', 'g'))) AS BIGINT) AS n_dupes
+        FROM documents
+    """,
+    tags=("text", "fingerprint", "dedup", "extension"),
+)
+def docs_fingerprint_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 of casefolded, whitespace-normalized
+    text): total vs distinct fingerprints = exact-duplicate census."""
+    t = load_tables(spark, sf_dir)
+    return t.documents.select(doc_fingerprint("text").alias("fp")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_dupes"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        f"t -> list_contains([{markers}], lower(t))))"
+    )
+
+
+_LANGS_SORTED = sorted(LANG_MARKERS)
+_SCORE_EXPRS = ",\n".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in _LANGS_SORTED)
+_GREATEST = "GREATEST(" + ", ".join(f"s_{lg}" for lg in _LANGS_SORTED) + ")"
+_ARGMAX_CASE = (
+    "CASE WHEN " + _GREATEST + " = 0 THEN 'und' "
+    + " ".join(f"WHEN s_{lg} = {_GREATEST} THEN '{lg}'" for lg in _LANGS_SORTED)
+    + " END"
+)
+
+
+@register(
+    "docs_lang_id",
+    oracle=f"""
+        WITH scores AS (SELECT {_SCORE_EXPRS} FROM documents)
+        SELECT {_ARGMAX_CASE} AS predicted_lang, COUNT(*) AS n_docs
+        FROM scores GROUP BY 1 ORDER BY predicted_lang
+    """,
+    tags=("text", "langid", "extension"),
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (marker-token voting, the word-level case of
+    n-gram profiling): predicted language distribution. Argmax ties break
+    to the alphabetically-first language on both sides."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.select(lang_id_scores("text").alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("predicted_lang")
+    )

@@ -1,0 +1,225 @@
+"""Window-function and event-time-window queries (SURVEY.md §2.5, §2.9).
+
+Includes the reference's moving average with CORRECTED semantics (its
+Window.partitionBy over the grouping keys degenerates to identity —
+Dataset.py:521-523, SURVEY.md §2.5), plus ranking/lag analytics and the
+event-time windows (tumbling / sliding / session) the streaming surface
+shares with batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_chicago_crimes_spark.operators.aggregates import count_by
+from big_data_chicago_crimes_spark.operators.windows import (
+    lag_delta,
+    moving_average,
+    top_k_per_group,
+)
+from big_data_chicago_crimes_spark.plans.registry import register
+from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+
+def _monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    df = t.orders.select(
+        F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month")
+    )
+    return count_by(df, "year", "month")
+
+
+@register(
+    "orders_moving_avg_3m",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+                   CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month,
+                   COUNT(*) AS cnt
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT year, month, cnt,
+               ROUND(AVG(cnt) OVER (ORDER BY year, month
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+        FROM m ORDER BY year, month
+    """,
+    tags=("window", "reference:W1"),
+)
+def orders_moving_avg_3m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-month trailing average of monthly order counts — the INTENDED
+    semantics of show_moving_average (Dataset.py:516-541; the reference
+    partitions by (year,month) so its frame always holds one row).
+    Unpartitioned window is safe here: input is the aggregated monthly
+    series (~80 rows), not raw orders."""
+    monthly = _monthly_orders(spark, sf_dir)
+    return moving_average(monthly, ["year", "month"], "cnt").orderBy("year", "month")
+
+
+@register(
+    "orders_monthly_delta",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+                   CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month,
+                   COUNT(*) AS cnt
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT year, month, cnt,
+               CAST(cnt - LAG(cnt, 1) OVER (ORDER BY year, month) AS BIGINT) AS delta
+        FROM m ORDER BY year, month
+    """,
+    tags=("window", "lag"),
+)
+def orders_monthly_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month order-count delta (lag-1 analytic; first row NULL)."""
+    monthly = _monthly_orders(spark, sf_dir)
+    return lag_delta(monthly, ["year", "month"], "cnt").orderBy("year", "month")
+
+
+@register(
+    "best_order_per_customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn = 1
+        ORDER BY o_custkey
+    """,
+    tags=("window", "rank"),
+)
+def best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group via row_number — one shuffle on the partition key,
+    per-partition sort, no global sort. Tie-break on o_orderkey."""
+    t = load_tables(spark, sf_dir)
+    best = top_k_per_group(
+        t.orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        1,
+    )
+    return best.orderBy("o_custkey")
+
+
+@register(
+    "customer_balance_rank_in_nation",
+    oracle="""
+        SELECT c_custkey, c_nationkey, c_acctbal, rnk
+        FROM (
+            SELECT c_custkey, c_nationkey, c_acctbal,
+                   CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal DESC) AS INTEGER) AS rnk
+            FROM customer
+        ) WHERE rnk <= 3
+        ORDER BY c_nationkey, rnk, c_custkey
+    """,
+    tags=("window", "rank"),
+)
+def customer_balance_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank top-3 balances per nation (rank family coverage)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return (
+        t.customer.select("c_custkey", "c_nationkey", "c_acctbal")
+        .withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+    )
+
+
+@register(
+    "events_hourly_tumbling",
+    oracle="""
+        SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS cnt,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1 ORDER BY window_start
+    """,
+    tags=("time-window", "streaming-shape"),
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time window (batch F.window — the exact
+    groupBy a Structured Streaming job would run with a watermark;
+    SURVEY.md §2.9)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "cnt",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+        WITH assigned AS (
+            SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800) AS w0, *
+            FROM events
+        ), exploded AS (
+            SELECT w0 AS window_start, event_id, value FROM assigned
+            UNION ALL
+            SELECT w0 - INTERVAL 30 MINUTE, event_id, value FROM assigned
+        )
+        SELECT STRFTIME(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS cnt,
+               ROUND(SUM(value), 2) AS total_value
+        FROM exploded GROUP BY 1 ORDER BY window_start
+    """,
+    tags=("time-window", "streaming-shape"),
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute slide: each event lands in 2
+    windows. The oracle reproduces Spark's window assignment (windows
+    aligned to the slide grid, window_start ∈ {trunc30(ts), trunc30(ts)-30m})."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "cnt",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "user_session_counts",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        )
+        SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+        FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("time-window", "session", "streaming-shape"),
+)
+def user_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap via the built-in
+    session_window (the same operator Structured Streaming uses
+    stateful-ly). The oracle is the gaps-and-islands formulation —
+    session_window merges events whose gap is STRICTLY less than 30m,
+    so a gap of exactly 30m starts a new session on both sides."""
+    t = load_tables(spark, sf_dir)
+    sessions = t.events.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    return (
+        sessions.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy("user_id")
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-sane defaults.
+
+The reference builds its session at ``Dataset.py:61-65`` with hand-tuned
+``local[*]`` memory/shuffle settings (200 shuffle partitions, Kryo buffer,
+10g executor memory) and never enables AQE or Arrow. Here those manual
+knobs are replaced by:
+
+- AQE (runtime partition coalescing, skew-join splitting, dynamic join
+  strategy) — the scale-proof replacement for a fixed
+  ``spark.sql.shuffle.partitions=200``;
+- Arrow for every Python<->JVM columnar transfer (``toPandas``,
+  pandas UDFs);
+- UTC session timezone so timestamp semantics are environment-independent;
+- shuffle partitions sized to the local core count for tests (a real
+  cluster deployment overrides via ``extra_conf`` / spark-submit).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "big_data_chicago_crimes_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    In local mode there is one JVM; ``spark.driver.memory`` is the only
+    memory knob that matters and must be set before JVM start, so it is
+    only applied when no session exists yet.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet scans: keep splits small enough that a partition of the
+        # widest table fits comfortably in executor memory at high SF.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

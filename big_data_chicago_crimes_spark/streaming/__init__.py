@@ -1,0 +1,18 @@
+"""Structured Streaming surface (engine extension; reference is batch-only
+— SURVEY.md §2.9)."""
+
+from big_data_chicago_crimes_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_memory,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_stream_to_memory",
+    "session_window_agg",
+    "sliding_window_agg",
+    "tumbling_window_agg",
+]
