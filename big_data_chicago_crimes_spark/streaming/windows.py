@@ -24,10 +24,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     kafka/kinesis; the transformation stack is identical. ts arrives as
     raw INT64 nanos (see sources.readers.load_table) and is converted
     with exact integer math."""
+    # the file stream source requires a DIRECTORY; glob-filter to the
+    # events file inside the scale-factor dir
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", "1")
-        .parquet(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 

@@ -1,0 +1,75 @@
+"""Behavioral tests for the dedup operators: planted duplicates must be
+found, dissimilar documents must not collide (MinHash/Jaccard), and
+fingerprints must be deterministic across runs."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_chicago_crimes_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash_table,
+    token_jaccard_pairs,
+)
+
+BASE = (
+    "spark engines shuffle data between stages whenever a wide dependency "
+    "requires rows to be grouped by key across the cluster partitions"
+)
+NEAR_DUP = BASE.replace("cluster", "whole cluster")  # one-word insertion
+DISTINCT = (
+    "completely unrelated text about cooking pasta with garlic butter and "
+    "fresh basil leaves simmered gently in a wide copper pan tonight"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "en", "src0"),
+        (2, BASE, "en", "src0"),        # exact duplicate of 1
+        (3, NEAR_DUP, "en", "src0"),    # near duplicate of 1
+        (4, DISTINCT, "en", "src0"),    # unrelated
+        (5, "  " + BASE.upper() + "  ", "en", "src0"),  # case/space variant
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_dedup_keeps_min_id_and_normalizes(docs):
+    survivors = exact_dedup(docs)
+    ids = {r.doc_id for r in survivors.collect()}
+    # 1 survives for {1,2,5} (casefold+whitespace normalization), 3 and 4 distinct
+    assert ids == {1, 3, 4}
+
+
+def test_minhash_finds_near_dup_not_distinct(docs):
+    pairs = {
+        (r.id_a, r.id_b) for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs  # near dup collides in >=1 band
+    assert (1, 4) not in pairs and (3, 4) not in pairs  # unrelated must not
+
+
+def test_token_jaccard_exact_value(spark):
+    a = "alpha beta gamma delta"
+    b = "alpha beta gamma epsilon"  # |∩|=3, |∪|=5 → 0.6
+    df = spark.createDataFrame(
+        [(1, a, "en", "s"), (2, b, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = token_jaccard_pairs(df, ["lang", "source"], threshold=0.5).collect()
+    assert len(rows) == 1
+    assert rows[0].id_a == 1 and rows[0].id_b == 2
+    assert rows[0].jaccard == pytest.approx(0.6)
+
+
+def test_simhash_deterministic_and_discriminative(docs):
+    t1 = {r.doc_id: r.simhash for r in simhash_table(docs).collect()}
+    t2 = {r.doc_id: r.simhash for r in simhash_table(docs).collect()}
+    assert t1 == t2  # reproducible across runs (value-hash gate requirement)
+    assert t1[1] == t1[2]  # identical text → identical fingerprint
+    ham_near = bin((t1[1] ^ t1[3]) & (2**64 - 1)).count("1")
+    ham_far = bin((t1[1] ^ t1[4]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far  # near-dup closer in Hamming space

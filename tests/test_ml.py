@@ -1,0 +1,56 @@
+"""ML pipeline sanity: metrics in range, seeded reproducibility, and the
+reference-bug fixes observable (fit-then-transform works; dtype-driven
+encoding selects real columns)."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_chicago_crimes_spark.operators.ml import (
+    feature_pipeline,
+    kmeans_cluster_sizes,
+    string_columns,
+)
+from big_data_chicago_crimes_spark.plans.registry import all_queries
+from big_data_chicago_crimes_spark.sources.readers import load_table
+
+
+def test_feature_pipeline_fits_then_transforms(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").limit(200)
+    prepared, feature_cols = feature_pipeline(orders, "o_totalprice")
+    assert "features" in prepared.columns
+    # dtype-driven selection picked up the string columns (bug 3 fixed)
+    assert "o_orderpriority_idx" in feature_cols
+    assert prepared.count() == 200
+
+
+def test_string_columns_reflection(spark):
+    df = spark.createDataFrame([(1, "a", 2.0)], "i int, s string, d double")
+    assert string_columns(df) == ["s"]
+
+
+def test_logreg_auc_in_range(spark, sf_dir):
+    df = all_queries()["ml_logreg_auc"].build(spark, sf_dir)
+    auc = df.collect()[0].roc_auc
+    assert 0.0 <= auc <= 1.0
+
+
+def test_kmeans_sizes_sum_and_determinism(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_acctbal", "CAST(c_nationkey AS DOUBLE) AS nat"
+    )
+    a = kmeans_cluster_sizes(cust, ["c_acctbal", "nat"]).collect()
+    b = kmeans_cluster_sizes(cust, ["c_acctbal", "nat"]).collect()
+    assert a == b  # seeded → reproducible
+    assert sum(r.n for r in a) == cust.count()
+    assert len(a) == 3
+
+
+def test_correlation_matrix_diagonal(spark, sf_dir):
+    df = all_queries()["ml_correlation_matrix"].build(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 16
+    for r in rows:
+        if r.col_a == r.col_b:
+            assert r.corr == pytest.approx(1.0)
+        assert -1.0 <= r.corr <= 1.0

@@ -1,0 +1,49 @@
+"""Similarity-search behavior: exact top-k ordering on a constructed
+neighborhood, and the LSH/ANN path finding a planted near-duplicate."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_chicago_crimes_spark.operators.similarity import (
+    ann_topk,
+    cosine_topk,
+    hyperplane_lsh_buckets,
+)
+
+DIM = 8
+QUERY = [1.0, 0.5, -0.25, 0.75, -1.0, 0.1, 0.9, -0.3]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    near = [x * 1.01 + 0.001 for x in QUERY]          # ~parallel to query
+    opposite = [-x for x in QUERY]                     # cosine -1
+    orth = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]   # mostly orthogonal
+    rows = [(1, near, 0), (2, opposite, 0), (3, orth, 0), (4, QUERY, 0)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_cosine_topk_ordering(vectors):
+    rows = cosine_topk(vectors, QUERY, k=4).collect()
+    assert [r.vec_id for r in rows][:2] == [4, 1]  # identical, then near-copy
+    assert rows[0].cosine == pytest.approx(1.0, abs=1e-5)
+    assert rows[-1].vec_id == 2 and rows[-1].cosine == pytest.approx(-1.0, abs=1e-5)
+
+
+def test_ann_finds_planted_neighbor(vectors):
+    rows = ann_topk(vectors, QUERY, k=2, n_planes=4).collect()
+    ids = [r.vec_id for r in rows]
+    # identical + near-parallel vectors share every hyperplane sign with
+    # the query → guaranteed same bucket → both found
+    assert ids[:2] == [4, 1]
+
+
+def test_lsh_buckets_deterministic(vectors):
+    b1 = {r.vec_id: r.bucket for r in hyperplane_lsh_buckets(vectors, DIM, 4).collect()}
+    b2 = {r.vec_id: r.bucket for r in hyperplane_lsh_buckets(vectors, DIM, 4).collect()}
+    assert b1 == b2
+    assert b1[4] == b1[1]          # near-parallel → same bucket
+    assert b1[4] != b1[2]          # opposite vector → complement bucket
