@@ -5,6 +5,7 @@ from big_data_chicago_crimes_spark.queries import (  # noqa: F401
     join_queries,
     ml_queries,
     multimodal_queries,
+    olap_queries,
     reference_queries,
     similarity_queries,
     text_queries,

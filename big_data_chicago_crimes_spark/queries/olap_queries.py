@@ -1,0 +1,178 @@
+"""OLAP coverage beyond the reference's surface: grouping sets
+(rollup/cube — SURVEY.md §2.4 notes pivot is the reference's closest
+construct and the engine should expose the full family), running
+totals, exact distinct counts, percentiles, and schema'd JSON parsing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_chicago_crimes_spark.operators.windows import running_total
+from big_data_chicago_crimes_spark.plans.registry import register
+from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+
+@register(
+    "lineitem_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("olap", "grouping-sets"),
+)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals: (flag, status) → (flag) → grand total.
+    One shuffle; Catalyst expands the grouping sets into a single agg."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "orders_cube",
+    oracle="""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+               o_orderstatus, COUNT(*) AS cnt
+        FROM orders
+        GROUP BY CUBE (1, o_orderstatus)
+        ORDER BY year NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    tags=("olap", "grouping-sets"),
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (year, status): all four grouping combinations."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.select(F.year("o_orderdate").alias("year"), "o_orderstatus")
+        .cube("year", "o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(
+            F.col("year").asc_nulls_first(), F.col("o_orderstatus").asc_nulls_first()
+        )
+    )
+
+
+@register(
+    "orders_running_total",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+                   CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month,
+                   COUNT(*) AS cnt
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT year, month, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY year, month
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS running_total
+        FROM m ORDER BY year, month
+    """,
+    tags=("window", "running-total"),
+)
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative monthly order count (unbounded-preceding frame over the
+    aggregated series — ~80 rows, so the single-partition window is safe)."""
+    t = load_tables(spark, sf_dir)
+    monthly = (
+        t.orders.select(
+            F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month")
+        )
+        .groupBy("year", "month")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return running_total(monthly, ["year", "month"], "cnt").orderBy("year", "month")
+
+
+@register(
+    "distinct_users_by_type",
+    oracle="""
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "distinct"),
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (two-phase: partial distinct
+    map-side, exchange on (type,user), final count)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "approx_distinct_users_by_type",
+    oracle=None,  # HLL sketch values differ engine-to-engine by design
+    tags=("agg", "approx"),
+)
+def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB substitute for
+    exact distinct: no exchange of the distinct keys, fixed-size sketch."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "orders_price_quantiles",
+    oracle="""
+        SELECT ROUND(median(o_totalprice), 4) AS median_price,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+               ROUND(MIN(o_totalprice), 4) AS min_price,
+               ROUND(MAX(o_totalprice), 4) AS max_price
+        FROM orders
+    """,
+    tags=("agg", "percentile"),
+)
+def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL percentile_cont semantics on
+    both engines)."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.agg(
+        F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+@register(
+    "events_from_json_struct",
+    oracle="""
+        SELECT event_type,
+               CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("json", "extension"),
+)
+def events_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd JSON parsing (from_json → typed struct, vs the stringly
+    get_json_object path in events_json_extract)."""
+    t = load_tables(spark, sf_dir)
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    parsed = t.events.select(
+        "event_type", F.from_json("props", schema).alias("p")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(F.min("p.k").alias("min_k"), F.max("p.k").alias("max_k"))
+        .orderBy("event_type")
+    )

@@ -9,9 +9,11 @@ from pyspark.sql import functions as F
 from big_data_chicago_crimes_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS_EN,
+    bpe_ish_token_count,
     doc_fingerprint,
     lang_id_scores,
     punct_ratio,
+    quality_score,
     stopword_ratio,
     token_count,
 )
@@ -151,4 +153,46 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("predicted_lang")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("predicted_lang")
+    )
+
+
+@register(
+    "docs_bpe_token_stats",
+    oracle="""
+        SELECT lang,
+               ROUND(AVG(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+'))), 6)
+                   AS avg_bpe_tokens
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "tokenize", "extension"),
+)
+def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token counting via a GPT-2-style pre-tokenizer regex
+    (word pieces / digit runs / punctuation runs) — the cheap proxy for
+    an LLM tokenizer's token count, JVM-side."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.select("lang", bpe_ish_token_count("text").alias("n"))
+        .groupBy("lang")
+        .agg(F.round(F.avg("n"), 6).alias("avg_bpe_tokens"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "docs_quality_scores",
+    oracle=None,  # composite of already-oracled components; see docs_quality_by_source
+    tags=("text", "quality", "extension"),
+)
+def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite [0,1] quality score histogram (0.1-wide buckets) — the
+    filter a training-data pipeline thresholds on."""
+    t = load_tables(spark, sf_dir)
+    bucket = F.floor(quality_score("text") * 10).cast("int").alias("decile")
+    return (
+        t.documents.select(bucket)
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("decile")
     )
