@@ -30,6 +30,18 @@ from big_data_chicago_crimes_spark.functions.text import doc_fingerprint, tokens
 from big_data_chicago_crimes_spark.functions.vectors import cosine_similarity
 
 
+def ensure_min_partitions(df: DataFrame) -> DataFrame:
+    """Spread compute-heavy per-row work across the cluster when the
+    scan produced fewer partitions than cores (a single small parquet
+    file = one task doing ALL the hashing). At real scale the scan has
+    thousands of splits and this is a no-op — the guard keeps us from
+    paying a gratuitous full-table shuffle there."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -64,8 +76,18 @@ def minhash_signature_table(
     n = F.size(toks)
     k = shingle_k
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    exploded = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    # try_element_at concat beats slice+array_join: no per-shingle array
+    # allocation inside the (interpreted) higher-order lambda; try_ =
+    # null (skipped by concat_ws) for docs shorter than k tokens
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, i + F.lit(off)) for off in range(k)]
+        ),
+    )
+    exploded = ensure_min_partitions(df).select(
+        F.col(id_col), F.explode(shingles).alias("shingle")
+    )
     return exploded.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
@@ -134,7 +156,9 @@ def simhash_table(
     function formulation avoids the shuffle but builds a 64-wide nested
     expression per token that Catalyst optimizes for MINUTES — the
     explode+agg form stays in whole-stage codegen and scales linearly."""
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tok = ensure_min_partitions(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
     hashed = tok.select(id_col, F.xxhash64("tok").alias("h"))
     sums = hashed.groupBy(id_col).agg(
         *[

@@ -51,10 +51,14 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_orderkey to meet orders; customer/nation/region are broadcast —
     with AQE the orders join may itself flip to broadcast at low SF."""
     t = load_tables(spark, sf_dir)
+    # customer is NOT hinted: it scales with the fact tables (~1-2% of
+    # lineitem bytes), so the broadcast decision belongs to AQE stats;
+    # nation (25 rows) and region (5) are bounded → unconditional hint.
     enriched_orders = dim_join(
         t.orders.select("o_orderkey", "o_custkey"),
         t.customer.select("c_custkey", "c_nationkey"),
         t.orders.o_custkey == t.customer.c_custkey,
+        hint=None,
     )
     enriched_orders = dim_join(
         enriched_orders,
@@ -139,15 +143,19 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     The customer filter is applied BEFORE the join (semi-join style
     reduction) and broadcast; top-k is TakeOrderedAndProject."""
     t = load_tables(spark, sf_dir)
+    # no broadcast hints: customer-subset and orders both scale with the
+    # fact data — AQE's runtime stats make the broadcast-vs-SMJ call
+    # (they do go broadcast at bench SF)
     building = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     orders = dim_join(
         t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
         building,
         t.orders.o_custkey == building.c_custkey,
+        hint=None,
     ).select("o_orderkey", "o_orderdate")
     li = t.lineitem.select("l_orderkey", REVENUE().alias("rev"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.round(F.sum("rev"), 2).alias("revenue"))
         .select(
