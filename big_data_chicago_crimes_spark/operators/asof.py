@@ -1,0 +1,64 @@
+"""As-of (point-in-time) join — an operator Spark has no native form of
+(guide: compose built-ins before reaching for applyInPandas).
+
+Semantics (backward as-of, the TimescaleDB/kdb/pandas ``merge_asof``
+default): for each left row, the single right row with the same key and
+the LARGEST right_ts ≤ left_ts.
+
+Implementation is the scalable union+window composition, not a range
+join and not a per-group ``pd.merge_asof``:
+
+1. tag both sides and union by name (right contributes only key, ts,
+   carried value columns);
+2. one window per key ordered by (ts, side) — right rows sort BEFORE
+   left rows at equal timestamps, giving ≤ (not <) semantics;
+3. ``last(value, ignorenulls=True)`` over an unbounded-preceding frame
+   forward-fills each right value onto subsequent left rows;
+4. keep left rows; inner variant drops unmatched.
+
+Cost: ONE shuffle on the key (the same partitioning both inputs would
+need anyway) + a per-partition sort — no row explosion, no skewed range
+bucketing, works at any scale where the key cardinality distributes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join. Returns all left columns plus, for each
+    ``right_vals`` column ``v``, a ``v_asof`` column from the matched
+    right row (and ``{right_ts}_asof`` for the matched timestamp)."""
+    carried = [right_ts, *right_vals]
+    l_tagged = left.withColumn("__side", F.lit(1)).withColumn("__ets", F.col(left_ts))
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ets"),
+        *[F.col(c).alias(f"{c}_asof") for c in carried],
+    ).withColumn("__side", F.lit(0))
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ets"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned
+    for c in carried:
+        filled = filled.withColumn(
+            f"{c}_asof", F.last(f"{c}_asof", ignorenulls=True).over(w)
+        )
+    out = filled.filter(F.col("__side") == 1).drop("__side", "__ets")
+    if how == "inner":
+        out = out.na.drop(subset=[f"{right_ts}_asof"])
+    return out

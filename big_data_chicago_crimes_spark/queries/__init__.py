@@ -1,6 +1,7 @@
 """Query modules — importing this package registers every named query."""
 
 from big_data_chicago_crimes_spark.queries import (  # noqa: F401
+    asof_queries,
     dedup_queries,
     join_queries,
     ml_queries,

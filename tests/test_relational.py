@@ -1,0 +1,60 @@
+"""Operator-level tests for as-of join and salted join: exact semantics
+on constructed fixtures and equivalence with the unsalted plan."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from big_data_chicago_crimes_spark.operators.asof import asof_join
+from big_data_chicago_crimes_spark.operators.skew import salted_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "L1"),  # matches R@09:30
+            (1, _ts("2024-01-01T09:00:00"), "L2"),  # matches R@09:00 (equal ts → ≤)
+            (1, _ts("2024-01-01T08:00:00"), "L3"),  # no earlier right row
+            (2, _ts("2024-01-01T12:00:00"), "L4"),  # other key
+        ],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), 100.0),
+            (1, _ts("2024-01-01T09:30:00"), 200.0),
+            (2, _ts("2024-01-01T11:00:00"), 300.0),
+        ],
+        "k int, rts timestamp, price double",
+    )
+    out = {
+        r.tag: (r.rts_asof, r.price_asof)
+        for r in asof_join(left, right, "k", "ts", "rts", ["price"]).collect()
+    }
+    assert out["L1"] == (_ts("2024-01-01T09:30:00"), 200.0)
+    assert out["L2"] == (_ts("2024-01-01T09:00:00"), 100.0)  # ≤, not <
+    assert "L3" not in out  # inner: unmatched dropped
+    assert out["L4"] == (_ts("2024-01-01T11:00:00"), 300.0)
+
+    # left variant keeps the unmatched row with nulls
+    left_out = asof_join(left, right, "k", "ts", "rts", ["price"], how="left")
+    l3 = [r for r in left_out.collect() if r.tag == "L3"][0]
+    assert l3.rts_asof is None and l3.price_asof is None
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed fact: 90% of rows on one key
+    fact = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(1)).otherwise(F.col("id") % 10).cast("int").alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(10)], "k int, name string")
+    plain = fact.join(dim, "k").groupBy("k", "name").agg(F.sum("v").alias("s"))
+    salted = salted_join(fact, dim, "k").groupBy("k", "name").agg(F.sum("v").alias("s"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
