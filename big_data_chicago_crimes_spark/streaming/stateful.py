@@ -1,0 +1,58 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The built-in windows (streaming/windows.py) cover time-bucketed aggs;
+this module is the escape hatch for operator state that isn't a window
+— here, a per-user running profile (event count, value sum, last-seen
+timestamp) maintained across micro-batches with Arrow-batched pandas
+kernels. State is a flat tuple per key; timeouts are left to the
+caller's watermark policy (NoTimeout default keeps the example exact).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timestamp"
+STATE_SCHEMA = "n_events long, total_value double"
+
+
+def _update_user_profile(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch into the running (count, sum) state and emit
+    the refreshed profile row. Pure pandas per Arrow batch — no per-row
+    Python in the hot path."""
+    (user_id,) = key
+    n_events, total_value = state.get if state.exists else (0, 0.0)
+    last_ts = None
+    for pdf in batches:
+        n_events += len(pdf)
+        total_value += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+    state.update((n_events, total_value))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n_events],
+            "total_value": [round(total_value, 2)],
+            "last_ts": [last_ts],
+        }
+    )
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """Stateful per-user profile over a (streaming or batch) events
+    DataFrame. On a stream this runs incrementally with state persisted
+    in the state store; output mode 'update' emits refreshed profiles."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_profile,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
