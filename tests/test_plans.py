@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (broadcast placement, filter pushdown, top-k without global
+sort, partial aggregation) asserted against the optimizer's output —
+so a refactor that silently degrades a plan fails CI, not the bench."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from big_data_chicago_crimes_spark.plans.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def formatted_plan(spark, sf_dir, name) -> str:
+    df = QUERIES[name].build(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = formatted_plan(spark, sf_dir, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # at test SF everything fits broadcast
+
+
+def test_isin_filter_pushed_to_scan(spark, sf_dir):
+    plan = formatted_plan(spark, sf_dir, "purchase_top_users")
+    assert "PushedFilters: [In(event_type" in plan
+
+
+def test_range_filter_pushed_to_scan(spark, sf_dir):
+    plan = formatted_plan(spark, sf_dir, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = formatted_plan(spark, sf_dir, "top10_part_types")
+    assert "TakeOrderedAndProject" in plan
+    # no global Sort node outside the top-k operator
+    assert plan.count("Sort (") == 0 or "TakeOrderedAndProject" in plan
+
+
+def test_agg_has_partial_final(spark, sf_dir):
+    plan = formatted_plan(spark, sf_dir, "events_count_by_type")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = formatted_plan(spark, sf_dir, "events_count_by_type")
+    # the events scan must read ONLY event_type (no ts/props/value)
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any("struct<event_type:string>" in l for l in read_schemas), read_schemas
+
+
+def test_semi_join_no_right_columns(spark, sf_dir):
+    plan = formatted_plan(spark, sf_dir, "segment_customers_with_orders")
+    assert "LeftSemi" in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key co-locates partitions: the
+    join plan contains NO Exchange (the 100 TB repeated-join strategy)."""
+    spark.sql("DROP TABLE IF EXISTS b_fact")
+    spark.sql("DROP TABLE IF EXISTS b_dim")
+    fact = spark.range(1000).selectExpr("id % 50 AS k", "id AS v")
+    dim = spark.range(50).selectExpr("id AS k", "id * 2 AS w")
+    (fact.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+         .option("path", str(tmp_path / "b_fact")).saveAsTable("b_fact"))
+    (dim.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+        .option("path", str(tmp_path / "b_dim")).saveAsTable("b_dim"))
+    joined = (
+        spark.table("b_fact")
+        .hint("merge")  # force SMJ so the bucketing (not broadcast) is exercised
+        .join(spark.table("b_dim"), "k")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
