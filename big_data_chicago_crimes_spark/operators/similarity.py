@@ -105,3 +105,53 @@ def ann_topk(
     bucketed = hyperplane_lsh_buckets(df, dim, n_planes, vec_col)
     candidates = bucketed.filter(F.col("bucket").isin(sorted(probes)))
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
+# --- IVF (inverted-file) ANN: KMeans-partitioned index ------------------
+
+
+def ivf_index(
+    df: DataFrame,
+    k_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Build an IVF index: KMeans (seeded) over the vectors; every row is
+    assigned its nearest centroid id. Returns (assigned_df, centroids)
+    where ``assigned_df`` carries a ``centroid_id`` column — at scale,
+    write it partitioned by centroid_id so probes prune partitions —
+    and ``centroids`` is the k×dim list the driver keeps (the index
+    metadata; k floats×dim, trivially driver-sized).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=k_centroids, seed=_LSH_SEED, featuresCol="__v").fit(with_vec)
+    assigned = (
+        model.transform(with_vec)
+        .withColumnRenamed("prediction", "centroid_id")
+        .drop("__v")
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: rank centroids by distance to the query (driver-side,
+    k_centroids rows), scan only the ``nprobe`` nearest inverted lists,
+    exact cosine re-rank inside them. With centroid_id as a partition
+    column this is a partition-pruned scan of ~nprobe/k of the data."""
+    q = np.asarray(query_vec, dtype=float)
+    dists = [float(np.linalg.norm(np.asarray(c) - q)) for c in centroids]
+    probe_ids = sorted(range(len(centroids)), key=lambda i: dists[i])[:nprobe]
+    candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col)

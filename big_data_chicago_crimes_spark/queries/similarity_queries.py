@@ -95,3 +95,28 @@ def embedding_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     t = load_tables(spark, sf_dir)
     bucketed = hyperplane_lsh_buckets(t.embeddings, _EMB_DIM, n_planes=8)
     return bucketed.groupBy("bucket").agg(F.count("*").alias("n_vecs")).orderBy("bucket")
+
+
+@register(
+    "embedding_ivf_topk",
+    oracle=None,  # KMeans-partitioned index — recall pinned in tests vs exact
+    tags=("similarity", "ann", "ivf", "extension"),
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans(16) inverted lists, probe the 4 nearest lists,
+    exact cosine re-rank — the partition-pruned alternative to the
+    hyperplane-LSH path (at scale centroid_id is a partition column)."""
+    from big_data_chicago_crimes_spark.operators.similarity import ivf_index, ivf_topk
+    import pyarrow.parquet as pq
+
+    t = load_tables(spark, sf_dir)
+    qvec = [
+        float(x)
+        for x in pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .slice(0, 1)
+        .to_pylist()[0]["embedding"]
+    ]
+    assigned, centroids = ivf_index(
+        t.embeddings.filter(F.col("vec_id") != _QUERY_VEC_ID), k_centroids=16
+    )
+    return ivf_topk(assigned, centroids, qvec, k=10, nprobe=4)

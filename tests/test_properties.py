@@ -1,0 +1,82 @@
+"""Property-based tests (Hypothesis): the engine's composed operators
+must agree with independent pandas reference implementations on
+arbitrary generated inputs — not just the fixtures we thought of."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from big_data_chicago_crimes_spark.operators.asof import asof_join
+from big_data_chicago_crimes_spark.operators.windows import moving_average
+
+# Spark jobs per example are expensive: keep example counts small but
+# meaningful, and disable the deadline (JVM warm-up skews timing).
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+ts_strategy = st.integers(min_value=0, max_value=10_000)  # epoch seconds
+
+
+@SETTINGS
+@given(
+    left=st.lists(
+        st.tuples(st.integers(1, 3), ts_strategy), min_size=1, max_size=25, unique=True
+    ),
+    right=st.lists(
+        st.tuples(st.integers(1, 3), ts_strategy, st.integers(0, 100)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    from datetime import datetime, timezone
+
+    def dt(t):
+        return datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None)
+
+    ldf = spark.createDataFrame(
+        [(k, dt(t)) for k, t in left], "k int, ts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(k, dt(t), v) for k, t, v in right], "k int, rts timestamp, val int"
+    )
+    out = asof_join(ldf, rdf, "k", "ts", "rts", ["val"]).collect()
+    # key results by (k, epoch) — avoids tz-dependence of collected datetimes
+    got = {(r.k, int(r.ts.timestamp())): r.val_asof for r in out}
+
+    lp = pd.DataFrame(left, columns=["k", "t"]).sort_values("t", kind="mergesort")
+    rp = pd.DataFrame(right, columns=["k", "t", "val"]).sort_values("t", kind="mergesort")
+    merged = pd.merge_asof(lp, rp, on="t", by="k", direction="backward", suffixes=("", "_r"))
+    want = {
+        (row.k, row.t): int(row.val)
+        for row in merged.itertuples()
+        if not pd.isna(row.val)
+    }
+    assert set(got) == set(want)
+    for key, val in got.items():
+        assert val == want[key]
+
+
+@SETTINGS
+@given(
+    counts=st.lists(st.integers(0, 1000), min_size=1, max_size=40),
+    window=st.integers(1, 5),
+)
+def test_moving_average_matches_pandas_rolling(spark, counts, window):
+    rows = [(i, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "period int, cnt long")
+    got = {
+        r.period: r.moving_avg
+        for r in moving_average(df, ["period"], "cnt", window).collect()
+    }
+    want = (
+        pd.Series(counts).rolling(window, min_periods=1).mean().round(6).tolist()
+    )
+    for i, w in enumerate(want):
+        assert got[i] == w

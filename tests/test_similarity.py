@@ -47,3 +47,37 @@ def test_lsh_buckets_deterministic(vectors):
     assert b1 == b2
     assert b1[4] == b1[1]          # near-parallel → same bucket
     assert b1[4] != b1[2]          # opposite vector → complement bucket
+
+
+def test_ivf_finds_planted_neighbor(vectors):
+    from big_data_chicago_crimes_spark.operators.similarity import ivf_index, ivf_topk
+
+    assigned, centroids = ivf_index(vectors, k_centroids=2)
+    rows = ivf_topk(assigned, centroids, QUERY, k=2, nprobe=1).collect()
+    # identical + near-parallel vectors live in the query's own cell
+    assert [r.vec_id for r in rows][:2] == [4, 1]
+
+
+def test_ivf_recall_on_real_embeddings(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index,
+        ivf_topk,
+    )
+    from big_data_chicago_crimes_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qvec = [
+        float(x)
+        for x in pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .slice(0, 1)
+        .to_pylist()[0]["embedding"]
+    ]
+    exact = {r.vec_id for r in cosine_topk(emb, qvec, k=10).collect()}
+    assigned, centroids = ivf_index(emb, k_centroids=8)
+    approx = {r.vec_id for r in ivf_topk(assigned, centroids, qvec, 10, nprobe=4).collect()}
+    # probing half the lists on near-random data: demand meaningful recall
+    assert len(exact & approx) >= 4
