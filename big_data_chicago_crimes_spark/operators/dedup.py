@@ -278,3 +278,42 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def char_ngram_jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Character n-gram set Jaccard within a blocking key — the
+    word-order-insensitive sibling of token_jaccard_pairs (robust to
+    token-boundary edits; the classic shingle unit for text near-dup).
+    Normalization matches doc_fingerprint: casefold + whitespace
+    collapse, so the two operators agree on what "same text" means."""
+    from big_data_chicago_crimes_spark.functions.text import char_ngrams
+
+    gram_set = F.array_distinct(char_ngrams(text_col, n))
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], gram_set.alias("grams")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -119,3 +119,37 @@ def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path swaps label for an LSH bucket — operators.similarity)."""
     t = load_tables(spark, sf_dir)
     return embedding_near_dups(t.embeddings, threshold=0.95).orderBy("id_a", "id_b")
+
+
+@register(
+    "docs_char_ngram_jaccard",
+    oracle="""
+        WITH g AS (
+            SELECT doc_id, lang, source,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(length(
+                           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) - 4, 1)),
+                       i -> substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), i, 5)
+                   )) AS grams
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                     len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+        FROM g a JOIN g b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
+              len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "ngram", "jaccard", "extension"),
+)
+def docs_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 5-gram Jaccard near-dup pairs (≥0.5) blocked on
+    (lang, source) — word-order-insensitive text similarity."""
+    from big_data_chicago_crimes_spark.operators.dedup import char_ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    return char_ngram_jaccard_pairs(
+        t.documents, ["lang", "source"], threshold=0.5
+    ).orderBy("id_a", "id_b")
