@@ -162,3 +162,56 @@ def pearson_correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.sparkSession.createDataFrame(
         rows, "col_a string, col_b string, corr double"
     )
+
+
+def one_hot_pipeline(df: DataFrame, label_col: str) -> tuple[DataFrame, list[str]]:
+    """Indexer → OneHotEncoder → assembler variant (M14: OneHotEncoder is
+    imported but commented out in the reference, Dataset.py:26; provided
+    here as a working alternative to frequency-indexed categoricals)."""
+    from pyspark.ml.feature import OneHotEncoder
+
+    to_encode = string_columns(df, exclude=(label_col,))
+    indexers = [
+        StringIndexer(inputCol=c, outputCol=f"{c}_idx", handleInvalid="keep")
+        for c in to_encode
+    ]
+    encoder = OneHotEncoder(
+        inputCols=[f"{c}_idx" for c in to_encode],
+        outputCols=[f"{c}_oh" for c in to_encode],
+    )
+    feature_cols = numeric_columns(df, exclude=(label_col,)) + [
+        f"{c}_oh" for c in to_encode
+    ]
+    assembler = VectorAssembler(
+        inputCols=feature_cols, outputCol="features", handleInvalid="keep"
+    )
+    pipeline = Pipeline(stages=[*indexers, encoder, assembler])
+    return pipeline.fit(df).transform(df), feature_cols
+
+
+def cross_validated_lr_auc(df: DataFrame, label_col: str, folds: int = 3) -> DataFrame:
+    """CrossValidator + ParamGridBuilder (M14: imported and sketched in
+    comments at Dataset.py:615-642 but never run) — a working 3-fold CV
+    over the LR regularization grid; returns (best_reg_param, roc_auc)."""
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    prepared, _ = feature_pipeline(df, label_col)
+    lr = LogisticRegression(featuresCol="features", labelCol=label_col, maxIter=20)
+    grid = ParamGridBuilder().addGrid(lr.regParam, [0.01, 0.1]).build()
+    evaluator = BinaryClassificationEvaluator(
+        labelCol=label_col, metricName="areaUnderROC"
+    )
+    cv = CrossValidator(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=folds,
+        seed=SEED,
+        parallelism=2,
+    )
+    model = cv.fit(prepared)
+    best = model.bestModel
+    auc = max(model.avgMetrics)
+    return df.sparkSession.createDataFrame(
+        [(float(best.getRegParam()), float(auc))], "best_reg_param double, roc_auc double"
+    )

@@ -54,3 +54,26 @@ def test_correlation_matrix_diagonal(spark, sf_dir):
         if r.col_a == r.col_b:
             assert r.corr == pytest.approx(1.0)
         assert -1.0 <= r.corr <= 1.0
+
+
+def test_cross_validated_lr(spark, sf_dir):
+    from big_data_chicago_crimes_spark.operators.ml import cross_validated_lr_auc
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    row = cross_validated_lr_auc(orders, "label").collect()[0]
+    assert row.best_reg_param in (0.01, 0.1)
+    assert 0.0 <= row.roc_auc <= 1.0
+
+
+def test_one_hot_pipeline(spark, sf_dir):
+    from big_data_chicago_crimes_spark.operators.ml import one_hot_pipeline
+
+    orders = load_table(spark, sf_dir, "orders").limit(300)
+    prepared, cols = one_hot_pipeline(orders, "o_totalprice")
+    assert "features" in prepared.columns
+    assert any(c.endswith("_oh") for c in cols)
