@@ -176,3 +176,18 @@ def events_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("p.k").alias("min_k"), F.max("p.k").alias("max_k"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "orders_price_quantiles_approx",
+    oracle=None,  # t-digest/GK sketches differ engine-to-engine by design
+    tags=("agg", "percentile", "approx"),
+)
+def orders_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (GK sketch) — the 100 TB substitute for exact
+    percentiles: mergeable fixed-size state instead of a global sort."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("median_approx"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+    )

@@ -289,3 +289,34 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("k").alias("sum_k"), F.round(F.avg("k"), 6).alias("avg_k"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "event_value_stats",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               ROUND(AVG(value), 6) AS avg_value,
+               ROUND(MIN(value), 6) AS min_value,
+               ROUND(MAX(value), 6) AS max_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "reference:A5"),
+)
+def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-expression aggregate (A5 — the reference's per-district
+    centroid agg, Dataset.py:272-276): count + avg/min/max in one
+    hash aggregate."""
+    from big_data_chicago_crimes_spark.operators.aggregates import grouped_stats
+
+    t = load_tables(spark, sf_dir)
+    return grouped_stats(
+        t.events,
+        ["event_type"],
+        {
+            "cnt": F.count("*"),
+            "avg_value": F.round(F.avg("value"), 6),
+            "min_value": F.round(F.min("value"), 6),
+            "max_value": F.round(F.max("value"), 6),
+        },
+    ).orderBy("event_type")
