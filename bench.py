@@ -56,10 +56,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        run(name)  # warm-up: codegen + file listing, not counted
-        t0 = time.perf_counter()
-        run(name)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        run(name)  # warm-up: codegen + file listing + JIT, not counted
+        best = float("inf")
+        for _ in range(3):  # best-of-3: robust to host contention
+            t0 = time.perf_counter()
+            run(name)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
