@@ -62,3 +62,40 @@ def asof_join(
     if how == "inner":
         out = out.na.drop(subset=[f"{right_ts}_asof"])
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: each point row matched to every interval
+    with start ≤ point < end.
+
+    Naive Spark plans a non-equi join as BroadcastNestedLoop (O(n·m)).
+    This bucketizes instead: points get bucket = floor(point/w); each
+    interval explodes to the buckets it covers; the join becomes an
+    EQUI-join on bucket (hash-partitionable, AQE-optimizable) followed
+    by the exact inequality filter. Interval replication factor is
+    len/w + 1 — pick ``bucket_width`` near the typical interval length.
+    """
+    p = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / bucket_width).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width).cast("long"),
+                F.floor(F.col(end_col) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(iv, "__bucket", how).drop("__bucket")
+    return joined.filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    )

@@ -91,3 +91,55 @@ def order_price_at_ship_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "orders_by_price_band",
+    oracle="""
+        WITH bands AS (
+            SELECT band_id, lo, hi FROM (VALUES
+                (0, 0.0, 50000.0), (1, 50000.0, 100000.0),
+                (2, 100000.0, 200000.0), (3, 200000.0, 400000.0),
+                (4, 400000.0, 1000000.0)) AS t(band_id, lo, hi)
+        )
+        SELECT b.band_id, COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS total_price
+        FROM orders o JOIN bands b
+          ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        GROUP BY b.band_id ORDER BY b.band_id
+    """,
+    tags=("range-join", "extension"),
+)
+def orders_by_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: orders bucketed into price bands via the
+    bucketized equi-join (operators.asof.range_join) instead of a
+    nested-loop inequality join."""
+    from big_data_chicago_crimes_spark.operators.asof import range_join
+
+    t = load_tables(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [
+            (0, 0.0, 50_000.0),
+            (1, 50_000.0, 100_000.0),
+            (2, 100_000.0, 200_000.0),
+            (3, 200_000.0, 400_000.0),
+            (4, 400_000.0, 1_000_000.0),
+        ],
+        "band_id int, lo double, hi double",
+    )
+    joined = range_join(
+        t.orders.select("o_orderkey", "o_totalprice"),
+        bands,
+        "o_totalprice",
+        "lo",
+        "hi",
+        bucket_width=50_000.0,
+    )
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("band_id")
+    )

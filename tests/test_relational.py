@@ -58,3 +58,19 @@ def test_salted_join_equals_plain_join(spark):
     plain = fact.join(dim, "k").groupBy("k", "name").agg(F.sum("v").alias("s"))
     salted = salted_join(fact, dim, "k").groupBy("k", "name").agg(F.sum("v").alias("s"))
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_range_join_matches_naive(spark):
+    points = spark.range(200).selectExpr("id AS pid", "CAST(id * 7 % 100 AS DOUBLE) AS x")
+    intervals = spark.createDataFrame(
+        [(0, 0.0, 25.0), (1, 20.0, 60.0), (2, 55.0, 100.0)],
+        "iid int, lo double, hi double",
+    )
+    from big_data_chicago_crimes_spark.operators.asof import range_join
+
+    fast = range_join(points, intervals, "x", "lo", "hi", bucket_width=10.0)
+    naive = points.join(
+        intervals, (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi"))
+    )
+    key = lambda r: (r.pid, r.iid)
+    assert sorted(map(key, fast.collect())) == sorted(map(key, naive.collect()))
