@@ -39,6 +39,10 @@ HEADLINE = [
     "docs_minhash_lsh_candidates",
     "embedding_cosine_topk",
     "events_json_extract",
+    # OLAP widening
+    "lineitem_rollup",
+    "purchase_after_view_asof",
+    "orders_by_price_band",
 ]
 
 
