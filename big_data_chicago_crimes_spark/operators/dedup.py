@@ -62,6 +62,7 @@ def minhash_signature_table(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures as (id, h0..h{n-1} bigint).
 
@@ -88,11 +89,15 @@ def minhash_signature_table(
     exploded = ensure_min_partitions(df).select(
         F.col(id_col), F.explode(shingles).alias("shingle")
     )
+    if hash_family == "md5":
+        # md5 hex strings, min = lexicographic — a valid min-wise family
+        # that DuckDB can reproduce exactly (oracle-checkable), ~3× the
+        # cost of the xxhash64 default
+        hash_fn = lambda i: F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))
+    else:
+        hash_fn = lambda i: F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))
     return exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.min(hash_fn(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
 
 
@@ -103,6 +108,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) whose minhash
     signatures collide in ≥1 of ``bands`` bands (rows per band =
@@ -110,11 +116,14 @@ def minhash_lsh_candidates(
     uniformly distributed, so no skew at scale; true duplicates collide
     with probability 1-(1-s^r)^b for Jaccard similarity s."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k)
+    sig = minhash_signature_table(
+        df, text_col, id_col, num_hashes, shingle_k, hash_family
+    )
+    band_sig_fn = F.md5 if hash_family == "md5" else F.xxhash64
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(
+            band_sig_fn(
                 F.concat_ws(
                     ",",
                     *[
@@ -146,25 +155,46 @@ def minhash_lsh_candidates(
 
 
 def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash fingerprints: (id, simhash bigint).
 
-    Shape: explode tokens → hash once per token → 64 vectorized SUM
-    aggregates of per-bit signs → reassemble the sign bits. One shuffle
-    on id (hash agg with map-side partials). A per-row higher-order-
-    function formulation avoids the shuffle but builds a 64-wide nested
-    expression per token that Catalyst optimizes for MINUTES — the
-    explode+agg form stays in whole-stage codegen and scales linearly."""
+    Shape: explode tokens → hash once per token → ``bits`` vectorized
+    SUM aggregates of per-bit signs → reassemble the sign bits. One
+    shuffle on id (hash agg with map-side partials). A per-row higher-
+    order-function formulation avoids the shuffle but builds a 64-wide
+    nested expression per token that Catalyst optimizes for MINUTES —
+    the explode+agg form stays in whole-stage codegen and scales
+    linearly.
+
+    ``hash_family='md5'`` derives the bit stream from the md5 hex
+    digest (bit i = bit i%4 of hex digit i//4) — reproducible in any
+    engine with md5, which makes the fingerprint oracle-checkable;
+    xxhash64 stays the fast default."""
     tok = ensure_min_partitions(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )
-    hashed = tok.select(id_col, F.xxhash64("tok").alias("h"))
+    if hash_family == "md5":
+        if bits > 64:
+            raise ValueError("md5 family supports at most 64 bits (16 hex digits)")
+        hashed = tok.select(id_col, F.md5("tok").alias("hx"))
+
+        def sign(i: int):
+            digit = F.conv(F.substring("hx", i // 4 + 1, 1), 16, 10).cast("int")
+            return F.shiftright(digit, i % 4).bitwiseAND(F.lit(1)) * 2 - 1
+
+    else:
+        hashed = tok.select(id_col, F.xxhash64("tok").alias("h"))
+
+        def sign(i: int):
+            return F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1
+
     sums = hashed.groupBy(id_col).agg(
-        *[
-            F.sum((F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"b{i}")
-            for i in range(bits)
-        ]
+        *[F.sum(sign(i)).alias(f"b{i}") for i in range(bits)]
     )
     out = F.lit(0).cast("long")
     for i in range(bits):

@@ -153,3 +153,96 @@ def docs_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_ngram_jaccard_pairs(
         t.documents, ["lang", "source"], threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+def _minhash_md5_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    rows = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"h{b * rows + r}" for r in range(rows))
+        + ")) AS band_sig FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ), shingled AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+            FROM toks
+        ), sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM shingled GROUP BY doc_id
+        ), banded AS (
+            {band_selects}
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "docs_minhash_md5_oracled",
+    oracle=_minhash_md5_oracle(),
+    tags=("dedup", "minhash", "lsh", "extension"),
+)
+def docs_minhash_md5_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the md5-string hash family — byte-identical in
+    DuckDB, so the FULL candidate-generation pipeline (shingle → 32
+    minhashes → 8 band signatures → collision join) is oracle-checked.
+    The xxhash64 variant (docs_minhash_lsh_candidates) stays the fast
+    default; this query certifies the algorithm."""
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_candidates(t.documents, hash_family="md5").orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _simhash_md5_oracle(bits: int = 32) -> str:
+    sums = ",\n               ".join(
+        f"CAST(SUM((("
+        f"strpos('0123456789abcdef', substring(md5(tok), {i // 4 + 1}, 1)) - 1"
+        f") >> {i % 4} & 1) * 2 - 1) AS BIGINT) AS b{i}"
+        for i in range(bits)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ), sums AS (
+            SELECT doc_id,
+               {sums}
+            FROM tok GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash
+        FROM sums ORDER BY doc_id
+    """
+
+
+@register(
+    "docs_simhash_md5_oracled",
+    oracle=_simhash_md5_oracle(),
+    tags=("dedup", "simhash", "extension"),
+)
+def docs_simhash_md5_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) fingerprints with the md5-derived bit stream —
+    byte-identical in DuckDB, so every per-document fingerprint is
+    value-hash-checked. The 64-bit xxhash64 variant
+    (docs_simhash_candidates) stays the fast default."""
+    from big_data_chicago_crimes_spark.operators.dedup import simhash_table
+
+    t = load_tables(spark, sf_dir)
+    return simhash_table(t.documents, bits=32, hash_family="md5").orderBy("doc_id")
