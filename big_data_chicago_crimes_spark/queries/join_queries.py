@@ -267,3 +267,35 @@ def all_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("acctbal"), 2).alias("total_bal"))
         .orderBy("kind")
     )
+
+
+@register(
+    "late_shipment_orders",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("join", "semi", "tpch:q4"),
+)
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with ≥1 lineitem shipped >60 days after
+    the order date, per priority — a CONDITIONAL left-semi join (equi
+    key + inequality residual), the EXISTS-subquery pattern."""
+    t = load_tables(spark, sf_dir)
+    o = t.orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = t.lineitem.select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.date_add(o.o_orderdate, 60)
+    )
+    late = o.join(li, cond, "left_semi")
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )

@@ -196,3 +196,23 @@ def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("decile")
     )
+
+
+@register(
+    "docs_rolling_hash",
+    oracle=None,  # xxhash64-based polynomial hash — rows-only check
+    tags=("text", "fingerprint", "extension"),
+)
+def docs_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling (Rabin-Karp) fingerprint per document —
+    unlike md5, extendable incrementally over token windows; distinct-
+    fingerprint census per lang."""
+    from big_data_chicago_crimes_spark.functions.text import rolling_hash
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.select("lang", rolling_hash("text").alias("rh"))
+        .groupBy("lang")
+        .agg(F.countDistinct("rh").alias("n_unique_fingerprints"))
+        .orderBy("lang")
+    )
