@@ -76,3 +76,56 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 100) -> DataFrame:
         df.select("doc_id", F.explode(offsets).alias("frame_idx"), n.alias("n_bytes"))
         .withColumn("frame_offset", F.col("frame_idx") * every_n_bytes)
     )
+
+
+RESIZED_SCHEMA = "doc_id long, target_w int, target_h int, n_bytes_out long"
+
+
+def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize stage (STUB KERNEL — no codecs in this container): a real
+    implementation calls PIL/libvips per payload; the stand-in derives
+    the output byte count deterministically from input size and target
+    dims. Arrow-batched mapInPandas, production-shaped."""
+
+    def kernel(batches):
+        for pdf in batches:
+            n_in = pdf["payload"].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "target_w": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "target_h": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    # fake: resized size scales with target area, capped by input
+                    "n_bytes_out": (n_in.clip(upper=target_w * target_h * 3)),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id long, feature array<float>"
+
+
+def extract_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Feature-extraction stage: a deterministic byte-value histogram as
+    the stand-in "embedding" (a real pipeline runs a vision/audio model
+    here). Unlike the decode/resize stubs this output is REAL — a
+    normalized n_bins-dim float vector per payload — so downstream
+    similarity/dedup operators can consume it in tests."""
+    import numpy as np
+
+    def kernel(batches):
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if len(arr) == 0:
+                    feats.append([0.0] * n_bins)
+                    continue
+                hist, _ = np.histogram(arr, bins=n_bins, range=(0, 256))
+                feats.append((hist / len(arr)).astype("float32").tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "feature": feats}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, schema=FEATURE_SCHEMA)
