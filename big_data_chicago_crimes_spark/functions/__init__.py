@@ -6,10 +6,13 @@ from big_data_chicago_crimes_spark.functions.temporal import (
     season,
 )
 from big_data_chicago_crimes_spark.functions.text import (
+    bpe_ish_token_count,
     char_ngrams,
     doc_fingerprint,
     lang_id_scores,
     punct_ratio,
+    quality_score,
+    rolling_hash,
     stopword_ratio,
     token_count,
     tokens,
@@ -25,7 +28,10 @@ __all__ = [
     "date_parts",
     "quarter_name",
     "season",
+    "bpe_ish_token_count",
     "char_ngrams",
+    "quality_score",
+    "rolling_hash",
     "doc_fingerprint",
     "lang_id_scores",
     "punct_ratio",
