@@ -113,10 +113,22 @@ def doc_fingerprint(text: Column | str) -> Column:
     return F.md5(normalized)
 
 
-def rolling_hash(text: Column | str, base: int = 31, mod: int = 2**61 - 1) -> Column:
+def rolling_hash(text: Column | str, base: int = 31, mod: int = 2**57 - 13) -> Column:
     """Polynomial rolling hash (Rabin–Karp) over the document's tokens,
     computed distributively with F.aggregate — an order-sensitive
-    fingerprint that, unlike md5, can be windowed/extended incrementally."""
+    fingerprint that, unlike md5, can be windowed/extended incrementally.
+
+    ANSI-overflow safety: the accumulator stays in [0, mod), so the
+    largest intermediate is (mod-1)*base + base*1000 - 1. mod defaults to
+    2**57 - 13 (prime) so that bound is ~4.5e18 < Long.MAX (9.22e18);
+    callers overriding (base, mod) must keep (mod-1)*base + base*1000
+    below 2**63 or Spark 4's ANSI mode raises ARITHMETIC_OVERFLOW.
+    """
+    if (mod - 1) * base + base * 1000 >= 2**63:
+        raise ValueError(
+            f"rolling_hash(base={base}, mod={mod}) would overflow a signed "
+            "64-bit long under ANSI mode: require (mod-1)*base + base*1000 < 2**63"
+        )
     toks = tokens(text)
     return F.aggregate(
         toks,

@@ -18,9 +18,11 @@ from big_data_chicago_crimes_spark.functions.temporal import (
     season,
 )
 
-# Crime categories excluded by the reference (Dataset.py:130-145).
+# Crime categories excluded by the reference (Dataset.py:130-145),
+# matched verbatim (including "HUMAN TRAFFICKING"; "OTHER OFFENSE" is NOT
+# excluded by the reference despite its size).
 EXCLUDED_PRIMARY_TYPES = [
-    "OTHER OFFENSE",
+    "HUMAN TRAFFICKING",
     "NON-CRIMINAL",
     "NON - CRIMINAL",
     "NON-CRIMINAL (SUBJECT SPECIFIED)",
@@ -55,8 +57,10 @@ def dedup_rows(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
 
 
 def clean_description(df: DataFrame, col: str = "Description") -> DataFrame:
-    """F1 regex clean (Dataset.py:87): strip ``-``, ``/``, ``:``."""
-    return df.withColumn(col, F.regexp_replace(F.col(col), r"[-/:]", ""))
+    """F1 regex clean (Dataset.py:87): replace ``-``, ``/``, ``:`` with a
+    single space, exactly as the reference does — e.g. 'OVER-$500/RETAIL'
+    becomes 'OVER $500 RETAIL', preserving word boundaries."""
+    return df.withColumn(col, F.regexp_replace(F.col(col), r"[-/:]", " "))
 
 
 def decompose_timestamp(

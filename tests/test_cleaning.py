@@ -33,6 +33,10 @@ def _raw_rows():
         (5, "HY5", "07/04/2016 01:30:00 PM", "OBSCENITY", "desc", False, False, 3, "loc"),
         # survives: arrest false, domestic true (verifies independent casts)
         (6, "HY6", "12/31/2020 11:59:59 PM", "ASSAULT", "AGG:PO-HANDS", False, True, 4, "loc"),
+        # excluded by the reference (Dataset.py:136) → dropped
+        (7, "HY7", "07/04/2016 01:30:00 PM", "HUMAN TRAFFICKING", "desc", False, False, 3, "loc"),
+        # NOT excluded by the reference → survives
+        (8, "HY8", "07/04/2016 01:30:00 PM", "OTHER OFFENSE", "desc", False, False, 3, "loc"),
     ]
 
 
@@ -50,11 +54,13 @@ def raw(spark):
 def test_clean_crimes_pipeline(raw):
     out = clean_crimes(raw)
     rows = {r.ID: r for r in out.collect()}
-    assert set(rows) == {1, 6}
+    # 7 (HUMAN TRAFFICKING) is excluded per the reference list; 8 (OTHER
+    # OFFENSE) is kept — the reference does NOT exclude it.
+    assert set(rows) == {1, 6, 8}
     r1, r6 = rows[1], rows[6]
-    # regex clean stripped [-/:] from Description (Dataset.py:87)
-    assert r1.Description == "OVER$500RETAIL"
-    assert r6.Description == "AGGPOHANDS"
+    # regex clean replaces [-/:] with a single space (Dataset.py:87)
+    assert r1.Description == "OVER $500 RETAIL"
+    assert r6.Description == "AGG PO HANDS"
     # 12-hour AM/PM decomposition (Dataset.py:90-99)
     assert (r1.year, r1.month, r1.day, r1.hour) == (2016, 7, 4, 13)
     assert (r6.year, r6.month, r6.day, r6.hour) == (2020, 12, 31, 23)

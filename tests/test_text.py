@@ -1,0 +1,70 @@
+"""Text-function unit tests — notably the rolling_hash ANSI-overflow
+regression (a 17+-token document used to raise ARITHMETIC_OVERFLOW under
+Spark 4's default ANSI mode because acc*base exceeded Long.MAX)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_chicago_crimes_spark.functions.text import (
+    doc_fingerprint,
+    quality_score,
+    rolling_hash,
+    token_count,
+)
+
+
+def test_rolling_hash_long_docs_no_overflow(spark):
+    """Documents far past the old ~13-token overflow point hash cleanly
+    under ANSI mode, values stay in [0, mod), and the hash is
+    deterministic across evaluations."""
+    docs = [
+        (" ".join(f"tok{i}" for i in range(17)),),  # the ADVICE repro length
+        (" ".join(f"word{i % 7}" for i in range(500)),),
+        ("lorem ipsum dolor sit amet " * 200,),
+    ]
+    df = spark.createDataFrame(docs, ["text"])
+    out = df.select(rolling_hash("text").alias("rh")).collect()
+    mod = 2**57 - 13
+    assert all(0 <= r.rh < mod for r in out)
+    again = df.select(rolling_hash("text").alias("rh")).collect()
+    assert [r.rh for r in out] == [r.rh for r in again]
+
+
+def test_rolling_hash_order_sensitive(spark):
+    """Unlike the md5 fingerprint, the polynomial hash distinguishes
+    token order (that's its reason to exist)."""
+    df = spark.createDataFrame([("a b c d e f g h",), ("h g f e d c b a",)], ["text"])
+    vals = [r.rh for r in df.select(rolling_hash("text").alias("rh")).collect()]
+    assert vals[0] != vals[1]
+
+
+def test_rolling_hash_rejects_overflowing_params():
+    with pytest.raises(ValueError, match="overflow"):
+        rolling_hash(F.lit("x"), base=31, mod=2**61 - 1)
+
+
+def test_rolling_hash_on_documents_table(spark, sf_dir):
+    """End-to-end over the real documents table (the docs_rolling_hash
+    query path) — this used to crash on any doc with ~13+ tokens."""
+    from big_data_chicago_crimes_spark.queries.text_queries import docs_rolling_hash
+
+    rows = docs_rolling_hash(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    assert all(r.n_unique_fingerprints >= 1 for r in rows)
+
+
+def test_token_count_and_fingerprint_basics(spark):
+    df = spark.createDataFrame(
+        [("  hello   world  ",), ("",), ("Hello world",)], ["text"]
+    )
+    out = df.select(
+        token_count("text").alias("n"),
+        doc_fingerprint("text").alias("fp"),
+        quality_score("text").alias("q"),
+    ).collect()
+    assert [r.n for r in out] == [2, 0, 2]
+    # fingerprint normalizes case+whitespace: row0 and row2 collide
+    assert out[0].fp == out[2].fp
+    assert all(0.0 <= r.q <= 1.0 for r in out)
