@@ -94,14 +94,19 @@ def ann_topk(
     """Approximate top-k: probe the query's LSH bucket plus buckets
     within ``multiprobe_hamming`` bit flips, then exact cosine re-rank.
     Probing H=1 over 8 planes scans 9/256 of the data in expectation."""
+    import itertools
+
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes)
     dots = planes @ np.asarray(query_vec, dtype=float)
     q_bucket = int(sum((1 << i) for i, d in enumerate(dots) if d > 0))
     probes = {q_bucket}
-    if multiprobe_hamming >= 1:
-        for i in range(n_planes):
-            probes.add(q_bucket ^ (1 << i))
+    for radius in range(1, multiprobe_hamming + 1):
+        for bits in itertools.combinations(range(n_planes), radius):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probes.add(q_bucket ^ flip)
     bucketed = hyperplane_lsh_buckets(df, dim, n_planes, vec_col)
     candidates = bucketed.filter(F.col("bucket").isin(sorted(probes)))
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)

@@ -30,6 +30,16 @@ def _query_vec_col(t):
     )
 
 
+def _query_vec(t) -> list[float]:
+    """The query vector as driver-side floats, for the ANN paths that
+    must compute the probe set (LSH bucket / centroid ranking) on the
+    driver. A pushed-down ``vec_id = 0`` filter ships exactly ONE
+    dim-sized row to the driver — same cost class as IVF centroid
+    metadata, never a full-table read."""
+    row = _query_vec_col(t).head()
+    return [float(x) for x in row["qvec"]]
+
+
 @register(
     "embedding_cosine_topk",
     oracle=f"""
@@ -67,17 +77,10 @@ def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-1): probes ~9/256 of the table, exact re-rank inside the
     probed buckets. At scale the bucket column is a partition key →
     partition-pruned scan."""
-    spark_tables = load_tables(spark, sf_dir)
-    import pyarrow.parquet as pq
-
-    qvec = [
-        float(x)
-        for x in pq.read_table(f"{sf_dir}/embeddings.parquet")
-        .slice(0, 1)
-        .to_pylist()[0]["embedding"]
-    ]
+    t = load_tables(spark, sf_dir)
+    qvec = _query_vec(t)
     return ann_topk(
-        spark_tables.embeddings.filter(F.col("vec_id") != _QUERY_VEC_ID),
+        t.embeddings.filter(F.col("vec_id") != _QUERY_VEC_ID),
         qvec,
         k=10,
         n_planes=8,
@@ -107,15 +110,9 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine re-rank — the partition-pruned alternative to the
     hyperplane-LSH path (at scale centroid_id is a partition column)."""
     from big_data_chicago_crimes_spark.operators.similarity import ivf_index, ivf_topk
-    import pyarrow.parquet as pq
 
     t = load_tables(spark, sf_dir)
-    qvec = [
-        float(x)
-        for x in pq.read_table(f"{sf_dir}/embeddings.parquet")
-        .slice(0, 1)
-        .to_pylist()[0]["embedding"]
-    ]
+    qvec = _query_vec(t)
     assigned, centroids = ivf_index(
         t.embeddings.filter(F.col("vec_id") != _QUERY_VEC_ID), k_centroids=16
     )

@@ -58,6 +58,73 @@ def test_ivf_finds_planted_neighbor(vectors):
     assert [r.vec_id for r in rows][:2] == [4, 1]
 
 
+def test_query_vec_fetch_matches_parquet_row(spark, sf_dir):
+    """The ANN queries' driver-side query vector (pushed-down vec_id=0
+    filter + head — ONE dim-sized row) is byte-identical to the parquet
+    file's vec_id=0 row: no full-table read, no value drift."""
+    import pyarrow.parquet as pq
+
+    from big_data_chicago_crimes_spark.queries.similarity_queries import _query_vec
+    from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+    spark_vec = _query_vec(load_tables(spark, sf_dir))
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    file_vec = [float(x) for r in tbl if r["vec_id"] == 0 for x in r["embedding"]]
+    assert spark_vec == file_vec
+
+
+def test_lsh_ann_on_real_embeddings_planted_neighbor(spark, sf_dir):
+    """LSH's actual guarantee — near-duplicates collide — exercised on
+    the REAL embeddings distribution: plant a true near-dup of the query
+    vector into the table; the ANN path must surface it as the top hit.
+    (A recall-vs-exact-top-10 bound is unattainable here: the synthetic
+    embeddings are near-random, so the 'top-10' sit at ~71 deg from the
+    query — no sublinear ANN finds those, by design.)"""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.similarity import ann_topk
+    from big_data_chicago_crimes_spark.queries.similarity_queries import _query_vec
+    from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    qvec = _query_vec(t)
+    planted_id = 10_000_000
+    near = [x * 1.02 + 1e-4 for x in qvec]
+    planted = spark.createDataFrame(
+        [(planted_id, near)], "vec_id long, embedding array<float>"
+    )
+    emb = t.embeddings.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    rows = ann_topk(emb.unionByName(planted), qvec, k=5, n_planes=8).collect()
+    assert rows[0].vec_id == planted_id
+    assert rows[0].cosine == pytest.approx(1.0, abs=1e-4)
+
+
+def test_lsh_multiprobe_radius_widens_probe_set(spark, sf_dir):
+    """Multiprobe radius must actually honor radii > 1 (a radius-R probe
+    set contains every bucket within Hamming distance R): candidate
+    recall vs exact is monotone in the radius, and radius 3 probes
+    93/256 buckets so it must recover a strict superset of radius 1."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.similarity import ann_topk, cosine_topk
+    from big_data_chicago_crimes_spark.queries.similarity_queries import _query_vec
+    from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    qvec = _query_vec(t)
+    emb = t.embeddings.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in cosine_topk(emb, qvec, k=10).collect()}
+    recalls = []
+    for h in (1, 2, 3):
+        got = {
+            r.vec_id
+            for r in ann_topk(emb, qvec, k=10, n_planes=8, multiprobe_hamming=h).collect()
+        }
+        recalls.append(len(exact & got))
+    assert recalls == sorted(recalls), f"recall not monotone in radius: {recalls}"
+    assert recalls[2] > recalls[0] or recalls[0] == 10
+
+
 def test_ivf_recall_on_real_embeddings(spark, sf_dir):
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
