@@ -30,18 +30,6 @@ from big_data_chicago_crimes_spark.functions.text import doc_fingerprint, tokens
 from big_data_chicago_crimes_spark.functions.vectors import cosine_similarity
 
 
-def ensure_min_partitions(df: DataFrame) -> DataFrame:
-    """Spread compute-heavy per-row work across the cluster when the
-    scan produced fewer partitions than cores (a single small parquet
-    file = one task doing ALL the hashing). At real scale the scan has
-    thousands of splits and this is a no-op — the guard keeps us from
-    paying a gratuitous full-table shuffle there."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -86,7 +74,7 @@ def minhash_signature_table(
             " ", *[F.try_element_at(toks, i + F.lit(off)) for off in range(k)]
         ),
     )
-    exploded = ensure_min_partitions(df).select(
+    exploded = df.select(
         F.col(id_col), F.explode(shingles).alias("shingle")
     )
     if hash_family == "md5":
@@ -175,7 +163,7 @@ def simhash_table(
     digest (bit i = bit i%4 of hex digit i//4) — reproducible in any
     engine with md5, which makes the fingerprint oracle-checkable;
     xxhash64 stays the fast default."""
-    tok = ensure_min_partitions(df).select(
+    tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )
     if hash_family == "md5":
@@ -248,37 +236,112 @@ def simhash_candidates(
     )
 
 
+def _pair_jaccard(col_a: Column, col_b: Column) -> Column:
+    inter = F.size(F.array_intersect(col_a, col_b))
+    union = F.size(F.array_union(col_a, col_b))
+    return F.round(
+        F.when(union == 0, F.lit(0.0)).otherwise(
+            inter.cast("double") / union.cast("double")
+        ),
+        6,
+    )
+
+
+def _blocked_jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    items: Column,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    max_block_rows: int | None,
+) -> DataFrame:
+    """Shared core for the blocked exact-Jaccard operators, with a
+    block-size guard: blocks up to ``max_block_rows`` get the exact
+    all-pairs self-join (quadratic WITHIN the block — fine when blocks
+    are bounded); oversized blocks are routed through MinHash-LSH
+    candidate generation followed by exact-Jaccard verification of only
+    the candidate pairs, so one hot block can't turn the plan quadratic.
+    The LSH leg trades a documented sliver of recall (pairs whose
+    signatures never band-collide) for bounded cost — the standard
+    verify-after-LSH shape at 100 TB. ``max_block_rows=None`` disables
+    the guard (pure all-pairs)."""
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        items.alias("items"),
+        F.col(text_col).alias("__text"),
+    )
+    if max_block_rows is not None:
+        sizes = base.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__bn"))
+        base = base.join(sizes, block_cols)
+        small = base.filter(F.col("__bn") <= max_block_rows)
+        big = base.filter(F.col("__bn") > max_block_rows)
+    else:
+        small, big = base, None
+
+    def _all_pairs(side: DataFrame) -> DataFrame:
+        a, b = side.alias("a"), side.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        return a.join(b, cond).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            _pair_jaccard(F.col("a.items"), F.col("b.items")).alias("jaccard"),
+        )
+
+    out = _all_pairs(small)
+    if big is not None:
+        cands = minhash_lsh_candidates(
+            big.select(F.col(id_col), F.col("__text").alias("text")),
+            text_col="text",
+            id_col=id_col,
+        )
+        lhs = big.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(c).alias(f"__a_{c}") for c in block_cols],
+            F.col("items").alias("items_a"),
+        )
+        rhs = big.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+            F.col("items").alias("items_b"),
+        )
+        verified = cands.join(lhs, "id_a").join(rhs, "id_b")
+        for c in block_cols:
+            verified = verified.filter(F.col(f"__a_{c}") == F.col(f"__b_{c}"))
+        out = out.unionByName(
+            verified.select(
+                "id_a",
+                "id_b",
+                _pair_jaccard(F.col("items_a"), F.col("items_b")).alias("jaccard"),
+            )
+        )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
 def token_jaccard_pairs(
     df: DataFrame,
     block_cols: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_block_rows: int | None = 20_000,
 ) -> DataFrame:
     """Exact token-set Jaccard over pairs sharing a blocking key.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
-    Blocking bounds the pair count; the join shuffles on the block key."""
-    tok_set = F.array_distinct(tokens(text_col))
-    base = df.select(
-        F.col(id_col), *[F.col(c) for c in block_cols], tok_set.alias("toks")
-    )
-    a, b = base.alias("a"), base.alias("b")
-    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    jac = F.when(union == 0, F.lit(0.0)).otherwise(
-        inter.cast("double") / union.cast("double")
-    )
-    return (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    Blocks larger than ``max_block_rows`` fall back to LSH-candidates +
+    exact verification (see _blocked_jaccard_pairs) so a hot block never
+    goes quadratic."""
+    return _blocked_jaccard_pairs(
+        df,
+        block_cols,
+        F.array_distinct(tokens(text_col)),
+        text_col,
+        id_col,
+        threshold,
+        max_block_rows,
     )
 
 
@@ -317,33 +380,24 @@ def char_ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     threshold: float = 0.5,
+    max_block_rows: int | None = 20_000,
 ) -> DataFrame:
     """Character n-gram set Jaccard within a blocking key — the
     word-order-insensitive sibling of token_jaccard_pairs (robust to
     token-boundary edits; the classic shingle unit for text near-dup).
     Normalization matches doc_fingerprint: casefold + whitespace
-    collapse, so the two operators agree on what "same text" means."""
+    collapse, so the two operators agree on what "same text" means.
+    Oversized blocks route through LSH candidates + exact verification
+    (word-shingle MinHash as the candidate generator — recall caveat for
+    pure character-level rearrangements is documented there)."""
     from big_data_chicago_crimes_spark.functions.text import char_ngrams
 
-    gram_set = F.array_distinct(char_ngrams(text_col, n))
-    base = df.select(
-        F.col(id_col), *[F.col(c) for c in block_cols], gram_set.alias("grams")
-    )
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
-    jac = F.when(union == 0, F.lit(0.0)).otherwise(
-        inter.cast("double") / union.cast("double")
-    )
-    return (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    return _blocked_jaccard_pairs(
+        df,
+        block_cols,
+        F.array_distinct(char_ngrams(text_col, n)),
+        text_col,
+        id_col,
+        threshold,
+        max_block_rows,
     )

@@ -22,13 +22,20 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join on ``key`` with the fact side salted into ``buckets``.
-    Salt is a deterministic hash of the whole fact row (uniform, stable
-    across runs — no rand(), which would break retry determinism).
-    Result ≡ ``fact.join(dim, key, how)``; the dim replication costs
-    buckets× its (small) size, bought back by even reducer load."""
-    fact_cols = [F.col(c) for c in fact.columns]
+
+    The salt must NOT be a pure function of row content: the common skew
+    case is a hot key whose rows are IDENTICAL (log lines, default
+    values), and content-hash salting would send them all to one bucket,
+    defeating the whole operator. Instead the salt round-robins on
+    ``monotonically_increasing_id()`` — per-partition positional, so
+    identical rows spread evenly over all ``buckets``. Deterministic for
+    a fixed input partitioning (enough for a single job run; the salt
+    never leaks into the output, so retries of downstream stages are
+    unaffected). Result ≡ ``fact.join(dim, key, how)``; the dim
+    replication costs buckets× its (small) size, bought back by even
+    reducer load."""
     salted_fact = fact.withColumn(
-        "__salt", F.pmod(F.xxhash64(*fact_cols), F.lit(buckets)).cast("int")
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(buckets)).cast("int")
     )
     replicated_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))

@@ -51,6 +51,11 @@ def get_spark(
         # Parquet scans: keep splits small enough that a partition of the
         # widest table fits comfortably in executor memory at high SF.
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Floor on scan splits: a single small file still fans out across
+        # the cores, so compute-heavy per-row work (minhash, simhash)
+        # parallelizes without any operator-side repartition probing. At
+        # real scale scans have >> this many splits and it is a no-op.
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

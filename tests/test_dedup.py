@@ -65,6 +65,58 @@ def test_token_jaccard_exact_value(spark):
     assert rows[0].jaccard == pytest.approx(0.6)
 
 
+def test_blocked_jaccard_skewed_block_guard(spark):
+    """One 10x-skewed block must not go quadratic: rows in blocks above
+    max_block_rows route through LSH-candidates + exact verification.
+    On a hot block of exact/near duplicates (the common skew case) the
+    guarded path returns the same thresholded pairs as the unguarded
+    all-pairs path, and small blocks are untouched."""
+    hot = [
+        (i, BASE if i % 2 == 0 else NEAR_DUP, "en", "hot") for i in range(100)
+    ]
+    cold = [
+        (1000, "alpha beta gamma delta", "en", "cold"),
+        (1001, "alpha beta gamma epsilon", "en", "cold"),
+        (1002, DISTINCT, "en", "cold"),
+    ]
+    df = spark.createDataFrame(
+        hot + cold, "doc_id long, text string, lang string, source string"
+    )
+    guarded = token_jaccard_pairs(
+        df, ["lang", "source"], threshold=0.6, max_block_rows=10
+    )
+    naive = token_jaccard_pairs(
+        df, ["lang", "source"], threshold=0.6, max_block_rows=None
+    )
+    g = {(r.id_a, r.id_b, r.jaccard) for r in guarded.collect()}
+    n = {(r.id_a, r.id_b, r.jaccard) for r in naive.collect()}
+    assert g == n
+    # the cold block's exact pair is present with the exact value
+    assert (1000, 1001, 0.6) in {(a, b, round(j, 6)) for a, b, j in g}
+
+
+def test_salted_join_spreads_identical_hot_rows(spark):
+    """The salt must NOT be a pure function of row content: a hot key
+    made of IDENTICAL rows (log-line skew) has to fan out across salt
+    buckets, not land on one."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.skew import salted_join
+
+    buckets = 16
+    fact = spark.createDataFrame([("hot", 1)] * 10_000, "k string, v int")
+    salted = fact.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(buckets)).cast("int")
+    )
+    n_salts = salted.select("__salt").distinct().count()
+    assert n_salts >= buckets // 2
+    # and the join result is still exactly the plain join
+    dim = spark.createDataFrame([("hot", "dim_val")], "k string, name string")
+    out = salted_join(fact, dim, "k", buckets=buckets)
+    assert out.count() == 10_000
+    assert out.select("name").distinct().collect()[0].name == "dim_val"
+
+
 def test_simhash_deterministic_and_discriminative(docs):
     t1 = {r.doc_id: r.simhash for r in simhash_table(docs).collect()}
     t2 = {r.doc_id: r.simhash for r in simhash_table(docs).collect()}
