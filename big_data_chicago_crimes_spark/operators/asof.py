@@ -71,10 +71,12 @@ def range_join(
     start_col: str,
     end_col: str,
     bucket_width: float,
-    how: str = "inner",
 ) -> DataFrame:
     """Point-in-interval join: each point row matched to every interval
-    with start ≤ point < end.
+    with start ≤ point < end. Inner semantics only: the exact inequality
+    runs as a residual filter AFTER the bucket equi-join, which would
+    silently drop any outer join's null-extended rows — so no ``how``
+    parameter is offered.
 
     Naive Spark plans a non-equi join as BroadcastNestedLoop (O(n·m)).
     This bucketizes instead: points get bucket = floor(point/w); each
@@ -95,7 +97,7 @@ def range_join(
             )
         ),
     )
-    joined = p.join(iv, "__bucket", how).drop("__bucket")
+    joined = p.join(iv, "__bucket", "inner").drop("__bucket")
     return joined.filter(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
     )

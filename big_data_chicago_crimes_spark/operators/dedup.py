@@ -200,12 +200,17 @@ def simhash_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     band_bits: int = 16,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup candidates: documents sharing ≥1 of the 4 16-bit SimHash
-    bands (any pair within Hamming distance 3 of a 64-bit simhash must
-    agree on at least one band — pigeonhole)."""
-    sh_table = simhash_table(df, text_col, id_col)
-    n_bands = 64 // band_bits
+    """Near-dup candidates: documents sharing ≥1 of the bits/band_bits
+    SimHash bands (any pair within Hamming distance < bits/band_bits of
+    the fingerprint must agree on at least one band — pigeonhole).
+    ``hash_family='md5'`` makes the whole pipeline (fingerprint → bands →
+    collision join) reproducible in any engine with md5 — the
+    oracle-checkable twin of the fast xxhash64 default."""
+    sh_table = simhash_table(df, text_col, id_col, bits=bits, hash_family=hash_family)
+    n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     banded = sh_table.select(
         F.col(id_col),

@@ -246,3 +246,46 @@ def docs_simhash_md5_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return simhash_table(t.documents, bits=32, hash_family="md5").orderBy("doc_id")
+
+
+def _simhash_band_md5_oracle(bits: int = 32, band_bits: int = 8) -> str:
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    band_selects = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, {b} AS band, (simhash >> {b * band_bits}) & {mask} "
+        "AS band_val FROM fp"
+        for b in range(n_bands)
+    )
+    # fingerprint CTE identical to _simhash_md5_oracle, then integer-only
+    # band extraction + collision self-join — no float anywhere.
+    fp_sql = _simhash_md5_oracle(bits).replace(
+        "SELECT doc_id, CAST(", "SELECT doc_id, CAST("
+    )
+    return f"""
+        WITH fp AS ({fp_sql}), banded AS (
+            {band_selects}
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "docs_simhash_band_candidates_md5_oracled",
+    oracle=_simhash_band_md5_oracle(),
+    tags=("dedup", "simhash", "lsh", "extension"),
+)
+def docs_simhash_band_candidates_md5_oracled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL SimHash candidate pipeline (md5 bit stream → 32-bit
+    fingerprint → 4×8-bit bands → collision self-join) oracle-checked
+    end to end: band extraction and pairing are pure integer bit math,
+    so Spark and DuckDB agree exactly. Certifies the band stage that
+    docs_simhash_candidates (xxhash64) runs as the fast default."""
+    t = load_tables(spark, sf_dir)
+    return simhash_candidates(
+        t.documents, band_bits=8, bits=32, hash_family="md5"
+    ).orderBy("id_a", "id_b")
