@@ -25,22 +25,39 @@ HEADLINE = [
     "orders_quarter_pivot",
     "orders_moving_avg_3m",
     "purchase_top_users",
+    "event_value_stats",
+    "orders_by_season",
     # joins / TPC-H shapes
     "revenue_by_nation",
     "pricing_summary",
     "top_revenue_orders",
     "best_order_per_customer",
-    # time windows
+    "segment_customers_with_orders",
+    # window functions
+    "orders_running_total",
+    "orders_monthly_delta",
+    "customer_balance_rank_in_nation",
+    # time windows (streaming batch twins)
     "events_hourly_tumbling",
+    "events_sliding_1h_30m",
     "user_session_counts",
-    # training-data extensions
+    # text suite
     "docs_token_stats",
+    "docs_quality_by_source",
+    "docs_lang_id",
+    "docs_bpe_token_stats",
+    "docs_fingerprint_census",
+    "docs_rolling_hash",
+    # dedup / similarity
     "docs_exact_dedup",
     "docs_minhash_lsh_candidates",
+    "docs_jaccard_pairs",
     "embedding_cosine_topk",
+    "embedding_ann_lsh_topk",
     "events_json_extract",
     # OLAP widening
     "lineitem_rollup",
+    "orders_cube",
     "purchase_after_view_asof",
     "orders_by_price_band",
 ]

@@ -30,6 +30,23 @@ from big_data_chicago_crimes_spark.functions.text import doc_fingerprint, tokens
 from big_data_chicago_crimes_spark.functions.vectors import cosine_similarity
 
 
+def spread_for_compute(df: DataFrame) -> DataFrame:
+    """Config-gated spread before compute-heavy per-row stages.
+
+    ``spark.bdcc.spreadCompute`` (set by the session factory: on for
+    local masters, off otherwise) inserts a round-robin repartition to
+    ``defaultParallelism`` so a small single-row-group parquet file —
+    which scans as ONE task regardless of ``files.minPartitionNum``,
+    since parquet can't split below row-group boundaries — doesn't run
+    all the hashing on one core. On a cluster the scan already has
+    thousands of splits and the flag stays off: no plan probing, no
+    ``df.rdd`` materialization, no gratuitous shuffle at scale."""
+    spark = df.sparkSession
+    if spark.conf.get("spark.bdcc.spreadCompute", "false").lower() == "true":
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -74,7 +91,7 @@ def minhash_signature_table(
             " ", *[F.try_element_at(toks, i + F.lit(off)) for off in range(k)]
         ),
     )
-    exploded = df.select(
+    exploded = spread_for_compute(df).select(
         F.col(id_col), F.explode(shingles).alias("shingle")
     )
     if hash_family == "md5":
@@ -163,7 +180,7 @@ def simhash_table(
     digest (bit i = bit i%4 of hex digit i//4) — reproducible in any
     engine with md5, which makes the fingerprint oracle-checkable;
     xxhash64 stays the fast default."""
-    tok = df.select(
+    tok = spread_for_compute(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )
     if hash_family == "md5":
@@ -271,7 +288,12 @@ def _blocked_jaccard_pairs(
     signatures never band-collide) for bounded cost — the standard
     verify-after-LSH shape at 100 TB. ``max_block_rows=None`` disables
     the guard (pure all-pairs)."""
-    base = df.select(
+    # Spread before the pair join: on a small single-row-group file the
+    # self-join plans as BroadcastHashJoin with the (1-task) scan as the
+    # streaming side — one core would compute EVERY pair. Spreading the
+    # streaming side keeps the broadcast (no extra shuffle for the join)
+    # while fanning the quadratic work across the cluster.
+    base = spread_for_compute(df).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         items.alias("items"),
@@ -360,7 +382,9 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicates within a blocking column.
     At scale the block key is an LSH bucket (similarity.hyperplane_lsh);
     here the synthetic ``label`` column doubles as the block."""
-    base = df.select(F.col(id_col), F.col(block_col).alias("blk"), F.col(vec_col).alias("v"))
+    base = spread_for_compute(df).select(
+        F.col(id_col), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
+    )
     a, b = base.alias("a"), base.alias("b")
     sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
     return (

@@ -51,11 +51,19 @@ def get_spark(
         # Parquet scans: keep splits small enough that a partition of the
         # widest table fits comfortably in executor memory at high SF.
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        # Floor on scan splits: a single small file still fans out across
-        # the cores, so compute-heavy per-row work (minhash, simhash)
-        # parallelizes without any operator-side repartition probing. At
-        # real scale scans have >> this many splits and it is a no-op.
+        # Floor on scan splits (bounded by row-group granularity — a
+        # single-row-group file still scans as one task; see
+        # spark.bdcc.spreadCompute below for that case).
         .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
+        # Compute-heavy per-row stages (minhash/simhash hashing) insert a
+        # spreading repartition only when this flag is on. Local masters
+        # need it (small files = 1 row group = 1 task doing ALL the
+        # hashing); on a cluster the scan already has thousands of
+        # splits, so the extra shuffle would be pure waste — default off.
+        .config(
+            "spark.bdcc.spreadCompute",
+            "true" if master.startswith("local") else "false",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
