@@ -84,22 +84,29 @@ def feature_pipeline(
     return pipeline.fit(df).transform(df), feature_cols
 
 
-def logistic_regression_auc(df: DataFrame, label_col: str) -> DataFrame:
-    """LR (maxIter=100, regParam=0.1 — Dataset.py:644-646) → 1-row AUC."""
+def logistic_regression_predictions(df: DataFrame, label_col: str) -> DataFrame:
+    """LR (maxIter=100, regParam=0.1 — Dataset.py:644-646) held-out
+    predictions (the frame the reference's hist_arrests chart consumes)."""
     prepared, _ = feature_pipeline(df, label_col)
     train, test = prepared.randomSplit([0.8, 0.2], seed=SEED)
     model = LogisticRegression(
         featuresCol="features", labelCol=label_col, maxIter=100, regParam=0.1
     ).fit(train)
-    preds = model.transform(test)
+    return model.transform(test)
+
+
+def logistic_regression_auc(df: DataFrame, label_col: str) -> DataFrame:
+    """LR → 1-row AUC."""
+    preds = logistic_regression_predictions(df, label_col)
     auc = BinaryClassificationEvaluator(
         labelCol=label_col, metricName="areaUnderROC"
     ).evaluate(preds)
     return df.sparkSession.createDataFrame([(float(auc),)], "roc_auc double")
 
 
-def random_forest_auc(df: DataFrame, label_col: str) -> DataFrame:
-    """RF (numTrees=20, maxDepth=10, seed=42 — Dataset.py:732-735)."""
+def random_forest_predictions(df: DataFrame, label_col: str) -> DataFrame:
+    """RF (numTrees=20, maxDepth=10, seed=42 — Dataset.py:732-735)
+    held-out predictions."""
     prepared, _ = feature_pipeline(df, label_col)
     train, test = prepared.randomSplit([0.7, 0.3], seed=SEED)
     model = RandomForestClassifier(
@@ -109,7 +116,12 @@ def random_forest_auc(df: DataFrame, label_col: str) -> DataFrame:
         maxDepth=10,
         seed=SEED,
     ).fit(train)
-    preds = model.transform(test)
+    return model.transform(test)
+
+
+def random_forest_auc(df: DataFrame, label_col: str) -> DataFrame:
+    """RF → 1-row AUC."""
+    preds = random_forest_predictions(df, label_col)
     auc = BinaryClassificationEvaluator(
         labelCol=label_col, metricName="areaUnderROC"
     ).evaluate(preds)
