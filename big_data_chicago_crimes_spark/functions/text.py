@@ -113,7 +113,12 @@ def doc_fingerprint(text: Column | str) -> Column:
     return F.md5(normalized)
 
 
-def rolling_hash(text: Column | str, base: int = 31, mod: int = 2**57 - 13) -> Column:
+def rolling_hash(
+    text: Column | str,
+    base: int = 31,
+    mod: int = 2**57 - 13,
+    hash_family: str = "xxhash64",
+) -> Column:
     """Polynomial rolling hash (Rabin–Karp) over the document's tokens,
     computed distributively with F.aggregate — an order-sensitive
     fingerprint that, unlike md5, can be windowed/extended incrementally.
@@ -123,18 +128,28 @@ def rolling_hash(text: Column | str, base: int = 31, mod: int = 2**57 - 13) -> C
     2**57 - 13 (prime) so that bound is ~4.5e18 < Long.MAX (9.22e18);
     callers overriding (base, mod) must keep (mod-1)*base + base*1000
     below 2**63 or Spark 4's ANSI mode raises ARITHMETIC_OVERFLOW.
+
+    ``hash_family='md5'`` derives each token's value from the first 8 hex
+    digits of its md5 (reproducible in any engine with md5 — the
+    oracle-checkable twin); xxhash64 stays the fast default.
     """
     if (mod - 1) * base + base * 1000 >= 2**63:
         raise ValueError(
             f"rolling_hash(base={base}, mod={mod}) would overflow a signed "
             "64-bit long under ANSI mode: require (mod-1)*base + base*1000 < 2**63"
         )
+    if hash_family == "md5":
+        tok_val = lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % F.lit(base * 1000)
+        )
+    else:
+        tok_val = lambda t: F.abs(F.xxhash64(t)) % F.lit(base * 1000)
     toks = tokens(text)
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * F.lit(base) + F.abs(F.xxhash64(t)) % F.lit(base * 1000))
-        % F.lit(mod),
+        lambda acc, t: (acc * F.lit(base) + tok_val(t)) % F.lit(mod),
     )
 
 

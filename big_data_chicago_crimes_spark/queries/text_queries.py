@@ -238,3 +238,41 @@ def docs_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("rh").alias("n_unique_fingerprints"))
         .orderBy("lang")
     )
+
+
+_ROLLING_MOD = 2**57 - 13
+_ROLLING_HASH_MD5_SQL = f"""
+    list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                t -> ('0x' || substring(md5(t), 1, 8))::BIGINT % 31000)),
+        (acc, x) -> (acc * 31 + x) % {_ROLLING_MOD})
+"""
+
+
+@register(
+    "docs_rolling_hash_md5_oracled",
+    oracle=f"""
+        SELECT lang,
+               CAST(COUNT(DISTINCT {_ROLLING_HASH_MD5_SQL}) AS BIGINT)
+                   AS n_unique_fingerprints
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "fingerprint", "extension"),
+)
+def docs_rolling_hash_md5_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rolling-hash pipeline with md5-derived token values —
+    reproducible in DuckDB via list_reduce, so the polynomial fold
+    (token hash → (acc*31 + v) mod p) is value-hash-checked end to end.
+    Certifies the fold that docs_rolling_hash runs with xxhash64."""
+    from big_data_chicago_crimes_spark.functions.text import rolling_hash
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.select(
+            "lang", rolling_hash("text", hash_family="md5").alias("rh")
+        )
+        .groupBy("lang")
+        .agg(F.countDistinct("rh").alias("n_unique_fingerprints"))
+        .orderBy("lang")
+    )
