@@ -204,7 +204,27 @@ def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_quality_scores",
-    oracle=None,  # composite of already-oracled components; see docs_quality_by_source
+    oracle=f"""
+        WITH scored AS (
+            SELECT LEAST(length(text) / 500.0, 1.0) AS len_score,
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
+                        ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> list_contains([{_SW_LIST}], lower(t)))) * 1.0
+                             / len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS sw_ratio,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE (length(text) - length(regexp_replace(text,
+                              '[!-/:-@\\[-`{{-~]', '', 'g'))) * 1.0 / length(text)
+                   END AS p_ratio
+            FROM documents
+        ), q AS (
+            SELECT ROUND((len_score + LEAST(sw_ratio / 0.3, 1.0)
+                          + 1.0 - LEAST(p_ratio / 0.2, 1.0)) / 3.0, 6) AS qs
+            FROM scored
+        )
+        SELECT CAST(FLOOR(qs * 10) AS INTEGER) AS decile, COUNT(*) AS n_docs
+        FROM q GROUP BY decile ORDER BY decile
+    """,
     tags=("text", "quality", "extension"),
 )
 def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
