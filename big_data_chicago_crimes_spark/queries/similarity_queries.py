@@ -87,9 +87,29 @@ def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_histogram_oracle(dim: int = 64, n_planes: int = 8) -> str:
+    """The hyperplane signature re-expressed in DuckDB: the seeded planes
+    are literals, both engines widen float32→double and compare the dot
+    product to 0, so the bucket assignment is reproducible exactly (sign
+    flips would need |dot| at double-epsilon — not observed at any SF)."""
+    from big_data_chicago_crimes_spark.operators.similarity import _hyperplanes
+
+    terms = []
+    for i, plane in enumerate(_hyperplanes(dim, n_planes)):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{lits}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return f"""
+        SELECT ({" + ".join(terms)}) AS bucket, COUNT(*) AS n_vecs
+        FROM embeddings GROUP BY bucket ORDER BY bucket
+    """
+
+
 @register(
     "embedding_lsh_bucket_histogram",
-    oracle=None,  # bucketing itself is the operator under test
+    oracle=_lsh_histogram_oracle(),
     tags=("similarity", "lsh", "extension"),
 )
 def embedding_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
