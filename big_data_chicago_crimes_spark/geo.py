@@ -98,3 +98,71 @@ def write_geojson(fc: dict, path: str) -> None:
     """GeoJSON file sink (Dataset.py:47 used geopandas.to_file)."""
     with open(path, "w") as f:
         json.dump(fc, f)
+
+
+def _feature_rings(geom: dict) -> list[list[list[float]]]:
+    """All outer+inner rings of a Polygon/MultiPolygon geometry."""
+    if geom["type"] == "Polygon":
+        return list(geom["coordinates"])
+    return [ring for poly in geom["coordinates"] for ring in poly]
+
+
+def write_html_map(
+    fc: dict, path: str, width: int = 800, height: int = 800, title: str = "District map"
+) -> str:
+    """HTML map sink (S8): the reference renders its cluster-colored
+    district map with folium and saves ``map.html`` (Dataset.py:314-334).
+    This is the dependency-free equivalent: one self-contained HTML page
+    with an inline SVG — district polygons filled by cluster color, a
+    tooltip per district (SVG <title>), and a cluster legend. Input is
+    the FeatureCollection from ``districts_to_geojson`` (dim-sized by
+    construction: 25 districts)."""
+    all_pts = [
+        pt
+        for f in fc["features"]
+        for ring in _feature_rings(f["geometry"])
+        for pt in ring
+    ]
+    if not all_pts:
+        raise ValueError("empty FeatureCollection")
+    xs, ys = [p[0] for p in all_pts], [p[1] for p in all_pts]
+    x0, x1, y0, y1 = min(xs), max(xs), min(ys), max(ys)
+    sx = (width - 20) / ((x1 - x0) or 1.0)
+    sy = (height - 20) / ((y1 - y0) or 1.0)
+    s = min(sx, sy)
+
+    def proj(pt: list[float]) -> str:
+        # lat increases north → SVG y grows down, so flip y
+        return f"{10 + (pt[0] - x0) * s:.2f},{10 + (y1 - pt[1]) * s:.2f}"
+
+    shapes = []
+    clusters_seen: dict[int | None, str] = {}
+    for f in fc["features"]:
+        props = f["properties"]
+        clusters_seen[props.get("cluster")] = props.get("fill", "black")
+        d = " ".join(
+            "M " + " L ".join(proj(p) for p in ring) + " Z"
+            for ring in _feature_rings(f["geometry"])
+        )
+        shapes.append(
+            f'<path d="{d}" fill="{props.get("fill", "black")}" fill-opacity="0.5" '
+            f'stroke="black" stroke-width="0.5">'
+            f'<title>District {props.get("DIST_NUM")} — cluster '
+            f'{props.get("cluster")}</title></path>'
+        )
+    legend = "".join(
+        f'<li><span style="background:{color};display:inline-block;'
+        f'width:12px;height:12px"></span> cluster {c}</li>'
+        for c, color in sorted(clusters_seen.items(), key=lambda kv: str(kv[0]))
+    )
+    html_doc = (
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+        f"<title>{title}</title></head><body><h3>{title}</h3>"
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}">'
+        + "".join(shapes)
+        + f"</svg><ul style='list-style:none'>{legend}</ul></body></html>"
+    )
+    with open(path, "w") as f:
+        f.write(html_doc)
+    return path

@@ -9,6 +9,7 @@ from big_data_chicago_crimes_spark.geo import (
     districts_to_geojson,
     wkt_to_geojson_geometry,
     write_geojson,
+    write_html_map,
 )
 
 POLY = "POLYGON ((-87.9 41.6, -87.5 41.6, -87.5 42.1, -87.9 41.6))"
@@ -41,3 +42,18 @@ def test_feature_collection_with_clusters(tmp_path):
     out = tmp_path / "districts.geojson"
     write_geojson(fc, str(out))
     assert json.loads(out.read_text())["type"] == "FeatureCollection"
+
+
+def test_html_map_sink(tmp_path):
+    """S8: the folium map.html equivalent — self-contained HTML with one
+    SVG path per district, cluster-colored, tooltip and legend present."""
+    fc = districts_to_geojson([(1, POLY), (2, MULTI)], {1: 0, 2: 2})
+    out = write_html_map(fc, str(tmp_path / "map.html"))
+    html_doc = open(out).read()
+    assert html_doc.startswith("<!DOCTYPE html>")
+    # one path per feature; MULTI has two rings inside one path
+    assert html_doc.count("<path") == 2
+    assert html_doc.count("M ") == 3  # 1 polygon ring + 2 multipolygon rings
+    assert cluster_color(0) in html_doc and cluster_color(2) in html_doc
+    assert "District 1" in html_doc and "cluster 2" in html_doc
+    assert "<li>" in html_doc  # legend
