@@ -99,10 +99,22 @@ def minhash_signature_table(
         # that DuckDB can reproduce exactly (oracle-checkable), ~3× the
         # cost of the xxhash64 default
         hash_fn = lambda i: F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))
-    else:
-        hash_fn = lambda i: F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))
-    return exploded.groupBy(id_col).agg(
-        *[F.min(hash_fn(i)).alias(f"h{i}") for i in range(num_hashes)]
+        return exploded.groupBy(id_col).agg(
+            *[F.min(hash_fn(i)).alias(f"h{i}") for i in range(num_hashes)]
+        )
+    # xxhash64 family: hash the shingle STRING once to a long, then derive
+    # the num_hashes family members by hashing (long, index) — each
+    # family hash reads 12 bytes instead of re-hashing the ~25-byte
+    # shingle text num_hashes times. Still a proper min-wise family
+    # (xxhash64 seeded by index over an injective-enough base hash).
+    pre = exploded.select(
+        F.col(id_col), F.xxhash64("shingle").alias("sh")
+    )
+    return pre.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
 
 
