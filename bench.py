@@ -33,6 +33,9 @@ HEADLINE = [
     "top_revenue_orders",
     "best_order_per_customer",
     "segment_customers_with_orders",
+    "shipping_priority_top10",
+    "returned_item_top_customers",
+    "supplier_nation_revenue",
     # window functions
     "orders_running_total",
     "orders_monthly_delta",

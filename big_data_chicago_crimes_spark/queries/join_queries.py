@@ -299,3 +299,142 @@ def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "shipping_priority_top10",
+    oracle="""
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(strftime(o_orderdate, '%Y-%m-%d') AS VARCHAR) AS orderdate
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+          AND l_shipdate  > TIMESTAMP '1999-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    tags=("join", "topk", "tpch:q3"),
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue top 10 for one market segment.
+
+    Plan at scale: both filters push to the scans BEFORE the joins (the
+    segment filter shrinks customer ~5×, the date filters shrink both
+    fact sides); customer is semi-joined into orders (AQE may broadcast
+    the filtered segment), and the top-10 is TakeOrderedAndProject —
+    per-partition heaps, never a global sort."""
+    t = load_tables(spark, sf_dir)
+    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t.orders.filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    orders = orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+    li = t.lineitem.filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    ).select("l_orderkey", REVENUE().alias("rev"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "returned_item_top_customers",
+    oracle="""
+        SELECT c_custkey, c_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               ROUND(c_acctbal, 2) AS acctbal,
+               n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-07-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    tags=("join", "topk", "tpch:q10"),
+)
+def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns in a
+    two-quarter window. The returnflag + date filters push to the scans;
+    nation broadcasts; the customer join keys the one fact shuffle."""
+    t = load_tables(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t.lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", REVENUE().alias("rev")
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    cust = dim_join(
+        t.customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        t.nation.select("n_nationkey", "n_name"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("rev", 2).alias("revenue"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "supplier_nation_revenue",
+    oracle="""
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(DISTINCT s_suppkey) AS n_suppliers
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("join", "tpch:q5-supplier-side"),
+)
+def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per SUPPLIER nation — the supply-side star path
+    (lineitem ⋈ supplier ⋈ nation), complementing revenue_by_nation's
+    customer-side path. Supplier scales with the facts → no hint (AQE
+    decides); nation is bounded → broadcast."""
+    t = load_tables(spark, sf_dir)
+    supp = dim_join(
+        t.supplier.select("s_suppkey", "s_nationkey"),
+        t.nation.select("n_nationkey", "n_name"),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    li = t.lineitem.select("l_suppkey", REVENUE().alias("rev"))
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
