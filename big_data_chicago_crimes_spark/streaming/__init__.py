@@ -6,6 +6,7 @@ from big_data_chicago_crimes_spark.streaming.windows import (
     run_stream_to_memory,
     session_window_agg,
     sliding_window_agg,
+    streaming_dedup,
     tumbling_window_agg,
 )
 
@@ -14,5 +15,6 @@ __all__ = [
     "run_stream_to_memory",
     "session_window_agg",
     "sliding_window_agg",
+    "streaming_dedup",
     "tumbling_window_agg",
 ]

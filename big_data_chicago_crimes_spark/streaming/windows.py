@@ -89,6 +89,28 @@ def session_window_agg(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, dropping
+    re-deliveries that arrive within the watermark horizon — the
+    streaming counterpart of ``operators.dedup.exact_dedup`` for the
+    ingest edge of a training-data pipeline (at-least-once sources
+    re-deliver; this makes the downstream exactly-once w.r.t. keys).
+
+    Built on ``dropDuplicatesWithinWatermark``: state for a key is
+    evicted once the watermark passes its first-seen event time, so
+    state is bounded by (key arrival rate × watermark) instead of
+    growing forever like a plain streaming ``dropDuplicates``. In batch
+    mode the same call degrades to deterministic keyed dedup."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -63,3 +63,54 @@ def test_stream_parquet_sink_with_checkpoint(spark, sf_dir, tmp_path):
     finally:
         q2.stop()
     assert spark.read.parquet(out).count() == batch_n
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
+    """streaming_dedup keeps the FIRST arrival per event_id and drops
+    re-deliveries landing in later microbatches (at-least-once source →
+    exactly-once-per-key downstream). Two files → two microbatches with
+    maxFilesPerTrigger=1; the second re-delivers event 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_chicago_crimes_spark.schemas import EVENTS_RAW_SCHEMA
+    from big_data_chicago_crimes_spark.streaming import streaming_dedup
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    base_ns = 1_600_000_000 * 10**9
+
+    def write(name, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([base_ns + r[1] * 10**9 for r in rows], pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, str(src / name))
+
+    write("batch1.parquet", [(1, 0), (2, 10)])
+    write("batch2.parquet", [(1, 20), (3, 30)])  # event 1 re-delivered
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    deduped = streaming_dedup(stream, ["event_id"], watermark="1 hour")
+    out = run_stream_to_memory(deduped, "stream_dedup_test", output_mode="append")
+    ids = sorted(r.event_id for r in out.select("event_id").collect())
+    assert ids == [1, 2, 3]
+
+    # batch mode: same call degrades to keyed dedup
+    batch = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "event_id long, x string"
+    )
+    assert streaming_dedup(batch, ["event_id"]).count() == 2
