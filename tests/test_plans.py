@@ -63,6 +63,41 @@ def test_semi_join_no_right_columns(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_q3_filters_pushed_before_joins(spark, sf_dir):
+    """TPC-H Q3 shape: the segment, order-date, and ship-date predicates
+    must all reach their parquet scans — filtering after the join would
+    move the whole fact table through the shuffle."""
+    plan = formatted_plan(spark, sf_dir, "shipping_priority_top10")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_jaccard_pair_join_not_single_task(spark, sf_dir):
+    """The blocked all-pairs self-join must not stream over the raw
+    1-row-group scan (one task computing every pair): the spread
+    repartition has to sit below the join on the streaming side."""
+    plan = formatted_plan(spark, sf_dir, "docs_jaccard_pairs")
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_ann_query_vector_is_filter_not_full_read(spark, sf_dir):
+    """The ANN probe fetches its query vector via a pushed-down vec_id
+    filter (one row to the driver), never a full-table read: the plan of
+    the 1-row fetch must show the pushed filter."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    q = t.embeddings.filter(F.col("vec_id") == 0).select("embedding")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain("formatted")
+    assert "EqualTo(vec_id,0)" in buf.getvalue()
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Bucketing both sides on the join key co-locates partitions: the
     join plan contains NO Exchange (the 100 TB repeated-join strategy)."""

@@ -80,3 +80,73 @@ def test_moving_average_matches_pandas_rolling(spark, counts, window):
     )
     for i, w in enumerate(want):
         assert got[i] == w
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcdefg", min_size=1, max_size=5),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_rolling_hash_matches_python_model(spark, docs):
+    """rolling_hash (md5 family) agrees with an independent Python fold
+    on arbitrary token lists — pins the polynomial arithmetic, the
+    modulus, and the md5-derived token values (the same derivation the
+    DuckDB oracle uses)."""
+    import hashlib
+
+    from big_data_chicago_crimes_spark.functions.text import rolling_hash
+
+    base, mod = 31, 2**57 - 13
+
+    def model(tokens):
+        acc = 0
+        for t in tokens:
+            v = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % (base * 1000)
+            acc = (acc * base + v) % mod
+        return acc
+
+    rows = [(" ".join(toks),) for toks in docs]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r.rh for r in df.select(rolling_hash("text", hash_family="md5").alias("rh")).collect()]
+    # split on whitespace mirrors functions.text.tokens
+    want = [model(" ".join(toks).split()) for toks in docs]
+    assert got == want
+
+
+@SETTINGS
+@given(
+    points=st.lists(st.floats(0, 100, allow_nan=False), min_size=1, max_size=30),
+    intervals=st.lists(
+        st.tuples(st.floats(0, 100, allow_nan=False), st.floats(0.1, 30, allow_nan=False)),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_range_join_matches_naive_pairs(spark, points, intervals):
+    """Bucketized range_join returns exactly the point-in-interval pairs
+    a naive nested loop finds, for arbitrary geometry."""
+    from big_data_chicago_crimes_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame([(i, float(x)) for i, x in enumerate(points)], "pid int, x double")
+    ivs = spark.createDataFrame(
+        [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(intervals)],
+        "iid int, lo double, hi double",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(pts, ivs, "x", "lo", "hi", bucket_width=7.0).collect()
+    }
+    want = {
+        (i, j)
+        for i, x in enumerate(points)
+        for j, (lo, w) in enumerate(intervals)
+        if lo <= x < lo + w
+    }
+    assert got == want
