@@ -47,6 +47,21 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     return df
 
 
+def _pin_pair_join_build_side(df: DataFrame) -> DataFrame:
+    """Under ``spark.bdcc.spreadCompute`` (local mode), broadcast-hint
+    the build side of the blocked pair self-joins. The side sits right at
+    the broadcast threshold there, so AQE flips between broadcast (work
+    spread round-robin across all cores) and sort-merge on a handful of
+    block keys (quadratic pair work on <25 tasks — 5× slower) run to
+    run. On a cluster the flag is off and the strategy stays with AQE:
+    at scale blocks are LSH buckets (thousands of keys) and the build
+    side exceeds broadcast size anyway."""
+    spark = df.sparkSession
+    if spark.conf.get("spark.bdcc.spreadCompute", "false").lower() == "true":
+        return F.broadcast(df)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -320,7 +335,7 @@ def _blocked_jaccard_pairs(
         small, big = base, None
 
     def _all_pairs(side: DataFrame) -> DataFrame:
-        a, b = side.alias("a"), side.alias("b")
+        a, b = side.alias("a"), _pin_pair_join_build_side(side.alias("b"))
         cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
         for c in block_cols:
             cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
@@ -397,7 +412,7 @@ def embedding_near_dups(
     base = spread_for_compute(df).select(
         F.col(id_col), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
     )
-    a, b = base.alias("a"), base.alias("b")
+    a, b = base.alias("a"), _pin_pair_join_build_side(base.alias("b"))
     sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
     return (
         a.join(
