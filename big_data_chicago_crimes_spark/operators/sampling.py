@@ -1,0 +1,67 @@
+"""Deterministic hash-based sampling and splitting (training-data
+pipeline surface).
+
+``df.sample()`` draws from a seeded RNG whose stream depends on
+partitioning — results change under repartition/retry and can't be
+reproduced by another engine. Dataset curation at 100 TB wants the
+opposite: membership decided per ROW by a content hash, so the same row
+lands in the same sample/split everywhere, every run, at every scale,
+and adding rows never reshuffles existing assignments (the property that
+keeps train/test splits stable as a corpus grows).
+
+The hash is the first 8 hex digits of md5(key) — cheap, uniform, and
+reproducible bit-for-bit in any engine with md5 (these operators' DuckDB
+oracles prove it), at the price of ~2× xxhash64's cost; sampling is
+scan-side and the hash never shuffles, so the trade buys cross-engine
+verifiability for noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
+    """Uniform bucket in [0, buckets) from a stable content hash of
+    ``key`` (md5 hex → int — engine-portable, partitioning-independent)."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets)).cast("int")
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float, buckets: int = 100
+) -> DataFrame:
+    """Keep rows whose hash bucket falls below ``fraction`` of the bucket
+    space: a deterministic ~fraction sample, stable under repartition,
+    retry, engine change, and corpus growth. Pure scan-side filter —
+    no shuffle, pushdown-friendly."""
+    keep = int(round(fraction * buckets))
+    return df.filter(hash_bucket(key, buckets) < keep)
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    splits: dict[str, float],
+    split_col: str = "split",
+    buckets: int = 100,
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test …) by hash
+    bucket range. ``splits`` maps name → fraction; fractions must sum to
+    1. Assignment is per-row-deterministic: growing the corpus never
+    moves an existing row between splits."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = hash_bucket(key, buckets)
+    expr = None
+    lo = 0
+    for name, frac in splits.items():
+        hi = lo + int(round(frac * buckets))
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    # guard against rounding gaps at the top of the bucket space
+    return df.withColumn(split_col, expr.otherwise(F.lit(list(splits)[-1])))

@@ -8,6 +8,7 @@ from big_data_chicago_crimes_spark.queries import (  # noqa: F401
     multimodal_queries,
     olap_queries,
     reference_queries,
+    sampling_queries,
     similarity_queries,
     text_queries,
     window_queries,
