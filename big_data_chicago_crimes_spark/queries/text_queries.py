@@ -241,6 +241,111 @@ def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_repetition_stats",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ), per_doc AS (
+            SELECT doc_id, lang, len(t) AS n,
+                   ROUND(1.0 - len(list_distinct(t)) * 1.0 / len(t), 6) AS dup_frac
+            FROM toks
+        ), bigrams AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                          i -> concat_ws(' ', t[i], t[i+1]))) AS bg
+            FROM toks
+        ), bg_counts AS (
+            SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+        ), top_bg AS (
+            SELECT doc_id, MAX(c) AS max_c FROM bg_counts GROUP BY doc_id
+        ), joined AS (
+            SELECT p.lang, p.dup_frac,
+                   ROUND(LEAST(2.0 * t.max_c / p.n, 1.0), 6) AS top_bigram_frac
+            FROM per_doc p JOIN top_bg t ON p.doc_id = t.doc_id
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN dup_frac > 0.3 OR top_bigram_frac > 0.18
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               ROUND(AVG(dup_frac), 6) AS avg_dup_frac,
+               ROUND(AVG(top_bigram_frac), 6) AS avg_top_bigram_frac
+        FROM joined GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "quality", "repetition", "extension"),
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per language: duplicate-token
+    fraction (1 - distinct/total) and top-bigram coverage (tokens claimed
+    by the most frequent word 2-gram), plus the count of docs a
+    Gopher-like filter (dup > 0.3 OR top-bigram > 0.18) would drop.
+
+    Shape: the dup fraction is per-row codegen (array_distinct/size);
+    the bigram stage is explode → two-level count/max aggregate. Both
+    thresholds compare 6dp-ROUNDED values so the flag census is stable
+    under float noise on both engines."""
+    from big_data_chicago_crimes_spark.functions.text import tokens
+    from big_data_chicago_crimes_spark.operators.dedup import spread_for_compute
+
+    t = load_tables(spark, sf_dir)
+    toks = tokens("text")
+    base = spread_for_compute(t.documents).select(
+        "doc_id", "lang", toks.alias("t")
+    )
+    n = F.size(F.col("t"))
+    per_doc = base.select(
+        "doc_id",
+        "lang",
+        n.alias("n"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("t")) / n.cast("double"), 6
+        ).alias("dup_frac"),
+    )
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1)))
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.try_element_at(F.col("t"), i),
+                    F.try_element_at(F.col("t"), i + F.lit(1)),
+                ),
+            )
+        ).alias("bg"),
+    )
+    top_bg = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"))
+    )
+    joined = per_doc.join(top_bg, "doc_id").select(
+        "lang",
+        "dup_frac",
+        F.round(
+            F.least(F.lit(2.0) * F.col("max_c") / F.col("n"), F.lit(1.0)), 6
+        ).alias("top_bigram_frac"),
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (
+                    (F.col("dup_frac") > 0.3) | (F.col("top_bigram_frac") > 0.18)
+                ).cast("long")
+            ).alias("n_flagged"),
+            F.round(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
+            F.round(F.avg("top_bigram_frac"), 6).alias("avg_top_bigram_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "docs_rolling_hash",
     oracle=None,  # xxhash64-based polynomial hash — rows-only check
     tags=("text", "fingerprint", "extension"),
