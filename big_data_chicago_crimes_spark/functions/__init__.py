@@ -10,8 +10,10 @@ from big_data_chicago_crimes_spark.functions.text import (
     char_ngrams,
     doc_fingerprint,
     lang_id_scores,
+    pii_counts,
     punct_ratio,
     quality_score,
+    redact_pii,
     rolling_hash,
     stopword_ratio,
     token_count,
@@ -34,7 +36,9 @@ __all__ = [
     "rolling_hash",
     "doc_fingerprint",
     "lang_id_scores",
+    "pii_counts",
     "punct_ratio",
+    "redact_pii",
     "stopword_ratio",
     "token_count",
     "tokens",

@@ -153,6 +153,41 @@ def rolling_hash(
     )
 
 
+# PII patterns for training-corpus scrubbing (C4-style cleanup). Kept
+# deliberately simple and high-precision: emails, NANP-ish phone numbers,
+# IPv4 addresses. All plain regexp_replace — JVM-side, pushdown-friendly.
+_PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"(?<!\d)(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}(?!\d)", "<PHONE>"),
+    (r"(?<!\d)(?:\d{1,3}\.){3}\d{1,3}(?!\d)", "<IP>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails, phone numbers, and IPv4 addresses with typed
+    sentinels — the standard scrub step before a corpus becomes training
+    data. Pure chained regexp_replace: codegen, no UDF, order-stable
+    (emails first so their digits can't be half-eaten by the phone
+    pattern)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pattern, sentinel in _PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, sentinel)
+    return c
+
+
+def pii_counts(text: Column | str) -> Column:
+    """Struct of per-category PII hit counts (emails, phones, ips) — the
+    audit metric next to redact_pii."""
+    c = F.col(text) if isinstance(text, str) else text
+    fields = []
+    for (pattern, sentinel) in _PII_PATTERNS:
+        name = sentinel.strip("<>").lower() + "s"
+        fields.append(
+            F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0))).alias(name)
+        )
+    return F.struct(*fields)
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """k-word shingles (contiguous token windows) as array<string> —
     the unit set for MinHash / Jaccard near-dup detection."""

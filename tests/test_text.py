@@ -68,3 +68,23 @@ def test_token_count_and_fingerprint_basics(spark):
     # fingerprint normalizes case+whitespace: row0 and row2 collide
     assert out[0].fp == out[2].fp
     assert all(0.0 <= r.q <= 1.0 for r in out)
+
+
+def test_redact_pii_planted_examples(spark):
+    from big_data_chicago_crimes_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        ("contact me at jane.doe+spam@example.co.uk or call 312-555-0199",),
+        ("server at 192.168.0.1 responded; backup (312) 555 0123",),
+        ("clean text with no pii at all, just words and 42 numbers",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    out = df.select(
+        redact_pii("text").alias("red"), pii_counts("text").alias("pc")
+    ).collect()
+    assert out[0].red == "contact me at <EMAIL> or call <PHONE>"
+    assert out[1].red == "server at <IP> responded; backup <PHONE>"
+    assert out[2].red == rows[2][0]  # untouched
+    assert (out[0].pc.emails, out[0].pc.phones, out[0].pc.ips) == (1, 1, 0)
+    assert (out[1].pc.emails, out[1].pc.phones, out[1].pc.ips) == (0, 1, 1)
+    assert (out[2].pc.emails, out[2].pc.phones, out[2].pc.ips) == (0, 0, 0)
