@@ -40,6 +40,8 @@ HEADLINE = [
     "orders_running_total",
     "orders_monthly_delta",
     "customer_balance_rank_in_nation",
+    "customer_balance_quartiles",
+    "forecast_revenue_change",
     # time windows (streaming batch twins)
     "events_hourly_tumbling",
     "events_sliding_1h_30m",

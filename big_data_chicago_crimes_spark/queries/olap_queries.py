@@ -191,3 +191,157 @@ def orders_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("median_approx"),
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
     )
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_increase,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1999-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 25
+    """,
+    tags=("agg", "tpch:q6"),
+)
+def forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6 shape: the pure scan-side aggregate — every predicate
+    (date band, discount band, quantity cap) pushes to the parquet scan,
+    no join, no groupBy shuffle (single global aggregate with map-side
+    partials). The canonical 'is pushdown working' probe."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 25)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue_increase"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "promo_revenue_pct",
+    oracle="""
+        SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-04-01'
+    """,
+    tags=("join", "agg", "tpch:q14"),
+)
+def promo_revenue_pct(spark, sf_dir):
+    """TPC-H Q14 shape: promo-type revenue share over one quarter. The
+    date filter pushes to the lineitem scan; part joins on partkey (AQE
+    decides broadcast vs shuffle — part scales with the catalog, not
+    with facts, so no unconditional hint); one global ratio aggregate."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    ).select("l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    joined = li.join(t.part.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(0.0))
+    return joined.agg(
+        F.round(100.0 * promo / F.sum("rev"), 6).alias("promo_pct")
+    )
+
+
+@register(
+    "customer_balance_quartiles",
+    oracle="""
+        WITH ranked AS (
+            SELECT n_name,
+                   NTILE(4) OVER (PARTITION BY n_name
+                                  ORDER BY c_acctbal, c_custkey) AS quartile,
+                   c_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT n_name, quartile,
+               COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS total_balance
+        FROM ranked GROUP BY n_name, quartile ORDER BY n_name, quartile
+    """,
+    tags=("window", "ntile", "extension"),
+)
+def customer_balance_quartiles(spark, sf_dir):
+    """NTILE(4) account-balance quartiles per nation (window-function
+    breadth beyond rank/lag: tile assignment). The window partitions by
+    nation — bounded key cardinality, no global sort — and orders with a
+    c_custkey tie-break so tile assignment is deterministic on both
+    engines."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.relational import dim_join
+    from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    cust = dim_join(
+        t.customer.select("c_custkey", "c_acctbal", "c_nationkey"),
+        t.nation.select("n_nationkey", "n_name"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    w = Window.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    ranked = cust.select("n_name", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+    return (
+        ranked.groupBy("n_name", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            # SUM, not AVG: an average of 2dp money can land exactly on a
+            # .005 midpoint where the two engines' doubles round apart;
+            # a sum of 2dp-grained values never sits on a midpoint.
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .orderBy("n_name", "quartile")
+    )
+
+
+@register(
+    "orders_grouping_sets",
+    oracle="""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY priority, status
+    """,
+    tags=("agg", "grouping-sets", "extension"),
+)
+def orders_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form behind rollup/cube):
+    per-priority totals, per-status totals, and the grand total in ONE
+    pass (Spark expands the sets map-side — one shuffle, not three
+    scans). Expressed through the engine's SQL surface."""
+    from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY priority, status
+    """)
