@@ -284,7 +284,13 @@ def docs_simhash_band_candidates_md5_oracled(
     fingerprint → 4×8-bit bands → collision self-join) oracle-checked
     end to end: band extraction and pairing are pure integer bit math,
     so Spark and DuckDB agree exactly. Certifies the band stage that
-    docs_simhash_candidates (xxhash64) runs as the fast default."""
+    docs_simhash_candidates (xxhash64) runs as the fast default.
+
+    CERTIFICATION query, not a scale path: 8-bit bands collide at rate
+    ~n²·4/256 on non-duplicate docs (2.5M pairs at sf0.1), which is the
+    price of a fingerprint small enough to reproduce in SQL. The
+    production variant is the 64-bit/16-bit docs_simhash_candidates,
+    whose band space (2¹⁶ per band) keeps random collisions negligible."""
     t = load_tables(spark, sf_dir)
     return simhash_candidates(
         t.documents, band_bits=8, bits=32, hash_family="md5"
