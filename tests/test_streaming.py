@@ -114,3 +114,81 @@ def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
         [(1, "a"), (1, "b"), (2, "c")], "event_id long, x string"
     )
     assert streaming_dedup(batch, ["event_id"]).count() == 2
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics: an event older than the watermark when its
+    microbatch arrives must NOT resurrect its (already finalized)
+    window. Batch 1 closes window [10:00,11:00) by advancing the
+    watermark past it; batch 2 re-delivers a 10:15 event, which append
+    mode must discard rather than re-emit the window."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.schemas import EVENTS_RAW_SCHEMA
+    from big_data_chicago_crimes_spark.streaming import tumbling_window_agg
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = 1_600_000_000  # epoch seconds, aligned enough for hour windows
+    hour = 3600
+
+    def write(name, secs):
+        tbl = pa.table(
+            {
+                "event_id": pa.array(list(range(len(secs))), pa.int64()),
+                "ts": pa.array([(base + s) * 10**9 for s in secs], pa.int64()),
+                "user_id": pa.array([1] * len(secs), pa.int64()),
+                "event_type": pa.array(["view"] * len(secs)),
+                "value": pa.array([1.0] * len(secs)),
+                "props": pa.array(["{}"] * len(secs)),
+            }
+        )
+        pq.write_table(tbl, str(src / name))
+
+    import time as _time
+
+    # find the hour boundary at/after base
+    h0 = (base // hour + 1) * hour - base  # offset to next boundary
+    # batch 1: two events in window W0=[h0, h0+1h), one 4 hours ahead
+    # (its event time puts the 2h watermark past W0's end)
+    write("b1.parquet", [h0 + 60, h0 + 120, h0 + 4 * hour])
+    _time.sleep(1.1)  # distinct modTimes keep the file order deterministic
+    # batch 2: one more event — the watermark computed from batch 1
+    # becomes OPERATIVE in this batch (it lags one microbatch)
+    write("b2.parquet", [h0 + 4 * hour + 60])
+    _time.sleep(1.1)
+    # batch 3: the late re-delivery inside W0, now behind the watermark
+    write("b3.parquet", [h0 + 300])
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = tumbling_window_agg(stream, width="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    rows = spark.table("late_drop_test").collect()
+    by_window = {r.window_start: r.cnt for r in rows}
+    # W0 was emitted with its ON-TIME count only; the late event was
+    # dropped by the watermark, not aggregated or re-emitted
+    assert 2 in by_window.values(), by_window
+    assert 3 not in by_window.values(), by_window
+    assert dropped == 1
