@@ -48,6 +48,56 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(conf).exists(p)
 
 
+def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for a parquet directory, via the
+    Hadoop FS API (works for local, HDFS, and object stores)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    n, total = 0, 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.endswith(".parquet"):
+            n += 1
+            total += f.getLen()
+    return n, total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a fragmented parquet directory into
+    ceil(total_bytes / target) files. Streaming sinks and fine-grained
+    partition writes accumulate KB-scale files; at 100 TB that means
+    millions of scan tasks and metadata-bound planning, so compaction is
+    a standing maintenance job. Rewrites via a sibling ``_compacting``
+    directory + atomic-ish rename swap (never reads and overwrites the
+    same path — Spark's lazy scan would see its own truncation).
+    Returns (files_before, files_after)."""
+    import math
+
+    n_before, total = _dir_stats(spark, path)
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    if n_before <= n_target:
+        return n_before, n_before
+    tmp = path.rstrip("/") + "_compacting"
+    spark.read.parquet(path).repartition(n_target).write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    p_old = jvm.org.apache.hadoop.fs.Path(path)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(p_old, True)
+    fs.rename(p_tmp, p_old)
+    n_after, _ = _dir_stats(spark, path)
+    return n_before, n_after
+
+
 def cached(
     spark: SparkSession,
     path: str,

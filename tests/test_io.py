@@ -31,3 +31,23 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # partition pruning visible in the physical plan
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "bucket" in plan
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """64 KB-scale fragments compact to a handful of files with
+    identical content; an already-compact directory is left alone."""
+    from big_data_chicago_crimes_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    df = spark.range(50_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(64).write.parquet(path)
+
+    before, after = compact_parquet(spark, path, target_file_bytes=1 * 1024 * 1024)
+    assert before == 64
+    assert after < 16
+    back = spark.read.parquet(path)
+    assert back.count() == 50_000
+    assert back.agg({"v": "sum"}).collect()[0][0] == 2 * (49_999 * 50_000 // 2)
+    # idempotent: second pass is a no-op
+    b2, a2 = compact_parquet(spark, path, target_file_bytes=1 * 1024 * 1024)
+    assert b2 == a2 == after
