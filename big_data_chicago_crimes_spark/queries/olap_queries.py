@@ -345,3 +345,62 @@ def orders_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         ORDER BY priority, status
     """)
+
+
+@register(
+    "nation_balance_extremes",
+    oracle="""
+        WITH ranked AS (
+            SELECT n_name, c_name, c_acctbal,
+                   PERCENT_RANK() OVER w AS pr,
+                   FIRST_VALUE(c_name) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS poorest,
+                   LAST_VALUE(c_name) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND UNBOUNDED FOLLOWING) AS richest
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
+        )
+        SELECT n_name,
+               CAST(SUM(CASE WHEN ROUND(pr, 6) >= 0.9 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_top_decile,
+               MIN(poorest) AS poorest_customer,
+               MIN(richest) AS richest_customer
+        FROM ranked GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("window", "percent-rank", "extension"),
+)
+def nation_balance_extremes(spark, sf_dir):
+    """Window-function breadth beyond rank/lag/ntile: PERCENT_RANK (top-
+    decile census per nation) plus FIRST_VALUE/LAST_VALUE over the full
+    partition frame (poorest/richest customer name). Deterministic via a
+    c_custkey tie-break; the decile threshold compares a 6dp-ROUNDED
+    percent_rank so the census is float-stable on both engines."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.relational import dim_join
+    from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    cust = dim_join(
+        t.customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        t.nation.select("n_nationkey", "n_name"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    w = Window.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = cust.select(
+        "n_name",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.first("c_name").over(full).alias("poorest"),
+        F.last("c_name").over(full).alias("richest"),
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.sum((F.col("pr") >= 0.9).cast("long")).alias("n_top_decile"),
+            F.min("poorest").alias("poorest_customer"),
+            F.min("richest").alias("richest_customer"),
+        )
+        .orderBy("n_name")
+    )
