@@ -67,9 +67,50 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(joined, F.col("qvec"), k=10)
 
 
+def _bucket_sql(vec_expr: str, dim: int = 64, n_planes: int = 8) -> str:
+    """The hyperplane signature as a DuckDB expression over ``vec_expr``
+    (same seeded plane literals the engine bakes into its plan)."""
+    from big_data_chicago_crimes_spark.operators.similarity import _hyperplanes
+
+    terms = []
+    for i, plane in enumerate(_hyperplanes(dim, n_planes)):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, [{lits}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_lsh_oracle() -> str:
+    """The ENTIRE multiprobe ANN path in SQL: query bucket from the
+    vec_id=0 row, Hamming-1 probe set via xor bit flips, bucket-filtered
+    candidates, exact cosine re-rank. Nothing about LSH ANN is
+    unverifiable once the hyperplanes are literals."""
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        qb AS (SELECT {_bucket_sql('qv')} AS b, qv FROM q),
+        probes AS (
+            SELECT list_append(list_transform(generate_series(0, 7),
+                               i -> xor(b, 1 << i)), b) AS ps, qv
+            FROM qb
+        ),
+        cand AS (
+            SELECT e.vec_id,
+                   ROUND(list_dot_product(e.embedding::DOUBLE[], p.qv) /
+                         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine
+            FROM embeddings e, probes p
+            WHERE e.vec_id <> 0
+              AND list_contains(p.ps, {_bucket_sql('e.embedding::DOUBLE[]')})
+        )
+        SELECT vec_id, cosine FROM cand ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
 @register(
     "embedding_ann_lsh_topk",
-    oracle=None,  # hyperplane bucketing has no SQL equivalent — recall pinned in tests
+    oracle=_ann_lsh_oracle(),
     tags=("similarity", "ann", "lsh", "extension"),
 )
 def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
