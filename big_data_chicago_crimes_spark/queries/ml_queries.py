@@ -93,9 +93,24 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_correlation_matrix", oracle=None, tags=("ml", "reference:M13"))
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_MATRIX_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+    f"ROUND(corr({a}, {b}), 6) AS corr FROM lineitem"
+    for a in _CORR_COLS
+    for b in _CORR_COLS
+) + "\nORDER BY col_a, col_b"
+
+
+@register(
+    "ml_correlation_matrix",
+    oracle=_CORR_MATRIX_ORACLE,
+    tags=("ml", "reference:M13"),
+)
 def ml_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full Pearson matrix via ml.stat.Correlation, flattened to rows."""
+    """Full Pearson matrix via ml.stat.Correlation, flattened to rows.
+    Oracled pairwise with DuckDB's corr() — MLlib's matrix and the SQL
+    aggregate agree to 6dp on every cell, so M13 is value-checked."""
     t = load_tables(spark, sf_dir)
     return pearson_correlation_matrix(
         t.lineitem, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
