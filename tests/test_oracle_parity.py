@@ -30,3 +30,33 @@ def test_rows_only_executes(name, spark, sf_dir):
     n = df.count()
     assert n >= 0
     assert len(df.columns) > 0
+
+
+def test_results_stable_under_partitioning(spark, sf_dir):
+    """The value-hash gate assumes results don't depend on partitioning.
+    Re-run a representative slice (agg, top-k, window, dedup, sampling)
+    with the session's shuffle partitioning left alone vs a forced odd
+    repartitioning of the inputs — byte-identical results required."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.plans.registry import all_queries
+
+    names = [
+        "revenue_by_nation",
+        "purchase_top_users",
+        "orders_running_total",
+        "docs_exact_dedup",
+        "docs_hash_sample",
+        "docs_minhash_md5_oracled",
+    ]
+    qs = all_queries()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in names:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            a = sorted(map(str, qs[name].build(spark, sf_dir).collect()))
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            b = sorted(map(str, qs[name].build(spark, sf_dir).collect()))
+            assert a == b, f"{name}: result depends on partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
