@@ -199,6 +199,16 @@ class CrimesAnalytics:
         )
         return ml_ops.kmeans_cluster_sizes(per_district, ["cnt"], k=k)
 
+    def district_cluster_assignments(self, k: int = 3) -> DataFrame:
+        """(District, cnt, cluster) — the crime_map coloring input
+        (Dataset.py:291-312): feed `{District: cluster}` into
+        geo.districts_to_geojson + geo.write_html_map for the reference's
+        cluster-colored district map."""
+        per_district = self.df.groupBy("District").agg(
+            F.count("*").cast("double").alias("cnt")
+        )
+        return ml_ops.kmeans_assign(per_district, ["cnt"], k=k)
+
     def correlation_matrix(self) -> DataFrame:
         """Pearson matrix over the numeric columns (Dataset.py:865-891;
         the reference's empty-select bug made it numeric-only — here

@@ -146,14 +146,27 @@ def gbt_regression_rmse(df: DataFrame, label_col: str) -> DataFrame:
     return df.sparkSession.createDataFrame([(float(rmse),)], "rmse double")
 
 
-def kmeans_cluster_sizes(df: DataFrame, feature_cols: list[str], k: int = 3) -> DataFrame:
-    """KMeans (k=3, seed=0 — Dataset.py:286-294) → cluster size table."""
+def kmeans_assign(
+    df: DataFrame, feature_cols: list[str], k: int = 3
+) -> DataFrame:
+    """KMeans (seed=0 — Dataset.py:286-294) row→cluster assignment: the
+    input frame plus a ``cluster`` column. This is the crime_map input —
+    each district colored by its cluster (Dataset.py:291-312)."""
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
     assembled = assembler.transform(df)
     model = KMeans(k=k, seed=0, featuresCol="features").fit(assembled)
-    clustered = model.transform(assembled)
     return (
-        clustered.groupBy(F.col("prediction").alias("cluster"))
+        model.transform(assembled)
+        .withColumnRenamed("prediction", "cluster")
+        .drop("features")
+    )
+
+
+def kmeans_cluster_sizes(df: DataFrame, feature_cols: list[str], k: int = 3) -> DataFrame:
+    """KMeans (k=3, seed=0 — Dataset.py:286-294) → cluster size table."""
+    return (
+        kmeans_assign(df, feature_cols, k)
+        .groupBy("cluster")
         .agg(F.count("*").alias("n"))
         .orderBy("cluster")
     )

@@ -57,3 +57,41 @@ def test_html_map_sink(tmp_path):
     assert cluster_color(0) in html_doc and cluster_color(2) in html_doc
     assert "District 1" in html_doc and "cluster 2" in html_doc
     assert "<li>" in html_doc  # legend
+
+
+def test_crime_map_flow_end_to_end(spark, tmp_path):
+    """The reference's crime_map pipeline (Dataset.py:261-334) end to
+    end on this engine: crimes → per-district KMeans clusters →
+    GeoJSON features colored by cluster → map.html. Dim-sized driver
+    hop happens exactly once (the 25-row district/cluster collect)."""
+    from big_data_chicago_crimes_spark.app import CrimesAnalytics
+
+    rows = [
+        (i, f"C{i}", "07/04/2016 01:30:00 PM", "THEFT", "d", f"L{i%3}",
+         True, False, (i % 4) + 1, 1, 41.8, -87.6, "loc")
+        for i in range(200)
+    ]
+    schema = (
+        "ID long, `Case Number` string, Date string, `Primary Type` string, "
+        "Description string, `Location Description` string, Arrest boolean, "
+        "Domestic boolean, District int, `Community Area` int, "
+        "Latitude double, Longitude double, Location string"
+    )
+    analytics = CrimesAnalytics.from_raw(spark.createDataFrame(rows, schema))
+    assignments = {
+        r.District: r.cluster
+        for r in analytics.district_cluster_assignments(k=2).collect()
+    }
+    assert set(assignments) == {1, 2, 3, 4}
+    assert set(assignments.values()) <= {0, 1}
+
+    district_wkts = [
+        (d, f"POLYGON ((-87.9 41.{5+d}, -87.5 41.{5+d}, -87.5 42.0, -87.9 41.{5+d}))")
+        for d in assignments
+    ]
+    fc = districts_to_geojson(district_wkts, assignments)
+    out = write_html_map(fc, str(tmp_path / "map.html"))
+    html_doc = open(out).read()
+    assert html_doc.count("<path") == 4
+    for d, c in assignments.items():
+        assert f"District {d} — cluster {c}" in html_doc
