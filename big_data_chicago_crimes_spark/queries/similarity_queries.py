@@ -178,3 +178,121 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.embeddings.filter(F.col("vec_id") != _QUERY_VEC_ID), k_centroids=16
     )
     return ivf_topk(assigned, centroids, qvec, k=10, nprobe=4)
+
+
+# --- lake-path ANN: the scale path IS the registered/benched path --------
+#
+# The in-query variants above rebuild their index on every call (full-scan
+# signature computation / per-call KMeans fit) — correct, but at 100 TB an
+# ANN query must probe a PRE-BUILT partitioned index. These variants
+# materialize the index once via the cached() memoizer (sources/sinks.py,
+# the reference's probe-or-compute pattern, Dataset.py:50-56) into a lake
+# directory partitioned by bucket / centroid_id, then answer the query as
+# a partition-pruned scan (tests/test_plans.py pins PartitionFilters).
+
+
+def _lake_root(spark: SparkSession, sf_dir: str) -> str:
+    """Per-SF index-cache root. Keyed by the sf dir's basename so sf0.01
+    (driver correctness) and sf0.1 (bench) never share an index."""
+    base = spark.conf.get("spark.bdcc.lakeDir", "spark-warehouse/lake")
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return f"{base}/{sf_name}"
+
+
+def _lsh_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket-partitioned embeddings index, built at most once per SF."""
+    from big_data_chicago_crimes_spark.sources.sinks import cached
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir)
+        # repartition by bucket → one writer task per bucket → one file
+        # per partition directory instead of (shuffle.partitions × buckets)
+        return hyperplane_lsh_buckets(t.embeddings, _EMB_DIM, n_planes=8).repartition(
+            "bucket"
+        )
+
+    return cached(
+        spark, f"{_lake_root(spark, sf_dir)}/embeddings_lsh", build, partition_by=["bucket"]
+    )
+
+
+@register(
+    "embedding_ann_lsh_topk_lake",
+    oracle=_ann_lsh_oracle(),  # identical semantics to the in-query variant
+    tags=("similarity", "ann", "lsh", "lake", "extension"),
+)
+def embedding_ann_lsh_topk_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH ANN against the MATERIALIZED bucket-partitioned
+    index: the Hamming-1 probe set becomes a partition-pruned scan of
+    ~9/256 of the table (PartitionFilters, no signature recompute)."""
+    import itertools
+
+    import numpy as np
+
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        _hyperplanes,
+        cosine_topk,
+    )
+
+    t = load_tables(spark, sf_dir)
+    qvec = _query_vec(t)
+    planes = _hyperplanes(_EMB_DIM, 8)
+    dots = planes @ np.asarray(qvec, dtype=float)
+    q_bucket = int(sum((1 << i) for i, d in enumerate(dots) if d > 0))
+    probes = {q_bucket} | {q_bucket ^ (1 << b) for b in range(8)}
+    lake = _lsh_lake(spark, sf_dir)
+    candidates = lake.filter(
+        F.col("bucket").isin(sorted(probes)) & (F.col("vec_id") != _QUERY_VEC_ID)
+    )
+    return cosine_topk(candidates, qvec, k=10)
+
+
+def _ivf_lake(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(inverted lists partitioned by centroid_id, centroid metadata).
+    KMeans fits at most once per SF; both artifacts land in the lake."""
+    from big_data_chicago_crimes_spark.operators.similarity import ivf_index
+    from big_data_chicago_crimes_spark.sources.sinks import path_exists, write_parquet
+
+    root = _lake_root(spark, sf_dir)
+    data_path = f"{root}/embeddings_ivf"
+    cent_path = f"{root}/embeddings_ivf_centroids"
+    if not (path_exists(spark, data_path) and path_exists(spark, cent_path)):
+        t = load_tables(spark, sf_dir)
+        assigned, centroids = ivf_index(t.embeddings, k_centroids=16)
+        write_parquet(
+            assigned.repartition("centroid_id"), data_path, partition_by=["centroid_id"]
+        )
+        cent_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "centroid_id INT, centroid ARRAY<DOUBLE>",
+        )
+        write_parquet(cent_df, cent_path)
+    return spark.read.parquet(data_path), spark.read.parquet(cent_path)
+
+
+@register(
+    "embedding_ivf_topk_lake",
+    oracle=None,  # KMeans-seeded index — recall pinned vs exact in tests
+    tags=("similarity", "ann", "ivf", "lake", "extension"),
+)
+def embedding_ivf_topk_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN against the MATERIALIZED centroid-partitioned inverted
+    lists: rank the 16 stored centroids driver-side (index metadata, not
+    data), scan only the 4 nearest lists via partition pruning, exact
+    cosine re-rank."""
+    import numpy as np
+
+    from big_data_chicago_crimes_spark.operators.similarity import cosine_topk
+
+    t = load_tables(spark, sf_dir)
+    qvec = _query_vec(t)
+    lists, cent_df = _ivf_lake(spark, sf_dir)
+    q = np.asarray(qvec, dtype=float)
+    cents = {r["centroid_id"]: r["centroid"] for r in cent_df.collect()}  # 16 rows
+    probe_ids = sorted(
+        cents, key=lambda i: float(np.linalg.norm(np.asarray(cents[i]) - q))
+    )[:4]
+    candidates = lists.filter(
+        F.col("centroid_id").isin(probe_ids) & (F.col("vec_id") != _QUERY_VEC_ID)
+    )
+    return cosine_topk(candidates, qvec, k=10)

@@ -125,6 +125,34 @@ def test_lsh_multiprobe_radius_widens_probe_set(spark, sf_dir):
     assert recalls[2] > recalls[0] or recalls[0] == 10
 
 
+def test_lake_ann_partition_pruned_and_matches_in_query_path(spark, sf_dir, tmp_path):
+    """The registered lake ANN paths (VERDICT r2 #2): the scan must carry
+    a PartitionFilters entry on the partition key (bucket / centroid_id),
+    and the LSH lake result must equal the in-query multiprobe variant
+    row-for-row (same oracle SQL backs both)."""
+    from big_data_chicago_crimes_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    spark.conf.set("spark.bdcc.lakeDir", str(tmp_path / "lake"))
+    try:
+        lsh_lake = qs["embedding_ann_lsh_topk_lake"].build(spark, sf_dir)
+        plan = lsh_lake._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan
+        in_query = qs["embedding_ann_lsh_topk"].build(spark, sf_dir)
+        assert [tuple(r) for r in lsh_lake.collect()] == [
+            tuple(r) for r in in_query.collect()
+        ]
+
+        ivf_lake = qs["embedding_ivf_topk_lake"].build(spark, sf_dir)
+        plan = ivf_lake._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "centroid_id" in plan
+        rows = ivf_lake.collect()
+        assert 0 < len(rows) <= 10
+        assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+    finally:
+        spark.conf.unset("spark.bdcc.lakeDir")
+
+
 def test_ivf_recall_on_real_embeddings(spark, sf_dir):
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
