@@ -32,22 +32,69 @@ def _orders_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_logreg_auc", oracle=None, tags=("ml", "reference:M7"))
+# Iterative MLlib fits aren't SQL-reproducible, but their METRIC BOUNDS are
+# (VERDICT r2 #5): each ml_* query emits band-check booleans alongside the
+# model/metric labels, and the oracle asserts the same bands, so the driver
+# hash-verifies schema + bounds instead of recording `no_oracle`. Bands are
+# chosen wide enough to absorb partitioning-induced randomSplit variation
+# (randomSplit is per-partition seeded): observed AUCs across sf0.001/0.01/
+# 0.1 sit in [0.496, 0.559] on the near-random synthetic labels, so
+# [0.25, 0.75] certifies "sane classifier output" without flaking. The raw
+# metric values remain available via operators/ml.py.
+
+
+def _banded_auc(spark: SparkSession, auc_df: DataFrame, model: str) -> DataFrame:
+    auc = float(auc_df.head()["roc_auc"])
+    return spark.createDataFrame(
+        [(model, "roc_auc", 0.0 <= auc <= 1.0, 0.25 <= auc <= 0.75)],
+        "model string, metric string, valid boolean, within_band boolean",
+    )
+
+
+def _auc_band_oracle(model: str) -> str:
+    return f"""
+        SELECT '{model}' AS model, 'roc_auc' AS metric,
+               TRUE AS valid, TRUE AS within_band
+    """
+
+
+@register(
+    "ml_logreg_auc",
+    oracle=_auc_band_oracle("logistic_regression"),
+    tags=("ml", "reference:M7"),
+)
 def ml_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Logistic regression AUC (Dataset.py:563-682 shape, bugs fixed)."""
-    return logistic_regression_auc(_orders_features(spark, sf_dir), "label")
+    """Logistic regression AUC (Dataset.py:563-682 shape, bugs fixed),
+    certified as band-check booleans (see module comment)."""
+    auc_df = logistic_regression_auc(_orders_features(spark, sf_dir), "label")
+    return _banded_auc(spark, auc_df, "logistic_regression")
 
 
-@register("ml_random_forest_auc", oracle=None, tags=("ml", "reference:M8"))
+@register(
+    "ml_random_forest_auc",
+    oracle=_auc_band_oracle("random_forest"),
+    tags=("ml", "reference:M8"),
+)
 def ml_random_forest_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random forest AUC (Dataset.py:685-789 shape)."""
-    return random_forest_auc(_orders_features(spark, sf_dir), "label")
+    """Random forest AUC (Dataset.py:685-789 shape), band-certified."""
+    auc_df = random_forest_auc(_orders_features(spark, sf_dir), "label")
+    return _banded_auc(spark, auc_df, "random_forest")
 
 
-@register("ml_gbt_rmse", oracle=None, tags=("ml", "reference:M9"))
+@register(
+    "ml_gbt_rmse",
+    oracle="""
+        SELECT 'gbt_regression' AS model, 'rmse' AS metric,
+               TRUE AS valid, TRUE AS within_band
+    """,
+    tags=("ml", "reference:M9"),
+)
 def ml_gbt_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GBT regression on the pre-aggregated daily order-count series —
-    the reference trains GBT on a groupBy-count output (Dataset.py:800)."""
+    the reference trains GBT on a groupBy-count output (Dataset.py:800).
+    Certified against a DATA-DEPENDENT band: 0.5·σ ≤ rmse ≤ 2·σ where σ
+    is the label series' sample stddev (observed rmse/σ ≈ 1.11-1.16 at
+    every SF — GBT on near-random daily counts tracks the mean)."""
     t = load_tables(spark, sf_dir)
     daily = (
         t.orders.groupBy(
@@ -57,17 +104,45 @@ def ml_gbt_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("double").alias("order_count"))
     )
-    return gbt_regression_rmse(daily, "order_count")
+    rmse = float(gbt_regression_rmse(daily, "order_count").head()["rmse"])
+    sigma = float(daily.agg(F.stddev_samp("order_count")).head()[0])
+    return spark.createDataFrame(
+        [
+            (
+                "gbt_regression",
+                "rmse",
+                rmse >= 0.0,
+                0.5 * sigma <= rmse <= 2.0 * sigma,
+            )
+        ],
+        "model string, metric string, valid boolean, within_band boolean",
+    )
 
 
-@register("ml_kmeans_customer_clusters", oracle=None, tags=("ml", "reference:M10"))
+@register(
+    "ml_kmeans_customer_clusters",
+    oracle="""
+        SELECT CAST(3 AS BIGINT) AS n_clusters,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS total_assigned,
+               TRUE AS all_nonempty
+    """,
+    tags=("ml", "reference:M10"),
+)
 def ml_kmeans_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans k=3 seed=0 over customer (acctbal, nationkey) — the
-    district-clustering analogue (Dataset.py:286-294)."""
+    district-clustering analogue (Dataset.py:286-294). Certified on the
+    partition-invariant properties: exactly 3 clusters, every customer
+    assigned exactly once (total matches DuckDB's COUNT(*) on the raw
+    table), no empty cluster."""
     t = load_tables(spark, sf_dir)
-    return kmeans_cluster_sizes(
+    sizes = kmeans_cluster_sizes(
         t.customer.select("c_acctbal", F.col("c_nationkey").cast("double").alias("nat")),
         ["c_acctbal", "nat"],
+    )
+    return sizes.agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("n").alias("total_assigned"),
+        (F.min("n") > 0).alias("all_nonempty"),
     )
 
 

@@ -116,16 +116,37 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users_by_type",
-    oracle=None,  # HLL sketch values differ engine-to-engine by design
+    # HLL sketch VALUES differ engine-to-engine by design, but the sketch's
+    # error CONTRACT is checkable (VERDICT r2 #4): emit the exact count
+    # (DuckDB-verifiable) plus a boolean asserting the HLL estimate landed
+    # within 5% of it (rsd=0.02 → ±2% expected; 5% absorbs tail cases).
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+               TRUE AS approx_within_5pct
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     tags=("agg", "approx"),
 )
 def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB substitute for
-    exact distinct: no exchange of the distinct keys, fixed-size sketch."""
+    exact distinct: no exchange of the distinct keys, fixed-size sketch.
+    Certified by bounded relative error vs the exact count."""
     t = load_tables(spark, sf_dir)
     return (
         t.events.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_users_exact"))
+                <= 0.05 * F.col("n_users_exact")
+            ).alias("approx_within_5pct"),
+        )
         .orderBy("event_type")
     )
 
@@ -180,16 +201,41 @@ def events_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_price_quantiles_approx",
-    oracle=None,  # t-digest/GK sketches differ engine-to-engine by design
+    # GK sketch VALUES differ engine-to-engine by design, but the rank-error
+    # contract is checkable (VERDICT r2 #4): emit the exact interpolated
+    # percentiles (DuckDB-verifiable) plus booleans asserting the sketch
+    # landed within 1% relative error (accuracy=10000 → rank error 1e-4·n;
+    # the o_totalprice distribution is dense, so value error is far below 1%).
+    oracle="""
+        SELECT ROUND(median(o_totalprice), 4) AS median_exact,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+               TRUE AS median_within_1pct,
+               TRUE AS p90_within_1pct
+        FROM orders
+    """,
     tags=("agg", "percentile", "approx"),
 )
 def orders_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (GK sketch) — the 100 TB substitute for exact
-    percentiles: mergeable fixed-size state instead of a global sort."""
+    percentiles: mergeable fixed-size state instead of a global sort.
+    Certified by bounded relative error vs the exact percentiles."""
     t = load_tables(spark, sf_dir)
     return t.orders.agg(
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("median_approx"),
-        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+        F.round(F.median("o_totalprice"), 4).alias("median_exact"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_exact"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("m_approx"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p_approx"),
+    ).select(
+        "median_exact",
+        "p90_exact",
+        (
+            F.abs(F.col("m_approx") - F.col("median_exact"))
+            <= 0.01 * F.col("median_exact")
+        ).alias("median_within_1pct"),
+        (
+            F.abs(F.col("p_approx") - F.col("p90_exact"))
+            <= 0.01 * F.col("p90_exact")
+        ).alias("p90_within_1pct"),
     )
 
 
