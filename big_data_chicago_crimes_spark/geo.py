@@ -135,6 +135,13 @@ def write_html_map(
         # lat increases north → SVG y grows down, so flip y
         return f"{10 + (pt[0] - x0) * s:.2f},{10 + (y1 - pt[1]) * s:.2f}"
 
+    import html as _html
+
+    def esc(v) -> str:
+        # caller-supplied titles / feature properties must not be able to
+        # break the markup (render.py escapes the same way)
+        return _html.escape(str(v), quote=True)
+
     shapes = []
     clusters_seen: dict[int | None, str] = {}
     for f in fc["features"]:
@@ -145,19 +152,19 @@ def write_html_map(
             for ring in _feature_rings(f["geometry"])
         )
         shapes.append(
-            f'<path d="{d}" fill="{props.get("fill", "black")}" fill-opacity="0.5" '
+            f'<path d="{d}" fill="{esc(props.get("fill", "black"))}" fill-opacity="0.5" '
             f'stroke="black" stroke-width="0.5">'
-            f'<title>District {props.get("DIST_NUM")} — cluster '
-            f'{props.get("cluster")}</title></path>'
+            f'<title>District {esc(props.get("DIST_NUM"))} — cluster '
+            f'{esc(props.get("cluster"))}</title></path>'
         )
     legend = "".join(
-        f'<li><span style="background:{color};display:inline-block;'
-        f'width:12px;height:12px"></span> cluster {c}</li>'
+        f'<li><span style="background:{esc(color)};display:inline-block;'
+        f'width:12px;height:12px"></span> cluster {esc(c)}</li>'
         for c, color in sorted(clusters_seen.items(), key=lambda kv: str(kv[0]))
     )
     html_doc = (
         "<!DOCTYPE html><html><head><meta charset='utf-8'>"
-        f"<title>{title}</title></head><body><h3>{title}</h3>"
+        f"<title>{esc(title)}</title></head><body><h3>{esc(title)}</h3>"
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
         f'height="{height}" viewBox="0 0 {width} {height}">'
         + "".join(shapes)

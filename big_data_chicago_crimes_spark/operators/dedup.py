@@ -55,11 +55,39 @@ def _pin_pair_join_build_side(df: DataFrame) -> DataFrame:
     block keys (quadratic pair work on <25 tasks — 5× slower) run to
     run. On a cluster the flag is off and the strategy stays with AQE:
     at scale blocks are LSH buckets (thousands of keys) and the build
-    side exceeds broadcast size anyway."""
+    side exceeds broadcast size anyway.
+
+    Size-guarded: the hint only applies when Catalyst's size estimate for
+    the build side is under ``spark.sql.autoBroadcastJoinThreshold`` —
+    an unconditional hint would OOM the driver if the build side ever
+    outgrew memory at a larger local SF (VERDICT r2 #6)."""
     spark = df.sparkSession
-    if spark.conf.get("spark.bdcc.spreadCompute", "false").lower() == "true":
-        return F.broadcast(df)
-    return df
+    if spark.conf.get("spark.bdcc.spreadCompute", "false").lower() != "true":
+        return df
+    try:
+        threshold_conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        threshold = _parse_byte_conf(threshold_conf)
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # estimation is best-effort; fall back to no hint
+        return df
+    if threshold <= 0 or est > threshold:
+        return df
+    return F.broadcast(df)
+
+
+def _parse_byte_conf(v: str) -> int:
+    """'10485760' | '10m' | '512k' | '1g' → bytes (Spark conf format)."""
+    s = v.strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(float(s) * mult)
 
 
 def exact_dedup(

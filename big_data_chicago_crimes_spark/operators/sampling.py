@@ -51,17 +51,37 @@ def hash_split(
     """Assign every row to a named split (train/val/test …) by hash
     bucket range. ``splits`` maps name → fraction; fractions must sum to
     1. Assignment is per-row-deterministic: growing the corpus never
-    moves an existing row between splits."""
+    moves an existing row between splits.
+
+    Degenerate configurations raise instead of silently mis-assigning:
+    every split must round to ≥1 bucket (0.004 of 100 buckets would be an
+    EMPTY split), and the rounded boundaries must cover the bucket space
+    exactly (otherwise leftover buckets would silently fall into
+    whichever split the ``otherwise`` names). Use more ``buckets`` for
+    finer fractions."""
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
+    widths = {name: int(round(frac * buckets)) for name, frac in splits.items()}
+    empty = [name for name, w in widths.items() if w < 1]
+    if empty:
+        raise ValueError(
+            f"splits {empty} round to 0 of {buckets} buckets — raise `buckets` "
+            f"(e.g. {max(1, int(1 / min(splits.values())))}+) for fractions this small"
+        )
+    if sum(widths.values()) != buckets:
+        raise ValueError(
+            f"rounded split widths {widths} cover {sum(widths.values())} of "
+            f"{buckets} buckets — choose fractions that partition the bucket "
+            "space exactly (or raise `buckets`)"
+        )
     bucket = hash_bucket(key, buckets)
     expr = None
     lo = 0
-    for name, frac in splits.items():
-        hi = lo + int(round(frac * buckets))
+    for name, width in widths.items():
+        hi = lo + width
         cond = (bucket >= lo) & (bucket < hi)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
         lo = hi
-    # guard against rounding gaps at the top of the bucket space
+    # widths proved to cover [0, buckets) exactly; otherwise is unreachable
     return df.withColumn(split_col, expr.otherwise(F.lit(list(splits)[-1])))

@@ -18,8 +18,37 @@ input require partition keys.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _warn_if_unbounded_global_window(
+    series: DataFrame, partition_by: list[str] | None, op: str
+) -> None:
+    """An unpartitioned Window.orderBy funnels EVERY input row into one
+    WindowExec partition. That's the intended shape for an aggregated
+    series (a few hundred rows), silent death on raw rows. We can't count
+    rows without triggering a job, so this checks the analyzed plan for
+    evidence of pre-aggregation (Aggregate/Distinct/limit/local data) and
+    warns when a global window is about to run over what looks like a raw
+    scan. Pre-aggregated data loaded straight from parquet has no
+    Aggregate node either — hence a warning, not an error."""
+    if partition_by:
+        return
+    plan = series._jdf.queryExecution().analyzed().toString()
+    if not any(
+        tok in plan
+        for tok in ("Aggregate", "Distinct", "GlobalLimit", "LocalRelation")
+    ):
+        warnings.warn(
+            f"{op}: global (unpartitioned) window over input with no "
+            "aggregation in its plan — Spark will pull every row into ONE "
+            "WindowExec partition. Pass partition_by keys for raw-scale "
+            "input, or pre-aggregate the series first.",
+            stacklevel=3,
+        )
 
 
 def moving_average(
@@ -32,6 +61,7 @@ def moving_average(
 ) -> DataFrame:
     """Trailing ``window_rows``-row mean over an ordered series.
     Input must already be aggregated (one row per period)."""
+    _warn_if_unbounded_global_window(series, partition_by, "moving_average")
     w = (
         Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
     ).orderBy(*order_by).rowsBetween(-(window_rows - 1), 0)
@@ -67,6 +97,7 @@ def lag_delta(
     name: str = "delta",
 ) -> DataFrame:
     """Period-over-period difference (lag-1) over an aggregated series."""
+    _warn_if_unbounded_global_window(series, partition_by, "lag_delta")
     w = (
         Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
     ).orderBy(*order_by)
@@ -82,6 +113,7 @@ def running_total(
     partition_by: list[str] | None = None,
     name: str = "running_total",
 ) -> DataFrame:
+    _warn_if_unbounded_global_window(series, partition_by, "running_total")
     w = (
         Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
     ).orderBy(*order_by).rowsBetween(Window.unboundedPreceding, 0)

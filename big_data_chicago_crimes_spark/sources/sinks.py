@@ -76,8 +76,12 @@ def compact_parquet(
     partition writes accumulate KB-scale files; at 100 TB that means
     millions of scan tasks and metadata-bound planning, so compaction is
     a standing maintenance job. Rewrites via a sibling ``_compacting``
-    directory + atomic-ish rename swap (never reads and overwrites the
-    same path — Spark's lazy scan would see its own truncation).
+    directory + rename swap (never reads and overwrites the same path —
+    Spark's lazy scan would see its own truncation). The swap goes
+    old→``_backup``, tmp→path, delete backup: a crash between any two
+    steps leaves the full data reachable under a durable name (the
+    earlier delete-then-rename ordering stranded the data at
+    ``_compacting`` with the canonical path gone).
     Returns (files_before, files_after)."""
     import math
 
@@ -92,8 +96,12 @@ def compact_parquet(
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     p_old = jvm.org.apache.hadoop.fs.Path(path)
     p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(p_old, True)
+    p_backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_backup")
+    if fs.exists(p_backup):  # leftover from an interrupted earlier swap
+        fs.delete(p_backup, True)
+    fs.rename(p_old, p_backup)
     fs.rename(p_tmp, p_old)
+    fs.delete(p_backup, True)
     n_after, _ = _dir_stats(spark, path)
     return n_before, n_after
 

@@ -60,6 +60,23 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_rejects_dim_preserving_how(spark):
+    """right/full outer joins would emit one null-extended row per salt
+    replica for every unmatched dim row — salted_join must refuse them."""
+    import pytest
+
+    fact = spark.createDataFrame([(1, 10)], "k int, v int")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="fact-side-preserving"):
+            salted_join(fact, dim, "k", how=how)
+    # fact-preserving variants still work and match the plain join
+    for how in ("left", "left_semi", "left_anti"):
+        plain = sorted(map(tuple, fact.join(dim, "k", how).collect()))
+        salted = sorted(map(tuple, salted_join(fact, dim, "k", how=how).collect()))
+        assert plain == salted, how
+
+
 def test_range_join_matches_naive(spark):
     points = spark.range(200).selectExpr("id AS pid", "CAST(id * 7 % 100 AS DOUBLE) AS x")
     intervals = spark.createDataFrame(

@@ -48,6 +48,28 @@ def test_split_fractions_must_sum_to_one(spark):
         hash_split(df, "id", {"a": 0.5, "b": 0.2})
 
 
+def test_split_rejects_fraction_rounding_to_empty_split(spark):
+    """0.004 of 100 buckets rounds to 0 — must raise, not silently emit
+    an empty split."""
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="round to 0"):
+        hash_split(df, "id", {"train": 0.996, "tiny": 0.004}, buckets=100)
+    # same fractions work with enough buckets
+    out = hash_split(df, "id", {"train": 0.996, "tiny": 0.004}, buckets=1000)
+    assert out.columns[-1] == "split"
+
+
+def test_split_rejects_boundaries_not_covering_bucket_space(spark):
+    """Three thirds of 100 buckets round to 33+33+33=99 — the leftover
+    bucket must raise, not silently land in the last split."""
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="cover 99 of 100"):
+        hash_split(df, "id", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}, buckets=100)
+    # a bucket count divisible by 3 partitions exactly
+    out = hash_split(df, "id", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}, buckets=99)
+    assert out.count() == 1
+
+
 def test_bucket_uniformity(spark):
     df = spark.createDataFrame([(i,) for i in range(20_000)], "id long")
     buckets = (
