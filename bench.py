@@ -53,17 +53,46 @@ HEADLINE = [
     "docs_bpe_token_stats",
     "docs_fingerprint_census",
     "docs_rolling_hash",
+    # text suite (quality/fingerprint extensions)
+    "docs_quality_scores",
+    "docs_repetition_stats",
+    "docs_rolling_hash_md5_oracled",
     # dedup / similarity
     "docs_exact_dedup",
     "docs_minhash_lsh_candidates",
+    "docs_minhash_md5_oracled",
+    "docs_simhash_candidates",
+    "docs_simhash_md5_oracled",
+    "docs_simhash_band_candidates_md5_oracled",
     "docs_jaccard_pairs",
+    "docs_char_ngram_jaccard",
+    "embedding_near_dups",
     "embedding_cosine_topk",
     "embedding_ann_lsh_topk",
+    "embedding_ann_lsh_topk_lake",   # materialized-index probe (scale path)
+    "embedding_ivf_topk_lake",       # materialized-index probe (scale path)
+    "embedding_lsh_bucket_histogram",
     "events_json_extract",
+    # sampling / splits
+    "docs_hash_sample",
+    "docs_train_val_test_split",
     # OLAP widening
     "lineitem_rollup",
     "orders_cube",
+    "orders_grouping_sets",
+    "nation_balance_extremes",
+    "distinct_users_by_type",
+    "approx_distinct_users_by_type",
+    "orders_price_quantiles",
+    "orders_price_quantiles_approx",
+    "promo_revenue_pct",
+    "lineitem_correlations",
+    "late_shipment_orders",
+    "parts_never_ordered",
+    "all_account_balances",
+    "events_from_json_struct",
     "purchase_after_view_asof",
+    "order_price_at_ship_asof",
     "orders_by_price_band",
 ]
 

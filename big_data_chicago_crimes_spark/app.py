@@ -221,3 +221,52 @@ class CrimesAnalytics:
         (drops id-like and timestamp columns — Dataset.py:573-579)."""
         drop = [c for c in ("ID", "Case Number", "Updated On") if c in self.df.columns]
         return self.df.drop(*drop)
+
+
+# --- interactive shell (the reference's menu router, Dataset.py:893-938) ---
+#
+# The reference routes a Streamlit sidebar selectbox to one method per
+# option. This is the dependency-free equivalent: the same option names,
+# routed to the same analytics, as a testable pure dispatch plus a stdio
+# REPL loop. Presentation stays out of the engine — each option returns a
+# DataFrame and the shell renders via .show().
+
+MENU: dict[str, str] = {
+    "Critical hours": "critical_hours",
+    "Crimes per category": "counts_by_primary_type",
+    "Column dtypes": "dtype_census",
+    "Crimes per district": "district_counts",
+    "Season matrix": "season_pivot",
+    "Arrest percentage": "arrest_percentage",
+    "Common crime locations": "common_crime_locations",
+    "Violent areas": "violent_area_counts",
+    "Moving average": "moving_average",
+    "Logistic regression": "logistic_regression_auc",
+    "Random forest": "random_forest_auc",
+    "Gradient boosting": "gbt_rmse",
+    "KMeans clusters": "kmeans_district_clusters",
+    "Correlation matrix": "correlation_matrix",
+}
+
+
+def run_option(analytics: CrimesAnalytics, option: str) -> DataFrame:
+    """Route a menu option to its analytics method (pure dispatch —
+    raises KeyError on an unknown option, returns the DataFrame)."""
+    return getattr(analytics, MENU[option])()
+
+
+def main_menu(analytics: CrimesAnalytics, input_fn=input, print_fn=print) -> None:
+    """Numbered-option REPL over ``MENU``. ``input_fn``/``print_fn`` are
+    injectable so tests drive the loop without a tty. 'q' exits."""
+    options = list(MENU)
+    while True:
+        for i, name in enumerate(options, 1):
+            print_fn(f"{i:2d}. {name}")
+        choice = input_fn("option (q to quit): ").strip().lower()
+        if choice in ("q", "quit", "exit"):
+            return
+        if not choice.isdigit() or not 1 <= int(choice) <= len(options):
+            print_fn(f"unknown option {choice!r}")
+            continue
+        df = run_option(analytics, options[int(choice) - 1])
+        print_fn(df._jdf.showString(20, 40, False))

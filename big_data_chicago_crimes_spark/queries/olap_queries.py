@@ -257,7 +257,6 @@ def forecast_revenue_change(spark, sf_dir):
     (date band, discount band, quantity cap) pushes to the parquet scan,
     no join, no groupBy shuffle (single global aggregate with map-side
     partials). The canonical 'is pushdown working' probe."""
-    from pyspark.sql import functions as F
 
     from big_data_chicago_crimes_spark.sources.readers import load_tables
 
@@ -294,7 +293,6 @@ def promo_revenue_pct(spark, sf_dir):
     date filter pushes to the lineitem scan; part joins on partkey (AQE
     decides broadcast vs shuffle — part scales with the catalog, not
     with facts, so no unconditional hint); one global ratio aggregate."""
-    from pyspark.sql import functions as F
 
     from big_data_chicago_crimes_spark.sources.readers import load_tables
 
@@ -334,7 +332,6 @@ def customer_balance_quartiles(spark, sf_dir):
     c_custkey tie-break so tile assignment is deterministic on both
     engines."""
     from pyspark.sql import Window
-    from pyspark.sql import functions as F
 
     from big_data_chicago_crimes_spark.operators.relational import dim_join
     from big_data_chicago_crimes_spark.sources.readers import load_tables
@@ -422,7 +419,6 @@ def nation_balance_extremes(spark, sf_dir):
     c_custkey tie-break; the decile threshold compares a 6dp-ROUNDED
     percent_rank so the census is float-stable on both engines."""
     from pyspark.sql import Window
-    from pyspark.sql import functions as F
 
     from big_data_chicago_crimes_spark.operators.relational import dim_join
     from big_data_chicago_crimes_spark.sources.readers import load_tables

@@ -136,3 +136,22 @@ def test_correlation_matrix_square(analytics):
 def test_dtype_census(analytics):
     pdf = analytics.dtype_census().toPandas()
     assert pdf.n_columns.sum() == len(analytics.df.columns)
+
+
+def test_menu_router_dispatch_and_repl(analytics):
+    """The interactive shell (Dataset.py:893-938 equivalent): every MENU
+    option resolves to a real method returning a DataFrame; the REPL loop
+    renders a numbered menu, runs a choice, rejects junk, and quits."""
+    from big_data_chicago_crimes_spark.app import MENU, main_menu, run_option
+
+    for option in MENU:
+        df = run_option(analytics, option)
+        assert hasattr(df, "schema"), option
+
+    inputs = iter(["2", "banana", "q"])
+    printed: list[str] = []
+    main_menu(analytics, input_fn=lambda _: next(inputs), print_fn=printed.append)
+    joined = "\n".join(printed)
+    assert "Crimes per category" in joined          # menu rendered
+    assert "Primary Type" in joined                 # option 2 output shown
+    assert "unknown option 'banana'" in joined      # junk rejected
