@@ -241,11 +241,28 @@ def simhash_table(
     if hash_family == "md5":
         if bits > 64:
             raise ValueError("md5 family supports at most 64 bits (16 hex digits)")
-        hashed = tok.select(id_col, F.md5("tok").alias("hx"))
+        # Parse the needed hex digits in ≤8-char chunks (one conv per
+        # chunk, not one per bit: 32× fewer string parses per token).
+        # Bit semantics unchanged — bit i is still bit i%4 of hex digit
+        # i//4 — so the md5 oracle SQL stays valid. 8 hex chars < 2^32
+        # fits a long; a single conv of 16 chars would overflow.
+        n_hex = (bits + 3) // 4
+        chunk_lens = [min(8, n_hex - c) for c in range(0, n_hex, 8)]
+        hashed = tok.select(id_col, F.md5("tok").alias("hx")).select(
+            id_col,
+            *[
+                F.conv(F.substring("hx", c * 8 + 1, ln), 16, 10)
+                .cast("long")
+                .alias(f"hc{c}")
+                for c, ln in enumerate(chunk_lens)
+            ],
+        )
 
         def sign(i: int):
-            digit = F.conv(F.substring("hx", i // 4 + 1, 1), 16, 10).cast("int")
-            return F.shiftright(digit, i % 4).bitwiseAND(F.lit(1)) * 2 - 1
+            j = i // 4  # global hex-digit index
+            c, jj = j // 8, j % 8
+            shift = (chunk_lens[c] - 1 - jj) * 4 + i % 4
+            return F.shiftright(f"hc{c}", shift).bitwiseAND(F.lit(1)) * 2 - 1
 
     else:
         hashed = tok.select(id_col, F.xxhash64("tok").alias("h"))
