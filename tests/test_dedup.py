@@ -95,6 +95,34 @@ def test_blocked_jaccard_skewed_block_guard(spark):
     assert (1000, 1001, 0.6) in {(a, b, round(j, 6)) for a, b, j in g}
 
 
+def test_prefix_filter_is_lossless(spark):
+    """The SSJoin prefix-filtered leg must return EXACTLY the all-pairs
+    result — the rarest-first prefix join is a lossless candidate
+    filter, not an approximation. Mixed block sizes, shared-vocabulary
+    docs, and one pair straddling the threshold boundary."""
+    docs = [
+        (1, "alpha beta gamma delta", "en", "s"),
+        (2, "alpha beta gamma epsilon", "en", "s"),  # 0.6 vs doc 1
+        (3, "totally different words here", "en", "s"),
+        (4, "alpha beta gamma delta", "en", "t"),  # other block
+        (5, "alpha beta gamma delta zeta", "en", "t"),  # 0.8 vs doc 4
+        (6, "beta gamma", "en", "t"),  # 0.5 vs nobody above threshold
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    )
+    for threshold in (0.4, 0.6, 0.99):
+        pf = token_jaccard_pairs(
+            df, ["lang", "source"], threshold=threshold, prefix_filter=True
+        )
+        ap = token_jaccard_pairs(
+            df, ["lang", "source"], threshold=threshold, prefix_filter=False
+        )
+        got = {(r.id_a, r.id_b, r.jaccard) for r in pf.collect()}
+        want = {(r.id_a, r.id_b, r.jaccard) for r in ap.collect()}
+        assert got == want, f"threshold={threshold}"
+
+
 def test_salted_join_spreads_identical_hot_rows(spark):
     """The salt must NOT be a pure function of row content: a hot key
     made of IDENTICAL rows (log-line skew) has to fan out across salt
