@@ -121,21 +121,30 @@ def minhash_signature_table(
     re-evaluates the shingle array once per hash index in interpreted
     mode — minutes instead of seconds; the explode+agg form stays in
     whole-stage codegen and shuffles only (id, 32 longs)."""
-    toks = tokens(text_col)
-    n = F.size(toks)
     k = shingle_k
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    # try_element_at concat beats slice+array_join: no per-shingle array
-    # allocation inside the (interpreted) higher-order lambda; try_ =
-    # null (skipped by concat_ws) for docs shorter than k tokens
-    shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.try_element_at(toks, i + F.lit(off)) for off in range(k)]
-        ),
+    # Explode shingle START INDICES, then build each shingle with plain
+    # concat_ws over try_element_at — every expression after the explode
+    # is whole-stage-codegen'd. The earlier F.transform(idx, lambda ...)
+    # formulation ran the shingle lambda in INTERPRETED mode per element
+    # (higher-order functions don't codegen); try_element_at = null
+    # (skipped by concat_ws) covers docs shorter than k tokens.
+    base = spread_for_compute(df).select(
+        F.col(id_col), tokens(text_col).alias("__toks")
     )
-    exploded = spread_for_compute(df).select(
-        F.col(id_col), F.explode(shingles).alias("shingle")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size("__toks") - F.lit(k - 1), F.lit(1))
+    )
+    exploded = base.select(
+        F.col(id_col), F.col("__toks"), F.explode(idx).alias("__i")
+    ).select(
+        F.col(id_col),
+        F.concat_ws(
+            " ",
+            *[
+                F.try_element_at("__toks", F.col("__i") + F.lit(off))
+                for off in range(k)
+            ],
+        ).alias("shingle"),
     )
     if hash_family == "md5":
         # md5 hex strings, min = lexicographic — a valid min-wise family
