@@ -22,6 +22,7 @@ from big_data_chicago_crimes_spark.functions.text import (
 )
 from big_data_chicago_crimes_spark.functions.vectors import (
     cosine_similarity,
+    cosine_similarity_to_literal,
     dot,
     l2_norm,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "tokens",
     "word_shingles",
     "cosine_similarity",
+    "cosine_similarity_to_literal",
     "dot",
     "l2_norm",
 ]

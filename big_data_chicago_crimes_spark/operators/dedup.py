@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from big_data_chicago_crimes_spark.functions.text import doc_fingerprint, tokens
-from big_data_chicago_crimes_spark.functions.vectors import cosine_similarity
+from big_data_chicago_crimes_spark.functions.vectors import cosine_similarity, l2_norm
 
 
 def spread_for_compute(df: DataFrame) -> DataFrame:
@@ -558,12 +558,19 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-duplicates within a blocking column.
     At scale the block key is an LSH bucket (similarity.hyperplane_lsh);
-    here the synthetic ``label`` column doubles as the block."""
+    here the synthetic ``label`` column doubles as the block. Each row's
+    norm is computed ONCE before the pair join (O(n·dim)), so every pair
+    costs a single dot product instead of a dot plus two norms."""
     base = spread_for_compute(df).select(
-        F.col(id_col), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
+        F.col(id_col),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
     )
     a, b = base.alias("a"), _pin_pair_join_build_side(base.alias("b"))
-    sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    sim = cosine_similarity(
+        F.col("a.v"), F.col("b.v"), norm_a=F.col("a.nrm"), norm_b=F.col("b.nrm")
+    )
     return (
         a.join(
             b,

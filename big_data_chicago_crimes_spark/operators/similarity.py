@@ -20,7 +20,10 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from big_data_chicago_crimes_spark.functions.vectors import cosine_similarity
+from big_data_chicago_crimes_spark.functions.vectors import (
+    cosine_similarity,
+    cosine_similarity_to_literal,
+)
 
 _LSH_SEED = 42
 
@@ -39,12 +42,13 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine similarity to ``query_vec``.
     Output: (id, cosine) ordered desc with id tie-break."""
-    q = (
-        F.array(*[F.lit(float(x)) for x in query_vec])
+    # A list query vector folds its norm to a driver-side constant —
+    # two per-row aggregates (dot + own norm) instead of three.
+    sim = (
+        cosine_similarity_to_literal(F.col(vec_col), list(query_vec))
         if isinstance(query_vec, (list, tuple))
-        else query_vec
+        else cosine_similarity(F.col(vec_col), query_vec)
     )
-    sim = cosine_similarity(F.col(vec_col), q)
     return (
         df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -62,6 +66,10 @@ def hyperplane_signature(
     planes = _hyperplanes(dim, n_planes)
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
+        # HOF zip_with/aggregate per plane: interpreted lambda, but a
+        # tight per-array loop — unrolling all n_planes×dim terms into
+        # codegen'd expressions measured 5× SLOWER (tree too large for
+        # JIT/codegen budgets); keep the HOF form deliberately
         plane_arr = F.array(*[F.lit(float(x)) for x in plane])
         d = F.aggregate(
             F.zip_with(v, plane_arr, lambda x, p: x.cast("double") * p),
