@@ -95,6 +95,17 @@ def test_blocked_jaccard_skewed_block_guard(spark):
     assert (1000, 1001, 0.6) in {(a, b, round(j, 6)) for a, b, j in g}
 
 
+def test_simhash_counter_lane_overflow_guard(spark):
+    """A document over 65535 tokens must raise, not silently wrap its
+    16-bit packed counter lanes into a corrupt fingerprint."""
+    from big_data_chicago_crimes_spark.operators.dedup import simhash_table
+
+    big_doc = " ".join(f"tok{i}" for i in range(70_000))
+    df = spark.createDataFrame([(1, big_doc)], "doc_id long, text string")
+    with pytest.raises(Exception, match="65535 tokens"):
+        simhash_table(df).collect()
+
+
 def test_prefix_filter_is_lossless(spark):
     """The SSJoin prefix-filtered leg must return EXACTLY the all-pairs
     result — the rarest-first prefix join is a lossless candidate
