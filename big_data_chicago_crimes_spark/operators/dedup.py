@@ -233,14 +233,15 @@ def simhash_table(
     """SimHash fingerprints: (id, simhash bigint).
 
     Shape: explode tokens → hash once per token → bit-PACKED partial
-    aggregation: per-bit 0/1 counts ride 4-per-long in 16-bit lanes, so
-    ``bits`` logical counters need only ``bits/4`` SUM aggregates (+1
-    count) — 4× less aggregation state and shuffle payload than one SUM
+    aggregation: per-bit 0/1 counts ride 3-per-long in 20-bit lanes, so
+    ``bits`` logical counters need only ``bits/3`` SUM aggregates (+1
+    count) — 3× less aggregation state and shuffle payload than one SUM
     per bit (local CPU is a wash — the win is the shuffled bytes per
-    doc partial, which is what hurts at cluster scale). Lanes can't
-    carry into each other while every doc stays
-    under 2¹⁶ tokens; a runtime guard raises past that (at which point
-    widen the lanes, don't silently corrupt fingerprints). Bit i of the
+    doc partial, which is what hurts at cluster scale). Lane math is
+    exact for docs up to 2²⁰−1 tokens; past that a runtime guard raises
+    (lane carry starts at 2²⁰; the ANSI long-overflow error backstops
+    the packed SUM itself at ~2²³ tokens — every failure mode is loud,
+    none silent). Bit i of the
     result is set iff its count exceeds half the tokens — identical to
     the sign-sum formulation. One shuffle on id (hash agg with map-side
     partials); a per-row higher-order-function formulation avoids the
@@ -287,7 +288,7 @@ def simhash_table(
         def bit(i: int):
             return F.shiftright("h", i).bitwiseAND(F.lit(1))
 
-    LANE_BITS, LANES = 16, 4  # 4 × 16-bit counters per packed long
+    LANE_BITS, LANES = 20, 3  # 3 × 20-bit counters per packed long
     packed_aggs = []
     for g in range(0, bits, LANES):
         lanes = None
@@ -318,7 +319,7 @@ def simhash_table(
         F.col("__n") > lane_mask,
         F.raise_error(
             F.lit(
-                "simhash_table: document exceeds 65535 tokens — 16-bit "
+                "simhash_table: document exceeds 1048575 tokens — 20-bit "
                 "counter lanes would overflow; widen LANE_BITS"
             )
         ).cast("long"),

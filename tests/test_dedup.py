@@ -96,14 +96,23 @@ def test_blocked_jaccard_skewed_block_guard(spark):
 
 
 def test_simhash_counter_lane_overflow_guard(spark):
-    """A document over 65535 tokens must raise, not silently wrap its
-    16-bit packed counter lanes into a corrupt fingerprint."""
+    """A 70k-token document fits the 20-bit lanes and fingerprints
+    normally; a >2^20-token document must raise, not silently wrap its
+    packed counter lanes into a corrupt fingerprint."""
+    from pyspark.sql import functions as F
+
     from big_data_chicago_crimes_spark.operators.dedup import simhash_table
 
     big_doc = " ".join(f"tok{i}" for i in range(70_000))
     df = spark.createDataFrame([(1, big_doc)], "doc_id long, text string")
-    with pytest.raises(Exception, match="65535 tokens"):
-        simhash_table(df).collect()
+    assert simhash_table(df).count() == 1
+
+    huge = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.array_repeat(F.lit("a"), 1_100_000), " ").alias("text"),
+    )
+    with pytest.raises(Exception, match="1048575 tokens"):
+        simhash_table(huge).collect()
 
 
 def test_prefix_filter_is_lossless(spark):
