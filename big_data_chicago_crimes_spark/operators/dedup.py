@@ -146,13 +146,19 @@ def minhash_signature_table(
             ],
         ).alias("shingle"),
     )
+    # The num_hashes MIN aggregates are built as SQL strings (one F.expr
+    # each — one py4j round trip) rather than nested Column calls: the
+    # Column-by-Column build costs ~0.4 s of py4j chatter per call for
+    # 32 hashes, comparable to the sf0.1 execution itself.
     if hash_family == "md5":
         # md5 hex strings, min = lexicographic — a valid min-wise family
         # that DuckDB can reproduce exactly (oracle-checkable), ~3× the
         # cost of the xxhash64 default
-        hash_fn = lambda i: F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))
         return exploded.groupBy(id_col).agg(
-            *[F.min(hash_fn(i)).alias(f"h{i}") for i in range(num_hashes)]
+            *[
+                F.expr(f"min(md5(concat(shingle, '#{i}'))) as h{i}")
+                for i in range(num_hashes)
+            ]
         )
     # xxhash64 family: hash the shingle STRING once to a long, then derive
     # the num_hashes family members by hashing (long, index) — each
@@ -163,10 +169,7 @@ def minhash_signature_table(
         F.col(id_col), F.xxhash64("shingle").alias("sh")
     )
     return pre.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.expr(f"min(xxhash64(sh, {i})) as h{i}") for i in range(num_hashes)]
     )
 
 
@@ -188,24 +191,22 @@ def minhash_lsh_candidates(
     sig = minhash_signature_table(
         df, text_col, id_col, num_hashes, shingle_k, hash_family
     )
-    band_sig_fn = F.md5 if hash_family == "md5" else F.xxhash64
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            band_sig_fn(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"h{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_sig"),
+    band_sig_fn = "md5" if hash_family == "md5" else "xxhash64"
+    # One F.expr for the whole band fan-out (vs ~bands×rows_per_band
+    # py4j Column calls) — see minhash_signature_table's rationale.
+    band_structs = ", ".join(
+        "struct({b} as band, {fn}(concat_ws(',', {cols})) as band_sig)".format(
+            b=b,
+            fn=band_sig_fn,
+            cols=", ".join(
+                f"cast(h{b * rows_per_band + r} as string)"
+                for r in range(rows_per_band)
+            ),
         )
         for b in range(bands)
-    ]
+    )
     with_bands = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
+        F.col(id_col), F.expr(f"explode(array({band_structs})) as bs")
     ).select(id_col, "bs.band", "bs.band_sig")
     a = with_bands.alias("a")
     b = with_bands.alias("b")
@@ -359,21 +360,13 @@ def simhash_candidates(
     sh_table = simhash_table(df, text_col, id_col, bits=bits, hash_family=hash_family)
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
+    band_structs = ", ".join(
+        f"struct({i} as band, shiftright(simhash, {i * band_bits}) & {mask} "
+        "as band_val)"
+        for i in range(n_bands)
+    )
     banded = sh_table.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), i * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("bs"),
+        F.col(id_col), F.expr(f"explode(array({band_structs})) as bs")
     ).select(id_col, "bs.band", "bs.band_val")
     a, b = banded.alias("a"), banded.alias("b")
     return (
