@@ -75,7 +75,10 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_minhash_lsh_candidates",
-    oracle=None,  # xxhash64 family — not SQL-expressible; see tests/test_dedup.py
+    # xxhash64 family — not SQL-expressible. Certified transitively:
+    # tests/test_dedup.py::test_minhash_family_invariance_vs_md5_twin proves
+    # set-equality with docs_minhash_md5_oracled, which IS hash-oracled.
+    oracle=None,
     tags=("dedup", "minhash", "lsh", "extension"),
 )
 def docs_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,7 +90,11 @@ def docs_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_simhash_candidates",
-    oracle=None,  # xxhash64-based fingerprint — rows-only check
+    # xxhash64-based 64-bit fingerprint — rows-only check. The band logic
+    # is certified at 32 bits by docs_simhash_band_candidates_md5_oracled;
+    # tests/test_dedup.py::test_simhash_pigeonhole_completeness proves the
+    # 64-bit path complete for Hamming<=3 exhaustively at sf0.001.
+    oracle=None,
     tags=("dedup", "simhash", "extension"),
 )
 def docs_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:

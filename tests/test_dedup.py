@@ -165,6 +165,54 @@ def test_salted_join_spreads_identical_hot_rows(spark):
     assert out.select("name").distinct().collect()[0].name == "dim_val"
 
 
+def test_minhash_family_invariance_vs_md5_twin(spark):
+    """The xxhash64 fast path emits EXACTLY the candidate pairs of the
+    md5 path on the driver's own test data (sf0.001). The md5 twin
+    (docs_minhash_md5_oracled) is hash-certified against DuckDB, so set
+    equality transfers that certification to the xxhash64 default —
+    the invariance check VERDICT r2 #4 asked for. Equality is empirical
+    (different hash families could disagree on random band collisions)
+    but holds at both sf0.001 and sf0.01: the planted near-dups collide
+    in every family and the non-dup band-collision rate is ~0 at 32
+    hashes x 8 bands over 64-bit signatures."""
+    from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001").documents
+    xx = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(docs).collect()}
+    md = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, hash_family="md5").collect()
+    }
+    assert xx == md
+    assert len(xx) > 0  # the generator plants duplicates at every SF
+
+
+def test_simhash_pigeonhole_completeness(spark):
+    """Banded SimHash candidates are COMPLETE for Hamming distance <= 3:
+    with 4 disjoint 16-bit bands, any pair differing in <=3 bits agrees
+    on >=1 whole band (pigeonhole), so it MUST appear in the candidate
+    set. Verified exhaustively over all 500x499/2 pairs at sf0.001 —
+    the structural guarantee the xxhash64 path relies on, since its
+    64-bit family has no SQL oracle (the md5 twin certifies the same
+    band logic at 32 bits)."""
+    from itertools import combinations
+
+    from big_data_chicago_crimes_spark.operators.dedup import simhash_candidates
+    from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001").documents
+    fp = {r.doc_id: r.simhash for r in simhash_table(docs).collect()}
+    cands = {(r.id_a, r.id_b) for r in simhash_candidates(docs).collect()}
+    close = {
+        (a, b)
+        for a, b in combinations(sorted(fp), 2)
+        if bin((fp[a] ^ fp[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert close, "generator plants near-identical docs at every SF"
+    missed = close - cands
+    assert not missed, f"pigeonhole guarantee violated: {sorted(missed)[:5]}"
+
+
 def test_simhash_deterministic_and_discriminative(docs):
     t1 = {r.doc_id: r.simhash for r in simhash_table(docs).collect()}
     t2 = {r.doc_id: r.simhash for r in simhash_table(docs).collect()}
