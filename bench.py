@@ -109,9 +109,15 @@ def main() -> None:
         df = queries[name].build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
 
+    # Global warm pass FIRST: running every query once before any timing
+    # means the earliest-timed queries don't absorb JVM-wide JIT/C2
+    # compilation that later queries get for free. Same total executions
+    # as per-query warmup, but position-independent measurements.
+    for name in HEADLINE:
+        run(name)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        run(name)  # warm-up: codegen + file listing + JIT, not counted
         best = float("inf")
         for _ in range(3):  # best-of-3: robust to host contention
             t0 = time.perf_counter()
