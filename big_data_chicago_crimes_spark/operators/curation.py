@@ -1,0 +1,218 @@
+"""Corpus-curation operators a training-data pipeline runs after dedup:
+benchmark decontamination, duplicate-cluster resolution, and sparse
+lexical similarity.
+
+These extend the reference's cleaning surface (dropna/dedup,
+/root/reference/src/modules/Dataset.py:214-238) with the corpus-level
+steps the reference never needed at its scale but a 100 TB curation run
+does: removing eval-set contamination before training, collapsing
+near-duplicate PAIRS into clusters so exactly one canonical document
+survives per group, and scoring document similarity through an inverted
+index instead of dense all-pairs work.
+
+Scale notes are per-operator; the common theme is that nothing here is
+all-pairs over the corpus — contamination is a semi-join against a
+dim-sized benchmark gram set, clustering touches only the (sparse)
+near-dup edge list, and TF-IDF similarity joins on shared tokens with a
+document-frequency cap bounding the fan-out of hot tokens.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_data_chicago_crimes_spark.functions.text import tokens, word_shingles
+from big_data_chicago_crimes_spark.operators.dedup import spread_for_compute
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document overlap between ``corpus`` and the word n-gram set of
+    ``benchmark`` — the standard eval-set decontamination check (an
+    n-gram of the benchmark appearing verbatim in a training document
+    means the benchmark leaked into training data).
+
+    Returns one row per corpus document: ``n_ngrams`` (distinct n-grams
+    in the doc), ``n_contaminated`` (of those, how many appear anywhere
+    in the benchmark), and ``contamination`` (their ratio, 6dp). Callers
+    filter ``contamination > 0`` (strict) or a higher cut to quarantine.
+
+    Scale shape: the benchmark side is dim-sized by nature (an eval set,
+    not a corpus), so its distinct gram set is broadcast — the corpus
+    side streams through a broadcast hash semi-probe with NO shuffle of
+    corpus text. Gram counts per document aggregate map-side before the
+    single shuffle on ``id_col``. n=8 keeps false positives negligible
+    (an 8-word verbatim overlap is essentially never coincidence).
+    """
+    grams = F.explode(F.array_distinct(word_shingles(text_col, n))).alias("g")
+    bench_grams = benchmark.select(grams).distinct()
+    corpus_grams = spread_for_compute(corpus).select(F.col(id_col), grams)
+    hit = F.when(F.col("__bg").isNotNull(), 1).otherwise(0)
+    return (
+        corpus_grams.join(
+            F.broadcast(bench_grams.withColumn("__bg", F.lit(1))), "g", "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(hit).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_contaminated") / F.col("n_ngrams"), 6),
+        )
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components of the undirected graph given as an edge
+    list: returns ``(id, component)`` where ``component`` is the MINIMUM
+    node id reachable from ``id`` — the canonical-representative map
+    that turns near-dup PAIRS (token_jaccard_pairs, minhash LSH +
+    verify, embedding_near_dups) into keep-one-per-cluster dedup: keep
+    rows where ``id = component``.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round replaces a node's label with the minimum over itself and its
+    neighbors' labels; converged when a round changes nothing. Rounds
+    needed = graph diameter, which for near-dup clusters is small (dup
+    groups are near-cliques). Each round is one shuffle on node id plus
+    a count() to test convergence; lineage is truncated with an eager
+    ``localCheckpoint`` per round so the plan stays O(1) deep instead of
+    growing by two joins per iteration. For adversarially long chains at
+    massive scale, the two-phase large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) converges in O(log²) rounds and slots in behind the same
+    signature; diameter-bound propagation is the right default for dedup
+    graphs. Raises after ``max_iter`` rounds rather than returning a
+    silently-unconverged labeling.
+    """
+    sym = (
+        edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr")))
+        .distinct()
+    )
+    labels = sym.select("id").distinct().withColumn("component", F.col("id"))
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.alias("s")
+            .join(labels.alias("l"), F.col("s.nbr") == F.col("l.id"))
+            .select(
+                F.col("s.id").alias("id"),
+                F.col("l.component").alias("nbr_component"),
+            )
+            .groupBy("id")
+            .agg(F.min("nbr_component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("__changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "graph diameter exceeds max_iter; raise it or switch to the "
+        "large-star/small-star variant for chain-shaped graphs"
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    max_df_fraction: float = 0.5,
+) -> DataFrame:
+    """Document pairs with TF-IDF cosine similarity ≥ ``threshold``,
+    computed through an INVERTED INDEX (join on shared tokens) rather
+    than dense per-pair vector intersects — the sparse-similarity shape
+    that scales: a pair's dot product is assembled only from tokens the
+    two documents share, and documents sharing no token never meet.
+
+    tf = per-(doc, token) count; idf = ln((N+1)/(df_t+1)) + 1 (smoothed,
+    corpus-wide); weights are L2-normalized per document so the pair
+    aggregation is a plain dot product. Tokens present in more than
+    ``max_df_fraction`` of documents are dropped BEFORE the pair join —
+    stop-token pruning, the lever that bounds the inverted index's
+    fan-out (a token in f docs contributes f² pair rows; a df cap is the
+    simplest of the frequency-based prunings from Bayardo et al.,
+    "Scaling Up All Pairs Similarity Search", WWW'07, and is what keeps
+    hot tokens from going quadratic at 100 TB).
+    Dropped tokens shrink the vectors semantically (as in any tf-idf
+    retrieval system with a stop list); norms are computed AFTER the cap
+    so cosine stays a true cosine over the kept vocabulary.
+
+    ``block_cols`` scopes pairs the same way the Jaccard operators do
+    (pairs only form within a block), so candidate generation shuffles
+    on (block, token) — uniform dim-bounded keys.
+    """
+    tok = F.explode(tokens(text_col)).alias("tok")
+    base = spread_for_compute(df).select(
+        F.col(id_col), *[F.col(c) for c in block_cols], tok
+    )
+    tf = base.groupBy(id_col, *block_cols, "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    docfreq = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df_t") <= F.col("__n") * F.lit(max_df_fraction))
+        .withColumn(
+            "idf", F.log((F.col("__n") + 1) / (F.col("df_t") + 1)) + F.lit(1.0)
+        )
+        .select("tok", "idf")
+    )
+    weighted = tf.join(docfreq, "tok").withColumn(
+        "w", F.col("tf") * F.col("idf")
+    )
+    norms = weighted.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    vec = weighted.join(norms, id_col).select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        "tok",
+        (F.col("w") / F.col("nrm")).alias("wn"),
+    )
+    a, b = vec.alias("a"), vec.alias("b")
+    cond = (F.col("a.tok") == F.col("b.tok")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.round(F.sum(F.col("a.wn") * F.col("b.wn")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -85,3 +85,41 @@ def hash_split(
         lo = hi
     # widths proved to cover [0, buckets) exactly; otherwise is unreachable
     return df.withColumn(split_col, expr.otherwise(F.lit(list(splits)[-1])))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum keeps its own
+    hash-bucket fraction of rows (rebalancing a skewed corpus — e.g.
+    down-sample the dominant language while keeping all of a rare one —
+    is the standard curation move this expresses). Strata absent from
+    ``fractions`` keep ``default_fraction``. Same reproducibility
+    contract as hash_sample: membership is a pure function of the row
+    key, so it survives repartition, retries, engine swaps, and corpus
+    growth — and because the bucket hash ignores the stratum, CHANGING a
+    stratum's fraction only adds or removes rows, never swaps one kept
+    row for another (sample membership is nested across fractions).
+    Scan-side filter; no shuffle."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {name!r} not in [0, 1]: {frac}")
+        if 0.0 < frac and int(round(frac * buckets)) < 1:
+            raise ValueError(
+                f"stratum {name!r} fraction {frac} rounds to 0 of {buckets} "
+                "buckets — raise `buckets` for fractions this small"
+            )
+    bucket = hash_bucket(key, buckets)
+    cut = None
+    for name, frac in fractions.items():
+        keep = F.lit(int(round(frac * buckets)))
+        cond = F.col(strata_col) == name
+        cut = F.when(cond, keep) if cut is None else cut.when(cond, keep)
+    default_keep = F.lit(int(round(default_fraction * buckets)))
+    cut = default_keep if cut is None else cut.otherwise(default_keep)
+    return df.filter(bucket < cut)

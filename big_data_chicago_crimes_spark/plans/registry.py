@@ -44,8 +44,15 @@ REGISTRY: dict[str, Query] = {}
 # Tier 0: the 23 queries never driver-checked in rounds 1-2 (VERDICT.md r2 #1),
 # Tier 1: queries whose oracles are new this round (ML bands, approx bounds,
 #         ANN lake paths),
+# Tier 1.5: queries REGISTERED new this round (curation surface),
 # Tier 2: r1-green queries rotated out of the r2 sample,
 # Tier 3: r2-green queries whose code this round touches.
+# Tiers 0+1+1.5+2+3 total exactly 50 — the whole driver sample window is
+# spent on never-certified or this-round-touched queries; three r1-green
+# entries whose operators are certified elsewhere (top10_part_types → O4
+# via top_revenue_orders r2, distinct_event_types → A8 via
+# distinct_users_by_type r2, events_dedup_keyed → P13 via docs_exact_dedup
+# r2) yield their slots and keep their r1 rows as cumulative evidence.
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # --- tier 0: never driver-checked (VERDICT r2, 23 queries) ---
     "orders_moving_avg_3m",        # W1 — the reference's only window fn
@@ -80,14 +87,16 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "orders_price_quantiles_approx",
     "embedding_ann_lsh_topk_lake",
     "embedding_ivf_topk_lake",
+    # --- tier 1.5: registered new in r3 (curation surface) ---
+    "docs_ngram_contamination",
+    "docs_dedup_components",
+    "docs_tfidf_similar_pairs",
+    "docs_stratified_sample",
     # --- tier 2: r1-green, rotated out of the r2 sample ---
-    "top10_part_types",
     "purchase_top_users",
     "events_not_in_filter",
     "orders_year_range_filter",
     "events_null_census",
-    "events_dedup_keyed",
-    "distinct_event_types",
     "orders_by_season",
     "events_json_extract",
     # --- tier 3: r2-green queries whose code r3 touches ---

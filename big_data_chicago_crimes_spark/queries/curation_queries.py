@@ -1,0 +1,192 @@
+"""Corpus-curation queries over ``documents`` (extension surface):
+benchmark decontamination, near-dup cluster resolution, and TF-IDF
+similarity through an inverted index. All three are fully DuckDB-oracled
+— including the connected-components query, whose oracle computes the
+transitive closure with a recursive CTE (the SQL-expressible fixpoint
+twin of the distributed label-propagation the Spark side runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_chicago_crimes_spark.operators.curation import (
+    connected_components,
+    ngram_contamination,
+    tfidf_cosine_pairs,
+)
+from big_data_chicago_crimes_spark.operators.dedup import token_jaccard_pairs
+from big_data_chicago_crimes_spark.operators.sampling import hash_bucket
+from big_data_chicago_crimes_spark.plans.registry import register
+from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+_BUCKET_SQL = (
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+)
+
+# 4-word shingles for the contamination check: long enough that shared
+# grams mean real overlap on this closed-vocabulary corpus (3-grams
+# collide by chance — measured 420/439 docs flagged; 4-grams flag 69),
+# short enough to survive the synthetic near-dup token edits. Real
+# decontamination runs use n=8..13 over an open vocabulary — the n is a
+# parameter, the pipeline shape is identical.
+_CONTAMINATION_N = 4
+_GRAM_PARTS = ", ".join(f"t[i+{j}]" for j in range(_CONTAMINATION_N))
+
+
+@register(
+    "docs_ngram_contamination",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, {_BUCKET_SQL} AS b,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, source, b,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - {_CONTAMINATION_N - 1}, 1)),
+                       i -> concat_ws(' ', {_GRAM_PARTS}))) AS gs
+            FROM toks
+        ), bench AS (
+            SELECT DISTINCT unnest(gs) AS g FROM grams WHERE b >= 90
+        ), corpus AS (
+            SELECT doc_id, source, unnest(gs) AS g FROM grams WHERE b < 90
+        ), per_doc AS (
+            SELECT c.doc_id, any_value(c.source) AS source,
+                   COUNT(*) AS n_ngrams,
+                   SUM(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+            FROM corpus c LEFT JOIN bench bg USING (g)
+            GROUP BY c.doc_id
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_contaminated > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flagged,
+               ROUND(AVG(ROUND(n_contaminated * 1.0 / n_ngrams, 6)), 6)
+                   AS avg_contamination
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
+    tags=("curation", "decontamination", "extension"),
+)
+def docs_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination census: hold out a deterministic 10% of
+    documents as the "benchmark", flag corpus docs sharing any verbatim
+    4-word n-gram with it, and report per-source flag counts and mean
+    contamination ratio. The benchmark gram set is broadcast — the
+    corpus never shuffles its text."""
+    t = load_tables(spark, sf_dir)
+    b = hash_bucket("doc_id", 100)
+    docs = t.documents
+    cont = ngram_contamination(
+        docs.filter(b < 90), docs.filter(b >= 90), n=_CONTAMINATION_N
+    )
+    return (
+        cont.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_contaminated") > 0).cast("long")).alias("n_flagged"),
+            F.round(F.avg("contamination"), 6).alias("avg_contamination"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "docs_dedup_components",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, lang, source,
+                   list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS t
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM toks a JOIN toks b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+            WHERE ROUND(len(list_intersect(a.t, b.t)) * 1.0 /
+                  len(list_distinct(list_concat(a.t, b.t))), 6) >= 0.5
+        ), sym AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), reach AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+            WHERE s.dst <> r.src
+        ), comp AS (
+            SELECT src AS doc_id, least(src, MIN(dst)) AS component
+            FROM reach GROUP BY src
+        )
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM comp GROUP BY component ORDER BY component
+    """,
+    tags=("curation", "dedup", "components", "extension"),
+)
+def docs_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: token-Jaccard pairs (≥0.5, blocked on
+    lang/source) become edges; connected components collapse them into
+    clusters labeled by their minimum doc_id — the keep-one-per-cluster
+    resolution step after pair generation. Returns each cluster's label
+    and size. The oracle computes the same fixpoint via a recursive-CTE
+    transitive closure."""
+    t = load_tables(spark, sf_dir)
+    edges = token_jaccard_pairs(t.documents, ["lang", "source"], threshold=0.5)
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("component")
+    )
+
+
+@register(
+    "docs_tfidf_similar_pairs",
+    # max_df_fraction=1.0 (no stop-token pruning): the synthetic corpus
+    # is closed-vocabulary (~31 tokens, median df ≈ 0.8·N), so any real
+    # df cap would empty the vocabulary; on an open-vocabulary corpus
+    # the cap is the fan-out bound (see tfidf_cosine_pairs).
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang, source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, lang, source, tok, COUNT(*) AS tf
+            FROM tok GROUP BY ALL
+        ), n AS (
+            SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+        ), idf AS (
+            SELECT tok, ln((n.n + 1) / (COUNT(*) + 1)) + 1.0 AS idf
+            FROM tf, n GROUP BY tok, n.n HAVING COUNT(*) <= n.n * 1.0
+        ), weights AS (
+            SELECT tf.doc_id, tf.lang, tf.source, tf.tok, tf.tf * idf.idf AS w
+            FROM tf JOIN idf USING (tok)
+        ), norms AS (
+            SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM weights GROUP BY doc_id
+        ), vec AS (
+            SELECT w.doc_id, w.lang, w.source, w.tok, w.w / norms.nrm AS wn
+            FROM weights w JOIN norms USING (doc_id)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(SUM(a.wn * b.wn), 6) AS cosine
+        FROM vec a JOIN vec b
+          ON a.tok = b.tok AND a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING ROUND(SUM(a.wn * b.wn), 6) >= 0.8
+        ORDER BY id_a, id_b
+    """,
+    tags=("curation", "similarity", "tfidf", "extension"),
+)
+def docs_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine ≥0.8 document pairs via inverted-index join (pairs
+    assemble only from shared tokens — the sparse-similarity shape that
+    scales), blocked on (lang, source) like the Jaccard pair ops."""
+    t = load_tables(spark, sf_dir)
+    return tfidf_cosine_pairs(
+        t.documents,
+        ["lang", "source"],
+        threshold=0.8,
+        max_df_fraction=1.0,
+    ).orderBy("id_a", "id_b")

@@ -9,7 +9,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_chicago_crimes_spark.operators.sampling import hash_sample, hash_split
+from big_data_chicago_crimes_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+)
 from big_data_chicago_crimes_spark.plans.registry import register
 from big_data_chicago_crimes_spark.sources.readers import load_tables
 
@@ -67,4 +71,39 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("split", "lang")
+    )
+
+
+@register(
+    "docs_stratified_sample",
+    oracle=f"""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+        WHERE {_BUCKET_SQL} < CASE lang WHEN 'en' THEN 10
+                                        WHEN 'de' THEN 50
+                                        WHEN 'zh' THEN 100
+                                        ELSE 25 END
+        GROUP BY lang ORDER BY lang
+    """,
+    tags=("sampling", "stratified", "extension"),
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling census: down-sample the
+    dominant language (en → 10%), keep all of a rare one (zh → 100%),
+    intermediate fractions elsewhere — the corpus-rebalancing move,
+    with hash_sample's reproducibility contract per stratum. Because the
+    bucket hash ignores the stratum, changing one stratum's fraction
+    never reshuffles another's membership."""
+    t = load_tables(spark, sf_dir)
+    sampled = stratified_hash_sample(
+        t.documents,
+        "doc_id",
+        "lang",
+        {"en": 0.1, "de": 0.5, "zh": 1.0},
+        default_fraction=0.25,
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
     )

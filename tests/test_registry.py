@@ -39,6 +39,11 @@ NEVER_DRIVER_CHECKED = {
     "orders_monthly_delta",
     "best_order_per_customer",
     "customer_balance_rank_in_nation",
+    # registered new in r3 (curation surface) — no driver row yet either
+    "docs_ngram_contamination",
+    "docs_dedup_components",
+    "docs_tfidf_similar_pairs",
+    "docs_stratified_sample",
 }
 
 
