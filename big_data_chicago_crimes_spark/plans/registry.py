@@ -74,7 +74,6 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "embedding_cosine_topk",
     "embedding_ann_lsh_topk",
     "embedding_lsh_bucket_histogram",
-    "embedding_ivf_topk",
     "orders_monthly_delta",
     "best_order_per_customer",
     "customer_balance_rank_in_nation",

