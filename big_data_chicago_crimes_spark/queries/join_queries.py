@@ -21,6 +21,7 @@ from big_data_chicago_crimes_spark.operators.relational import (
     dim_join,
     semi_join,
 )
+from big_data_chicago_crimes_spark.operators.skew import salted_join
 from big_data_chicago_crimes_spark.plans.registry import register
 from big_data_chicago_crimes_spark.sources.readers import load_tables
 
@@ -437,4 +438,45 @@ def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("s_suppkey").alias("n_suppliers"),
         )
         .orderBy("n_name")
+    )
+
+
+@register(
+    "events_by_segment_salted_join",
+    oracle="""
+        SELECT c_mktsegment,
+               ROUND(SUM(value), 2) AS total_value,
+               COUNT(*) AS n_events
+        FROM events
+        JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("join", "skew", "reference:§7.4-risk5"),
+)
+def events_by_segment_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event value per customer market segment, joined through
+    ``salted_join`` (operators/skew.py): the explicit skew-mitigation
+    path for a hot-key fact/dim join AQE can't split (e.g. the dim is
+    broadcast-ineligible and one user_id dominates the event stream).
+
+    The fact side is a deterministic parquet scan (the salt's
+    determinism precondition); the dim is replicated ``buckets``× so the
+    hot key's rows land on ``buckets`` reducers instead of one. Result
+    is identical to the plain join — the DuckDB oracle IS the plain
+    join, so the driver's hash check certifies the equivalence at sf0.01
+    on top of the constructed-fixture tests (test_relational.py,
+    test_dedup.py:146 pins the hot-key spread itself)."""
+    t = load_tables(spark, sf_dir)
+    fact = t.events.select("user_id", "value")
+    dim = t.customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(fact, dim, "user_id", buckets=8, how="inner")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("c_mktsegment")
     )

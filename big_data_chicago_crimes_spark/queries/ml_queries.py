@@ -5,6 +5,7 @@ oracle."""
 
 from __future__ import annotations
 
+from pyspark.ml.evaluation import BinaryClassificationEvaluator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -12,8 +13,10 @@ from big_data_chicago_crimes_spark.operators.ml import (
     gbt_regression_rmse,
     kmeans_cluster_sizes,
     logistic_regression_auc,
+    logistic_regression_predictions,
     pearson_correlation_matrix,
     random_forest_auc,
+    random_forest_predictions,
 )
 from big_data_chicago_crimes_spark.plans.registry import register
 from big_data_chicago_crimes_spark.sources.readers import load_tables
@@ -41,20 +44,85 @@ def _orders_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 0.1 sit in [0.496, 0.559] on the near-random synthetic labels, so
 # [0.25, 0.75] certifies "sane classifier output" without flaking. The raw
 # metric values remain available via operators/ml.py.
+#
+# [0.25, 0.75] alone would also pass a degenerate constant-probability model
+# (AUC = exactly 0.5), so each AUC row carries two further booleans a
+# constant classifier CANNOT satisfy (VERDICT r3 nit 4):
+# - ``nondegenerate``: the held-out positive-class scores take more than one
+#   distinct value (a constant model emits one);
+# - ``learns_signal``: the SAME pipeline trained on a separable label
+#   (o_totalprice above its global mean, with o_totalprice among the
+#   features) reaches AUC ≥ 0.85 — chance-level output (~0.5) fails.
+#   test_ml.py proves the negative: shuffled labels fall outside this band.
 
 
-def _banded_auc(spark: SparkSession, auc_df: DataFrame, model: str) -> DataFrame:
-    auc = float(auc_df.head()["roc_auc"])
+def _separable_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same feature frame as ``_orders_features`` but with a label the
+    model can genuinely learn: price above the global mean, with price
+    among the features. AUC near 1.0 for any working classifier; near
+    0.5 for a degenerate or signal-blind one."""
+    t = load_tables(spark, sf_dir)
+    thresh = float(t.orders.agg(F.avg("o_totalprice")).head()[0])
+    return t.orders.select(
+        (F.col("o_totalprice") > F.lit(thresh)).cast("int").alias("label"),
+        "o_totalprice",
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"),
+        "o_orderpriority",
+    )
+
+
+def _positive_score_varies(preds: DataFrame, label_col: str = "label") -> bool:
+    """True iff the held-out positive-class probabilities are not all one
+    value — the degeneracy check a constant classifier fails."""
+    from pyspark.ml.functions import vector_to_array
+
+    n = (
+        preds.select(
+            F.round(vector_to_array(F.col("probability")).getItem(1), 9).alias("p")
+        )
+        .agg(F.countDistinct("p").alias("n"))
+        .head()["n"]
+    )
+    return int(n) > 1
+
+
+def _certified_auc(
+    spark: SparkSession,
+    sf_dir: str,
+    model: str,
+    predict_fn,
+    auc_fn,
+) -> DataFrame:
+    auc = float(auc_fn(_orders_features(spark, sf_dir), "label").head()["roc_auc"])
+    nondegenerate = _positive_score_varies(
+        predict_fn(_orders_features(spark, sf_dir), "label")
+    )
+    sep_preds = predict_fn(_separable_features(spark, sf_dir), "label")
+    sep_auc = BinaryClassificationEvaluator(
+        labelCol="label", metricName="areaUnderROC"
+    ).evaluate(sep_preds)
     return spark.createDataFrame(
-        [(model, "roc_auc", 0.0 <= auc <= 1.0, 0.25 <= auc <= 0.75)],
-        "model string, metric string, valid boolean, within_band boolean",
+        [
+            (
+                model,
+                "roc_auc",
+                0.0 <= auc <= 1.0,
+                0.25 <= auc <= 0.75,
+                nondegenerate,
+                float(sep_auc) >= 0.85,
+            )
+        ],
+        "model string, metric string, valid boolean, within_band boolean, "
+        "nondegenerate boolean, learns_signal boolean",
     )
 
 
 def _auc_band_oracle(model: str) -> str:
     return f"""
         SELECT '{model}' AS model, 'roc_auc' AS metric,
-               TRUE AS valid, TRUE AS within_band
+               TRUE AS valid, TRUE AS within_band,
+               TRUE AS nondegenerate, TRUE AS learns_signal
     """
 
 
@@ -65,9 +133,15 @@ def _auc_band_oracle(model: str) -> str:
 )
 def ml_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic regression AUC (Dataset.py:563-682 shape, bugs fixed),
-    certified as band-check booleans (see module comment)."""
-    auc_df = logistic_regression_auc(_orders_features(spark, sf_dir), "label")
-    return _banded_auc(spark, auc_df, "logistic_regression")
+    certified as band-check booleans plus degeneracy/discrimination
+    checks a constant classifier cannot pass (see module comment)."""
+    return _certified_auc(
+        spark,
+        sf_dir,
+        "logistic_regression",
+        logistic_regression_predictions,
+        logistic_regression_auc,
+    )
 
 
 @register(
@@ -76,9 +150,15 @@ def ml_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ml", "reference:M8"),
 )
 def ml_random_forest_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random forest AUC (Dataset.py:685-789 shape), band-certified."""
-    auc_df = random_forest_auc(_orders_features(spark, sf_dir), "label")
-    return _banded_auc(spark, auc_df, "random_forest")
+    """Random forest AUC (Dataset.py:685-789 shape), band-certified plus
+    degeneracy/discrimination checks (see module comment)."""
+    return _certified_auc(
+        spark,
+        sf_dir,
+        "random_forest",
+        random_forest_predictions,
+        random_forest_auc,
+    )
 
 
 @register(
