@@ -77,6 +77,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of the undirected graph given as an edge
     list: returns ``(id, component)`` where ``component`` is the MINIMUM
@@ -99,15 +100,36 @@ def connected_components(
     signature; diameter-bound propagation is the right default for dedup
     graphs. Raises after ``max_iter`` rounds rather than returning a
     silently-unconverged labeling.
+
+    Checkpoint durability: by default lineage is cut with
+    ``localCheckpoint`` — executor-local block storage, cheap, but LOST
+    if an executor dies (the job then fails and must rerun; results are
+    never silently wrong). On a real cluster pass ``checkpoint_dir`` (an
+    HDFS/object-store path): each round then uses reliable
+    ``DataFrame.checkpoint()`` to that directory, so a multi-hour run
+    survives executor loss at the price of one distributed write per
+    round.
     """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def cut(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     sym = (
         edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
         .union(edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr")))
         .distinct()
     )
     labels = sym.select("id").distinct().withColumn("component", F.col("id"))
-    labels = labels.localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
+    labels = cut(labels)
+    sym = cut(sym)
     for _ in range(max_iter):
         nbr_min = (
             sym.alias("s")
@@ -128,7 +150,8 @@ def connected_components(
                 ).alias("component"),
                 (F.col("nbr_component") < F.col("component")).alias("__changed"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        new_labels = cut(new_labels)
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
         if changed == 0:
