@@ -90,20 +90,32 @@ LINEITEM_SCHEMA = _st(
     ]
 )
 
-# Physical schema of events.parquet: ``ts`` is TIMESTAMP(NANOS) — a
-# parquet type Spark's reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
-# We read it as raw INT64 nanos and convert to a microsecond timestamp
-# in the loader (sources.readers.load_table) with exact integer math.
-EVENTS_RAW_SCHEMA = _st(
-    [
-        ("event_id", T.LongType()),
-        ("ts", T.LongType()),  # nanoseconds since epoch (TIMESTAMP(NANOS))
-        ("user_id", T.LongType()),
-        ("event_type", T.StringType()),
-        ("value", T.DoubleType()),
-        ("props", T.StringType()),  # JSON string; parsed via from_json on demand
-    ]
-)
+# The physical encoding of events.ts has CHANGED across testdata
+# generations: TIMESTAMP(NANOS) (which Spark's reader rejects outright,
+# [PARQUET_TYPE_ILLEGAL] — read as raw INT64 ns instead) in rounds 1-3,
+# TIMESTAMP(MICROS)/ntz from round 4 on. Readers must NOT assume one:
+# ``sources.readers.events_read_schema`` peeks the parquet footer and
+# picks the matching read schema, and ``normalize_event_ts`` branches on
+# the LOADED dtype. tests/test_data_contract.py pins the end result.
+def events_schema_with_ts(ts_type: T.DataType) -> T.StructType:
+    """EVENTS schema with ``ts`` declared as ``ts_type`` — the read-time
+    schema for whichever physical encoding the footer reports."""
+    return _st(
+        [
+            ("event_id", T.LongType()),
+            ("ts", ts_type),
+            ("user_id", T.LongType()),
+            ("event_type", T.StringType()),
+            ("value", T.DoubleType()),
+            ("props", T.StringType()),  # JSON string; parsed via from_json on demand
+        ]
+    )
+
+
+# Read schema for the INT64-nanos encoding (raw bigint, exact DIV-1000
+# conversion downstream). Kept as a named constant because streaming
+# fixture tests write this encoding deliberately.
+EVENTS_RAW_SCHEMA = events_schema_with_ts(T.LongType())
 
 # Logical schema after loading (what queries see).
 EVENTS_SCHEMA = _st(

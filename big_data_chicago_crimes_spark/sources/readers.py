@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from big_data_chicago_crimes_spark.schemas import TABLE_NAMES, TESTDATA_SCHEMAS
+from big_data_chicago_crimes_spark.schemas import (
+    TABLE_NAMES,
+    TESTDATA_SCHEMAS,
+    events_schema_with_ts,
+)
 
 
 def read_parquet(
@@ -55,19 +59,61 @@ def literal_table(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def events_read_schema(path: str) -> T.StructType:
+    """Pick the read schema for an events parquet by peeking its footer
+    (driver-side, one metadata read — no data scan).
+
+    The testdata generator has shipped ``ts`` both as TIMESTAMP(NANOS)
+    (a parquet type Spark's reader rejects, [PARQUET_TYPE_ILLEGAL] — it
+    must be read as raw INT64) and as TIMESTAMP(MICROS)/ntz (which Spark
+    reads natively). Assuming either encoding corrupts the other: ns
+    read as µs puts 2024 events in 1970. So: look, don't assume.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(path).field("ts").type
+    if pa.types.is_timestamp(ts_type):
+        if ts_type.unit == "ns":
+            return events_schema_with_ts(T.LongType())  # raw int64 ns
+        if ts_type.tz is not None:
+            return events_schema_with_ts(T.TimestampType())
+        return events_schema_with_ts(T.TimestampNTZType())
+    if pa.types.is_integer(ts_type):
+        return events_schema_with_ts(T.LongType())
+    raise TypeError(f"events.ts has unsupported parquet type {ts_type}")
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Branch on the LOADED dtype of ``ts`` and produce TimestampType:
+
+    - LongType → epoch nanoseconds; convert with exact integer division
+      (``DIV`` stays in bigint — double division loses precision above
+      2^53 ns).
+    - TimestampNTZType → reinterpret as session-tz timestamp (session tz
+      is pinned to UTC in session.py, so this is a wall-clock no-op and
+      matches DuckDB's naive reading of the same file).
+    - TimestampType → already right; pass through.
+    """
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(dtype, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    if isinstance(dtype, T.TimestampType):
+        return df
+    raise TypeError(f"events.ts loaded as unsupported Spark type {dtype}")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects; read the raw INT64 nanos and convert with exact
-        # integer division (ns→µs). `DIV` keeps the math in bigint —
-        # a double division would lose precision above 2^53 ns.
-        from big_data_chicago_crimes_spark.schemas import EVENTS_RAW_SCHEMA
-
-        raw = read_parquet(spark, f"{sf_dir}/{name}.parquet", EVENTS_RAW_SCHEMA)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet", TESTDATA_SCHEMAS[name])
+        # ts encoding varies by testdata generation — adapt, don't assume
+        raw = read_parquet(spark, path, events_read_schema(path))
+        return normalize_event_ts(raw)
+    return read_parquet(spark, path, TESTDATA_SCHEMAS[name])
 
 
 class Tables(Mapping):

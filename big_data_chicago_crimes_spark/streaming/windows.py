@@ -16,23 +16,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_chicago_crimes_spark.schemas import EVENTS_RAW_SCHEMA
+from big_data_chicago_crimes_spark.sources.readers import (
+    events_read_schema,
+    normalize_event_ts,
+)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. In production this is
-    kafka/kinesis; the transformation stack is identical. ts arrives as
-    raw INT64 nanos (see sources.readers.load_table) and is converted
-    with exact integer math."""
+    kafka/kinesis; the transformation stack is identical. The physical
+    encoding of ``ts`` varies by testdata generation (INT64 ns vs
+    timestamp[us]) — a streaming source needs its schema up front, so
+    peek the footer for the right one, then normalize exactly as the
+    batch loader does (stream/batch symmetry includes ingestion)."""
     # the file stream source requires a DIRECTORY; glob-filter to the
     # events file inside the scale-factor dir
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_read_schema(f"{sf_dir}/events.parquet"))
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(raw)
 
 
 def tumbling_window_agg(
