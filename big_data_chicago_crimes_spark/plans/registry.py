@@ -38,76 +38,78 @@ REGISTRY: dict[str, Query] = {}
 
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order (verified: CORRECTNESS_r02's 50 rows are exactly registry
-# indexes 0-49). ``CERTIFICATION_PRIORITY`` pins iteration order so that
-# queries without a green driver row yet come first; everything already
-# certified in a prior round's CORRECTNESS file follows in registration order.
-# Tier 0: the 23 queries never driver-checked in rounds 1-2 (VERDICT.md r2 #1),
-# Tier 1: queries whose oracles are new this round (ML bands, approx bounds,
-#         ANN lake paths),
-# Tier 1.5: queries REGISTERED new this round (curation surface),
-# Tier 2: r1-green queries rotated out of the r2 sample,
-# Tier 3: r2-green queries whose code this round touches.
-# Tiers 0+1+1.5+2+3 total exactly 50 — the whole driver sample window is
-# spent on never-certified or this-round-touched queries; three r1-green
-# entries whose operators are certified elsewhere (top10_part_types → O4
-# via top_revenue_orders r2, distinct_event_types → A8 via
-# distinct_users_by_type r2, events_dedup_keyed → P13 via docs_exact_dedup
-# r2) yield their slots and keep their r1 rows as cumulative evidence.
+# indexes 0-49). ``CERTIFICATION_PRIORITY`` pins iteration order so the
+# sample window is always spent where evidence is weakest. Rotated every round
+# (VERDICT r4 #3). Round-5 tiers:
+# Tier 0: the 4 driver-red r4 rows (ts-reader bug, fixed this round) — prove
+#         the fix at the driver;
+# Tier 1: hourly_max_event_count (provably wrong in r4, last sampled r2),
+#         events_by_segment_salted_join (registered r4, never sampled),
+#         order_price_at_ship_asof (sample-window boundary, last green r2),
+#         the r1-only trio (top10_part_types, events_dedup_keyed,
+#         distinct_event_types — 3 rounds stale);
+# Tier 2: every query whose last driver row is r2 (2 rounds stale),
+#         longest-stale-first within registration order — 32 queries;
+# Tier 3: queries whose code/inputs THIS round touches: embedding_near_dups
+#         (threshold re-tuned, r4 pass was vacuous 0-vs-0) and the r4-green
+#         events consumers (the events reader was rewritten this round, so
+#         their green rows predate the code that now feeds them).
+# Tiers 0+1+2+3 = exactly 50. Everything else (fresh r4 greens) follows in
+# registration order as cumulative evidence.
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- tier 0: never driver-checked (VERDICT r2, 23 queries) ---
-    "orders_moving_avg_3m",        # W1 — the reference's only window fn
-    "event_value_stats",           # A5
+    # --- tier 0: r4 driver-red, fixed this round ---
     "events_hourly_tumbling",
     "events_sliding_1h_30m",
     "user_session_counts",
-    "docs_token_stats",
-    "docs_quality_by_source",
-    "docs_quality_scores",
-    "docs_lang_id",
-    "docs_bpe_token_stats",
-    "docs_fingerprint_census",
-    "docs_repetition_stats",
-    "docs_rolling_hash",
-    "docs_rolling_hash_md5_oracled",
-    "docs_hash_sample",
-    "docs_train_val_test_split",
-    "embedding_cosine_topk",
-    "embedding_ann_lsh_topk",
-    "embedding_lsh_bucket_histogram",
-    "orders_monthly_delta",
-    "best_order_per_customer",
-    "customer_balance_rank_in_nation",
-    # --- tier 1: oracles new in r3 ---
-    "ml_logreg_auc",
-    "ml_random_forest_auc",
-    "ml_gbt_rmse",
-    "ml_kmeans_customer_clusters",
-    "approx_distinct_users_by_type",
-    "orders_price_quantiles_approx",
-    "embedding_ann_lsh_topk_lake",
-    "embedding_ivf_topk_lake",
-    # --- tier 1.5: registered new in r3 (curation surface) ---
-    "docs_ngram_contamination",
-    "docs_dedup_components",
-    "docs_tfidf_similar_pairs",
-    "docs_stratified_sample",
-    # --- tier 2: r1-green, rotated out of the r2 sample ---
-    "purchase_top_users",
-    "events_not_in_filter",
-    "orders_year_range_filter",
-    "events_null_census",
-    "orders_by_season",
-    "events_json_extract",
-    # --- tier 3: r2-green queries whose code r3 touches ---
-    "docs_exact_dedup",
-    "docs_jaccard_pairs",
-    "docs_char_ngram_jaccard",
+    "purchase_after_view_asof",
+    # --- tier 1: wrong/never-sampled/stalest ---
+    "hourly_max_event_count",
+    "events_by_segment_salted_join",
+    "order_price_at_ship_asof",
+    "top10_part_types",
+    "events_dedup_keyed",
+    "distinct_event_types",
+    # --- tier 2: last driver row is r2 (32 queries) ---
+    "orders_by_price_band",
+    "docs_minhash_lsh_candidates",
+    "docs_simhash_candidates",
+    "top_revenue_orders",
+    "segment_customers_with_orders",
+    "parts_never_ordered",
+    "purchasers_without_errors",
+    "purchasers_with_errors",
+    "all_account_balances",
+    "late_shipment_orders",
+    "shipping_priority_top10",
+    "returned_item_top_customers",
+    "supplier_nation_revenue",
+    "lineitem_correlations",
+    "ml_correlation_matrix",
+    "multimodal_decode_stats",
+    "multimodal_frame_sample_counts",
+    "lineitem_rollup",
+    "orders_cube",
+    "orders_running_total",
+    "distinct_users_by_type",
+    "orders_price_quantiles",
+    "events_from_json_struct",
+    "forecast_revenue_change",
+    "promo_revenue_pct",
+    "customer_balance_quartiles",
+    "orders_grouping_sets",
+    "nation_balance_extremes",
+    "events_count_by_type",
+    "orders_count_by_priority",
+    "orders_quarter_pivot",
+    "orders_filled_pct",
+    # --- tier 3: code/inputs touched this round ---
     "embedding_near_dups",
-    "docs_minhash_md5_oracled",
-    "docs_simhash_md5_oracled",
-    "docs_simhash_band_candidates_md5_oracled",
-    "revenue_by_nation",
-    "pricing_summary",
+    "event_value_stats",
+    "events_json_extract",
+    "events_not_in_filter",
+    "events_null_census",
+    "purchase_top_users",
+    "approx_distinct_users_by_type",
 )
 
 

@@ -9,41 +9,28 @@ silently push a never-certified query back out of the sample window.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 from big_data_chicago_crimes_spark.plans.registry import (
     CERTIFICATION_PRIORITY,
     all_queries,
 )
 
-# Queries with no green driver row after rounds 1-2 (VERDICT.md r2, item 1).
-NEVER_DRIVER_CHECKED = {
-    "orders_moving_avg_3m",
-    "event_value_stats",
-    "events_hourly_tumbling",
-    "events_sliding_1h_30m",
-    "user_session_counts",
-    "docs_token_stats",
-    "docs_quality_by_source",
-    "docs_quality_scores",
-    "docs_lang_id",
-    "docs_bpe_token_stats",
-    "docs_fingerprint_census",
-    "docs_repetition_stats",
-    "docs_rolling_hash",
-    "docs_rolling_hash_md5_oracled",
-    "docs_hash_sample",
-    "docs_train_val_test_split",
-    "embedding_cosine_topk",
-    "embedding_ann_lsh_topk",
-    "embedding_lsh_bucket_histogram",
-    "orders_monthly_delta",
-    "best_order_per_customer",
-    "customer_balance_rank_in_nation",
-    # registered new in r3 (curation surface) — no driver row yet either
-    "docs_ngram_contamination",
-    "docs_dedup_components",
-    "docs_tfidf_similar_pairs",
-    "docs_stratified_sample",
-}
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_history() -> dict[str, int]:
+    """query name → last round it appeared in a CORRECTNESS_r*.json
+    driver sample (regardless of outcome). Derived, not hard-coded, so
+    this file never goes stale when the driver emits a new round."""
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        for name in json.load(open(path)):
+            last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def test_priority_names_all_registered():
@@ -56,10 +43,32 @@ def test_priority_list_has_no_duplicates():
     assert len(CERTIFICATION_PRIORITY) == len(set(CERTIFICATION_PRIORITY))
 
 
-def test_never_checked_queries_inside_driver_sample_window():
-    first_50 = list(all_queries())[:50]
-    outside = NEVER_DRIVER_CHECKED - set(first_50)
-    assert not outside, f"never-driver-checked queries outside first 50: {outside}"
+def test_never_sampled_queries_inside_driver_sample_window():
+    """A registered query the driver has NEVER sampled must sit inside
+    the 50-entry window, or it can never earn a correctness row."""
+    history = _driver_history()
+    first_50 = set(list(all_queries())[:50])
+    never = {n for n in all_queries() if n not in history}
+    outside = never - first_50
+    assert not outside, f"never-driver-sampled queries outside first 50: {outside}"
+
+
+def test_no_query_goes_more_than_two_rounds_stale():
+    """Staleness rotation contract (VERDICT r4 #3): with the NEXT round's
+    sample = today's first 50, no query's last driver row may end up more
+    than 2 rounds old. Queries already inside the window are refreshed;
+    everything outside must have been sampled within the last 2 rounds."""
+    history = _driver_history()
+    if not history:
+        return
+    next_round = max(history.values()) + 1
+    first_50 = set(list(all_queries())[:50])
+    stale = {
+        n: history[n]
+        for n in all_queries()
+        if n not in first_50 and n in history and next_round - history[n] > 2
+    }
+    assert not stale, f"queries left >2 rounds stale by current priority: {stale}"
 
 
 def test_all_registered_queries_still_present():
