@@ -50,10 +50,11 @@ REGISTRY: dict[str, Query] = {}
 #         distinct_event_types — 3 rounds stale);
 # Tier 2: every query whose last driver row is r2 (2 rounds stale),
 #         longest-stale-first within registration order — 32 queries;
-# Tier 3: queries whose code/inputs THIS round touches: embedding_near_dups
-#         (threshold re-tuned, r4 pass was vacuous 0-vs-0) and the r4-green
-#         events consumers (the events reader was rewritten this round, so
-#         their green rows predate the code that now feeds them).
+# Tier 3: queries whose code/inputs THIS round touches:
+#         embedding_near_dups_seeded (NEW — planted-duplicate variant; the
+#         production query's r4 pass was a vacuous 0-vs-0) plus the original,
+#         and the r4-green events consumers (the events reader was rewritten
+#         this round, so their green rows predate the code that feeds them).
 # Tiers 0+1+2+3 = exactly 50. Everything else (fresh r4 greens) follows in
 # registration order as cumulative evidence.
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
@@ -103,6 +104,7 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "orders_quarter_pivot",
     "orders_filled_pct",
     # --- tier 3: code/inputs touched this round ---
+    "embedding_near_dups_seeded",
     "embedding_near_dups",
     "event_value_stats",
     "events_json_extract",

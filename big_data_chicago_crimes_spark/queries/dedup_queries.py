@@ -128,6 +128,52 @@ def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(t.embeddings, threshold=0.95).orderBy("id_a", "id_b")
 
 
+_SEEDED_COS = """ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"""
+
+
+@register(
+    "embedding_near_dups_seeded",
+    oracle=f"""
+        WITH seeded AS (
+            SELECT vec_id, embedding, label FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding,
+                   label
+            FROM embeddings WHERE vec_id % 20 = 0
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_SEEDED_COS} AS cosine
+        FROM seeded a JOIN seeded b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_SEEDED_COS} >= 0.95
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "embedding", "extension"),
+)
+def embedding_near_dups_seeded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_near_dups with PLANTED duplicates, so the operator
+    certifies on non-empty output (the synthetic embeddings are near
+    random — max in-block cosine ≈0.47 — so the production query's
+    correct answer at test SFs is 0 rows, a vacuous hash match;
+    VERDICT r4 #7). Every 20th vector gets a twin scaled by exactly 2
+    (a power of two: exact in float32, and cosine is scale-invariant),
+    so the expected output is one (seed, twin) pair per seed at
+    cosine 1.0 — any blocking, pairing, or norm bug breaks the match."""
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    twins = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    seeded = emb.select("vec_id", "embedding", "label").unionByName(twins)
+    return embedding_near_dups(seeded, threshold=0.95).orderBy("id_a", "id_b")
+
+
 @register(
     "docs_char_ngram_jaccard",
     oracle="""
