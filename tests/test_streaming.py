@@ -13,6 +13,11 @@ from big_data_chicago_crimes_spark.streaming import (
 
 
 def test_stream_matches_batch_tumbling(spark, sf_dir):
+    """Stream and batch must agree over the REAL testdata events file —
+    and the agreement must be non-vacuous: in round 4 a broken ts
+    conversion corrupted BOTH sides identically (30 days of events →
+    2 windows of 1970), so equality alone proved nothing. Pin the
+    window volume and epoch too."""
     stream = read_events_stream(spark, sf_dir)
     assert stream.isStreaming
     streamed = run_stream_to_memory(
@@ -22,7 +27,12 @@ def test_stream_matches_batch_tumbling(spark, sf_dir):
     s_rows = {tuple(r) for r in streamed.collect()}
     b_rows = {tuple(r) for r in batch.collect()}
     assert s_rows == b_rows
-    assert len(s_rows) > 0
+    # ~30 days of synthetic events × hourly windows × event types: the
+    # corrupted read yielded 2 distinct window_starts; a correct one
+    # yields hundreds, all in a modern epoch.
+    starts = {r[0] for r in s_rows}
+    assert len(starts) > 100, f"suspiciously few windows: {len(starts)}"
+    assert all(s >= "2000-01-01" for s in starts), sorted(starts)[:3]
 
 
 def test_stream_parquet_sink_with_checkpoint(spark, sf_dir, tmp_path):
