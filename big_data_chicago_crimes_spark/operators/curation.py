@@ -109,10 +109,26 @@ def connected_components(
     ``DataFrame.checkpoint()`` to that directory, so a multi-hour run
     survives executor loss at the price of one distributed write per
     round.
+
+    Two operational caveats of the reliable path (they are Spark-wide
+    behavior, not specific to this operator):
+
+    - ``setCheckpointDir`` mutates GLOBAL SparkContext state. Each call
+      here scopes its writes into a fresh ``cc-<uuid>`` subdirectory so
+      concurrent/repeated invocations never interleave files, but the
+      context's checkpoint dir remains pointed at the last call's
+      subdirectory afterwards.
+    - Superseded rounds accumulate: a ``k``-round run leaves ``k``
+      checkpointed copies of labels+sym under its subdirectory. Enable
+      ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` to have
+      Spark GC checkpoints whose DataFrames go out of scope, and/or
+      delete the ``cc-*`` subdirectory after consuming the result.
     """
     spark = edges.sparkSession
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        import uuid
+
+        spark.sparkContext.setCheckpointDir(f"{checkpoint_dir}/cc-{uuid.uuid4().hex}")
 
         def cut(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)

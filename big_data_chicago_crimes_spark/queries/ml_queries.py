@@ -12,10 +12,8 @@ from pyspark.sql import functions as F
 from big_data_chicago_crimes_spark.operators.ml import (
     gbt_regression_rmse,
     kmeans_cluster_sizes,
-    logistic_regression_auc,
     logistic_regression_predictions,
     pearson_correlation_matrix,
-    random_forest_auc,
     random_forest_predictions,
 )
 from big_data_chicago_crimes_spark.plans.registry import register
@@ -92,16 +90,21 @@ def _certified_auc(
     sf_dir: str,
     model: str,
     predict_fn,
-    auc_fn,
 ) -> DataFrame:
-    auc = float(auc_fn(_orders_features(spark, sf_dir), "label").head()["roc_auc"])
-    nondegenerate = _positive_score_varies(
-        predict_fn(_orders_features(spark, sf_dir), "label")
-    )
-    sep_preds = predict_fn(_separable_features(spark, sf_dir), "label")
-    sep_auc = BinaryClassificationEvaluator(
+    """Two fits total: one on the near-random frame (AUC + degeneracy
+    both derive from its held-out predictions) and one on the separable
+    frame (the discrimination check needs a different label)."""
+    evaluator = BinaryClassificationEvaluator(
         labelCol="label", metricName="areaUnderROC"
-    ).evaluate(sep_preds)
+    )
+    preds = predict_fn(_orders_features(spark, sf_dir), "label").cache()
+    try:
+        auc = float(evaluator.evaluate(preds))
+        nondegenerate = _positive_score_varies(preds)
+    finally:
+        preds.unpersist()
+    sep_preds = predict_fn(_separable_features(spark, sf_dir), "label")
+    sep_auc = evaluator.evaluate(sep_preds)
     return spark.createDataFrame(
         [
             (
@@ -140,7 +143,6 @@ def ml_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "logistic_regression",
         logistic_regression_predictions,
-        logistic_regression_auc,
     )
 
 
@@ -157,7 +159,6 @@ def ml_random_forest_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "random_forest",
         random_forest_predictions,
-        random_forest_auc,
     )
 
 
