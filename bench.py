@@ -5,6 +5,19 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
 
+Two tiers (VERDICT r4 #5):
+
+- HEADLINE — the scale paths: every operator shape a 100 TB deployment
+  would actually run. ``value``/``queries`` cover exactly this tier, at
+  $SPARK_GRAFT_SF_DIR.
+- CERTIFICATION — md5 oracle twins and planted-fixture variants that
+  exist so DuckDB can value-check the xxhash64/LSH production paths.
+  Their cost is inherent to the certification workload (md5 everywhere,
+  exact within-block verify) and was drowning the scale signal (~60% of
+  bench wall-time). Timed separately at $SPARK_GRAFT_CERT_SF_DIR
+  (default sf0.01, the driver's correctness SF) and reported under
+  ``certification_*`` keys in the same JSON line.
+
 Each query is executed twice: a warm-up pass (JIT, codegen, file
 listing) is NOT counted — we measure steady-state execution the way a
 resident engine would serve it — then a timed pass. Timing wraps a
@@ -36,6 +49,7 @@ HEADLINE = [
     "shipping_priority_top10",
     "returned_item_top_customers",
     "supplier_nation_revenue",
+    "events_by_segment_salted_join",  # skew-mitigation path
     # window functions
     "orders_running_total",
     "orders_monthly_delta",
@@ -56,16 +70,11 @@ HEADLINE = [
     # text suite (quality/fingerprint extensions)
     "docs_quality_scores",
     "docs_repetition_stats",
-    "docs_rolling_hash_md5_oracled",
-    # dedup / similarity
+    # dedup / similarity (xxhash64 / LSH / blocked scale paths)
     "docs_exact_dedup",
     "docs_minhash_lsh_candidates",
-    "docs_minhash_md5_oracled",
     "docs_simhash_candidates",
-    "docs_simhash_md5_oracled",
-    "docs_simhash_band_candidates_md5_oracled",
     "docs_jaccard_pairs",
-    "docs_char_ngram_jaccard",
     "embedding_near_dups",
     "embedding_cosine_topk",
     "embedding_ann_lsh_topk",
@@ -96,36 +105,56 @@ HEADLINE = [
     "orders_by_price_band",
 ]
 
+# Certification-only twins: md5 formulations (and planted-duplicate
+# fixtures) that exist so DuckDB can value-check the production paths
+# above. Never deployed at scale; timed at the correctness SF.
+CERTIFICATION = [
+    "docs_rolling_hash_md5_oracled",
+    "docs_minhash_md5_oracled",
+    "docs_simhash_md5_oracled",
+    "docs_simhash_band_candidates_md5_oracled",
+    "docs_char_ngram_jaccard",  # exact in-block verify; scale path = LSH+verify
+    "embedding_near_dups_seeded",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cert_sf_dir = os.environ.get("SPARK_GRAFT_CERT_SF_DIR", "/root/testdata/sf0.01")
     from big_data_chicago_crimes_spark.plans.registry import all_queries
     from big_data_chicago_crimes_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
     queries = all_queries()
 
-    def run(name: str) -> None:
-        df = queries[name].build(spark, sf_dir)
+    def run(name: str, d: str) -> None:
+        df = queries[name].build(spark, d)
         df.write.format("noop").mode("overwrite").save()
 
-    # Global warm pass FIRST: running every query once before any timing
-    # means the earliest-timed queries don't absorb JVM-wide JIT/C2
-    # compilation that later queries get for free. Same total executions
-    # as per-query warmup, but position-independent measurements.
-    for name in HEADLINE:
-        run(name)
+    def tier(names: list[str], d: str) -> dict[str, float]:
+        # Global warm pass FIRST: running every query once before any
+        # timing means the earliest-timed queries don't absorb JVM-wide
+        # JIT/C2 compilation that later queries get for free. Same total
+        # executions as per-query warmup, but position-independent.
+        for name in names:
+            run(name, d)
+        timings: dict[str, float] = {}
+        for name in names:
+            best = float("inf")
+            for _ in range(3):  # best-of-3: robust to host contention
+                t0 = time.perf_counter()
+                run(name, d)
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        return timings
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(3):  # best-of-3: robust to host contention
-            t0 = time.perf_counter()
-            run(name)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    timings = tier(HEADLINE, sf_dir)
+    cert_timings = tier(CERTIFICATION, cert_sf_dir)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    def sf_of(d: str):
+        sf = d.rstrip("/").rsplit("sf", 1)[-1]
+        return float(sf) if sf.replace(".", "").isdigit() else sf
+
     print(
         json.dumps(
             {
@@ -133,7 +162,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_of(sf_dir),
+                "certification_total_sec": round(sum(cert_timings.values()), 3),
+                "certification_queries": cert_timings,
+                "certification_sf": sf_of(cert_sf_dir),
             }
         )
     )
