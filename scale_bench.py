@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""Scaling evidence: the heavy suite at sf0.1 vs a derived 10× corpus.
+
+No sf1 testdata ships with the driver, so this script derives one from
+the driver's own sf0.1 parquet (never modifying /root/testdata) into
+``.scale/sf1/`` with transforms chosen to preserve each workload's
+statistical shape while representing ORGANIC 10× growth (new content,
+not 10 copies of the same content — naive duplication would make every
+row a 10-way near-dup and blow candidate-pair counts quadratically):
+
+- documents ×10: replica k suffixes every token with ``_k`` — a
+  bijective vocabulary rename, so within-replica token/shingle Jaccard
+  and dup-cluster structure are preserved EXACTLY, while cross-replica
+  similarity collapses to ~0. Dup clusters grow 10× in count, not size.
+- embeddings ×10: replica k sign-flips a seeded coordinate subset —
+  norms and within-replica pairwise cosines are preserved exactly
+  (same flip applied to every vector of the replica); cross-replica
+  directions decorrelate.
+- events ×10: event_id-offset copies with the SAME user population —
+  10× events per user (denser sessions), the organic-growth shape.
+- orders/lineitem ×10: orderkey-offset copies against the SAME
+  customer/part/supplier dims — 10× facts per dim row.
+- region/nation/customer/supplier/part: copied verbatim (dims don't
+  grow 10× when facts do).
+
+Usage: ``python scale_bench.py`` prints one JSON line with per-query
+sf0.1/sf1 seconds and the ratio. ``--gen-only`` just builds the data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1")
+REPLICAS = 10
+_OFFSET = 10_000_000
+
+SUITE = {
+    "dedup": [
+        "docs_exact_dedup",
+        "docs_minhash_lsh_candidates",
+        "docs_simhash_candidates",
+        "docs_jaccard_pairs",
+        "embedding_near_dups",
+    ],
+    "similarity": [
+        "embedding_cosine_topk",
+        "embedding_ann_lsh_topk",
+        "embedding_ann_lsh_topk_lake",
+        "embedding_ivf_topk_lake",
+        "embedding_lsh_bucket_histogram",
+    ],
+    "curation": [
+        "docs_ngram_contamination",
+        "docs_dedup_components",
+        "docs_tfidf_similar_pairs",
+    ],
+    "text": [
+        "docs_token_stats",
+        "docs_bpe_token_stats",
+        "docs_repetition_stats",
+        "docs_lang_id",
+    ],
+    "events": [
+        "events_hourly_tumbling",
+        "user_session_counts",
+        "events_by_segment_salted_join",
+        "purchase_after_view_asof",
+    ],
+    "tpc_joins": [
+        "revenue_by_nation",
+        "pricing_summary",
+        "top_revenue_orders",
+        "best_order_per_customer",
+    ],
+}
+
+
+def build_scale_data(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.sources.readers import load_table
+
+    os.makedirs(DST, exist_ok=True)
+
+    def write(df, name):
+        df.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+
+    # dims: verbatim copies
+    for name in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copyfile(f"{SRC}/{name}.parquet", f"{DST}/{name}.parquet")
+
+    docs = load_table(spark, SRC, "documents")
+    doc_parts = [docs]
+    for k in range(1, REPLICAS):
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + _OFFSET * k).alias("doc_id"),
+                # bijective token rename: "_" stops Java's $-group digit
+                # parsing AND keeps the suffix out of \w-based shingles
+                F.regexp_replace("text", r"(\S+)", f"$1_{k}").alias("text"),
+                "lang",
+                "source",
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        )
+    write(doc_parts[0].unionByName(*doc_parts[1:]) if False else _union(doc_parts), "documents")
+
+    emb = load_table(spark, SRC, "embeddings")
+    emb_parts = [emb]
+    for k in range(1, REPLICAS):
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + _OFFSET * k).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i, k=k: F.when(
+                        F.pmod(F.xxhash64(F.lit(k), i), F.lit(2)) == 0, x
+                    )
+                    .otherwise(-x)
+                    .cast("float"),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    write(_union(emb_parts), "embeddings")
+
+    events = load_table(spark, SRC, "events")
+    ev_parts = [events]
+    for k in range(1, REPLICAS):
+        ev_parts.append(events.withColumn("event_id", F.col("event_id") + _OFFSET * k))
+    write(_union(ev_parts), "events")
+
+    orders = load_table(spark, SRC, "orders")
+    li = load_table(spark, SRC, "lineitem")
+    o_parts, l_parts = [orders], [li]
+    for k in range(1, REPLICAS):
+        o_parts.append(orders.withColumn("o_orderkey", F.col("o_orderkey") + _OFFSET * k))
+        l_parts.append(li.withColumn("l_orderkey", F.col("l_orderkey") + _OFFSET * k))
+    write(_union(o_parts), "orders")
+    write(_union(l_parts), "lineitem")
+
+
+def _union(parts):
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    from big_data_chicago_crimes_spark.plans.registry import all_queries
+    from big_data_chicago_crimes_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-bench")
+    if not os.path.exists(f"{DST}/lineitem.parquet"):
+        build_scale_data(spark)
+    if "--gen-only" in sys.argv:
+        print(json.dumps({"generated": DST}))
+        return
+
+    queries = all_queries()
+
+    def run(name: str, d: str) -> None:
+        queries[name].build(spark, d).write.format("noop").mode("overwrite").save()
+
+    names = [n for qs in SUITE.values() for n in qs]
+
+    def tier(d: str) -> dict[str, float]:
+        for n in names:  # warm pass (also builds lake indexes once)
+            run(n, d)
+        out: dict[str, float] = {}
+        for n in names:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run(n, d)
+                best = min(best, time.perf_counter() - t0)
+            out[n] = round(best, 3)
+        return out
+
+    small = tier(SRC)
+    big = tier(DST)
+    report = {
+        "metric": "scale_ratio_sf1_over_sf0.1",
+        "queries": {
+            n: {
+                "sf0.1_sec": small[n],
+                "sf1_sec": big[n],
+                "ratio": round(big[n] / small[n], 2) if small[n] > 0 else None,
+            }
+            for n in names
+        },
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
