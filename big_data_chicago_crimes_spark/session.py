@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Write timestamps as standard INT64 µs, not legacy INT96 —
+        # INT96 footers are ambiguous to modern readers (pyarrow reports
+        # them as timestamp[ns], indistinguishable from TIMESTAMP(NANOS))
+        # and every other engine (DuckDB, Trino, Arrow) treats INT96 as
+        # deprecated.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Parquet scans: keep splits small enough that a partition of the
         # widest table fits comfortably in executor memory at high SF.
         .config("spark.sql.files.maxPartitionBytes", "128m")

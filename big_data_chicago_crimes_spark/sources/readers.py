@@ -59,9 +59,36 @@ def literal_table(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+# (path, mtime) → resolved read schema. The footer of a given file never
+# changes without the file itself changing, so one metadata read per path
+# per process is enough; mtime in the key invalidates on rewrite (tests
+# overwrite fixture paths in place).
+_EVENTS_SCHEMA_CACHE: dict[tuple[str, float], T.StructType] = {}
+
+
+def _events_ts_parquet_types(path: str) -> tuple:
+    """(arrow_type, physical_type) of ``ts`` for a single parquet file OR
+    a directory of part files (Spark writes datasets as directories).
+    Driver-side, metadata-only. The parquet PHYSICAL type matters because
+    legacy INT96 timestamps surface in Arrow as timestamp[ns] —
+    indistinguishable from TIMESTAMP(NANOS), yet Spark reads INT96
+    natively while true ns must be read as raw INT64. Local-filesystem
+    paths only: the peek uses pyarrow directly, not Spark's Hadoop
+    filesystem — fine for the testdata layout this engine targets; an
+    object-store deployment would swap in ``pyarrow.fs`` here."""
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    dataset = ds.dataset(path, format="parquet")
+    first = dataset.files[0] if dataset.files else path
+    schema = pq.ParquetFile(first).schema
+    idx = schema.to_arrow_schema().get_field_index("ts")
+    return schema.to_arrow_schema().field(idx).type, schema.column(idx).physical_type
+
+
 def events_read_schema(path: str) -> T.StructType:
     """Pick the read schema for an events parquet by peeking its footer
-    (driver-side, one metadata read — no data scan).
+    (driver-side, one metadata read per (path, mtime) per process).
 
     The testdata generator has shipped ``ts`` both as TIMESTAMP(NANOS)
     (a parquet type Spark's reader rejects, [PARQUET_TYPE_ILLEGAL] — it
@@ -69,19 +96,31 @@ def events_read_schema(path: str) -> T.StructType:
     reads natively). Assuming either encoding corrupts the other: ns
     read as µs puts 2024 events in 1970. So: look, don't assume.
     """
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    import os
 
-    ts_type = pq.read_schema(path).field("ts").type
-    if pa.types.is_timestamp(ts_type):
+    import pyarrow as pa
+
+    key = (path, os.stat(path).st_mtime)
+    if key in _EVENTS_SCHEMA_CACHE:
+        return _EVENTS_SCHEMA_CACHE[key]
+
+    ts_type, physical = _events_ts_parquet_types(path)
+    if physical == "INT96":
+        # legacy Spark/Hive encoding; Spark's reader handles it natively
+        schema = events_schema_with_ts(T.TimestampType())
+    elif pa.types.is_timestamp(ts_type):
         if ts_type.unit == "ns":
-            return events_schema_with_ts(T.LongType())  # raw int64 ns
-        if ts_type.tz is not None:
-            return events_schema_with_ts(T.TimestampType())
-        return events_schema_with_ts(T.TimestampNTZType())
-    if pa.types.is_integer(ts_type):
-        return events_schema_with_ts(T.LongType())
-    raise TypeError(f"events.ts has unsupported parquet type {ts_type}")
+            schema = events_schema_with_ts(T.LongType())  # raw int64 ns
+        elif ts_type.tz is not None:
+            schema = events_schema_with_ts(T.TimestampType())
+        else:
+            schema = events_schema_with_ts(T.TimestampNTZType())
+    elif pa.types.is_integer(ts_type):
+        schema = events_schema_with_ts(T.LongType())
+    else:
+        raise TypeError(f"events.ts has unsupported parquet type {ts_type}")
+    _EVENTS_SCHEMA_CACHE[key] = schema
+    return schema
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:

@@ -23,8 +23,14 @@ row a 10-way near-dup and blow candidate-pair counts quadratically):
 - region/nation/customer/supplier/part: copied verbatim (dims don't
   grow 10× when facts do).
 
-Usage: ``python scale_bench.py`` prints one JSON line with per-query
-sf0.1/sf1 seconds and the ratio. ``--gen-only`` just builds the data.
+Usage:
+  python scale_bench.py              # build (if absent) + timed suite,
+                                     # prints one JSON line and writes it
+                                     # to BENCH_SCALE.json
+  python scale_bench.py --gen-only   # just build the derived corpus
+  python scale_bench.py --smoke      # 2 replicas at sf0.01, one untimed
+                                     # pass per query (generator + suite
+                                     # sanity, ~a minute)
 """
 
 from __future__ import annotations
@@ -35,8 +41,9 @@ import shutil
 import sys
 import time
 
+REPO = os.path.dirname(os.path.abspath(__file__))
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1")
+DST = os.path.join(REPO, ".scale", "sf1")
 REPLICAS = 10
 _OFFSET = 10_000_000
 
@@ -81,64 +88,78 @@ SUITE = {
 }
 
 
-def build_scale_data(spark) -> None:
+def build_scale_data(spark, src: str = SRC, dst: str = DST, replicas: int = REPLICAS) -> None:
+    """Derive a ``replicas``× corpus from ``src`` into ``dst`` (see module
+    docstring for the organic-growth transforms). Idempotent overwrite."""
     from pyspark.sql import functions as F
 
     from big_data_chicago_crimes_spark.sources.readers import load_table
 
-    os.makedirs(DST, exist_ok=True)
+    os.makedirs(dst, exist_ok=True)
 
     def write(df, name):
-        df.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        df.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
 
     # dims: verbatim copies
     for name in ("region", "nation", "customer", "supplier", "part"):
-        shutil.copyfile(f"{SRC}/{name}.parquet", f"{DST}/{name}.parquet")
+        target = f"{dst}/{name}.parquet"
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        shutil.copyfile(f"{src}/{name}.parquet", target)
 
-    docs = load_table(spark, SRC, "documents")
+    docs = load_table(spark, src, "documents")
     doc_parts = [docs]
-    for k in range(1, REPLICAS):
+    for k in range(1, replicas):
         doc_parts.append(
             docs.select(
                 (F.col("doc_id") + _OFFSET * k).alias("doc_id"),
-                # bijective token rename: "_" stops Java's $-group digit
-                # parsing AND keeps the suffix out of \w-based shingles
+                # bijective token rename: "_" is a word character, so the
+                # suffix stays ATTACHED to its token (one \w+ unit) — each
+                # replica's vocabulary maps 1:1 onto fresh tokens and
+                # within-replica shingle structure is preserved exactly.
+                # ("_" also stops Java's $-group digit parsing in "$1_2".)
                 F.regexp_replace("text", r"(\S+)", f"$1_{k}").alias("text"),
                 "lang",
                 "source",
             ).withColumn("n_chars", F.length("text").cast("long"))
         )
-    write(doc_parts[0].unionByName(*doc_parts[1:]) if False else _union(doc_parts), "documents")
+    write(_union(doc_parts), "documents")
 
-    emb = load_table(spark, SRC, "embeddings")
+    emb = load_table(spark, src, "embeddings")
+
+    def _sign_flip(k: int):
+        # replica-seeded ± mask over coordinates; same mask for every
+        # vector of the replica, so within-replica cosines are exact
+        def flip(x, i):
+            return (
+                F.when(F.pmod(F.xxhash64(F.lit(k), i), F.lit(2)) == 0, x)
+                .otherwise(-x)
+                .cast("float")
+            )
+
+        return flip
+
     emb_parts = [emb]
-    for k in range(1, REPLICAS):
+    for k in range(1, replicas):
         emb_parts.append(
             emb.select(
                 (F.col("vec_id") + _OFFSET * k).alias("vec_id"),
-                F.transform(
-                    "embedding",
-                    lambda x, i, k=k: F.when(
-                        F.pmod(F.xxhash64(F.lit(k), i), F.lit(2)) == 0, x
-                    )
-                    .otherwise(-x)
-                    .cast("float"),
-                ).alias("embedding"),
+                F.transform("embedding", _sign_flip(k)).alias("embedding"),
                 "label",
             )
         )
     write(_union(emb_parts), "embeddings")
 
-    events = load_table(spark, SRC, "events")
+    events = load_table(spark, src, "events")
     ev_parts = [events]
-    for k in range(1, REPLICAS):
+    for k in range(1, replicas):
         ev_parts.append(events.withColumn("event_id", F.col("event_id") + _OFFSET * k))
     write(_union(ev_parts), "events")
 
-    orders = load_table(spark, SRC, "orders")
-    li = load_table(spark, SRC, "lineitem")
+    orders = load_table(spark, src, "orders")
+    li = load_table(spark, src, "lineitem")
     o_parts, l_parts = [orders], [li]
-    for k in range(1, REPLICAS):
+    for k in range(1, replicas):
         o_parts.append(orders.withColumn("o_orderkey", F.col("o_orderkey") + _OFFSET * k))
         l_parts.append(li.withColumn("l_orderkey", F.col("l_orderkey") + _OFFSET * k))
     write(_union(o_parts), "orders")
@@ -156,11 +177,16 @@ def main() -> None:
     from big_data_chicago_crimes_spark.plans.registry import all_queries
     from big_data_chicago_crimes_spark.session import get_spark
 
+    smoke = "--smoke" in sys.argv
+    src = os.environ.get("SPARK_GRAFT_CERT_SF_DIR", "/root/testdata/sf0.01") if smoke else SRC
+    dst = os.path.join(REPO, ".scale", "smoke") if smoke else DST
+    replicas = 2 if smoke else REPLICAS
+
     spark = get_spark(app_name="scale-bench")
-    if not os.path.exists(f"{DST}/lineitem.parquet"):
-        build_scale_data(spark)
+    if smoke or not os.path.exists(f"{dst}/lineitem.parquet"):
+        build_scale_data(spark, src, dst, replicas)
     if "--gen-only" in sys.argv:
-        print(json.dumps({"generated": DST}))
+        print(json.dumps({"generated": dst}))
         return
 
     queries = all_queries()
@@ -169,6 +195,12 @@ def main() -> None:
         queries[name].build(spark, d).write.format("noop").mode("overwrite").save()
 
     names = [n for qs in SUITE.values() for n in qs]
+
+    if smoke:
+        for n in names:
+            run(n, dst)
+        print(json.dumps({"smoke": "ok", "generated": dst, "queries_run": len(names)}))
+        return
 
     def tier(d: str) -> dict[str, float]:
         for n in names:  # warm pass (also builds lake indexes once)
@@ -183,10 +215,11 @@ def main() -> None:
             out[n] = round(best, 3)
         return out
 
-    small = tier(SRC)
-    big = tier(DST)
+    small = tier(src)
+    big = tier(dst)
     report = {
         "metric": "scale_ratio_sf1_over_sf0.1",
+        "replicas": replicas,
         "queries": {
             n: {
                 "sf0.1_sec": small[n],
@@ -196,6 +229,8 @@ def main() -> None:
             for n in names
         },
     }
+    with open(os.path.join(REPO, "BENCH_SCALE.json"), "w") as f:
+        json.dump(report, f, indent=1)
     print(json.dumps(report))
 
 
