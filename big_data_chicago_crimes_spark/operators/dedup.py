@@ -358,6 +358,20 @@ def simhash_candidates(
     collision join) reproducible in any engine with md5 — the
     oracle-checkable twin of the fast xxhash64 default."""
     sh_table = simhash_table(df, text_col, id_col, bits=bits, hash_family=hash_family)
+    return simhash_band_candidates(sh_table, id_col, band_bits=band_bits, bits=bits)
+
+
+def simhash_band_candidates(
+    sh_table: DataFrame,
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    bits: int = 64,
+) -> DataFrame:
+    """Band-collision join over an existing ``(id, simhash)`` fingerprint
+    table (the back half of ``simhash_candidates``, split out so seeded
+    certification fixtures can inject fingerprints with known Hamming
+    distance). Explode into bits/band_bits band values; any pair agreeing
+    on ≥1 band is a candidate."""
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     band_structs = ", ".join(

@@ -40,78 +40,81 @@ REGISTRY: dict[str, Query] = {}
 # in iteration order (verified: CORRECTNESS_r02's 50 rows are exactly registry
 # indexes 0-49). ``CERTIFICATION_PRIORITY`` pins iteration order so the
 # sample window is always spent where evidence is weakest. Rotated every round
-# (VERDICT r4 #3). Round-5 tiers:
-# Tier 0: the 4 driver-red r4 rows (ts-reader bug, fixed this round) — prove
-#         the fix at the driver;
-# Tier 1: hourly_max_event_count (provably wrong in r4, last sampled r2),
-#         events_by_segment_salted_join (registered r4, never sampled),
-#         order_price_at_ship_asof (sample-window boundary, last green r2),
-#         the r1-only trio (top10_part_types, events_dedup_keyed,
-#         distinct_event_types — 3 rounds stale);
-# Tier 2: every query whose last driver row is r2 (2 rounds stale),
-#         longest-stale-first within registration order — 32 queries;
-# Tier 3: queries whose code/inputs THIS round touches:
-#         embedding_near_dups_seeded (NEW — planted-duplicate variant; the
-#         production query's r4 pass was a vacuous 0-vs-0) plus the original,
-#         and the r4-green events consumers (the events reader was rewritten
-#         this round, so their green rows predate the code that feeds them).
-# Tiers 0+1+2+3 = exactly 50. Everything else (fresh r4 greens) follows in
+# (VERDICT r4 #3); tests/test_registry.py derives the staleness contract from
+# the committed CORRECTNESS history, so a bad rotation fails CI. Round-6 tiers
+# (r5 was fully green, so this round is pure staleness + new-code rotation):
+# Tier 0: the round's NEW queries, never sampled — docs_simhash_seeded_recall
+#         (planted-Hamming-3 fixture, VERDICT r5 #6) and the LSH near-dup
+#         pair path + its planted-twin certification variant (the answer to
+#         BENCH_SCALE's one super-linear result);
+# Tier 1: the 5 certification twins whose last driver rows (r4) predate the
+#         bench tier split that moved them off the headline path;
+# Tier 2: the ml_* quartet, last sampled r4;
+# Tier 3: every other query whose last driver row is r4 — 30 queries, all
+#         of which would go >2 rounds stale if left outside the window;
+# Tier 4: r5-green queries whose inputs this round's diff touches — the
+#         events reader was restructured again (directory-aware, INT96-
+#         physical-type-aware, memoized footer peek), so re-certify its
+#         consumers; plus the two xxhash64 rows-only surfaces whose seeded
+#         companion landed this round.
+# Tiers 0+1+2+3+4 = exactly 50. Everything else (fresh r5 greens) follows in
 # registration order as cumulative evidence.
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- tier 0: r4 driver-red, fixed this round ---
+    # --- tier 0: new this round, never sampled ---
+    "docs_simhash_seeded_recall",
+    "embedding_near_dups_lsh",
+    "embedding_near_dups_lsh_seeded",
+    # --- tier 1: certification twins, stale since the r5 tier split ---
+    "docs_rolling_hash_md5_oracled",
+    "docs_minhash_md5_oracled",
+    "docs_simhash_md5_oracled",
+    "docs_simhash_band_candidates_md5_oracled",
+    "docs_char_ngram_jaccard",
+    # --- tier 2: ml quartet, last sampled r4 ---
+    "ml_logreg_auc",
+    "ml_random_forest_auc",
+    "ml_gbt_rmse",
+    "ml_kmeans_customer_clusters",
+    # --- tier 3: last driver row is r4 (30 queries) ---
+    "docs_ngram_contamination",
+    "docs_dedup_components",
+    "docs_tfidf_similar_pairs",
+    "docs_exact_dedup",
+    "docs_jaccard_pairs",
+    "revenue_by_nation",
+    "pricing_summary",
+    "orders_price_quantiles_approx",
+    "orders_year_range_filter",
+    "orders_by_season",
+    "docs_hash_sample",
+    "docs_train_val_test_split",
+    "docs_stratified_sample",
+    "embedding_cosine_topk",
+    "embedding_ann_lsh_topk",
+    "embedding_lsh_bucket_histogram",
+    "embedding_ann_lsh_topk_lake",
+    "embedding_ivf_topk_lake",
+    "docs_token_stats",
+    "docs_quality_by_source",
+    "docs_fingerprint_census",
+    "docs_lang_id",
+    "docs_bpe_token_stats",
+    "docs_quality_scores",
+    "docs_repetition_stats",
+    "docs_rolling_hash",
+    "orders_moving_avg_3m",
+    "orders_monthly_delta",
+    "best_order_per_customer",
+    "customer_balance_rank_in_nation",
+    # --- tier 4: r6-diff-touched (events reader rework; xxhash64 paths) ---
+    "docs_simhash_candidates",
+    "docs_minhash_lsh_candidates",
     "events_hourly_tumbling",
     "events_sliding_1h_30m",
     "user_session_counts",
-    "purchase_after_view_asof",
-    # --- tier 1: wrong/never-sampled/stalest ---
-    "hourly_max_event_count",
     "events_by_segment_salted_join",
-    "order_price_at_ship_asof",
-    "top10_part_types",
-    "events_dedup_keyed",
-    "distinct_event_types",
-    # --- tier 2: last driver row is r2 (32 queries) ---
-    "orders_by_price_band",
-    "docs_minhash_lsh_candidates",
-    "docs_simhash_candidates",
-    "top_revenue_orders",
-    "segment_customers_with_orders",
-    "parts_never_ordered",
-    "purchasers_without_errors",
-    "purchasers_with_errors",
-    "all_account_balances",
-    "late_shipment_orders",
-    "shipping_priority_top10",
-    "returned_item_top_customers",
-    "supplier_nation_revenue",
-    "lineitem_correlations",
-    "ml_correlation_matrix",
-    "multimodal_decode_stats",
-    "multimodal_frame_sample_counts",
-    "lineitem_rollup",
-    "orders_cube",
-    "orders_running_total",
-    "distinct_users_by_type",
-    "orders_price_quantiles",
-    "events_from_json_struct",
-    "forecast_revenue_change",
-    "promo_revenue_pct",
-    "customer_balance_quartiles",
-    "orders_grouping_sets",
-    "nation_balance_extremes",
-    "events_count_by_type",
-    "orders_count_by_priority",
-    "orders_quarter_pivot",
-    "orders_filled_pct",
-    # --- tier 3: code/inputs touched this round ---
-    "embedding_near_dups_seeded",
-    "embedding_near_dups",
-    "event_value_stats",
-    "events_json_extract",
-    "events_not_in_filter",
-    "events_null_census",
-    "purchase_top_users",
-    "approx_distinct_users_by_type",
+    "purchase_after_view_asof",
+    "hourly_max_event_count",
 )
 
 

@@ -104,6 +104,57 @@ def docs_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(t.documents).orderBy("id_a", "id_b")
 
 
+# 3 bits across 3 DIFFERENT 16-bit bands (bits 1, 21, 42 → bands 0, 1,
+# 2); band 3 stays intact, so pigeonhole (Hamming 3 < 4 bands) GUARANTEES
+# every (seed, twin) pair collides on ≥1 band.
+_SIMHASH_TWIN_FLIP = (1 << 1) | (1 << 21) | (1 << 42)
+
+
+@register(
+    "docs_simhash_seeded_recall",
+    oracle="""
+        SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+        FROM documents WHERE doc_id % 20 = 0
+        ORDER BY id_a
+    """,
+    tags=("dedup", "simhash", "seeded", "extension"),
+)
+def docs_simhash_seeded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_simhash_candidates with PLANTED Hamming-3 twins, certifying
+    RECALL of the xxhash64 production path on a fully-determined answer
+    (VERDICT r5 #6: the raw candidate set is rows-only checkable because
+    xxhash64 has no DuckDB twin — this variant's output IS predictable).
+
+    Every 20th document's real xxhash64 fingerprint (computed through the
+    production explode→bit-packed-agg pipeline) gets a twin with exactly
+    3 bits flipped, one in each of bands 0-2 — pigeonhole leaves band 3
+    agreeing, so the banded join MUST emit every (seed, seed+1000000)
+    pair. The output keeps only those planted pairs (organic seed-seed
+    collisions are hash-family-dependent, hence unpredictable in SQL);
+    any fingerprinting, band-extraction, join, or dedup bug loses rows
+    and breaks the driver's hash match. Precision of the band join is
+    certified separately by docs_simhash_band_candidates_md5_oracled."""
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        simhash_band_candidates,
+        simhash_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    fp = simhash_table(t.documents)
+    seeds = fp.filter(F.col("doc_id") % 20 == 0)
+    twins = seeds.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(f"simhash ^ {_SIMHASH_TWIN_FLIP}L").alias("simhash"),
+    )
+    return (
+        simhash_band_candidates(fp.unionByName(twins))
+        .filter(
+            (F.col("id_a") % 20 == 0) & (F.col("id_b") == F.col("id_a") + 1_000_000)
+        )
+        .orderBy("id_a")
+    )
+
+
 @register(
     "embedding_near_dups",
     oracle="""
@@ -172,6 +223,71 @@ def embedding_near_dups_seeded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeded = emb.select("vec_id", "embedding", "label").unionByName(twins)
     return embedding_near_dups(seeded, threshold=0.95).orderBy("id_a", "id_b")
+
+
+@register(
+    "embedding_near_dups_lsh",
+    # Hyperplane signatures are seeded-NumPy literals — not SQL-
+    # expressible → rows-only check. Value-level certification comes from
+    # embedding_near_dups_lsh_seeded (full oracle, planted twins) and
+    # tests/test_similarity.py recall pins.
+    oracle=None,
+    tags=("dedup", "embedding", "lsh", "extension"),
+)
+def embedding_near_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups via multi-table hyperplane-LSH blocking — the
+    SCALE path for pair near-dup (BENCH_SCALE showed the label-blocked
+    variant going 24.6× for 10× data: constant blocking cardinality ⇒
+    quadratic pairs; LSH buckets sized to the data keep candidates
+    ~linear)."""
+    from big_data_chicago_crimes_spark.operators.similarity import lsh_near_dup_pairs
+
+    t = load_tables(spark, sf_dir)
+    return lsh_near_dup_pairs(t.embeddings, dim=64, threshold=0.95).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "embedding_near_dups_lsh_seeded",
+    oracle=f"""
+        WITH seeded AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding
+            FROM embeddings WHERE vec_id % 20 = 0
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_SEEDED_COS} AS cosine
+        FROM seeded a JOIN seeded b
+          ON b.vec_id = a.vec_id + 1000000 AND a.vec_id % 20 = 0
+        ORDER BY id_a
+    """,
+    tags=("dedup", "embedding", "lsh", "seeded", "extension"),
+)
+def embedding_near_dups_lsh_seeded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_near_dups_lsh with PLANTED ×2-scaled twins. A scaled
+    vector has identical hyperplane signs in EVERY table (sign(2d) =
+    sign(d)), so LSH recall on the planted pairs is deterministically
+    1.0 at any table/plane sizing — the output is fully determined (25
+    pairs at cosine 1.0 at the driver SF; max organic cosine ≈0.51,
+    nowhere near the 0.95 threshold) and the driver hash-certifies the
+    whole signature → band-join → exact-verify production path. The
+    output is NOT filtered to planted pairs: a false-positive ≥0.95
+    pair would also break the match, so precision is certified too."""
+    from big_data_chicago_crimes_spark.operators.similarity import lsh_near_dup_pairs
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    twins = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    seeded = emb.select("vec_id", "embedding", "label").unionByName(twins)
+    return lsh_near_dup_pairs(seeded, dim=64, threshold=0.95).orderBy("id_a", "id_b")
 
 
 @register(

@@ -54,6 +54,7 @@ SUITE = {
         "docs_simhash_candidates",
         "docs_jaccard_pairs",
         "embedding_near_dups",
+        "embedding_near_dups_lsh",
     ],
     "similarity": [
         "embedding_cosine_topk",

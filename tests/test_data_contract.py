@@ -127,3 +127,68 @@ def test_normalize_event_ts_handles_both_encodings(spark, tmp_path):
         df = normalize_event_ts(read_parquet(spark, path, events_read_schema(path)))
         loaded[enc] = df.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")).collect()[0][0]
     assert loaded["ns"] == loaded["us"] == "2024-01-01 00:00:07"
+
+
+def _ns_events_fixture(tmp_path, n: int = 5) -> str:
+    """Write a TIMESTAMP(NANOS)-encoded events parquet — the physical
+    encoding the driver shipped in rounds 1-3 — and assert it really is
+    ns-typed (a silent pyarrow coercion would make the test vacuous)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    us = 1_704_067_207_000_000  # 2024-01-01T00:00:07 UTC
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [(us + i * 60_000_000) * 1000 for i in range(n)], pa.timestamp("ns")
+            ),
+            "user_id": pa.array([7] * n, pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array([1.0] * n),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(table, path)
+    assert pq.read_schema(path).field("ts").type == pa.timestamp("ns")
+    return path
+
+
+def test_nanos_encoded_events_batch_load(spark, tmp_path):
+    """The TIMESTAMP(NANOS) branch of events_read_schema/normalize_event_ts
+    is dead against current testdata (timestamp[us] since r4) — exercise
+    it explicitly so it can't rot until the driver flips encodings again
+    (VERDICT r5 #5)."""
+    _ns_events_fixture(tmp_path)
+    df = load_table(spark, str(tmp_path), "events")
+    import pyspark.sql.types as T
+
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    got = sorted(
+        r[0] for r in df.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")).collect()
+    )
+    assert got[0] == "2024-01-01 00:00:07"
+    assert got[-1] == "2024-01-01 00:04:07"
+
+
+def test_nanos_encoded_events_stream_load(spark, tmp_path):
+    """Same fixture through the STREAMING source: read_events_stream
+    shares the footer peek, and stream/batch symmetry includes
+    ingestion of every encoding the driver has shipped."""
+    from big_data_chicago_crimes_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    _ns_events_fixture(tmp_path)
+    stream = read_events_stream(spark, str(tmp_path))
+    assert stream.isStreaming
+    out = run_stream_to_memory(
+        stream.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t")),
+        "ns_encoded_stream_test",
+        output_mode="append",
+    )
+    got = sorted(r.t for r in out.collect())
+    assert got[0] == "2024-01-01 00:00:07"
+    assert got[-1] == "2024-01-01 00:04:07"

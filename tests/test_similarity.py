@@ -176,3 +176,51 @@ def test_ivf_recall_on_real_embeddings(spark, sf_dir):
     approx = {r.vec_id for r in ivf_topk(assigned, centroids, qvec, 10, nprobe=4).collect()}
     # probing half the lists on near-random data: demand meaningful recall
     assert len(exact & approx) >= 4
+
+
+def test_hyperplane_tables_independent_and_table0_stable():
+    """Multi-table planes: table 0 must equal the historical single-table
+    planes (bucket assignments of existing lake indexes stay valid);
+    other tables must be genuinely different draws."""
+    import numpy as np
+
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        _LSH_SEED,
+        _hyperplanes,
+    )
+
+    p0 = _hyperplanes(16, 4, table=0)
+    assert np.allclose(p0, np.random.RandomState(_LSH_SEED).randn(4, 16))
+    p1, p2 = _hyperplanes(16, 4, table=1), _hyperplanes(16, 4, table=2)
+    assert not np.allclose(p0, p1) and not np.allclose(p1, p2)
+
+
+def test_lsh_near_dup_pairs_recall_on_noisy_twins(spark):
+    """The scale-path near-dup operator must find NEAR-parallel pairs
+    (cosine ≈0.97, not exactly parallel — exact twins trivially share
+    every signature). With 8 tables × 8 planes the analytic recall at
+    cosine 0.97 is ~0.997; demand ≥0.9 over 100 planted pairs, and
+    exact-verification precision (no pair below threshold)."""
+    import numpy as np
+
+    from big_data_chicago_crimes_spark.operators.similarity import lsh_near_dup_pairs
+
+    rng = np.random.RandomState(7)
+    dim, n_pairs = 64, 100
+    base = rng.randn(n_pairs, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # additive noise sized for cosine ~0.97 (tan(14°)≈0.25 of the norm)
+    noise = rng.randn(n_pairs, dim)
+    noise -= (noise * base).sum(1, keepdims=True) * base  # orthogonalize
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    twins = base + 0.22 * noise
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n_pairs)] + [
+        (i + 1_000_000, [float(x) for x in twins[i]]) for i in range(n_pairs)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    found = lsh_near_dup_pairs(
+        df, dim=dim, n_tables=8, n_planes=8, threshold=0.95
+    ).collect()
+    planted = {(r.id_a, r.id_b) for r in found if r.id_b == r.id_a + 1_000_000}
+    assert len(planted) >= 90, f"recall too low: {len(planted)}/100"
+    assert all(r.cosine >= 0.95 for r in found)
