@@ -104,7 +104,7 @@ def lsh_near_dup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    target_bucket_rows: int = 16,
+    target_bucket_rows: int = 8,
 ) -> DataFrame:
     """Embedding near-dup PAIRS at scale: multi-table hyperplane-LSH
     candidate generation + exact cosine verification.
@@ -118,10 +118,10 @@ def lsh_near_dup_pairs(
     expected bucket size stays CONSTANT as n grows and candidates grow
     ~linearly. Recall comes from the OR over ``n_tables`` independent
     plane sets: a pair at cosine ≥0.95 (angle ≤18.2°) agrees on one
-    b-bit signature with p=(1−θ/π)^b; with 8 tables at b=7 that is
-    ~0.99, at b=11 ~0.95 — and EXACTLY-parallel duplicates (the planted
-    certification twins) share every signature deterministically, so
-    their recall is 1.0 at any sizing.
+    b-bit signature with p=(1−θ/π)^b; with 8 tables that is ~0.99 at
+    b=8 and ~0.93 at b=12 — and EXACTLY-parallel duplicates (the
+    planted certification twins) share every signature deterministically,
+    so their recall is 1.0 at any sizing.
 
     Shape per table: signature (codegen'd plane dots) → self-join on
     (table, signature) → distinct candidate ids → ONE exact-cosine
@@ -130,27 +130,41 @@ def lsh_near_dup_pairs(
     n_tables)."""
     import math
 
+    from big_data_chicago_crimes_spark.operators.dedup import spread_for_compute
+
     if n_planes is None:
         n = df.count()
         n_planes = max(6, math.ceil(math.log2(max(n / target_bucket_rows, 2.0))))
 
+    df = spread_for_compute(df)  # signature math must not ride one row group
     base = df.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
         l2_norm(F.col(vec_col)).alias("__nrm"),
     )
-    sig_structs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_signature(vec_col, dim, n_planes, table=t).alias("sig"),
+    # The n_tables × n_planes signature tree is built as ONE SQL string
+    # (a single py4j round trip + one parse), not via nested Column API:
+    # 56 plane dots × 64 literal Columns each is thousands of py4j calls
+    # and ~7 s of driver time PER INVOCATION (same pathology simhash_table
+    # documents); the string form parses JVM-side in ~100 ms. Literals
+    # round-trip via repr → identical doubles to F.lit.
+    def sig_sql(t: int) -> str:
+        terms = []
+        for i, plane in enumerate(_hyperplanes(dim, n_planes, table=t)):
+            arr = ",".join(f"{x!r}D" for x in plane)
+            dot = (
+                f"aggregate(zip_with({vec_col}, array({arr}), "
+                f"(x, p) -> cast(x as double) * p), 0D, (a, x) -> a + x)"
             )
-            for t in range(n_tables)
-        ]
+            terms.append(f"if({dot} > 0D, {1 << i}, 0)")
+        return "(" + " + ".join(terms) + ")"
+
+    structs = ", ".join(
+        f"struct({t} as tbl, {sig_sql(t)} as sig)" for t in range(n_tables)
     )
-    sigs = df.select(F.col(id_col), F.explode(sig_structs).alias("s")).select(
-        id_col, "s.tbl", "s.sig"
-    )
+    sigs = df.select(
+        F.col(id_col), F.expr(f"explode(array({structs})) as s")
+    ).select(id_col, "s.tbl", "s.sig")
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(
@@ -169,9 +183,11 @@ def lsh_near_dup_pairs(
         F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), F.col("__nrm").alias("nb")
     )
     sim = cosine_similarity(F.col("va"), F.col("vb"), norm_a=F.col("na"), norm_b=F.col("nb"))
+    # spread the exact-verify too: the candidate set lands in one AQE-
+    # coalesced partition locally, and the per-pair cosine is the most
+    # expensive per-row stage of the whole operator
     return (
-        cand.join(av, "id_a")
-        .join(bv, "id_b")
+        spread_for_compute(cand.join(av, "id_a").join(bv, "id_b"))
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
