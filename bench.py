@@ -132,6 +132,7 @@ CERTIFICATION = [
     "embedding_near_dups_seeded",
     "embedding_near_dups_lsh_seeded",
     "docs_simhash_seeded_recall",
+    "docs_minhash_seeded_recall",
 ]
 
 

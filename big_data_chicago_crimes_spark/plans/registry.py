@@ -62,6 +62,7 @@ REGISTRY: dict[str, Query] = {}
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # --- tier 0: new this round, never sampled ---
     "docs_simhash_seeded_recall",
+    "docs_minhash_seeded_recall",
     "embedding_near_dups_lsh",
     "embedding_near_dups_lsh_seeded",
     # --- tier 1: certification twins, stale since the r5 tier split ---
@@ -114,7 +115,6 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "user_session_counts",
     "events_by_segment_salted_join",
     "purchase_after_view_asof",
-    "hourly_max_event_count",
 )
 
 

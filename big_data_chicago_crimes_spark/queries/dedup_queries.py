@@ -104,6 +104,40 @@ def docs_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(t.documents).orderBy("id_a", "id_b")
 
 
+@register(
+    "docs_minhash_seeded_recall",
+    oracle="""
+        SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+        FROM documents WHERE doc_id % 20 = 0
+        ORDER BY id_a
+    """,
+    tags=("dedup", "minhash", "lsh", "seeded", "extension"),
+)
+def docs_minhash_seeded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_minhash_lsh_candidates with PLANTED exact-copy twins — the
+    minhash sibling of docs_simhash_seeded_recall. An exact text copy has
+    an identical shingle set, hence identical minhash signature in EVERY
+    band, so the banded join MUST surface each (seed, seed+1000000) pair
+    through the full xxhash64 production path (shingling → minhash →
+    banding → collision join → dedup). Output keeps only the planted
+    pairs (organic candidates are hash-family-dependent); the oracle is
+    fully determined, so the driver hash-certifies recall on a non-empty
+    answer — closing the same vacuity gap VERDICT r4 #7 / r5 #6 flagged
+    for the other sketch paths."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return (
+        minhash_lsh_candidates(docs.unionByName(twins))
+        .filter(
+            (F.col("id_a") % 20 == 0) & (F.col("id_b") == F.col("id_a") + 1_000_000)
+        )
+        .orderBy("id_a")
+    )
+
+
 # 3 bits across 3 DIFFERENT 16-bit bands (bits 1, 21, 42 → bands 0, 1,
 # 2); band 3 stays intact, so pigeonhole (Hamming 3 < 4 bands) GUARANTEES
 # every (seed, twin) pair collides on ≥1 band.
