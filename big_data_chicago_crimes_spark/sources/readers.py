@@ -63,68 +63,89 @@ def literal_table(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
 # changes without the file itself changing, so one metadata read per path
 # per process is enough; mtime in the key invalidates on rewrite (tests
 # overwrite fixture paths in place).
-_EVENTS_SCHEMA_CACHE: dict[tuple[str, float], T.StructType] = {}
+_READ_SCHEMA_CACHE: dict[tuple[str, float], T.StructType] = {}
 
 
-def _events_ts_parquet_types(path: str) -> tuple:
-    """(arrow_type, physical_type) of ``ts`` for a single parquet file OR
-    a directory of part files (Spark writes datasets as directories).
-    Driver-side, metadata-only. The parquet PHYSICAL type matters because
-    legacy INT96 timestamps surface in Arrow as timestamp[ns] —
-    indistinguishable from TIMESTAMP(NANOS), yet Spark reads INT96
-    natively while true ns must be read as raw INT64. Local-filesystem
-    paths only: the peek uses pyarrow directly, not Spark's Hadoop
-    filesystem — fine for the testdata layout this engine targets; an
-    object-store deployment would swap in ``pyarrow.fs`` here."""
+def _parquet_leaf_types(path: str) -> dict[str, tuple]:
+    """column name → (arrow_type, physical_type) for a single parquet
+    file OR a directory of part files (Spark writes datasets as
+    directories). Driver-side, metadata-only. The parquet PHYSICAL type
+    matters because legacy INT96 timestamps surface in Arrow as
+    timestamp[ns] — indistinguishable from TIMESTAMP(NANOS), yet Spark
+    reads INT96 natively while true ns must be read as raw INT64.
+    Local-filesystem paths only: the peek uses pyarrow directly, not
+    Spark's Hadoop filesystem — fine for the testdata layout this engine
+    targets; an object-store deployment would swap in ``pyarrow.fs``
+    here."""
     import pyarrow.dataset as ds
     import pyarrow.parquet as pq
 
     dataset = ds.dataset(path, format="parquet")
     first = dataset.files[0] if dataset.files else path
     schema = pq.ParquetFile(first).schema
-    idx = schema.to_arrow_schema().get_field_index("ts")
-    return schema.to_arrow_schema().field(idx).type, schema.column(idx).physical_type
+    arrow = schema.to_arrow_schema()
+    # flat testdata schemas: arrow field order == parquet leaf order
+    return {
+        arrow.field(i).name: (arrow.field(i).type, schema.column(i).physical_type)
+        for i in range(len(arrow.names))
+    }
 
 
-def events_read_schema(path: str) -> T.StructType:
-    """Pick the read schema for an events parquet by peeking its footer
-    (driver-side, one metadata read per (path, mtime) per process).
+def adaptive_read_schema(path: str, declared: T.StructType) -> T.StructType:
+    """Read schema for ``path``: ``declared`` with every TimestampType
+    column re-typed to match the file's ACTUAL physical encoding (one
+    memoized metadata read per (path, mtime) per process; no data scan).
 
-    The testdata generator has shipped ``ts`` both as TIMESTAMP(NANOS)
-    (a parquet type Spark's reader rejects, [PARQUET_TYPE_ILLEGAL] — it
-    must be read as raw INT64) and as TIMESTAMP(MICROS)/ntz (which Spark
-    reads natively). Assuming either encoding corrupts the other: ns
-    read as µs puts 2024 events in 1970. So: look, don't assume.
-    """
+    The testdata generator has shipped temporal columns as
+    TIMESTAMP(NANOS) (a parquet type Spark's reader rejects,
+    [PARQUET_TYPE_ILLEGAL] — must be read as raw INT64), as
+    TIMESTAMP(MICROS)/ntz, and Spark itself historically wrote INT96.
+    Assuming any one encoding corrupts the others: ns read as µs puts
+    2024 events in 1970 (the round-4 regression). So: look, don't
+    assume — for every declared-timestamp column, not just events.ts.
+    ``normalize_temporals`` converts the loaded columns back to the
+    declared logical types."""
     import os
 
     import pyarrow as pa
 
     key = (path, os.stat(path).st_mtime)
-    if key in _EVENTS_SCHEMA_CACHE:
-        return _EVENTS_SCHEMA_CACHE[key]
+    if key in _READ_SCHEMA_CACHE:
+        return _READ_SCHEMA_CACHE[key]
 
-    ts_type, physical = _events_ts_parquet_types(path)
-    if physical == "INT96":
-        # legacy Spark/Hive encoding; Spark's reader handles it natively
-        schema = events_schema_with_ts(T.TimestampType())
-    elif pa.types.is_timestamp(ts_type):
-        if ts_type.unit == "ns":
-            schema = events_schema_with_ts(T.LongType())  # raw int64 ns
-        elif ts_type.tz is not None:
-            schema = events_schema_with_ts(T.TimestampType())
-        else:
-            schema = events_schema_with_ts(T.TimestampNTZType())
-    elif pa.types.is_integer(ts_type):
-        schema = events_schema_with_ts(T.LongType())
-    else:
-        raise TypeError(f"events.ts has unsupported parquet type {ts_type}")
-    _EVENTS_SCHEMA_CACHE[key] = schema
+    leaf = _parquet_leaf_types(path)
+    fields = []
+    for f in declared.fields:
+        dtype = f.dataType
+        if isinstance(f.dataType, T.TimestampType) and f.name in leaf:
+            at, physical = leaf[f.name]
+            if physical == "INT96":
+                # legacy Spark/Hive encoding; Spark reads it natively
+                dtype = T.TimestampType()
+            elif pa.types.is_timestamp(at):
+                if at.unit == "ns":
+                    dtype = T.LongType()  # raw int64 ns
+                elif at.tz is not None:
+                    dtype = T.TimestampType()
+                else:
+                    dtype = T.TimestampNTZType()
+            elif pa.types.is_date(at):
+                dtype = T.DateType()
+            elif pa.types.is_integer(at):
+                dtype = T.LongType()
+            else:
+                raise TypeError(
+                    f"{f.name} has unsupported parquet type {at}"
+                )
+        fields.append(T.StructField(f.name, dtype, f.nullable))
+    schema = T.StructType(fields)
+    _READ_SCHEMA_CACHE[key] = schema
     return schema
 
 
-def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """Branch on the LOADED dtype of ``ts`` and produce TimestampType:
+def normalize_temporals(df: DataFrame, declared: T.StructType) -> DataFrame:
+    """Convert every column that ``declared`` types as TimestampType from
+    its LOADED dtype back to TimestampType:
 
     - LongType → epoch nanoseconds; convert with exact integer division
       (``DIV`` stays in bigint — double division loses precision above
@@ -132,27 +153,52 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     - TimestampNTZType → reinterpret as session-tz timestamp (session tz
       is pinned to UTC in session.py, so this is a wall-clock no-op and
       matches DuckDB's naive reading of the same file).
+    - DateType → midnight-UTC timestamp (matches any engine's date→
+      timestamp promotion).
     - TimestampType → already right; pass through.
     """
-    dtype = df.schema["ts"].dataType
-    if isinstance(dtype, T.LongType):
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    if isinstance(dtype, T.TimestampNTZType):
-        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-    if isinstance(dtype, T.TimestampType):
-        return df
-    raise TypeError(f"events.ts loaded as unsupported Spark type {dtype}")
+    out = df
+    for f in declared.fields:
+        if not isinstance(f.dataType, T.TimestampType) or f.name not in df.columns:
+            continue
+        loaded = out.schema[f.name].dataType
+        if isinstance(loaded, T.LongType):
+            out = out.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"{f.name} DIV 1000"))
+            )
+        elif isinstance(loaded, (T.TimestampNTZType, T.DateType)):
+            out = out.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
+        elif isinstance(loaded, T.TimestampType):
+            pass
+        else:
+            raise TypeError(
+                f"{f.name} loaded as unsupported Spark type {loaded}"
+            )
+    return out
+
+
+def events_read_schema(path: str) -> T.StructType:
+    """Footer-adaptive read schema for an events parquet (the streaming
+    source needs its schema up front). Thin wrapper over
+    ``adaptive_read_schema`` with the canonical events schema."""
+    return adaptive_read_schema(path, events_schema_with_ts(T.TimestampType()))
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize a loaded events frame's ``ts`` to TimestampType —
+    ``normalize_temporals`` specialized to the events schema (kept as a
+    named entry point for the streaming reader and encoding tests)."""
+    return normalize_temporals(df, events_schema_with_ts(T.TimestampType()))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
-        # ts encoding varies by testdata generation — adapt, don't assume
-        raw = read_parquet(spark, path, events_read_schema(path))
-        return normalize_event_ts(raw)
-    return read_parquet(spark, path, TESTDATA_SCHEMAS[name])
+    declared = TESTDATA_SCHEMAS[name]
+    # temporal encodings vary by testdata generation — adapt, don't assume
+    raw = read_parquet(spark, path, adaptive_read_schema(path, declared))
+    return normalize_temporals(raw, declared)
 
 
 class Tables(Mapping):

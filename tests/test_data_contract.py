@@ -192,3 +192,43 @@ def test_nanos_encoded_events_stream_load(spark, tmp_path):
     got = sorted(r.t for r in out.collect())
     assert got[0] == "2024-01-01 00:00:07"
     assert got[-1] == "2024-01-01 00:04:07"
+
+
+def test_date32_encoded_temporal_column_loads_as_timestamp(spark, tmp_path):
+    """If a future testdata generation ships o_orderdate as parquet DATE
+    instead of timestamp, the adaptive reader must load it as
+    midnight-UTC timestamps rather than crashing on a schema mismatch
+    (the same failure class as the round-4 events regression, for the
+    other temporal columns)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["O", "F"]),
+            "o_totalprice": pa.array([10.0, 20.0]),
+            "o_orderdate": pa.array(
+                [datetime.date(2024, 1, 1), datetime.date(2024, 6, 15)], pa.date32()
+            ),
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"]),
+            "o_clerk": pa.array(["c1", "c2"]),
+            "o_shippriority": pa.array([0, 0], pa.int32()),
+            "o_comment": pa.array(["a", "b"]),
+        }
+    )
+    path = str(tmp_path / "orders.parquet")
+    pq.write_table(table, path)
+    df = load_table(spark, str(tmp_path), "orders")
+    assert isinstance(df.schema["o_orderdate"].dataType, T.TimestampType)
+    got = sorted(
+        r[0]
+        for r in df.select(
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+        ).collect()
+    )
+    assert got == ["2024-01-01 00:00:00", "2024-06-15 00:00:00"]
