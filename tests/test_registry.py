@@ -79,3 +79,20 @@ def test_all_registered_queries_still_present():
     names = list(qs)
     priority_present = [n for n in CERTIFICATION_PRIORITY if n in qs]
     assert names[: len(priority_present)] == priority_present
+
+
+def test_bench_tier_names_all_registered():
+    """bench.py and scale_bench.py name queries as strings; a rename that
+    misses a tier list would crash the driver's per-round bench run."""
+    import bench
+    import scale_bench
+
+    registered = set(all_queries())
+    for source, names in [
+        ("bench.HEADLINE", bench.HEADLINE),
+        ("bench.CERTIFICATION", bench.CERTIFICATION),
+        ("bench.SENTINEL", [bench.SENTINEL]),
+        ("scale_bench.SUITE", [n for qs in scale_bench.SUITE.values() for n in qs]),
+    ]:
+        missing = [n for n in names if n not in registered]
+        assert not missing, f"{source} names not registered: {missing}"
