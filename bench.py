@@ -84,6 +84,7 @@ HEADLINE = [
     # text suite (quality/fingerprint extensions)
     "docs_quality_scores",
     "docs_repetition_stats",
+    "docs_pii_scrub_stats",
     # dedup / similarity (xxhash64 / LSH / blocked scale paths)
     "docs_exact_dedup",
     "docs_minhash_lsh_candidates",
@@ -133,6 +134,7 @@ CERTIFICATION = [
     "embedding_near_dups_lsh_seeded",
     "docs_simhash_seeded_recall",
     "docs_minhash_seeded_recall",
+    "docs_pii_scrub_seeded",
 ]
 
 

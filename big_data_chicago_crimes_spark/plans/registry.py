@@ -65,6 +65,8 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_minhash_seeded_recall",
     "embedding_near_dups_lsh",
     "embedding_near_dups_lsh_seeded",
+    "docs_pii_scrub_stats",
+    "docs_pii_scrub_seeded",
     # --- tier 1: certification twins, stale since the r5 tier split ---
     "docs_rolling_hash_md5_oracled",
     "docs_minhash_md5_oracled",
@@ -113,8 +115,6 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "events_hourly_tumbling",
     "events_sliding_1h_30m",
     "user_session_counts",
-    "events_by_segment_salted_join",
-    "purchase_after_view_asof",
 )
 
 

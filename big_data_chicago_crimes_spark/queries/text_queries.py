@@ -401,3 +401,114 @@ def docs_rolling_hash_md5_oracled(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.countDistinct("rh").alias("n_unique_fingerprints"))
         .orderBy("lang")
     )
+
+
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@register(
+    "docs_pii_scrub_stats",
+    # The phone/IP patterns use lookarounds, which DuckDB's RE2 cannot
+    # parse → rows-only check. Value certification: the email leg is
+    # hash-oracled by docs_email_scrub_stats_oracled (identical pattern
+    # and metrics), and tests/test_text.py pins planted phone/ip/email
+    # examples through redact_pii/pii_counts.
+    oracle=None,
+    tags=("text", "pii", "scrub", "extension"),
+)
+def docs_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII scrub audit (C4-style cleanup step): per source, docs
+    scanned, per-category hit counts (emails / NANP phones / IPv4), and
+    characters removed by full redaction. Pure chained regexp — codegen,
+    no UDF; linear scan at any scale."""
+    from big_data_chicago_crimes_spark.functions.text import pii_counts, redact_pii
+
+    t = load_tables(spark, sf_dir)
+    scored = t.documents.select(
+        "source",
+        pii_counts("text").alias("pc"),
+        (F.length("text") - F.length(redact_pii("text"))).alias("delta"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("pc.emails").cast("bigint").alias("total_emails"),
+            F.sum("pc.phones").cast("bigint").alias("total_phones"),
+            F.sum("pc.ips").cast("bigint").alias("total_ips"),
+            F.sum("delta").cast("bigint").alias("chars_redacted_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+# Planted PII suffix for the seeded scrub certification. Constants, so
+# every planted doc contributes exactly 1 email + 1 phone + 1 IP and a
+# fixed redaction delta for the lookaround-pattern legs:
+# phone '555-123-4567' (12) → <PHONE> (7) = 5; ip '10.0.0.1' (8) →
+# <IP> (4) = 4. The email leg needs no arithmetic — RE2 computes it.
+_PII_PLANT = " user@example.com 555-123-4567 10.0.0.1"
+
+
+@register(
+    "docs_pii_scrub_seeded",
+    oracle=f"""
+        WITH seeded AS (
+            SELECT source,
+                   CASE WHEN doc_id % 17 = 0 THEN text || '{_PII_PLANT}'
+                        ELSE text END AS text,
+                   CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS planted
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '{_EMAIL_PAT}'))) AS BIGINT)
+                   AS total_emails,
+               CAST(SUM(planted) AS BIGINT) AS total_phones,
+               CAST(SUM(planted) AS BIGINT) AS total_ips,
+               CAST(SUM(length(text)
+                        - length(regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>', 'g'))
+                        + planted * 9) AS BIGINT) AS chars_redacted_delta
+        FROM seeded GROUP BY source ORDER BY source
+    """,
+    tags=("text", "pii", "scrub", "seeded", "extension"),
+)
+def docs_pii_scrub_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_pii_scrub_stats with PLANTED PII — the synthetic corpus
+    contains none (verified: all-zero counts at every test SF), so the
+    production query's correct answer is all zeros, a vacuous match.
+    Docs with doc_id % 17 == 0 get (17 is coprime to the 20-way source partitioning, so plants land in EVERY source group) a constant suffix with one email, one NANP phone,
+    one IPv4; the full production scrub (all three patterns, chained
+    redaction) then has a non-trivial, fully-determined answer. The
+    oracle computes the email leg genuinely in RE2 (the pattern is
+    lookaround-free) and the phone/IP legs arithmetically from the plant
+    (1 hit + 5-char and 4-char deltas per planted doc; organic hits are
+    zero on this corpus — any future organic phone/IP content would
+    surface as a loud driver mismatch, not a silent pass)."""
+    from big_data_chicago_crimes_spark.functions.text import pii_counts, redact_pii
+
+    t = load_tables(spark, sf_dir)
+    seeded = t.documents.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat("text", F.lit(_PII_PLANT))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scored = seeded.select(
+        "source",
+        pii_counts("text").alias("pc"),
+        (F.length("text") - F.length(redact_pii("text"))).alias("delta"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("pc.emails").cast("bigint").alias("total_emails"),
+            F.sum("pc.phones").cast("bigint").alias("total_phones"),
+            F.sum("pc.ips").cast("bigint").alias("total_ips"),
+            F.sum("delta").cast("bigint").alias("chars_redacted_delta"),
+        )
+        .orderBy("source")
+    )
