@@ -83,3 +83,61 @@ def test_ivf_probe_is_partition_pruned_end_to_end(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "centroid_id" in plan
     disk_topk = [(r.vec_id, r.cosine) for r in disk_query.collect()]
     assert disk_topk == mem_topk
+
+
+def test_zorder_layout_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
+    """Z-order clustering must make multi-dimensional predicates
+    skippable at the row-group level: for a 2-D box predicate on
+    (user_id, value), the fraction of row groups whose min/max envelope
+    intersects the box must be strictly smaller under the Z-ordered
+    layout than under the natural (event_id-ordered) layout — that
+    envelope intersection is exactly what parquet readers use to skip."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_chicago_crimes_spark.sources.layout import write_zordered
+    from big_data_chicago_crimes_spark.sources.readers import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    natural, zordered = str(tmp_path / "nat"), str(tmp_path / "zord")
+    events.repartition(8).write.mode("overwrite").parquet(natural)
+    write_zordered(events, zordered, ["user_id", "value"], num_files=8)
+
+    def overlapping(path, lo_u, hi_u, lo_v, hi_v):
+        total = hit = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                su = g.column(cols["user_id"]).statistics
+                sv = g.column(cols["value"]).statistics
+                total += 1
+                if su.min <= hi_u and su.max >= lo_u and sv.min <= hi_v and sv.max >= lo_v:
+                    hit += 1
+        return hit, total
+
+    # a small 2-D box: ~1/10 of the user range x ~1/4 of the value range
+    stats = events.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+    lo_u = stats[0] + (stats[1] - stats[0]) * 4 // 10
+    hi_u = stats[0] + (stats[1] - stats[0]) * 5 // 10
+    lo_v = stats[2] + (stats[3] - stats[2]) * 0.40
+    hi_v = stats[2] + (stats[3] - stats[2]) * 0.65
+
+    nat_hit, nat_total = overlapping(natural, lo_u, hi_u, lo_v, hi_v)
+    z_hit, z_total = overlapping(zordered, lo_u, hi_u, lo_v, hi_v)
+    assert nat_total >= 8 and z_total >= 8
+    # natural layout: every row group spans the full space -> all hit
+    assert nat_hit == nat_total
+    assert z_hit < nat_hit, f"z-order did not prune: {z_hit}/{z_total} vs {nat_hit}/{nat_total}"
+
+    # and the layout is lossless: same rows back
+    back = spark.read.parquet(zordered)
+    assert back.count() == events.count()
+    assert back.agg(F.sum("event_id")).collect()[0][0] == \
+        events.agg(F.sum("event_id")).collect()[0][0]
