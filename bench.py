@@ -85,6 +85,7 @@ HEADLINE = [
     "docs_quality_scores",
     "docs_repetition_stats",
     "docs_pii_scrub_stats",
+    "docs_sequence_packing",
     # dedup / similarity (xxhash64 / LSH / blocked scale paths)
     "docs_exact_dedup",
     "docs_minhash_lsh_candidates",

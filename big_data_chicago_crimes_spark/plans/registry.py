@@ -67,6 +67,7 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "embedding_near_dups_lsh_seeded",
     "docs_pii_scrub_stats",
     "docs_pii_scrub_seeded",
+    "docs_sequence_packing",
     # --- tier 1: certification twins, stale since the r5 tier split ---
     "docs_rolling_hash_md5_oracled",
     "docs_minhash_md5_oracled",
@@ -113,7 +114,6 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_simhash_candidates",
     "docs_minhash_lsh_candidates",
     "events_hourly_tumbling",
-    "events_sliding_1h_30m",
     "user_session_counts",
 )
 

@@ -512,3 +512,74 @@ def docs_pii_scrub_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_PACK_CAPACITY = 2048
+
+
+@register(
+    "docs_sequence_packing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang, doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+            FROM documents
+        ), packed AS (
+            SELECT lang, n_tok,
+                   CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tok) / {_PACK_CAPACITY}.0)
+                        AS BIGINT) AS bin_id
+            FROM toks
+        ), bins AS (
+            SELECT lang, bin_id, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens
+            FROM packed GROUP BY lang, bin_id
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               ROUND(AVG(bin_tokens), 6) AS avg_bin_tokens,
+               CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens
+        FROM bins GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "packing", "extension"),
+)
+def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: assign documents to
+    fixed-capacity ({_PACK_CAPACITY}-token) bins by contiguous fill — a
+    document opens in the bin where its prefix-sum lands (running token
+    sum per lang, deterministic doc_id order). Reports per-lang bin
+    counts and fill. The window partitions by lang, so packing
+    parallelizes across groups at scale exactly like a real packer
+    shards; only the per-group running sum is sequential, which is
+    inherent to contiguous packing. A doc longer than the capacity
+    overflows its bin (contiguous fill never splits documents — the
+    standard pre-splitting contract)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = t.documents.select(
+        "lang", "doc_id", token_count("text").alias("n_tok")
+    ).withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_CAPACITY).cast(
+            "bigint"
+        ),
+    )
+    bins = packed.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens")
+    )
+    return (
+        bins.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.round(F.avg("bin_tokens"), 6).alias("avg_bin_tokens"),
+            F.max("bin_tokens").cast("bigint").alias("max_bin_tokens"),
+        )
+        .orderBy("lang")
+    )
