@@ -147,11 +147,14 @@ def lsh_near_dup_pairs(
     # 56 plane dots × 64 literal Columns each is thousands of py4j calls
     # and ~7 s of driver time PER INVOCATION (same pathology simhash_table
     # documents); the string form parses JVM-side in ~100 ms. Literals
-    # round-trip via repr → identical doubles to F.lit.
+    # round-trip via repr → identical doubles to F.lit. Each element is
+    # coerced to Python float first: repr(np.float64(x)) under NumPy >= 2
+    # is 'np.float64(x)' — unparseable SQL — while Python float repr is
+    # stable and round-trips exactly.
     def sig_sql(t: int) -> str:
         terms = []
         for i, plane in enumerate(_hyperplanes(dim, n_planes, table=t)):
-            arr = ",".join(f"{x!r}D" for x in plane)
+            arr = ",".join(f"{float(x)!r}D" for x in plane)
             dot = (
                 f"aggregate(zip_with({vec_col}, array({arr}), "
                 f"(x, p) -> cast(x as double) * p), 0D, (a, x) -> a + x)"

@@ -409,9 +409,9 @@ _EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 @register(
     "docs_pii_scrub_stats",
     # The phone/IP patterns use lookarounds, which DuckDB's RE2 cannot
-    # parse → rows-only check. Value certification: the email leg is
-    # hash-oracled by docs_email_scrub_stats_oracled (identical pattern
-    # and metrics), and tests/test_text.py pins planted phone/ip/email
+    # parse → rows-only check. Value certification: docs_pii_scrub_seeded
+    # (below) plants deterministic PII and hash-oracles all three pattern
+    # legs end-to-end, and tests/test_text.py pins planted phone/ip/email
     # examples through redact_pii/pii_counts.
     oracle=None,
     tags=("text", "pii", "scrub", "extension"),
@@ -521,8 +521,13 @@ _PACK_CAPACITY = 2048
     "docs_sequence_packing",
     oracle=f"""
         WITH toks AS (
+            -- blank-text guard: regexp_split_to_array('') yields [''] (len 1)
+            -- but the engine's token_count returns 0; packing's prefix-sum
+            -- would amplify a single divergence into every later bin.
             SELECT lang, doc_id,
-                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tok
             FROM documents
         ), packed AS (
             SELECT lang, n_tok,

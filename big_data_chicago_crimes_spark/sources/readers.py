@@ -59,11 +59,26 @@ def literal_table(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-# (path, mtime) → resolved read schema. The footer of a given file never
-# changes without the file itself changing, so one metadata read per path
-# per process is enough; mtime in the key invalidates on rewrite (tests
-# overwrite fixture paths in place).
+# cache-key → resolved read schema. The footer of a given file never
+# changes without the file itself changing, so one metadata read per key
+# per process is enough. For a single file the key is (path, mtime); for
+# a DIRECTORY dataset the directory entry's mtime does not change when a
+# part file is overwritten in place, so the key folds in the max mtime
+# across part files (one listdir — still metadata-only, no data scan).
 _READ_SCHEMA_CACHE: dict[tuple[str, float], T.StructType] = {}
+
+
+def _schema_cache_key(path: str) -> tuple[str, float]:
+    import os
+
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return (path, st.st_mtime)
+    mtimes = [st.st_mtime]
+    for entry in os.scandir(path):
+        if entry.is_file():
+            mtimes.append(entry.stat().st_mtime)
+    return (path, max(mtimes))
 
 
 def _parquet_leaf_types(path: str) -> dict[str, tuple]:
@@ -105,11 +120,9 @@ def adaptive_read_schema(path: str, declared: T.StructType) -> T.StructType:
     assume — for every declared-timestamp column, not just events.ts.
     ``normalize_temporals`` converts the loaded columns back to the
     declared logical types."""
-    import os
-
     import pyarrow as pa
 
-    key = (path, os.stat(path).st_mtime)
+    key = _schema_cache_key(path)
     if key in _READ_SCHEMA_CACHE:
         return _READ_SCHEMA_CACHE[key]
 
