@@ -4,6 +4,7 @@ from big_data_chicago_crimes_spark.queries import (  # noqa: F401
     asof_queries,
     curation_queries,
     dedup_queries,
+    etl_queries,
     join_queries,
     ml_queries,
     multimodal_queries,

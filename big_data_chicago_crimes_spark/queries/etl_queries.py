@@ -1,0 +1,205 @@
+"""ETL-entry-point queries: the reference's OWN ingestion path, driven
+through the driver's oracle gate (VERDICT r6 #1).
+
+The reference's primary source is a CSV scan (Dataset.py:77), followed by
+dropna (Dataset.py:83) and 12-hour-format timestamp parsing
+(Dataset.py:90-93). The engine implements all three
+(sources/readers.py:read_csv, operators/cleaning.py:drop_null_rows /
+decompose_timestamp) with local tests, but until this module none had a
+registered query form, so the most-used entry points of the reference's
+workload were never value-checked at the driver gate. The synthetic
+testdata gives no natural fixture (parquet-only, no nulls, no raw date
+strings), so each query MANUFACTURES its fixture deterministically:
+
+- ``events_csv_roundtrip`` materializes events as a real CSV file once
+  per SF (probe-or-write, the reference's cached() pattern), re-reads it
+  with the explicit schema (never inferSchema — that is a second full
+  pass at 100 TB), and aggregates; the oracle runs the same aggregate on
+  the parquet, so any loss in the CSV write/read cycle (types, quoting,
+  timestamp precision) breaks the hash.
+- ``events_dropna_seeded`` plants NULLs by a deterministic event_id rule
+  and drops them with the production operator; the oracle plants the
+  same NULLs with CASE and filters IS NOT NULL.
+- ``events_to_timestamp_seeded`` formats ts into the reference's exact
+  12-hour string ('MM/dd/yyyy hh:mm:ss a') and parses it back through
+  ``decompose_timestamp``; the oracle round-trips through strftime/
+  strptime('%m/%d/%Y %I:%M:%S %p'). Certifies F2 + the derived date
+  parts (F3) end to end, AM/PM hour reconstruction included.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_chicago_crimes_spark.operators.cleaning import drop_null_rows
+from big_data_chicago_crimes_spark.plans.registry import register
+from big_data_chicago_crimes_spark.schemas import EVENTS_SCHEMA
+from big_data_chicago_crimes_spark.sources.readers import load_tables, read_csv
+
+# Microsecond-precision format: Spark timestamps are µs, so this
+# round-trips losslessly; DuckDB's '%f' prints the same six digits.
+_CSV_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_CSV_NULL = "\\N"  # unambiguous null token (default '' aliases empty strings)
+
+
+def _csv_lake_path(spark: SparkSession, sf_dir: str) -> str:
+    """Per-SF CSV materialization path (same keying as the ANN lake:
+    sf0.01 driver runs and sf0.1 bench runs never share a file)."""
+    base = spark.conf.get("spark.bdcc.lakeDir", "spark-warehouse/lake")
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return f"{base}/{sf_name}/events_csv"
+
+
+@register(
+    "events_csv_roundtrip",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               ROUND(SUM(value), 6) AS sum_value,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("etl", "csv", "reference:S1"),
+)
+def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 CSV scan (Dataset.py:77) driven end-to-end: events → CSV file
+    (once per SF) → explicit-schema CSV read → aggregate. The oracle
+    aggregates the PARQUET table, so the hash passes only if every
+    column — bigints, doubles, the JSON ``props`` string (embedded
+    quotes/commas), and the µs-precision timestamp — survives the CSV
+    cycle byte-exactly. Unlike the reference, the read declares its
+    schema (inferSchema=True is a second full scan at 100 TB)."""
+    from big_data_chicago_crimes_spark.sources.sinks import path_exists
+
+    path = _csv_lake_path(spark, sf_dir)
+    if not path_exists(spark, path):
+        (
+            load_tables(spark, sf_dir)
+            .events.write.mode("overwrite")
+            .options(header=True, timestampFormat=_CSV_TS_FMT, nullValue=_CSV_NULL)
+            .csv(path)
+        )
+    events = read_csv(
+        spark,
+        path,
+        EVENTS_SCHEMA,
+        timestampFormat=_CSV_TS_FMT,
+        nullValue=_CSV_NULL,
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.date_format(F.min("ts"), _CSV_TS_FMT).alias("min_ts"),
+            F.date_format(F.max("ts"), _CSV_TS_FMT).alias("max_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_dropna_seeded",
+    oracle="""
+        WITH seeded AS (
+            SELECT event_type,
+                   CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value,
+                   CASE WHEN event_id % 17 = 0 THEN NULL ELSE user_id END AS user_id
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM seeded
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("etl", "dropna", "seeded", "reference:P10"),
+)
+def events_dropna_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 dropna (Dataset.py:83) with PLANTED nulls — the synthetic
+    events table has none (verified at every SF), so the production
+    operator's answer on raw events is vacuous. Deterministic rules
+    (event_id % 13 → value NULL, % 17 → user_id NULL; coprime, so both
+    singly- and doubly-nulled rows exist) manufacture a fixture;
+    ``drop_null_rows`` with a SUBSET — the scale-sane form, an
+    all-column dropna would eat optional fields — must then drop
+    exactly the planted rows."""
+    t = load_tables(spark, sf_dir)
+    seeded = t.events.select(
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(F.col("event_id") % 17 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+    )
+    return (
+        drop_null_rows(seeded, subset=["value", "user_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_to_timestamp_seeded",
+    oracle="""
+        WITH raw AS (
+            SELECT event_id, strftime(ts, '%m/%d/%Y %I:%M:%S %p') AS raw_ts
+            FROM events
+        ), parsed AS (
+            SELECT event_id, strptime(raw_ts, '%m/%d/%Y %I:%M:%S %p') AS pts
+            FROM raw
+        )
+        SELECT CAST(hour(pts) AS INT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+               strftime(MIN(pts), '%Y-%m-%d %H:%M:%S') AS min_parsed,
+               strftime(MAX(pts), '%Y-%m-%d %H:%M:%S') AS max_parsed
+        FROM parsed GROUP BY hour ORDER BY hour
+    """,
+    tags=("etl", "to_timestamp", "seeded", "reference:F2"),
+)
+def events_to_timestamp_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 12-hour timestamp parsing (Dataset.py:90-93) on a MANUFACTURED
+    raw-string column: format ts into the reference's exact input format
+    ('MM/dd/yyyy hh:mm:ss a' — the crimes CSV's encoding), then run the
+    production ``decompose_timestamp`` (parse + derive date parts + drop
+    the raw column, operators/cleaning.py:66). Grouping by the derived
+    ``hour`` certifies the AM/PM → 24-hour reconstruction across all 24
+    buckets; min/max of the parsed timestamp pin second-precision
+    fidelity (the 12-hour format carries no sub-second digits — both
+    engines truncate identically)."""
+    from big_data_chicago_crimes_spark.operators.cleaning import decompose_timestamp
+
+    t = load_tables(spark, sf_dir)
+    raw = t.events.select(
+        "event_id",
+        F.date_format("ts", "MM/dd/yyyy hh:mm:ss a").alias("raw_ts"),
+    )
+    # decompose_timestamp drops the parsed column; keep a copy for min/max
+    parsed = raw.withColumn(
+        "pts", F.to_timestamp("raw_ts", "MM/dd/yyyy hh:mm:ss a")
+    )
+    decomposed = decompose_timestamp(parsed, "raw_ts").select("event_id", "hour", "pts")
+    return (
+        decomposed.groupBy(F.col("hour").cast("int").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.date_format(F.min("pts"), "yyyy-MM-dd HH:mm:ss").alias("min_parsed"),
+            F.date_format(F.max("pts"), "yyyy-MM-dd HH:mm:ss").alias("max_parsed"),
+        )
+        .orderBy("hour")
+    )
