@@ -47,6 +47,7 @@ import time
 
 HEADLINE = [
     # reference-derived analytical spine
+    "events_csv_roundtrip",  # S1 ingestion path (CSV materialized once, then scanned)
     "events_count_by_type",
     "hourly_max_event_count",
     "orders_quarter_pivot",
@@ -91,7 +92,6 @@ HEADLINE = [
     "docs_minhash_lsh_candidates",
     "docs_simhash_candidates",
     "docs_jaccard_pairs",
-    "embedding_near_dups",
     "embedding_near_dups_lsh",  # data-sized LSH blocking (scale path)
     "embedding_cosine_topk",
     "embedding_ann_lsh_topk",
@@ -131,11 +131,19 @@ CERTIFICATION = [
     "docs_simhash_md5_oracled",
     "docs_simhash_band_candidates_md5_oracled",
     "docs_char_ngram_jaccard",  # exact in-block verify; scale path = LSH+verify
+    # label-blocked quadratic baseline: demoted from HEADLINE in r7
+    # (VERDICT r6 #3) — it exists as the correctness baseline for the LSH
+    # pair path, and its constant-cardinality blocking key is exactly the
+    # shape that hides at sf0.1 and explodes at scale (56× at 10× data)
+    "embedding_near_dups",
     "embedding_near_dups_seeded",
     "embedding_near_dups_lsh_seeded",
     "docs_simhash_seeded_recall",
     "docs_minhash_seeded_recall",
     "docs_pii_scrub_seeded",
+    "embedding_ivf_topk_lake_seeded",
+    "events_dropna_seeded",
+    "events_to_timestamp_seeded",
 ]
 
 

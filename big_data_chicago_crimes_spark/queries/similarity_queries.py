@@ -237,18 +237,48 @@ def embedding_ann_lsh_topk_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(candidates, qvec, k=10)
 
 
-def _ivf_lake(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+# Planted-duplicate fixture for the seeded IVF certification: j exact
+# copies of the query vector with known ids. dist(copy, c) == dist(q, c)
+# for EVERY centroid c, so KMeans assigns each copy to q's nearest cell —
+# the first cell any probe visits — regardless of where the (seeded but
+# data-dependent) cell boundaries fall; with k == j the top-k is fully
+# determined (copies score cosine exactly 1.0; the max organic cosine to
+# vec 0 is ~0.41 at every test SF).
+_IVF_PLANT_BASE = 1_000_000
+_IVF_PLANT_N = 10
+
+
+def _seeded_embeddings(t) -> DataFrame:
+    plants = (
+        _query_vec_col(t)
+        .crossJoin(t.embeddings.sparkSession.range(_IVF_PLANT_N))
+        .select(
+            (F.lit(_IVF_PLANT_BASE) + F.col("id")).cast("long").alias("vec_id"),
+            F.col("qvec").alias("embedding"),
+            F.lit(-1).cast("int").alias("label"),
+        )
+    )
+    return t.embeddings.unionByName(plants)
+
+
+def _ivf_lake(
+    spark: SparkSession, sf_dir: str, seeded: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """(inverted lists partitioned by centroid_id, centroid metadata).
-    KMeans fits at most once per SF; both artifacts land in the lake."""
+    KMeans fits at most once per SF; both artifacts land in the lake.
+    ``seeded`` builds a parallel index over the planted-duplicate table
+    (separate lake paths — certification never pollutes the real index)."""
     from big_data_chicago_crimes_spark.operators.similarity import ivf_index
     from big_data_chicago_crimes_spark.sources.sinks import path_exists, write_parquet
 
     root = _lake_root(spark, sf_dir)
-    data_path = f"{root}/embeddings_ivf"
-    cent_path = f"{root}/embeddings_ivf_centroids"
+    suffix = "_seeded" if seeded else ""
+    data_path = f"{root}/embeddings_ivf{suffix}"
+    cent_path = f"{root}/embeddings_ivf_centroids{suffix}"
     if not (path_exists(spark, data_path) and path_exists(spark, cent_path)):
         t = load_tables(spark, sf_dir)
-        assigned, centroids = ivf_index(t.embeddings, k_centroids=16)
+        base = _seeded_embeddings(t) if seeded else t.embeddings
+        assigned, centroids = ivf_index(base, k_centroids=16)
         write_parquet(
             assigned.repartition("centroid_id"), data_path, partition_by=["centroid_id"]
         )
@@ -260,23 +290,17 @@ def _ivf_lake(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return spark.read.parquet(data_path), spark.read.parquet(cent_path)
 
 
-@register(
-    "embedding_ivf_topk_lake",
-    oracle=None,  # KMeans-seeded index — recall pinned vs exact in tests
-    tags=("similarity", "ann", "ivf", "lake", "extension"),
-)
-def embedding_ivf_topk_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN against the MATERIALIZED centroid-partitioned inverted
-    lists: rank the 16 stored centroids driver-side (index metadata, not
-    data), scan only the 4 nearest lists via partition pruning, exact
-    cosine re-rank."""
+def _ivf_probe(spark: SparkSession, sf_dir: str, seeded: bool) -> DataFrame:
+    """The IVF query plan both lake variants share: rank the 16 stored
+    centroids driver-side (index metadata, not data), scan only the 4
+    nearest inverted lists via partition pruning, exact cosine re-rank."""
     import numpy as np
 
     from big_data_chicago_crimes_spark.operators.similarity import cosine_topk
 
     t = load_tables(spark, sf_dir)
     qvec = _query_vec(t)
-    lists, cent_df = _ivf_lake(spark, sf_dir)
+    lists, cent_df = _ivf_lake(spark, sf_dir, seeded=seeded)
     q = np.asarray(qvec, dtype=float)
     cents = {r["centroid_id"]: r["centroid"] for r in cent_df.collect()}  # 16 rows
     probe_ids = sorted(
@@ -286,3 +310,54 @@ def embedding_ivf_topk_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("centroid_id").isin(probe_ids) & (F.col("vec_id") != _QUERY_VEC_ID)
     )
     return cosine_topk(candidates, qvec, k=10)
+
+
+@register(
+    "embedding_ivf_topk_lake",
+    oracle=None,  # KMeans-seeded index — recall pinned vs exact in tests;
+    # value certification: embedding_ivf_topk_lake_seeded below runs the
+    # identical probe plan against a planted-duplicate index with a full
+    # exact-top-k oracle
+    tags=("similarity", "ann", "ivf", "lake", "extension"),
+)
+def embedding_ivf_topk_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN against the MATERIALIZED centroid-partitioned inverted
+    lists: rank the 16 stored centroids driver-side (index metadata, not
+    data), scan only the 4 nearest lists via partition pruning, exact
+    cosine re-rank."""
+    return _ivf_probe(spark, sf_dir, seeded=False)
+
+
+@register(
+    "embedding_ivf_topk_lake_seeded",
+    oracle=f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = {_QUERY_VEC_ID}),
+        seeded AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            UNION ALL
+            SELECT {_IVF_PLANT_BASE} + r.i AS vec_id, q.qv AS emb
+            FROM q, range({_IVF_PLANT_N}) r(i)
+        )
+        SELECT s.vec_id,
+               ROUND(list_dot_product(s.emb, q.qv) /
+                     (sqrt(list_dot_product(s.emb, s.emb)) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM seeded s, q
+        WHERE s.vec_id <> {_QUERY_VEC_ID}
+        ORDER BY cosine DESC, s.vec_id LIMIT {_IVF_PLANT_N}
+    """,
+    tags=("similarity", "ann", "ivf", "lake", "seeded", "extension"),
+)
+def embedding_ivf_topk_lake_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_ivf_topk_lake``'s planted-fixture certification
+    (VERDICT r6 #2): the index is built over embeddings plus 10 exact
+    copies of the query vector. Every copy's centroid distances equal
+    q's, so KMeans puts them all in q's nearest cell — the first cell
+    probed — and with k = 10 the output is fully determined (cosine
+    exactly 1.0 each, organic max ~0.41) no matter where the cell
+    boundaries fall. The oracle computes
+    the exact global top-k over the same seeded union, so the driver
+    hash certifies the ENTIRE probe plan: index build, centroid ranking,
+    partition-pruned list scan, and exact re-rank."""
+    return _ivf_probe(spark, sf_dir, seeded=True)
