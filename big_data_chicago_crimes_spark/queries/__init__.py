@@ -6,6 +6,7 @@ from big_data_chicago_crimes_spark.queries import (  # noqa: F401
     dedup_queries,
     etl_queries,
     join_queries,
+    layout_queries,
     ml_queries,
     multimodal_queries,
     olap_queries,

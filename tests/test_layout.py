@@ -141,3 +141,47 @@ def test_zorder_layout_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
     assert back.count() == events.count()
     assert back.agg(F.sum("event_id")).collect()[0][0] == \
         events.agg(F.sum("event_id")).collect()[0][0]
+
+
+def test_zorder_query_box_skips_rowgroups(spark, sf_dir):
+    """The registered lineitem_zorder_box_scan query's EXACT predicate
+    box must be row-group-skippable on the lake layout the query itself
+    builds: fewer row groups intersect the (l_quantity, l_extendedprice)
+    box than exist in total, so the clustered scan genuinely reads less
+    — tying the driver-certified answer to the pruning property."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_chicago_crimes_spark.queries.layout_queries import (
+        _PRICE_HI,
+        _PRICE_LO,
+        _QTY_HI,
+        _QTY_LO,
+        zordered_lineitem,
+        zordered_lineitem_path,
+    )
+
+    zordered_lineitem(spark, sf_dir)  # materialize (idempotent)
+    path = zordered_lineitem_path(spark, sf_dir)
+    total = hit = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            sq = g.column(cols["l_quantity"]).statistics
+            sp = g.column(cols["l_extendedprice"]).statistics
+            total += 1
+            if (
+                sq.min <= _QTY_HI
+                and sq.max >= _QTY_LO
+                and sp.min <= _PRICE_HI
+                and sp.max >= _PRICE_LO
+            ):
+                hit += 1
+    assert total >= 8, f"expected a multi-file layout, got {total} row groups"
+    assert hit < total, (
+        f"z-order box not prunable: {hit}/{total} row groups intersect "
+        f"the query's predicate box"
+    )
