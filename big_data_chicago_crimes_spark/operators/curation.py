@@ -179,6 +179,125 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Connected components via large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same signature and output contract as
+    ``connected_components``: returns ``(id, component)`` with
+    ``component`` the minimum reachable node id.
+
+    Where min-label propagation needs one round per unit of graph
+    DIAMETER, the alternation converges in O(log²) rounds regardless of
+    diameter: each round rewires the edge set itself toward a union of
+    stars centered at component minima.
+
+    - large-star(u): every strictly larger neighbor of ``u`` is
+      re-attached to m(u) = min(N(u) ∪ {u}); edges to smaller neighbors
+      survive via those neighbors' own large-star step, so connectivity
+      is preserved while long chains halve.
+    - small-star(u): ``u`` and its smaller neighbors all attach to the
+      minimum of that set, collapsing local funnels into stars.
+
+    Both phases emit canonically-oriented (bigger, smaller) edges, so
+    the fixpoint test is set equality of the oriented edge set (two
+    ``exceptAll`` probes — same cost class as a propagation round's
+    convergence count). Per round: two groupBy-join pairs on node id —
+    shuffle volume proportional to the CURRENT edge set, which shrinks
+    toward one edge per node. Lineage is cut per round exactly like the
+    propagation variant (localCheckpoint, or reliable ``checkpoint()``
+    under ``checkpoint_dir`` for executor-loss durability on a real
+    cluster).
+
+    Propagation remains the default for near-dup dedup graphs (their
+    clusters are near-cliques — diameter 2-3, so 3-4 cheap rounds beat
+    the alternation's heavier per-round work; A/B at sf1 in
+    BENCH_ATTRIBUTION_r07.md); this variant is the right engine for
+    chain-shaped / adversarial-diameter graphs, certified identical on a
+    planted 256-link chain by tests/test_curation.py.
+    """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        import uuid
+
+        spark.sparkContext.setCheckpointDir(f"{checkpoint_dir}/cc-{uuid.uuid4().hex}")
+
+        def cut(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    nodes = cut(nodes)
+    # canonical orientation: u > v (self-loops are singleton noise)
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = cut(e)
+    for _ in range(max_iter):
+        # large-star: m(u) = min(N(u) ∪ {u}); attach each v > u to m(u)
+        nbrs = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("__mv"))
+            .select("u", F.least("__mv", "u").alias("m"))
+        )
+        large = (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the (bigger, smaller) orientation: u and all
+        # its smaller neighbors attach to min(smaller neighbors)
+        sm = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(sm, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(sm.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        small = cut(small)
+        changed = (
+            small.exceptAll(e).union(e.exceptAll(small)).limit(1).count()
+        )
+        e = small
+        if changed == 0:
+            labels = (
+                e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            )
+            return nodes.join(labels, "id", "left").select(
+                "id",
+                F.coalesce("component", F.col("id")).alias("component"),
+            )
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     block_cols: list[str],

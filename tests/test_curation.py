@@ -52,3 +52,63 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
     ckpt_files = list((tmp_path / "cc_ckpt").rglob("*"))
     assert ckpt_files, "reliable checkpoint dir is empty — durable path not taken"
+
+
+def test_star_components_match_propagation_on_basics(spark):
+    """Large-star/small-star must produce byte-identical labelings to
+    min-label propagation on the basic shapes (two components, isolated
+    pair, singleton-free edge list)."""
+    from big_data_chicago_crimes_spark.operators.curation import (
+        connected_components_star,
+    )
+
+    edges = _edges(spark, [(1, 2), (2, 3), (10, 11), (3, 4)])
+    prop = {(r.id, r.component) for r in connected_components(edges).collect()}
+    star = {(r.id, r.component) for r in connected_components_star(edges).collect()}
+    assert star == prop == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_star_components_planted_256_chain(spark):
+    """The planted-chain certification (VERDICT r6 #6): a 256-link path
+    graph has diameter 256 — min-label propagation needs ~256 rounds
+    (far past its max_iter guard), while the alternation must collapse
+    it to one component in O(log² n) rounds. Certify: (a) the star
+    labeling on the chain is exactly {all nodes → 0}; (b) on a
+    cut-down 24-link chain BOTH algorithms converge and agree exactly."""
+    from big_data_chicago_crimes_spark.operators.curation import (
+        connected_components_star,
+    )
+
+    chain = _edges(spark, [(i, i + 1) for i in range(256)])
+    labels = connected_components_star(chain, max_iter=20).collect()
+    assert len(labels) == 257
+    assert {r.component for r in labels} == {0}
+
+    short = _edges(spark, [(i, i + 1) for i in range(24)])
+    prop = {
+        (r.id, r.component)
+        for r in connected_components(short, max_iter=30).collect()
+    }
+    star = {
+        (r.id, r.component)
+        for r in connected_components_star(short, max_iter=20).collect()
+    }
+    assert star == prop == {(i, 0) for i in range(25)}
+
+
+def test_star_components_match_on_dedup_graph(spark, sf_dir):
+    """On the engine's ORGANIC near-dup edge list (the input
+    docs_dedup_components resolves), both algorithms must agree on every
+    label — certifying the alternation as a drop-in for the production
+    resolution step."""
+    from big_data_chicago_crimes_spark.operators.curation import (
+        connected_components_star,
+    )
+    from big_data_chicago_crimes_spark.operators.dedup import token_jaccard_pairs
+    from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    edges = token_jaccard_pairs(t.documents, ["lang", "source"], threshold=0.5)
+    prop = {(r.id, r.component) for r in connected_components(edges).collect()}
+    star = {(r.id, r.component) for r in connected_components_star(edges).collect()}
+    assert star == prop and prop
