@@ -142,8 +142,7 @@ CERTIFICATION = [
     "docs_minhash_seeded_recall",
     "docs_pii_scrub_seeded",
     "embedding_ivf_topk_lake_seeded",
-    "events_dropna_seeded",
-    "events_to_timestamp_seeded",
+    "events_etl_clean_seeded",
 ]
 
 

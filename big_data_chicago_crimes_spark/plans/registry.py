@@ -41,80 +41,79 @@ REGISTRY: dict[str, Query] = {}
 # indexes 0-49). ``CERTIFICATION_PRIORITY`` pins iteration order so the
 # sample window is always spent where evidence is weakest. Rotated every round
 # (VERDICT r4 #3); tests/test_registry.py derives the staleness contract from
-# the committed CORRECTNESS history, so a bad rotation fails CI. Round-6 tiers
-# (r5 was fully green, so this round is pure staleness + new-code rotation):
-# Tier 0: the round's NEW queries, never sampled — docs_simhash_seeded_recall
-#         (planted-Hamming-3 fixture, VERDICT r5 #6) and the LSH near-dup
-#         pair path + its planted-twin certification variant (the answer to
-#         BENCH_SCALE's one super-linear result);
-# Tier 1: the 5 certification twins whose last driver rows (r4) predate the
-#         bench tier split that moved them off the headline path;
-# Tier 2: the ml_* quartet, last sampled r4;
-# Tier 3: every other query whose last driver row is r4 — 30 queries, all
-#         of which would go >2 rounds stale if left outside the window;
-# Tier 4: r5-green queries whose inputs this round's diff touches — the
-#         events reader was restructured again (directory-aware, INT96-
-#         physical-type-aware, memoized footer peek), so re-certify its
-#         consumers; plus the two xxhash64 rows-only surfaces whose seeded
-#         companion landed this round.
-# Tiers 0+1+2+3+4 = exactly 50. Everything else (fresh r5 greens) follows in
+# the committed CORRECTNESS history, so a bad rotation fails CI. Round-7 tiers
+# (r6 was fully green, so this round is pure staleness + new-code rotation,
+# and the arithmetic is exact — 4 never-sampled + the 46 queries whose last
+# driver row is r5 fill the window with no slack; this is why the round's
+# dropna/to_timestamp coverage ships as ONE combined fixture query):
+# Tier 0: the round's NEW queries, never sampled — the ETL entry points
+#         (CSV roundtrip; the dropna→to_timestamp planted pipeline), the
+#         IVF planted-duplicate certification, and the Z-order clustered
+#         read path (VERDICT r6 #1/#2/#7);
+# Tier 1: every query whose last driver row is r5 — the full join/OLAP/
+#         reference cohort plus the r5 certification twins — all of which
+#         would go >2 rounds stale if left outside the window.
+# Tiers 0+1 = exactly 50. Everything else (fresh r6 greens) follows in
 # registration order as cumulative evidence.
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # --- tier 0: new this round, never sampled ---
-    "docs_simhash_seeded_recall",
-    "docs_minhash_seeded_recall",
-    "embedding_near_dups_lsh",
-    "embedding_near_dups_lsh_seeded",
-    "docs_pii_scrub_stats",
-    "docs_pii_scrub_seeded",
-    "docs_sequence_packing",
-    # --- tier 1: certification twins, stale since the r5 tier split ---
-    "docs_rolling_hash_md5_oracled",
-    "docs_minhash_md5_oracled",
-    "docs_simhash_md5_oracled",
-    "docs_simhash_band_candidates_md5_oracled",
-    "docs_char_ngram_jaccard",
-    # --- tier 2: ml quartet, last sampled r4 ---
-    "ml_logreg_auc",
-    "ml_random_forest_auc",
-    "ml_gbt_rmse",
-    "ml_kmeans_customer_clusters",
-    # --- tier 3: last driver row is r4 (30 queries) ---
-    "docs_ngram_contamination",
-    "docs_dedup_components",
-    "docs_tfidf_similar_pairs",
-    "docs_exact_dedup",
-    "docs_jaccard_pairs",
-    "revenue_by_nation",
-    "pricing_summary",
-    "orders_price_quantiles_approx",
-    "orders_year_range_filter",
-    "orders_by_season",
-    "docs_hash_sample",
-    "docs_train_val_test_split",
-    "docs_stratified_sample",
-    "embedding_cosine_topk",
-    "embedding_ann_lsh_topk",
-    "embedding_lsh_bucket_histogram",
-    "embedding_ann_lsh_topk_lake",
-    "embedding_ivf_topk_lake",
-    "docs_token_stats",
-    "docs_quality_by_source",
-    "docs_fingerprint_census",
-    "docs_lang_id",
-    "docs_bpe_token_stats",
-    "docs_quality_scores",
-    "docs_repetition_stats",
-    "docs_rolling_hash",
-    "orders_moving_avg_3m",
-    "orders_monthly_delta",
-    "best_order_per_customer",
-    "customer_balance_rank_in_nation",
-    # --- tier 4: r6-diff-touched (events reader rework; xxhash64 paths) ---
-    "docs_simhash_candidates",
-    "docs_minhash_lsh_candidates",
-    "events_hourly_tumbling",
-    "user_session_counts",
+    "events_csv_roundtrip",
+    "events_etl_clean_seeded",
+    "embedding_ivf_topk_lake_seeded",
+    "lineitem_zorder_box_scan",
+    # --- tier 1: last driver row is r5 (46 queries) ---
+    # reference-derived spine
+    "events_count_by_type",
+    "orders_count_by_priority",
+    "hourly_max_event_count",
+    "orders_quarter_pivot",
+    "purchase_top_users",
+    "event_value_stats",
+    "events_not_in_filter",
+    "events_null_census",
+    "events_dedup_keyed",
+    "orders_filled_pct",
+    "distinct_event_types",
+    "top10_part_types",
+    # joins / TPC-H shapes
+    "top_revenue_orders",
+    "segment_customers_with_orders",
+    "shipping_priority_top10",
+    "returned_item_top_customers",
+    "supplier_nation_revenue",
+    "events_by_segment_salted_join",
+    "purchasers_with_errors",
+    "purchasers_without_errors",
+    # windows / sessions
+    "orders_running_total",
+    "customer_balance_quartiles",
+    "forecast_revenue_change",
+    "events_sliding_1h_30m",
+    # OLAP widening
+    "lineitem_rollup",
+    "orders_cube",
+    "orders_grouping_sets",
+    "nation_balance_extremes",
+    "distinct_users_by_type",
+    "approx_distinct_users_by_type",
+    "orders_price_quantiles",
+    "promo_revenue_pct",
+    "lineitem_correlations",
+    "late_shipment_orders",
+    "parts_never_ordered",
+    "all_account_balances",
+    "events_json_extract",
+    "events_from_json_struct",
+    "purchase_after_view_asof",
+    "order_price_at_ship_asof",
+    "orders_by_price_band",
+    # dedup / similarity baselines + ml correlation
+    "embedding_near_dups",
+    "embedding_near_dups_seeded",
+    "ml_correlation_matrix",
+    # multimodal plumbing
+    "multimodal_decode_stats",
+    "multimodal_frame_sample_counts",
 )
 
 

@@ -17,14 +17,15 @@ strings), so each query MANUFACTURES its fixture deterministically:
   pass at 100 TB), and aggregates; the oracle runs the same aggregate on
   the parquet, so any loss in the CSV write/read cycle (types, quoting,
   timestamp precision) breaks the hash.
-- ``events_dropna_seeded`` plants NULLs by a deterministic event_id rule
-  and drops them with the production operator; the oracle plants the
-  same NULLs with CASE and filters IS NOT NULL.
-- ``events_to_timestamp_seeded`` formats ts into the reference's exact
-  12-hour string ('MM/dd/yyyy hh:mm:ss a') and parses it back through
-  ``decompose_timestamp``; the oracle round-trips through strftime/
-  strptime('%m/%d/%Y %I:%M:%S %p'). Certifies F2 + the derived date
-  parts (F3) end to end, AM/PM hour reconstruction included.
+- ``events_etl_clean_seeded`` runs the reference's dropna →
+  to_timestamp pipeline on a planted fixture: NULLs by a deterministic
+  event_id rule, dropped with the production ``drop_null_rows``; ts
+  formatted into the reference's exact 12-hour string
+  ('MM/dd/yyyy hh:mm:ss a') and parsed back through
+  ``decompose_timestamp``. The oracle plants the same NULLs with CASE
+  and round-trips through strftime/strptime('%m/%d/%Y %I:%M:%S %p') —
+  certifying P10 + F2 + the derived date parts (F3) end to end, AM/PM
+  hour reconstruction included.
 """
 
 from __future__ import annotations
@@ -103,101 +104,71 @@ def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_dropna_seeded",
+    "events_etl_clean_seeded",
     oracle="""
         WITH seeded AS (
-            SELECT event_type,
+            SELECT event_id,
                    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value,
-                   CASE WHEN event_id % 17 = 0 THEN NULL ELSE user_id END AS user_id
+                   strftime(ts, '%m/%d/%Y %I:%M:%S %p') AS raw_ts
             FROM events
-        )
-        SELECT event_type,
-               CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-               ROUND(SUM(value), 6) AS sum_value
-        FROM seeded
-        WHERE value IS NOT NULL AND user_id IS NOT NULL
-        GROUP BY event_type ORDER BY event_type
-    """,
-    tags=("etl", "dropna", "seeded", "reference:P10"),
-)
-def events_dropna_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P10 dropna (Dataset.py:83) with PLANTED nulls — the synthetic
-    events table has none (verified at every SF), so the production
-    operator's answer on raw events is vacuous. Deterministic rules
-    (event_id % 13 → value NULL, % 17 → user_id NULL; coprime, so both
-    singly- and doubly-nulled rows exist) manufacture a fixture;
-    ``drop_null_rows`` with a SUBSET — the scale-sane form, an
-    all-column dropna would eat optional fields — must then drop
-    exactly the planted rows."""
-    t = load_tables(spark, sf_dir)
-    seeded = t.events.select(
-        "event_type",
-        F.when(F.col("event_id") % 13 == 0, None)
-        .otherwise(F.col("value"))
-        .alias("value"),
-        F.when(F.col("event_id") % 17 == 0, None)
-        .otherwise(F.col("user_id"))
-        .alias("user_id"),
-    )
-    return (
-        drop_null_rows(seeded, subset=["value", "user_id"])
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "events_to_timestamp_seeded",
-    oracle="""
-        WITH raw AS (
-            SELECT event_id, strftime(ts, '%m/%d/%Y %I:%M:%S %p') AS raw_ts
-            FROM events
+        ), cleaned AS (
+            SELECT * FROM seeded WHERE value IS NOT NULL
         ), parsed AS (
-            SELECT event_id, strptime(raw_ts, '%m/%d/%Y %I:%M:%S %p') AS pts
-            FROM raw
+            SELECT event_id, value,
+                   strptime(raw_ts, '%m/%d/%Y %I:%M:%S %p') AS pts
+            FROM cleaned
         )
         SELECT CAST(hour(pts) AS INT) AS hour,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+               ROUND(SUM(value), 6) AS sum_value,
                strftime(MIN(pts), '%Y-%m-%d %H:%M:%S') AS min_parsed,
                strftime(MAX(pts), '%Y-%m-%d %H:%M:%S') AS max_parsed
         FROM parsed GROUP BY hour ORDER BY hour
     """,
-    tags=("etl", "to_timestamp", "seeded", "reference:F2"),
+    tags=("etl", "dropna", "to_timestamp", "seeded", "reference:P10", "reference:F2"),
 )
-def events_to_timestamp_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 12-hour timestamp parsing (Dataset.py:90-93) on a MANUFACTURED
-    raw-string column: format ts into the reference's exact input format
-    ('MM/dd/yyyy hh:mm:ss a' — the crimes CSV's encoding), then run the
-    production ``decompose_timestamp`` (parse + derive date parts + drop
-    the raw column, operators/cleaning.py:66). Grouping by the derived
-    ``hour`` certifies the AM/PM → 24-hour reconstruction across all 24
-    buckets; min/max of the parsed timestamp pin second-precision
-    fidelity (the 12-hour format carries no sub-second digits — both
-    engines truncate identically)."""
+def events_etl_clean_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dropna → to_timestamp cleaning pipeline
+    (Dataset.py:83, :90-93) on a MANUFACTURED fixture — the synthetic
+    events table has no nulls and no raw date strings, so the production
+    operators' answers on raw events are vacuous. The fixture plants
+    both deterministically: ``value`` is nulled when event_id % 13 == 0,
+    and ``ts`` is formatted into the reference's exact 12-hour input
+    format ('MM/dd/yyyy hh:mm:ss a' — the crimes CSV's encoding). The
+    production pipeline then runs: ``drop_null_rows`` with a SUBSET (the
+    scale-sane form — an all-column dropna would eat optional fields)
+    must drop exactly the planted rows, and ``decompose_timestamp``
+    (parse + derive date parts + drop the raw column,
+    operators/cleaning.py:66) must reconstruct the 24-hour clock from
+    AM/PM across all 24 ``hour`` buckets; min/max of the parsed
+    timestamp pin second-precision fidelity (the 12-hour format carries
+    no sub-second digits — both engines truncate identically)."""
     from big_data_chicago_crimes_spark.operators.cleaning import decompose_timestamp
 
     t = load_tables(spark, sf_dir)
-    raw = t.events.select(
+    seeded = t.events.select(
         "event_id",
+        F.when(F.col("event_id") % 13 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
         F.date_format("ts", "MM/dd/yyyy hh:mm:ss a").alias("raw_ts"),
     )
-    # decompose_timestamp drops the parsed column; keep a copy for min/max
-    parsed = raw.withColumn(
+    cleaned = drop_null_rows(seeded, subset=["value"])
+    # decompose_timestamp drops the raw column; keep the parsed value
+    # too so min/max pin the parse itself, not just its date parts
+    parsed = cleaned.withColumn(
         "pts", F.to_timestamp("raw_ts", "MM/dd/yyyy hh:mm:ss a")
     )
-    decomposed = decompose_timestamp(parsed, "raw_ts").select("event_id", "hour", "pts")
+    decomposed = decompose_timestamp(parsed, "raw_ts").select(
+        "event_id", "value", "hour", "pts"
+    )
     return (
         decomposed.groupBy(F.col("hour").cast("int").alias("hour"))
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("event_id").alias("n_ids"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
             F.date_format(F.min("pts"), "yyyy-MM-dd HH:mm:ss").alias("min_parsed"),
             F.date_format(F.max("pts"), "yyyy-MM-dd HH:mm:ss").alias("max_parsed"),
         )
