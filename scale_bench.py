@@ -86,6 +86,15 @@ SUITE = {
         "top_revenue_orders",
         "best_order_per_customer",
     ],
+    # r7: the materialized-layout read paths — the shapes whose whole
+    # point is that cost should NOT grow with table size (clustered /
+    # partition-pruned scans), plus the CSV ingestion entry point (linear
+    # scan by design; certifies the growth is in the scan, not the plan)
+    "lake_etl": [
+        "lineitem_zorder_box_scan",
+        "events_csv_roundtrip",
+        "events_etl_clean_seeded",
+    ],
 }
 
 
