@@ -45,11 +45,11 @@ _CSV_NULL = "\\N"  # unambiguous null token (default '' aliases empty strings)
 
 
 def _csv_lake_path(spark: SparkSession, sf_dir: str) -> str:
-    """Per-SF CSV materialization path (same keying as the ANN lake:
-    sf0.01 driver runs and sf0.1 bench runs never share a file)."""
-    base = spark.conf.get("spark.bdcc.lakeDir", "spark-warehouse/lake")
-    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return f"{base}/{sf_name}/events_csv"
+    """Per-SF CSV materialization path (shared lake keying: sf0.01
+    driver runs and sf0.1 bench runs never share a file)."""
+    from big_data_chicago_crimes_spark.sources.sinks import lake_root
+
+    return f"{lake_root(spark, sf_dir)}/events_csv"
 
 
 @register(

@@ -27,10 +27,10 @@ _PRICE_LO, _PRICE_HI = 20000.0, 40000.0
 
 
 def zordered_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
-    """Per-SF Z-ordered lineitem lake path (same keying as the ANN lake)."""
-    base = spark.conf.get("spark.bdcc.lakeDir", "spark-warehouse/lake")
-    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return f"{base}/{sf_name}/lineitem_zorder"
+    """Per-SF Z-ordered lineitem lake path (shared lake keying)."""
+    from big_data_chicago_crimes_spark.sources.sinks import lake_root
+
+    return f"{lake_root(spark, sf_dir)}/lineitem_zorder"
 
 
 def zordered_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:

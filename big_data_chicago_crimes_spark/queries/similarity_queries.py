@@ -182,11 +182,11 @@ def embedding_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def _lake_root(spark: SparkSession, sf_dir: str) -> str:
-    """Per-SF index-cache root. Keyed by the sf dir's basename so sf0.01
-    (driver correctness) and sf0.1 (bench) never share an index."""
-    base = spark.conf.get("spark.bdcc.lakeDir", "spark-warehouse/lake")
-    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return f"{base}/{sf_name}"
+    """Per-SF index-cache root — the shared keying from sources/sinks
+    (one namespace across the ANN, CSV-cycle, and Z-order families)."""
+    from big_data_chicago_crimes_spark.sources.sinks import lake_root
+
+    return lake_root(spark, sf_dir)
 
 
 def _lsh_lake(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,10 +24,16 @@ _SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
 
 @register(
     "docs_token_stats",
+    # blank-text guard mirrors token_count's 0-for-blank semantics:
+    # regexp_split_to_array('') yields [''] (len 1), while the engine's
+    # token_count returns 0 — same divergence docs_sequence_packing's
+    # oracle guards against (its prefix-sum would amplify one mismatch)
     oracle="""
         SELECT lang,
                COUNT(*) AS n_docs,
-               ROUND(AVG(len(regexp_split_to_array(trim(text), '\\s+'))), 6) AS avg_tokens,
+               ROUND(AVG(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                         END), 6) AS avg_tokens,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang ORDER BY lang
     """,

@@ -74,10 +74,14 @@ def _schema_cache_key(path: str) -> tuple[str, float]:
     st = os.stat(path)
     if not os.path.isdir(path):
         return (path, st.st_mtime)
+    # recurse: _parquet_leaf_types supports partitioned datasets
+    # (key=value subdirectories), and overwriting a part file inside one
+    # changes no top-level mtime — the walk keeps both functions agreeing
+    # on which directory shapes invalidate correctly
     mtimes = [st.st_mtime]
-    for entry in os.scandir(path):
-        if entry.is_file():
-            mtimes.append(entry.stat().st_mtime)
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            mtimes.append(os.stat(os.path.join(root, f)).st_mtime)
     return (path, max(mtimes))
 
 

@@ -106,6 +106,18 @@ def compact_parquet(
     return n_before, n_after
 
 
+def lake_root(spark: SparkSession, sf_dir: str) -> str:
+    """Per-SF lake-cache root for ``cached()`` materializations (ANN
+    indexes, CSV cycles, Z-ordered tables). Keyed by the sf dir's
+    basename so sf0.01 (driver correctness) and sf0.1 (bench) never
+    share an artifact; a single definition so every query family
+    resolves the SAME namespace (a drifted copy would silently split
+    the lake)."""
+    base = spark.conf.get("spark.bdcc.lakeDir", "spark-warehouse/lake")
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return f"{base}/{sf_name}"
+
+
 def cached(
     spark: SparkSession,
     path: str,

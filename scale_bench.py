@@ -73,6 +73,9 @@ SUITE = {
         "docs_bpe_token_stats",
         "docs_repetition_stats",
         "docs_lang_id",
+        # first-class as of r7 (r6 measured both ad hoc as late additions)
+        "docs_pii_scrub_stats",
+        "docs_sequence_packing",
     ],
     "events": [
         "events_hourly_tumbling",

@@ -180,7 +180,14 @@ def test_zorder_query_box_skips_rowgroups(spark, sf_dir):
                 and sp.max >= _PRICE_LO
             ):
                 hit += 1
-    assert total >= 8, f"expected a multi-file layout, got {total} row groups"
+    # write_zordered defaults num_files to defaultParallelism, so the
+    # file count is machine-dependent — require only what pruning needs
+    # (a genuinely multi-row-group layout), capped by what this runner
+    # can produce
+    expected = min(8, spark.sparkContext.defaultParallelism)
+    assert total >= max(2, expected), (
+        f"expected a multi-file layout, got {total} row groups"
+    )
     assert hit < total, (
         f"z-order box not prunable: {hit}/{total} row groups intersect "
         f"the query's predicate box"
