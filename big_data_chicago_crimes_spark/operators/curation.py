@@ -78,6 +78,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 30,
     checkpoint_dir: str | None = None,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Connected components of the undirected graph given as an edge
     list: returns ``(id, component)`` where ``component`` is the MINIMUM
@@ -86,11 +87,18 @@ def connected_components(
     verify, embedding_near_dups) into keep-one-per-cluster dedup: keep
     rows where ``id = component``.
 
-    Min-label propagation: every node starts labeled with itself; each
-    round replaces a node's label with the minimum over itself and its
-    neighbors' labels; converged when a round changes nothing. Rounds
-    needed = graph diameter, which for near-dup clusters is small (dup
-    groups are near-cliques). Each round is one shuffle on node id plus
+    Min-label propagation, seeded: labels initialize directly to
+    ``min(id, min(neighbors))`` (round 1 computed off the adjacency
+    groupBy, without the join a separate identity-labeled first round
+    would pay); each following round replaces a node's label with the
+    minimum over itself and its neighbors' labels; converged when a
+    round changes nothing. Rounds needed = graph diameter, which for
+    near-dup clusters is small (dup groups are near-cliques). Pass
+    ``edges_canonical=True`` when the edge list is already unique
+    unordered pairs with ``src < dst`` (every pair generator in
+    operators/dedup.py) to skip the symmetrization ``distinct()`` — a
+    pure extra shuffle in that case. Each round is one shuffle on node
+    id plus
     a count() to test convergence; lineage is truncated with an eager
     ``localCheckpoint`` per round so the plan stays O(1) deep instead of
     growing by two joins per iteration. For adversarially long chains at
@@ -138,14 +146,27 @@ def connected_components(
         def cut(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
-    sym = (
-        edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
-        .union(edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr")))
-        .distinct()
+    sym = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).union(
+        edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
     )
-    labels = sym.select("id").distinct().withColumn("component", F.col("id"))
-    labels = cut(labels)
+    # ``edges_canonical``: the caller guarantees unique unordered pairs
+    # with src < dst (what every pair generator in operators/dedup.py
+    # emits) — then the two directions are disjoint and already unique,
+    # and the distinct() below would be a pure extra shuffle of the
+    # whole edge list. Arbitrary edge lists keep the dedup guard.
+    if not edges_canonical:
+        sym = sym.distinct()
     sym = cut(sym)
+    # Seed component = min(id, min(nbr)) straight off the adjacency
+    # groupBy: this IS round 1 of propagation, minus the join against
+    # the identity labeling a separate first round would do — one fewer
+    # join+checkpoint+count cycle for every graph.
+    labels = (
+        sym.groupBy("id")
+        .agg(F.min("nbr").alias("__mn"))
+        .select("id", F.least(F.col("id"), F.col("__mn")).alias("component"))
+    )
+    labels = cut(labels)
     for _ in range(max_iter):
         nbr_min = (
             sym.alias("s")

@@ -132,7 +132,9 @@ def docs_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure."""
     t = load_tables(spark, sf_dir)
     edges = token_jaccard_pairs(t.documents, ["lang", "source"], threshold=0.5)
-    comp = connected_components(edges)
+    # token_jaccard_pairs emits unique (id_a < id_b) pairs, so the
+    # symmetrization dedup inside connected_components is skippable
+    comp = connected_components(edges, edges_canonical=True)
     return (
         comp.groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_docs"))
