@@ -150,3 +150,68 @@ def test_range_join_matches_naive_pairs(spark, points, intervals):
         if lo <= x < lo + w
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Both component engines — seeded min-label propagation and
+    large-star/small-star — must agree with an independent Python
+    union-find on arbitrary generated graphs (self-loops, duplicate and
+    reversed edges included). Guards the r7 seeded-init rewrite: the
+    accelerated first round must not change any labeling."""
+    from big_data_chicago_crimes_spark.operators.curation import (
+        connected_components,
+        connected_components_star,
+    )
+
+    parent = list(range(10))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    want = {n: find(n) for n in nodes}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == want
+    got_star = {r.id: r.component for r in connected_components_star(df).collect()}
+    assert got_star == want
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    ).map(lambda es: sorted({(min(a, b), max(a, b)) for a, b in es if a != b}))
+     .filter(lambda es: es)
+)
+def test_connected_components_canonical_edges_equivalent(spark, edges):
+    """edges_canonical=True (skip the symmetrization distinct) must be a
+    pure optimization: identical labeling to the guarded path on any
+    canonical unique (src < dst) edge list."""
+    from big_data_chicago_crimes_spark.operators.curation import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    guarded = {r.id: r.component for r in connected_components(df).collect()}
+    fast = {
+        r.id: r.component
+        for r in connected_components(df, edges_canonical=True).collect()
+    }
+    assert fast == guarded
