@@ -48,6 +48,7 @@ import time
 HEADLINE = [
     # reference-derived analytical spine
     "events_csv_roundtrip",  # S1 ingestion path (CSV materialized once, then scanned)
+    "orders_lake_partitioned_scan",  # S3 sink path (partitioned write once, pruned scan)
     "events_count_by_type",
     "hourly_max_event_count",
     "orders_quarter_pivot",

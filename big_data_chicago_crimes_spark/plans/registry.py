@@ -43,16 +43,22 @@ REGISTRY: dict[str, Query] = {}
 # (VERDICT r4 #3); tests/test_registry.py derives the staleness contract from
 # the committed CORRECTNESS history, so a bad rotation fails CI. Round-7 tiers
 # (r6 was fully green, so this round is pure staleness + new-code rotation,
-# and the arithmetic is exact — 4 never-sampled + the 46 queries whose last
-# driver row is r5 fill the window with no slack; this is why the round's
-# dropna/to_timestamp coverage ships as ONE combined fixture query):
+# and the arithmetic is exact — 6 never-sampled + the 44 remaining r5-cohort
+# queries fill the window with no slack; this is why the round's
+# dropna/to_timestamp coverage ships as ONE combined fixture query, and why
+# the two r5 set-op queries merged into one to fund the sink query's slot):
 # Tier 0: the round's NEW queries, never sampled — the ETL entry points
 #         (CSV roundtrip; the dropna→to_timestamp planted pipeline), the
-#         IVF planted-duplicate certification, and the Z-order clustered
-#         read path (VERDICT r6 #1/#2/#7);
+#         IVF planted-duplicate certification, the Z-order clustered
+#         read path (VERDICT r6 #1/#2/#7), the partitioned-parquet-sink
+#         roundtrip (S3), and the merged set-op query;
 # Tier 1: every query whose last driver row is r5 — the full join/OLAP/
 #         reference cohort plus the r5 certification twins — all of which
-#         would go >2 rounds stale if left outside the window.
+#         would go >2 rounds stale if left outside the window. The former
+#         purchasers_with_errors / purchasers_without_errors rows merged
+#         into purchaser_error_overlap (both set operators hash-certify
+#         in one slot), freeing the slot the sink query occupies — the
+#         registry stays at the window's steady-state capacity of 100.
 # Tiers 0+1 = exactly 50. Everything else (fresh r6 greens) follows in
 # registration order as cumulative evidence.
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
@@ -61,6 +67,8 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "events_etl_clean_seeded",
     "embedding_ivf_topk_lake_seeded",
     "lineitem_zorder_box_scan",
+    "orders_lake_partitioned_scan",
+    "purchaser_error_overlap",
     # --- tier 1: last driver row is r5 (46 queries) ---
     # reference-derived spine
     "events_count_by_type",
@@ -82,8 +90,6 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "returned_item_top_customers",
     "supplier_nation_revenue",
     "events_by_segment_salted_join",
-    "purchasers_with_errors",
-    "purchasers_without_errors",
     # windows / sessions
     "orders_running_total",
     "customer_balance_quartiles",

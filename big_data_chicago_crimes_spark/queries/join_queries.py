@@ -209,39 +209,39 @@ def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "purchasers_without_errors",
+    "purchaser_error_overlap",
+    # merges the former purchasers_with_errors (INTERSECT) and
+    # purchasers_without_errors (EXCEPT) registrations into one two-leg
+    # query: both set operators still execute and hash-certify in a
+    # single registry slot (the driver's 50-row sample window is the
+    # scarce resource; the slot freed funds the partitioned-parquet-sink
+    # query in layout_queries.py)
     oracle="""
-        SELECT user_id FROM events WHERE event_type = 'purchase'
-        EXCEPT
-        SELECT user_id FROM events WHERE event_type = 'error'
-        ORDER BY user_id
+        SELECT 'with' AS leg, user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'error'
+        )
+        UNION ALL
+        SELECT 'without' AS leg, user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'error'
+        )
+        ORDER BY leg, user_id
     """,
     tags=("setop", "reference:§2.7"),
 )
-def purchasers_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): users who purchased and never errored."""
+def purchaser_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT (distinct) in one result: purchasing users
+    split into those who also errored ('with' leg) and those who never
+    did ('without' leg)."""
     t = load_tables(spark, sf_dir)
     buy = t.events.filter(F.col("event_type") == "purchase").select("user_id")
     err = t.events.filter(F.col("event_type") == "error").select("user_id")
-    return buy.subtract(err).orderBy("user_id")
-
-
-@register(
-    "purchasers_with_errors",
-    oracle="""
-        SELECT user_id FROM events WHERE event_type = 'purchase'
-        INTERSECT
-        SELECT user_id FROM events WHERE event_type = 'error'
-        ORDER BY user_id
-    """,
-    tags=("setop",),
-)
-def purchasers_with_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT: users who both purchased and errored."""
-    t = load_tables(spark, sf_dir)
-    buy = t.events.filter(F.col("event_type") == "purchase").select("user_id")
-    err = t.events.filter(F.col("event_type") == "error").select("user_id")
-    return buy.intersect(err).orderBy("user_id")
+    with_leg = buy.intersect(err).select(F.lit("with").alias("leg"), "user_id")
+    without_leg = buy.subtract(err).select(F.lit("without").alias("leg"), "user_id")
+    return with_leg.unionByName(without_leg).orderBy("leg", "user_id")
 
 
 @register(

@@ -86,3 +86,63 @@ def lineitem_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# Partition value for the pruned read below. Mid-cardinality TPC-H
+# priority (~1/5 of orders) so the pruned scan provably reads a strict
+# subset of the partition directories (tests/test_plans.py pins the
+# PartitionFilters plan line).
+_PRIORITY = "1-URGENT"
+
+
+def partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders re-materialized as a hive-partitioned lake table
+    (partitionBy o_orderpriority), built once per SF via the
+    probe-or-write pattern — the S3 parquet-sink path
+    (sources/sinks.py:write_parquet) driven for real, not mocked."""
+    from big_data_chicago_crimes_spark.sources.layout import read_lake
+    from big_data_chicago_crimes_spark.sources.sinks import (
+        lake_root,
+        path_exists,
+        write_parquet,
+    )
+
+    path = f"{lake_root(spark, sf_dir)}/orders_by_priority"
+    if not path_exists(spark, path):
+        t = load_tables(spark, sf_dir)
+        write_parquet(t.orders, path, partition_by=["o_orderpriority"])
+    return read_lake(spark, path.rsplit("/", 1)[0], "orders_by_priority")
+
+
+@register(
+    "orders_lake_partitioned_scan",
+    oracle=f"""
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 6) AS sum_price
+        FROM orders
+        WHERE o_orderpriority = '{_PRIORITY}'
+        GROUP BY order_year ORDER BY order_year
+    """,
+    tags=("layout", "sink", "partitionBy", "lake", "reference:S3"),
+)
+def orders_lake_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 parquet sink + partitionBy, driven end-to-end through the
+    oracle gate: orders → hive-partitioned lake write (once per SF) →
+    partition-PRUNED read (the o_orderpriority equality resolves against
+    directory names — PartitionFilters, zero data read outside the
+    selected partition) → aggregate. The oracle runs the identical
+    aggregate on the FLAT table, so a hash match proves the partitioned
+    rewrite preserved every row and value and the pruned scan still sees
+    all of them. At 100 TB this is the standard fact-table layout: the
+    predicate prunes directories before any footer is opened."""
+    po = partitioned_orders(spark, sf_dir)
+    return (
+        po.filter(F.col("o_orderpriority") == _PRIORITY)
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        )
+        .orderBy("order_year")
+    )

@@ -95,6 +95,7 @@ SUITE = {
     # scan by design; certifies the growth is in the scan, not the plan)
     "lake_etl": [
         "lineitem_zorder_box_scan",
+        "orders_lake_partitioned_scan",
         "events_csv_roundtrip",
         "events_etl_clean_seeded",
     ],

@@ -98,6 +98,22 @@ def test_ann_query_vector_is_filter_not_full_read(spark, sf_dir):
     assert "EqualTo(vec_id,0)" in buf.getvalue()
 
 
+def test_partitioned_lake_scan_prunes_partitions(spark, sf_dir):
+    """orders_lake_partitioned_scan's priority equality must resolve as
+    a PartitionFilter against the hive-partitioned directory layout (the
+    sink the query itself writes) — directories outside the selected
+    priority are never opened. A filter that degrades to a post-scan
+    predicate would read every partition at 100 TB."""
+    plan = formatted_plan(spark, sf_dir, "orders_lake_partitioned_scan")
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("o_orderpriority" in l for l in scan), plan
+    # and the pruned column never appears as a pushed DATA filter — it
+    # exists only in directory names
+    assert not any(
+        "o_orderpriority" in l for l in plan.splitlines() if "PushedFilters" in l
+    )
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Bucketing both sides on the join key co-locates partitions: the
     join plan contains NO Exchange (the 100 TB repeated-join strategy)."""
