@@ -192,3 +192,33 @@ def test_zorder_query_box_skips_rowgroups(spark, sf_dir):
         f"z-order box not prunable: {hit}/{total} row groups intersect "
         f"the query's predicate box"
     )
+
+
+def test_partitioned_orders_scan_reads_only_selected_directory(spark, sf_dir):
+    """Physical pruning proof for orders_lake_partitioned_scan, stronger
+    than the plan-text assertion (tests/test_plans.py): the filtered
+    read's inputFiles() must contain ONLY files under the selected
+    priority's partition directory, out of the five the sink wrote."""
+    from big_data_chicago_crimes_spark.queries.layout_queries import (
+        _PRIORITY,
+        partitioned_orders,
+    )
+
+    po = partitioned_orders(spark, sf_dir)  # materialize (idempotent)
+    all_files = po.inputFiles()  # pre-pruning file index: every partition
+    dirs = {f.rsplit("/", 2)[-2] for f in all_files}
+    assert len(dirs) == 5, dirs  # one directory per TPC-H priority
+    # input_file_name() is stamped per row AT EXECUTION, i.e. after
+    # partition pruning — unlike inputFiles(), which lists the relation's
+    # whole file index regardless of filters
+    read = {
+        r.f
+        for r in po.filter(F.col("o_orderpriority") == _PRIORITY)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert read, "pruned scan read no files"
+    enc = _PRIORITY.replace(" ", "%20")
+    assert all(f"o_orderpriority={enc}" in f for f in read), sorted(read)[:3]
+    assert len(read) < len(all_files)
