@@ -69,7 +69,7 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "lineitem_zorder_box_scan",
     "orders_lake_partitioned_scan",
     "purchaser_error_overlap",
-    # --- tier 1: last driver row is r5 (46 queries) ---
+    # --- tier 1: last driver row is r5 (44 queries after the set-op merge) ---
     # reference-derived spine
     "events_count_by_type",
     "orders_count_by_priority",

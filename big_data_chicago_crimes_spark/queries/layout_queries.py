@@ -97,21 +97,17 @@ _PRIORITY = "1-URGENT"
 
 def partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders re-materialized as a hive-partitioned lake table
-    (partitionBy o_orderpriority), built once per SF via the
-    probe-or-write pattern — the S3 parquet-sink path
+    (partitionBy o_orderpriority), built once per SF through
+    ``cached()`` (probe-or-write) — the S3 parquet-sink path
     (sources/sinks.py:write_parquet) driven for real, not mocked."""
-    from big_data_chicago_crimes_spark.sources.layout import read_lake
-    from big_data_chicago_crimes_spark.sources.sinks import (
-        lake_root,
-        path_exists,
-        write_parquet,
-    )
+    from big_data_chicago_crimes_spark.sources.sinks import cached, lake_root
 
-    path = f"{lake_root(spark, sf_dir)}/orders_by_priority"
-    if not path_exists(spark, path):
-        t = load_tables(spark, sf_dir)
-        write_parquet(t.orders, path, partition_by=["o_orderpriority"])
-    return read_lake(spark, path.rsplit("/", 1)[0], "orders_by_priority")
+    return cached(
+        spark,
+        f"{lake_root(spark, sf_dir)}/orders_by_priority",
+        lambda: load_tables(spark, sf_dir).orders,
+        partition_by=["o_orderpriority"],
+    )
 
 
 @register(
