@@ -109,13 +109,24 @@ def compact_parquet(
 def lake_root(spark: SparkSession, sf_dir: str) -> str:
     """Per-SF lake-cache root for ``cached()`` materializations (ANN
     indexes, CSV cycles, Z-ordered tables). Keyed by the sf dir's
-    basename so sf0.01 (driver correctness) and sf0.1 (bench) never
-    share an artifact; a single definition so every query family
-    resolves the SAME namespace (a drifted copy would silently split
-    the lake)."""
+    basename PLUS a source-generation stamp (max mtime across the sf
+    dir's entries), so a regenerated source corpus orphans every derived
+    artifact instead of silently serving stale data — ``cached()`` is a
+    pure existence probe and would otherwise never notice the sources
+    changed underneath it (the testdata HAS been regenerated between
+    rounds before; encodings changed). One definition so every query
+    family resolves the SAME namespace (a drifted copy would silently
+    split the lake). Orphaned generations accumulate until deleted —
+    the price of content-addressed caching, and regeneration is rare."""
+    import os
+
     base = spark.conf.get("spark.bdcc.lakeDir", "spark-warehouse/lake")
     sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return f"{base}/{sf_name}"
+    try:
+        stamp = int(max(e.stat().st_mtime for e in os.scandir(sf_dir)))
+    except (OSError, ValueError):  # non-local path or empty dir: no stamp
+        return f"{base}/{sf_name}"
+    return f"{base}/{sf_name}-g{stamp}"
 
 
 def cached(

@@ -51,3 +51,27 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     # idempotent: second pass is a no-op
     b2, a2 = compact_parquet(spark, path, target_file_bytes=1 * 1024 * 1024)
     assert b2 == a2 == after
+
+
+def test_lake_root_invalidates_on_source_regeneration(spark, tmp_path):
+    """lake_root folds a source-generation stamp into the cache
+    namespace: regenerating a source file under the sf dir must move the
+    root (orphaning stale derived artifacts), while untouched sources
+    keep it stable — cached() alone is a pure existence probe and would
+    serve stale materializations forever."""
+    import os
+    import time
+
+    from big_data_chicago_crimes_spark.sources.sinks import lake_root
+
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    (sf / "events.parquet").write_bytes(b"v1")
+    r1 = lake_root(spark, str(sf))
+    assert r1 == lake_root(spark, str(sf))  # stable while sources are
+    assert "sfX" in r1
+    # regenerate a source file with a strictly newer mtime
+    later = time.time() + 5
+    os.utime(sf / "events.parquet", (later, later))
+    r2 = lake_root(spark, str(sf))
+    assert r2 != r1, "regenerated source must move the lake namespace"
