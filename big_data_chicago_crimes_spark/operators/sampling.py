@@ -87,6 +87,75 @@ def hash_split(
     return df.withColumn(split_col, expr.otherwise(F.lit(list(splits)[-1])))
 
 
+def quota_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    key: str,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Keep AT MOST ``n`` rows per group — the per-domain quota cap of a
+    data-mixing recipe ("no single domain may contribute more than N
+    documents"), the COUNT-bound complement to
+    ``stratified_hash_sample``'s rate-bound rebalancing.
+
+    Selection is the first ``n`` rows of each group in (hash bucket,
+    row hash, key) order — a pure function of row content, so it is
+    deterministic under repartition/retry/engine change, unbiased (hash
+    order is content-random), and MONOTONE: raising the quota only adds
+    rows, it never swaps a previously kept row for another (stable
+    training sets as quotas are tuned).
+
+    Scale shape — the naive formulation (row_number() per group ordered
+    by hash, keep rank ≤ n) funnels every row of a group through ONE
+    WindowExec partition: a billion-row domain becomes a single straggler
+    task. This implementation bounds the window input instead:
+
+    1. histogram: count rows per (group, hash bucket) — one shuffle of a
+       SMALL aggregate (groups × ≤``buckets`` rows), map-side partials;
+    2. per-group cutoff bucket from the histogram's running sum (window
+       over the histogram, not the data);
+    3. rows in buckets BELOW the cutoff are kept outright (no sort
+       anywhere); only the single boundary bucket — expected group_size /
+       ``buckets`` rows — is exactly ranked to fill the residual quota.
+
+    The exact-rank window therefore sees ~1/``buckets`` of the hottest
+    group regardless of its size; raise ``buckets`` for hotter domains.
+    ``key`` must be row-unique (like every operator in this module) —
+    duplicate keys would make the boundary rank order non-total.
+    """
+    b = hash_bucket(F.col(key), buckets).alias("__qb")
+    keyed = df.withColumn("__qb", b)
+    hist = keyed.groupBy(*group_cols, "__qb").agg(F.count(F.lit(1)).alias("__cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("__qb")
+    cuts = (
+        hist.withColumn("__cum", F.sum("__cnt").over(w))
+        .withColumn("__before", F.col("__cum") - F.col("__cnt"))
+        # cutoff bucket = first bucket whose running sum reaches n
+        .filter(F.col("__before") < n)
+        .groupBy(*group_cols)
+        .agg(
+            F.max("__qb").alias("__cut"),
+            # residual quota inside the cutoff bucket
+            (F.lit(n) - F.max("__before")).alias("__resid"),
+        )
+    )
+    joined = keyed.join(cuts, group_cols, "inner")
+    below = joined.filter(F.col("__qb") < F.col("__cut"))
+    # boundary bucket: exact rank by (row hash, key) — a total order
+    order_h = F.md5(F.col(key).cast("string"))
+    wb = Window.partitionBy(*group_cols).orderBy(order_h, F.col(key))
+    boundary = (
+        joined.filter(F.col("__qb") == F.col("__cut"))
+        .withColumn("__rk", F.row_number().over(wb))
+        .filter(F.col("__rk") <= F.col("__resid"))
+        .drop("__rk")
+    )
+    return below.unionByName(boundary).drop("__qb", "__cut", "__resid")
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key: str,
