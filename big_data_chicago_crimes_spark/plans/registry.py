@@ -61,6 +61,11 @@ REGISTRY: dict[str, Query] = {}
 #         registry stays at the window's steady-state capacity of 100.
 # Tiers 0+1 = exactly 50. Everything else (fresh r6 greens) follows in
 # registration order as cumulative evidence.
+# ROUND-8 ROTATION (mechanical): swap this window for the other cohort —
+# the 50 queries NOT listed below (last driver row r6). At 100 registered
+# queries the two 50-query cohorts must alternate every round or the
+# 2-round staleness contract breaks; fund any new query by merging
+# existing ones (see purchaser_error_overlap).
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # --- tier 0: new this round, never sampled ---
     "events_csv_roundtrip",
