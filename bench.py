@@ -99,17 +99,19 @@ HEADLINE = [
     "embedding_ann_lsh_topk_lake",   # materialized-index probe (scale path)
     "embedding_ivf_topk_lake",       # materialized-index probe (scale path)
     "embedding_lsh_bucket_histogram",
-    "events_json_extract",
+    "events_json_profile",  # merged JSON surface (r7 continuation)
     # sampling / splits
     "docs_hash_sample",
     "docs_train_val_test_split",
+    "docs_domain_quota",  # histogram-bounded per-domain quota cap
+    "docs_temperature_mix",  # sqrt-rate mixture flattening
+    "docs_chunk_windows",  # sliding token-window fan-out
     # OLAP widening
     "lineitem_rollup",
     "orders_cube",
     "orders_grouping_sets",
     "nation_balance_extremes",
-    "distinct_users_by_type",
-    "approx_distinct_users_by_type",
+    "users_distinct_exact_vs_approx",  # merged exact+HLL surface (r7 continuation)
     "orders_price_quantiles",
     "orders_price_quantiles_approx",
     "promo_revenue_pct",
@@ -117,7 +119,6 @@ HEADLINE = [
     "late_shipment_orders",
     "parts_never_ordered",
     "all_account_balances",
-    "events_from_json_struct",
     "purchase_after_view_asof",
     "order_price_at_ship_asof",
     "orders_by_price_band",

@@ -208,3 +208,45 @@ def char_ngrams(text: Column | str, n: int = 5) -> Column:
     return F.when(length < n, F.array(s)).otherwise(
         F.transform(idx, lambda i: s.substr(i, F.lit(n)))
     )
+
+
+def chunk_spans(
+    df,
+    text_col: str = "text",
+    max_len: int = 32,
+    stride: int = 24,
+):
+    """Sliding fixed-capacity token windows per document — the
+    tokenize-and-chunk fan-out that turns long documents into training
+    sequences (HF-style ``return_overflowing_tokens`` semantics): chunk
+    ``i`` covers tokens ``[i*stride, i*stride + max_len)``; a new chunk
+    is emitted only while the previous one hasn't already reached the
+    end, so ``n_chunks = 1 + ceil(max(0, T - max_len) / stride)`` for a
+    ``T``-token document and blank documents emit none (token_count's
+    0-for-blank convention).
+
+    Pure JVM fan-out: ``sequence`` + ``explode`` — one output row per
+    chunk with ``chunk_idx`` / ``chunk_start`` / ``chunk_len`` attached,
+    no Python in the path. At scale this is a narrow map (no shuffle);
+    the ~max_len/stride row amplification is the intended output growth.
+    """
+    if stride <= 0 or max_len <= 0 or stride > max_len:
+        raise ValueError(f"need 0 < stride <= max_len, got {stride}/{max_len}")
+    t = token_count(text_col)
+    n_chunks = (
+        F.lit(1) + F.ceil(F.greatest(t - max_len, F.lit(0)) / F.lit(stride))
+    ).cast("int")
+    idx_array = F.when(t > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    out = (
+        df.withColumn("__t", t)
+        .withColumn("chunk_idx", F.explode(idx_array))
+        .withColumn("chunk_start", (F.col("chunk_idx") * stride).cast("int"))
+        .withColumn(
+            "chunk_len",
+            F.least(F.lit(max_len), F.col("__t") - F.col("chunk_start")).cast("int"),
+        )
+        .drop("__t")
+    )
+    return out

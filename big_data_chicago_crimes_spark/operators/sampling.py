@@ -192,3 +192,57 @@ def stratified_hash_sample(
     default_keep = F.lit(int(round(default_fraction * buckets)))
     cut = default_keep if cut is None else cut.otherwise(default_keep)
     return df.filter(bucket < cut)
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    key: str,
+    alpha: float = 0.5,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Temperature-flatten a skewed domain mixture: down-sample each
+    domain with keep-rate ``(n_min / n_domain) ** (1 - alpha)`` — at
+    ``alpha=1`` the corpus is untouched (natural distribution), at
+    ``alpha=0`` every domain is cut to the smallest domain's size
+    (uniform mixture), and in between the mixture is flattened the way
+    LLM pretraining recipes temper dominant sources. Anchoring the rate
+    to ``n_min`` (never above 1) keeps this a pure filter: rare domains
+    are kept whole rather than impossibly upsampled.
+
+    Membership is hash-bucket thresholded per domain, so it inherits the
+    module's reproducibility contract (stable under repartition, retry,
+    engine change) and is NESTED across temperatures: the threshold is
+    monotone in ``alpha``, so raising ``alpha`` only ever ADDS rows to
+    the kept set — tuning the temperature never churns membership.
+
+    Scale shape: one map-side-partial count per domain (a domains-sized
+    aggregate), thresholds derived on that tiny frame and broadcast back;
+    the data-sized pass is a scan-side filter with no shuffle. For
+    ``alpha=0.5`` the rate is computed with sqrt() rather than pow():
+    IEEE-754 requires sqrt to be correctly rounded (pow is not), which
+    makes the integer thresholds — and therefore membership — engine-
+    portable bit-for-bit, the property the DuckDB oracle certifies.
+
+    Returns kept rows with ``__mix_n_total`` / ``__mix_threshold``
+    attached for census queries; callers not needing them can drop them.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__mix_n_total"))
+    nmin = counts.agg(F.min("__mix_n_total").alias("__mix_n_min"))
+    ratio = F.col("__mix_n_min").cast("double") / F.col("__mix_n_total")
+    if alpha == 0.5:
+        rate = F.sqrt(ratio)  # correctly rounded ⇒ cross-engine exact
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    thresholds = (
+        counts.crossJoin(F.broadcast(nmin))
+        .withColumn(
+            "__mix_threshold",
+            F.floor(F.lit(float(buckets)) * rate).cast("int"),
+        )
+        .drop("__mix_n_min")
+    )
+    joined = df.join(F.broadcast(thresholds), domain_col)
+    return joined.filter(hash_bucket(key, buckets) < F.col("__mix_threshold"))

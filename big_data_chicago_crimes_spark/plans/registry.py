@@ -52,14 +52,25 @@ REGISTRY: dict[str, Query] = {}
 #         IVF planted-duplicate certification, the Z-order clustered
 #         read path (VERDICT r6 #1/#2/#7), the partitioned-parquet-sink
 #         roundtrip (S3), and the merged set-op query;
-# Tier 1: every query whose last driver row is r5 — the full join/OLAP/
-#         reference cohort plus the r5 certification twins — all of which
+# Tier 0b: continuation-session additions — each funded by merging a
+#         PAIR of tier-1 window queries into one (the
+#         purchaser_error_overlap precedent; the merged form certifies
+#         both operators in one slot, netting +1 window slot per merge):
+#         events_json_extract + events_from_json_struct →
+#         events_json_profile; distinct_users_by_type +
+#         approx_distinct_users_by_type → users_distinct_exact_vs_approx;
+#         multimodal_decode_stats + multimodal_frame_sample_counts →
+#         multimodal_pipeline_stats. The freed slots hold the three new
+#         pipeline queries (domain quota, temperature mix, chunk windows).
+# Tier 1: every query whose last driver row is r5 — the join/OLAP/
+#         reference cohort plus the r5 certification twins (38 after the
+#         set-op merge and the three pair-merges above) — all of which
 #         would go >2 rounds stale if left outside the window. The former
 #         purchasers_with_errors / purchasers_without_errors rows merged
 #         into purchaser_error_overlap (both set operators hash-certify
 #         in one slot), freeing the slot the sink query occupies — the
 #         registry stays at the window's steady-state capacity of 100.
-# Tiers 0+1 = exactly 50. Everything else (fresh r6 greens) follows in
+# Tiers 0+0b+1 = exactly 50. Everything else (fresh r6 greens) follows in
 # registration order as cumulative evidence.
 # ROUND-8 ROTATION (mechanical): swap this window for the other cohort —
 # the 50 queries NOT listed below (last driver row r6). At 100 registered
@@ -74,7 +85,17 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "lineitem_zorder_box_scan",
     "orders_lake_partitioned_scan",
     "purchaser_error_overlap",
-    # --- tier 1: last driver row is r5 (44 queries after the set-op merge) ---
+    # --- tier 0b: continuation-session additions, never sampled; each
+    # funded by a purchaser_error_overlap-style merge of two tier-1
+    # window queries (the merged form certifies both operators in one
+    # slot, netting +1 window slot per merge) ---
+    "events_json_profile",  # = events_json_extract + events_from_json_struct
+    "docs_domain_quota",
+    "users_distinct_exact_vs_approx",  # = distinct_users_by_type + approx_…
+    "docs_temperature_mix",
+    "multimodal_pipeline_stats",  # = multimodal_decode_stats + …_frame_sample_counts
+    "docs_chunk_windows",
+    # --- tier 1: last driver row is r5 (38 after the merges above) ---
     # reference-derived spine
     "events_count_by_type",
     "orders_count_by_priority",
@@ -105,16 +126,12 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "orders_cube",
     "orders_grouping_sets",
     "nation_balance_extremes",
-    "distinct_users_by_type",
-    "approx_distinct_users_by_type",
     "orders_price_quantiles",
     "promo_revenue_pct",
     "lineitem_correlations",
     "late_shipment_orders",
     "parts_never_ordered",
     "all_account_balances",
-    "events_json_extract",
-    "events_from_json_struct",
     "purchase_after_view_asof",
     "order_price_at_ship_asof",
     "orders_by_price_band",
@@ -122,9 +139,6 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "embedding_near_dups",
     "embedding_near_dups_seeded",
     "ml_correlation_matrix",
-    # multimodal plumbing
-    "multimodal_decode_stats",
-    "multimodal_frame_sample_counts",
 )
 
 

@@ -18,53 +18,47 @@ from big_data_chicago_crimes_spark.sources.readers import load_tables
 
 
 @register(
-    "multimodal_decode_stats",
+    "multimodal_pipeline_stats",
+    # r7 merge of multimodal_decode_stats + multimodal_frame_sample_counts
+    # (the purchaser_error_overlap precedent): BOTH multimodal transforms —
+    # the Arrow-batched mapInPandas decode kernel and the sequence+explode
+    # frame fan-out — hash-certify in ONE registry slot, funding a new
+    # query's place in the 50-entry driver window. The oracle replays the
+    # decode kernel's deterministic byte arithmetic and the 100-byte frame
+    # count per source.
     oracle="""
-        SELECT d.source,
+        SELECT source,
                COUNT(*) AS n_media,
-               ROUND(AVG(octet_length(encode(d.text)) % 640 + 1), 6) AS avg_fake_width,
-               CAST(SUM(octet_length(encode(d.text))) AS BIGINT) AS total_bytes
-        FROM documents d GROUP BY d.source ORDER BY d.source
+               ROUND(AVG(octet_length(encode(text)) % 640 + 1), 6) AS avg_fake_width,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(SUM(CAST(floor(greatest(octet_length(encode(text)) - 1, 0) / 100)
+                    AS BIGINT) + 1) AS BIGINT) AS n_frames
+        FROM documents GROUP BY source ORDER BY source
     """,
     tags=("multimodal", "extension"),
 )
-def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary ingestion → mapInPandas decode → metadata aggregate. The
-    decode kernel runs Arrow-batched on executors; the oracle replays
-    its deterministic byte arithmetic."""
+def multimodal_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal plumbing in one result, per source: binary
+    ingestion → mapInPandas decode (Arrow-batched on executors) for
+    media/width/byte stats, plus frame sampling (explode one row per
+    100-byte "frame" — the fan-out transform of a video pipeline, pure
+    column ops, no Python) for frame counts."""
     t = load_tables(spark, sf_dir)
     media = attach_binary_payload(t.documents)
     decoded = decode_media(media)
-    stats = decoded.join(t.documents.select("doc_id", "source"), "doc_id")
-    return (
-        stats.groupBy("source")
+    decode_stats = (
+        decoded.join(t.documents.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
         .agg(
             F.count("*").alias("n_media"),
             F.round(F.avg("fake_width"), 6).alias("avg_fake_width"),
             F.sum("n_bytes").alias("total_bytes"),
         )
-        .orderBy("source")
     )
-
-
-@register(
-    "multimodal_frame_sample_counts",
-    oracle="""
-        SELECT lang,
-               CAST(SUM(CAST(floor(greatest(octet_length(encode(text)) - 1, 0) / 100)
-                    AS BIGINT) + 1) AS BIGINT) AS n_frames
-        FROM documents GROUP BY lang ORDER BY lang
-    """,
-    tags=("multimodal", "extension"),
-)
-def multimodal_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling (explode one row per 100-byte "frame") summarized
-    per lang — the fan-out transform of a video pipeline, pure column
-    ops (sequence+explode, no Python)."""
-    t = load_tables(spark, sf_dir)
-    media = attach_binary_payload(t.documents)
     frames = sample_frames(media, every_n_bytes=100)
-    with_lang = frames.join(t.documents.select("doc_id", "lang"), "doc_id")
-    return (
-        with_lang.groupBy("lang").agg(F.count("*").alias("n_frames")).orderBy("lang")
+    frame_stats = (
+        frames.join(t.documents.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_frames"))
     )
+    return decode_stats.join(frame_stats, "source").orderBy("source")

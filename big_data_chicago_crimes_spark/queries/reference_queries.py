@@ -268,30 +268,6 @@ def orders_by_season(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_json_extract",
-    oracle="""
-        SELECT event_type,
-               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
-        FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    tags=("json", "extension"),
-)
-def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON field extraction over events.props (engine extension;
-    the reference has no JSON columns — SURVEY.md §2.8). JVM-side
-    get_json_object, no UDF."""
-    t = load_tables(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    return (
-        t.events.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(F.sum("k").alias("sum_k"), F.round(F.avg("k"), 6).alias("avg_k"))
-        .orderBy("event_type")
-    )
-
-
-@register(
     "event_value_stats",
     oracle="""
         SELECT event_type,

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from big_data_chicago_crimes_spark.operators.sampling import (
     hash_sample,
     hash_split,
+    quota_sample,
     stratified_hash_sample,
 )
 from big_data_chicago_crimes_spark.plans.registry import register
@@ -105,5 +106,93 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sampled.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "docs_domain_quota",
+    # quota_sample's kept set equals "first n per group in (hash bucket,
+    # row-hash, key) lexicographic order" — the histogram-cutoff plan is
+    # an EXECUTION strategy, not a semantics change — so the oracle ranks
+    # under that exact total order. EXACT MEMBERSHIP certification: the
+    # query returns the kept (doc_id, source) rows themselves, so the
+    # driver's value hash pins every selected row, not a summary.
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4096,
+                                md5(CAST(doc_id AS VARCHAR)),
+                                doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT doc_id, source FROM ranked WHERE rk <= 10
+        ORDER BY source, doc_id
+    """,
+    tags=("sampling", "quota", "mixing", "extension"),
+)
+def docs_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap of a data-mixing recipe: at most 10 documents
+    per source, selected by content-hash order (deterministic under
+    repartition/retry/engine change; monotone in the quota). The scale
+    shape is the point — the (group, hash-bucket) histogram bounds the
+    exact-rank window to ~1/4096 of the hottest domain instead of
+    funnelling every row of a group through one WindowExec task
+    (operators/sampling.py:quota_sample)."""
+    t = load_tables(spark, sf_dir)
+    kept = quota_sample(t.documents, ["source"], n=10, key="doc_id")
+    return kept.select("doc_id", "source").orderBy("source", "doc_id")
+
+
+@register(
+    "docs_temperature_mix",
+    # alpha=0.5 keep-rate = sqrt(n_min / n_lang): both engines compute the
+    # ratio, sqrt, and x1000 scaling in IEEE doubles with correctly-rounded
+    # ops (sqrt is REQUIRED correctly rounded; pow would not be — see
+    # operators/sampling.py:temperature_mix), so the floored integer
+    # thresholds — and therefore sample membership — agree bit-for-bit.
+    oracle="""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
+        ), rates AS (
+            SELECT lang, n_total,
+                   CAST(floor(1000 * sqrt(
+                       (SELECT MIN(n_total) FROM counts) * 1.0 / n_total
+                   )) AS INTEGER) AS keep_threshold
+            FROM counts
+        )
+        SELECT d.lang, r.n_total, r.keep_threshold,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+              < r.keep_threshold
+        GROUP BY d.lang, r.n_total, r.keep_threshold
+        ORDER BY d.lang
+    """,
+    tags=("sampling", "mixing", "temperature", "extension"),
+)
+def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixture (alpha=0.5): the dominant
+    language is down-sampled toward the smallest one by keep-rate
+    sqrt(n_min/n_lang) — the mixture-tempering move of an LLM
+    pretraining recipe — with hash-threshold membership that is
+    deterministic, engine-portable, and nested across temperatures.
+    Census output: per lang, corpus size, derived threshold, kept count."""
+    from big_data_chicago_crimes_spark.operators.sampling import temperature_mix
+
+    t = load_tables(spark, sf_dir)
+    kept = temperature_mix(t.documents, "lang", "doc_id", alpha=0.5, buckets=1000)
+    return (
+        kept.groupBy("lang", "__mix_n_total", "__mix_threshold")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .select(
+            "lang",
+            F.col("__mix_n_total").alias("n_total"),
+            F.col("__mix_threshold").alias("keep_threshold"),
+            "n_kept",
+        )
         .orderBy("lang")
     )

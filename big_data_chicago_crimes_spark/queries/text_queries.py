@@ -594,3 +594,59 @@ def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "docs_chunk_windows",
+    # Oracle enumerates the same sliding windows with generate_series:
+    # n_chunks = 1 + ceil(max(0, T - 32) / 24) (T > 0; blank docs emit
+    # none — token_count's 0-for-blank convention, same guard as
+    # docs_token_stats / docs_sequence_packing). Per-chunk_idx stats
+    # require actually enumerating chunks, so the explode fan-out is the
+    # thing being certified, not recomputable arithmetic.
+    oracle="""
+        WITH t AS (
+            SELECT lang,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tok
+            FROM documents
+        ), chunks AS (
+            SELECT lang, n_tok,
+                   unnest(generate_series(
+                       0,
+                       CAST(1 + ceil(greatest(n_tok - 32, 0) / 24.0) AS INTEGER) - 1
+                   )) AS chunk_idx
+            FROM t WHERE n_tok > 0
+        )
+        SELECT lang,
+               CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               ROUND(AVG(LEAST(32, n_tok - chunk_idx * 24)), 6) AS avg_len,
+               CAST(SUM(CASE WHEN LEAST(32, n_tok - chunk_idx * 24) >= 32
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+        FROM chunks GROUP BY lang, chunk_idx ORDER BY lang, chunk_idx
+    """,
+    tags=("text", "chunking", "extension"),
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-and-chunk fan-out (max_len=32, stride=24 — HF-style
+    overflowing windows): every document becomes one training sequence
+    per sliding token window via functions/text.py:chunk_spans
+    (sequence+explode, JVM-side, no shuffle). Census per (lang,
+    chunk_idx): how many sequences each window position yields, their
+    average token length, and how many run at full capacity — the shape
+    check of a sequence-preparation pipeline."""
+    from big_data_chicago_crimes_spark.functions.text import chunk_spans
+
+    t = load_tables(spark, sf_dir)
+    chunks = chunk_spans(t.documents, "text", max_len=32, stride=24)
+    return (
+        chunks.groupBy("lang", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.round(F.avg("chunk_len"), 6).alias("avg_len"),
+            F.sum((F.col("chunk_len") >= 32).cast("bigint")).alias("n_full"),
+        )
+        .orderBy("lang", "chunk_idx")
+    )

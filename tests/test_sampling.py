@@ -161,3 +161,58 @@ def test_quota_sample_boundary_window_is_bucket_bounded(spark):
     # (all rows share bucket 0 at buckets=1), so membership may differ;
     # the quota contract (exact count, determinism) must hold regardless
     assert len(coarse) == 17
+
+
+def _mix_kept(spark, rows, alpha, buckets=1000):
+    from big_data_chicago_crimes_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(rows, "id long, domain string")
+    out = temperature_mix(df, "domain", "id", alpha=alpha, buckets=buckets)
+    return {r.id for r in out.collect()}
+
+
+def test_temperature_mix_endpoints_and_model(spark):
+    """alpha=1 keeps everything; alpha=0 cuts every domain to ~n_min;
+    alpha=0.5 matches an independent python model of the thresholds."""
+    import hashlib
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1_000)]
+    assert len(_mix_kept(spark, rows, alpha=1.0)) == 1_000
+
+    kept0 = _mix_kept(spark, rows, alpha=0.0)
+    big0 = sum(1 for i in kept0 if i < 900)
+    # threshold = floor(1000 * (100/900)) = 111 buckets ⇒ ~100 rows of big
+    assert sum(1 for i in kept0 if i >= 900) == 100  # smallest kept whole
+    assert 60 < big0 < 160
+
+    kept5 = _mix_kept(spark, rows, alpha=0.5)
+    import math
+
+    thr = {
+        "big": math.floor(1000 * math.sqrt(100 / 900)),
+        "small": math.floor(1000 * math.sqrt(100 / 100)),
+    }
+    model = {
+        i
+        for i, d in rows
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000 < thr[d]
+    }
+    assert kept5 == model
+
+
+def test_temperature_mix_membership_nested_across_alpha(spark):
+    """Thresholds are monotone in alpha, so raising the temperature only
+    ADDS rows — tuning never churns membership."""
+    rows = [(i, f"d{i % 3}") for i in range(2_000)]
+    k25 = _mix_kept(spark, rows, alpha=0.25)
+    k50 = _mix_kept(spark, rows, alpha=0.5)
+    k75 = _mix_kept(spark, rows, alpha=0.75)
+    assert k25 <= k50 <= k75
+
+
+def test_temperature_mix_rejects_bad_alpha(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, domain string")
+    from big_data_chicago_crimes_spark.operators.sampling import temperature_mix
+
+    with pytest.raises(ValueError):
+        temperature_mix(df, "domain", "id", alpha=1.5)

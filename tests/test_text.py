@@ -131,3 +131,42 @@ def test_rolling_hash_invariance_vs_md5_twin(spark):
     ).collect()
     assert got[0].xx == got[1].xx and got[0].md == got[1].md
     assert got[2].xx != got[0].xx and got[2].md != got[0].md
+
+
+def test_chunk_spans_window_arithmetic(spark):
+    """n_chunks = 1 + ceil(max(0, T-max_len)/stride); spans tile the
+    token range with the configured overlap; blank docs emit nothing."""
+    from big_data_chicago_crimes_spark.functions.text import chunk_spans
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # T=10 → 1 chunk
+        (2, " ".join(f"t{i}" for i in range(32))),   # T=32 → 1 chunk (exact fit)
+        (3, " ".join(f"t{i}" for i in range(33))),   # T=33 → 2 chunks
+        (4, " ".join(f"t{i}" for i in range(100))),  # T=100 → 1+ceil(68/24)=4
+        (5, "   "),                                  # blank → 0 chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_spans(df, "text", max_len=32, stride=24)
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.chunk_len) for r in out.collect()
+    }
+    n_per_doc = {}
+    for (d, _i) in got:
+        n_per_doc[d] = n_per_doc.get(d, 0) + 1
+    assert n_per_doc == {1: 1, 2: 1, 3: 2, 4: 4}
+    assert got[(1, 0)] == (0, 10)
+    assert got[(3, 1)] == (24, 9)
+    # doc 4: starts 0/24/48/72, last covers 72..100 (28 tokens)
+    assert got[(4, 3)] == (72, 28)
+    # every non-final chunk runs at full capacity
+    assert got[(4, 0)][1] == got[(4, 1)][1] == got[(4, 2)][1] == 32
+
+
+def test_chunk_spans_rejects_bad_config(spark):
+    from big_data_chicago_crimes_spark.functions.text import chunk_spans
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_spans(df, "text", max_len=8, stride=9)
