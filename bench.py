@@ -106,10 +106,10 @@ HEADLINE = [
     "docs_domain_quota",  # histogram-bounded per-domain quota cap
     "docs_temperature_mix",  # sqrt-rate mixture flattening
     "docs_chunk_windows",  # sliding token-window fan-out
+    "docs_curriculum_order",  # histogram-offset global ordering
     # OLAP widening
     "lineitem_rollup",
-    "orders_cube",
-    "orders_grouping_sets",
+    "orders_grouping_surface",  # merged cube+grouping-sets surface (r7 continuation)
     "nation_balance_extremes",
     "users_distinct_exact_vs_approx",  # merged exact+HLL surface (r7 continuation)
     "orders_price_quantiles",

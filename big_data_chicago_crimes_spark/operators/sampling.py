@@ -142,6 +142,12 @@ def quota_sample(
             (F.lit(n) - F.max("__before")).alias("__resid"),
         )
     )
+    # Both output legs (below-cutoff keep-all; boundary exact-rank) join
+    # against `cuts`. Without caching, Spark plans the histogram subtree
+    # TWICE — two extra scans of the fact table for a groups-sized frame.
+    # Persisting collapses that to one histogram pass shared via
+    # InMemoryRelation (verified in the physical plan).
+    cuts = cuts.persist()
     joined = keyed.join(cuts, group_cols, "inner")
     below = joined.filter(F.col("__qb") < F.col("__cut"))
     # boundary bucket: exact rank by (row hash, key) — a total order
@@ -246,3 +252,59 @@ def temperature_mix(
     )
     joined = df.join(F.broadcast(thresholds), domain_col)
     return joined.filter(hash_bucket(key, buckets) < F.col("__mix_threshold"))
+
+
+def global_hash_order(
+    df: DataFrame,
+    key: str,
+    stage_cols: list[str] | None = None,
+    buckets: int = 4096,
+    rank_col: str = "global_rank",
+) -> DataFrame:
+    """Assign every row its exact 1-based position in the global
+    curriculum order ``(stage_cols…, content-hash of key)`` — the
+    deterministic training-order assignment of an LLM data pipeline
+    (stages ordered easy→hard, rows hash-shuffled within a stage), with
+    the module's reproducibility contract: the order is a pure function
+    of row content, identical under repartition/retry/engine change, and
+    APPEND-STABLE — new rows of a later stage never renumber earlier
+    stages' rows relative to each other.
+
+    Scale shape — the naive formulation (``row_number()`` over a global
+    ORDER BY, or even one partitioned by stage) funnels all data — or an
+    entire stage — through ONE WindowExec task. This implementation
+    two-levels the rank exactly like ``quota_sample`` bounds its window:
+
+    1. histogram: count rows per (stage, hash bucket) — a tiny
+       stages × ``buckets`` aggregate with map-side partials;
+    2. exclusive running sum over the HISTOGRAM (window over ≤ stages ×
+       ``buckets`` rows, never the data) gives each (stage, bucket) its
+       global offset;
+    3. offsets broadcast back; ``row_number`` runs partitioned by
+       (stage, bucket) — every window partition is an expected
+       ``group_size / buckets`` rows regardless of data size — and
+       ``global_rank = offset + within-bucket rank``.
+
+    ``key`` must be row-unique (ties would make the order non-total).
+    """
+    stage_cols = list(stage_cols or [])
+    b = hash_bucket(F.col(key), buckets).alias("__ob")
+    keyed = df.withColumn("__ob", b)
+    hist = keyed.groupBy(*stage_cols, "__ob").agg(F.count(F.lit(1)).alias("__cnt"))
+    from pyspark.sql import Window
+
+    # histogram-only window: ≤ stages × buckets rows through one task
+    w = Window.orderBy(*[F.col(c) for c in stage_cols], F.col("__ob"))
+    offsets = (
+        hist.withColumn("__off", F.sum("__cnt").over(w) - F.col("__cnt"))
+        .drop("__cnt")
+    )
+    order_h = F.md5(F.col(key).cast("string"))
+    wb = Window.partitionBy(*stage_cols, "__ob").orderBy(order_h, F.col(key))
+    ranked = keyed.join(F.broadcast(offsets), [*stage_cols, "__ob"])
+    return (
+        ranked.withColumn(
+            rank_col, (F.col("__off") + F.row_number().over(wb)).cast("long")
+        )
+        .drop("__ob", "__off")
+    )

@@ -60,11 +60,13 @@ REGISTRY: dict[str, Query] = {}
 #         events_json_profile; distinct_users_by_type +
 #         approx_distinct_users_by_type → users_distinct_exact_vs_approx;
 #         multimodal_decode_stats + multimodal_frame_sample_counts →
-#         multimodal_pipeline_stats. The freed slots hold the three new
-#         pipeline queries (domain quota, temperature mix, chunk windows).
+#         multimodal_pipeline_stats; orders_cube + orders_grouping_sets →
+#         orders_grouping_surface. The freed slots hold the four new
+#         pipeline queries (domain quota, temperature mix, chunk windows,
+#         curriculum order).
 # Tier 1: every query whose last driver row is r5 — the join/OLAP/
-#         reference cohort plus the r5 certification twins (38 after the
-#         set-op merge and the three pair-merges above) — all of which
+#         reference cohort plus the r5 certification twins (36 after the
+#         set-op merge and the four pair-merges above) — all of which
 #         would go >2 rounds stale if left outside the window. The former
 #         purchasers_with_errors / purchasers_without_errors rows merged
 #         into purchaser_error_overlap (both set operators hash-certify
@@ -95,7 +97,9 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_temperature_mix",
     "multimodal_pipeline_stats",  # = multimodal_decode_stats + …_frame_sample_counts
     "docs_chunk_windows",
-    # --- tier 1: last driver row is r5 (38 after the merges above) ---
+    "orders_grouping_surface",  # = orders_cube + orders_grouping_sets
+    "docs_curriculum_order",
+    # --- tier 1: last driver row is r5 (36 after the merges above) ---
     # reference-derived spine
     "events_count_by_type",
     "orders_count_by_priority",
@@ -123,8 +127,6 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "events_sliding_1h_30m",
     # OLAP widening
     "lineitem_rollup",
-    "orders_cube",
-    "orders_grouping_sets",
     "nation_balance_extremes",
     "orders_price_quantiles",
     "promo_revenue_pct",

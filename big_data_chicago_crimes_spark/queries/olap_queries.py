@@ -41,26 +41,66 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "orders_cube",
+    "orders_grouping_surface",
+    # r7 merge of orders_cube + orders_grouping_sets (the
+    # purchaser_error_overlap precedent): BOTH grouping-set surfaces —
+    # the DataFrame .cube() API and explicit SQL GROUPING SETS — certify
+    # in ONE registry slot (union with a leg marker), funding a new
+    # query's place in the 50-entry driver window.
     oracle="""
-        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
-               o_orderstatus, COUNT(*) AS cnt
+        SELECT 'cube' AS leg,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS k1,
+               o_orderstatus AS k2,
+               COUNT(*) AS n,
+               CAST(NULL AS DOUBLE) AS total_price
         FROM orders
-        GROUP BY CUBE (1, o_orderstatus)
-        ORDER BY year NULLS FIRST, o_orderstatus NULLS FIRST
+        GROUP BY CUBE (2, o_orderstatus)
+        UNION ALL
+        SELECT 'gsets' AS leg,
+               COALESCE(o_orderpriority, 'ALL') AS k1,
+               COALESCE(o_orderstatus, 'ALL') AS k2,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY leg, k1 NULLS FIRST, k2 NULLS FIRST
     """,
-    tags=("olap", "grouping-sets"),
+    tags=("olap", "grouping-sets", "extension"),
 )
-def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (year, status): all four grouping combinations."""
+def orders_grouping_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set machinery through BOTH API surfaces in one result:
+    CUBE over (year, status) via the DataFrame API (all four grouping
+    combinations) and explicit GROUPING SETS ((priority),(status),())
+    via SQL — per-priority totals, per-status totals, and the grand
+    total in ONE pass each (Spark expands the sets map-side — one
+    shuffle, not three scans)."""
     t = load_tables(spark, sf_dir)
-    return (
-        t.orders.select(F.year("o_orderdate").alias("year"), "o_orderstatus")
-        .cube("year", "o_orderstatus")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(
-            F.col("year").asc_nulls_first(), F.col("o_orderstatus").asc_nulls_first()
+    cube_leg = (
+        t.orders.select(
+            F.year("o_orderdate").cast("string").alias("k1"), "o_orderstatus"
         )
+        .cube("k1", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("cube").alias("leg"),
+            "k1",
+            F.col("o_orderstatus").alias("k2"),
+            "n",
+            F.lit(None).cast("double").alias("total_price"),
+        )
+    )
+    t.orders.createOrReplaceTempView("orders_gs")
+    gsets_leg = spark.sql("""
+        SELECT 'gsets' AS leg,
+               COALESCE(o_orderpriority, 'ALL') AS k1,
+               COALESCE(o_orderstatus, 'ALL') AS k2,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """)
+    return cube_leg.unionByName(gsets_leg).orderBy(
+        "leg", F.col("k1").asc_nulls_first(), F.col("k2").asc_nulls_first()
     )
 
 
@@ -357,39 +397,6 @@ def customer_balance_quartiles(spark, sf_dir):
         )
         .orderBy("n_name", "quartile")
     )
-
-
-@register(
-    "orders_grouping_sets",
-    oracle="""
-        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
-               COALESCE(o_orderstatus, 'ALL') AS status,
-               COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total_price
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
-        ORDER BY priority, status
-    """,
-    tags=("agg", "grouping-sets", "extension"),
-)
-def orders_grouping_sets(spark, sf_dir):
-    """Explicit GROUPING SETS (the general form behind rollup/cube):
-    per-priority totals, per-status totals, and the grand total in ONE
-    pass (Spark expands the sets map-side — one shuffle, not three
-    scans). Expressed through the engine's SQL surface."""
-    from big_data_chicago_crimes_spark.sources.readers import load_tables
-
-    t = load_tables(spark, sf_dir)
-    t.orders.createOrReplaceTempView("orders_gs")
-    return spark.sql("""
-        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
-               COALESCE(o_orderstatus, 'ALL') AS status,
-               COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total_price
-        FROM orders_gs
-        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
-        ORDER BY priority, status
-    """)
 
 
 @register(

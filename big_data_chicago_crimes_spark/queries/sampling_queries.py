@@ -196,3 +196,61 @@ def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "docs_curriculum_order",
+    # global_hash_order's two-level rank (histogram offsets + bounded
+    # per-(stage,bucket) row_number) is an EXECUTION strategy for the
+    # total order (stage, hash bucket, row-hash, key) — so the oracle is
+    # simply row_number() over that order. Certifies exact positions:
+    # the query returns the first 15 rows of the curriculum with their
+    # ranks, so one off-by-anything anywhere in the offset arithmetic
+    # shows up in the driver's value hash.
+    oracle="""
+        WITH staged AS (
+            SELECT doc_id,
+                   CASE WHEN n_chars < 250 THEN 0
+                        WHEN n_chars < 450 THEN 1
+                        ELSE 2 END AS stage
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, stage,
+                   row_number() OVER (ORDER BY
+                       stage,
+                       ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4096,
+                       md5(CAST(doc_id AS VARCHAR)),
+                       doc_id
+                   ) AS global_rank
+            FROM staged
+        )
+        SELECT CAST(global_rank AS BIGINT) AS global_rank,
+               doc_id,
+               CAST(stage AS INTEGER) AS stage
+        FROM ranked WHERE global_rank <= 15 ORDER BY global_rank
+    """,
+    tags=("sampling", "curriculum", "ordering", "extension"),
+)
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum ordering: short documents first (three
+    length stages), hash-shuffled within each stage — the global
+    training-order assignment of an LLM pipeline, computed WITHOUT a
+    global window (histogram offsets + bounded per-bucket rank — see
+    operators/sampling.py:global_hash_order). Returns the curriculum's
+    first 15 positions for exact-order certification."""
+    from big_data_chicago_crimes_spark.operators.sampling import global_hash_order
+
+    t = load_tables(spark, sf_dir)
+    staged = t.documents.withColumn(
+        "stage",
+        F.when(F.col("n_chars") < 250, 0)
+        .when(F.col("n_chars") < 450, 1)
+        .otherwise(2)
+        .cast("int"),
+    )
+    ranked = global_hash_order(staged, "doc_id", ["stage"])
+    return (
+        ranked.filter(F.col("global_rank") <= 15)
+        .select("global_rank", "doc_id", "stage")
+        .orderBy("global_rank")
+    )

@@ -76,6 +76,14 @@ SUITE = {
         # first-class as of r7 (r6 measured both ad hoc as late additions)
         "docs_pii_scrub_stats",
         "docs_sequence_packing",
+        "docs_chunk_windows",
+    ],
+    # r7 continuation: the data-mixing recipes — per-domain quota capping
+    # (histogram-bounded exact rank) and temperature-flattened mixture
+    # sampling (tiny per-domain count agg + broadcast threshold filter)
+    "mixing": [
+        "docs_domain_quota",
+        "docs_temperature_mix",
     ],
     "events": [
         "events_hourly_tumbling",

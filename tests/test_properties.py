@@ -215,3 +215,40 @@ def test_connected_components_canonical_edges_equivalent(spark, edges):
         for r in connected_components(df, edges_canonical=True).collect()
     }
     assert fast == guarded
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.integers(min_value=0, max_value=200),  # token count per doc
+        min_size=1,
+        max_size=12,
+    ),
+    max_len=st.integers(min_value=2, max_value=40),
+    stride_frac=st.floats(min_value=0.25, max_value=1.0),
+)
+def test_chunk_spans_match_python_model(spark, docs, max_len, stride_frac):
+    """chunk_spans agrees with an independent Python sliding-window model
+    on arbitrary (token count, max_len, stride) configurations — pins the
+    n_chunks formula, span arithmetic, and the 0-chunks-for-blank rule."""
+    import math
+
+    from big_data_chicago_crimes_spark.functions.text import chunk_spans
+
+    stride = max(1, int(max_len * stride_frac))
+    rows = [(i, " ".join("w" for _ in range(t))) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_spans(df, "text", max_len=max_len, stride=stride)
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.chunk_len)
+        for r in out.collect()
+    }
+
+    expect = {}
+    for i, t in enumerate(docs):
+        if t == 0:
+            continue
+        n = 1 + math.ceil(max(0, t - max_len) / stride)
+        for k in range(n):
+            expect[(i, k)] = (k * stride, min(max_len, t - k * stride))
+    assert got == expect

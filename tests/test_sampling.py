@@ -216,3 +216,42 @@ def test_temperature_mix_rejects_bad_alpha(spark):
 
     with pytest.raises(ValueError):
         temperature_mix(df, "domain", "id", alpha=1.5)
+
+
+def test_global_hash_order_matches_naive_model(spark):
+    """The histogram-offset two-level rank must equal row_number() over
+    the plain total order (stage, bucket, md5, key) — and be a complete
+    1..n numbering."""
+    import hashlib
+
+    from big_data_chicago_crimes_spark.operators.sampling import global_hash_order
+
+    rows = [(i, i % 3) for i in range(2_000)]
+    df = spark.createDataFrame(rows, "id long, stage int")
+    out = {
+        r.id: r.global_rank
+        for r in global_hash_order(df, "id", ["stage"], buckets=16).collect()
+    }
+
+    def sort_key(row):
+        i, stage = row
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return (stage, int(h[:8], 16) % 16, h, i)
+
+    model = {i: rk + 1 for rk, (i, _s) in enumerate(sorted(rows, key=sort_key))}
+    assert out == model
+    assert sorted(out.values()) == list(range(1, 2_001))
+
+
+def test_global_hash_order_append_stable_within_earlier_stages(spark):
+    """Adding rows to a LATER stage must not reorder earlier stages'
+    rows relative to each other (their absolute ranks are unchanged)."""
+    from big_data_chicago_crimes_spark.operators.sampling import global_hash_order
+
+    base = [(i, 0) for i in range(500)]
+    grown = base + [(i, 1) for i in range(500, 800)]
+    df_b = spark.createDataFrame(base, "id long, stage int")
+    df_g = spark.createDataFrame(grown, "id long, stage int")
+    rb = {r.id: r.global_rank for r in global_hash_order(df_b, "id", ["stage"]).collect()}
+    rg = {r.id: r.global_rank for r in global_hash_order(df_g, "id", ["stage"]).collect()}
+    assert all(rg[i] == rb[i] for i in rb)  # stage-0 ranks untouched
