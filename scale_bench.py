@@ -84,6 +84,7 @@ SUITE = {
     "mixing": [
         "docs_domain_quota",
         "docs_temperature_mix",
+        "docs_curriculum_order",
     ],
     "events": [
         "events_hourly_tumbling",
