@@ -107,6 +107,7 @@ HEADLINE = [
     "docs_temperature_mix",  # sqrt-rate mixture flattening
     "docs_chunk_windows",  # sliding token-window fan-out
     "docs_curriculum_order",  # histogram-offset global ordering
+    "docs_pipeline_end_to_end",  # dedup -> quota -> mix -> pack, one plan
     # OLAP widening
     "lineitem_rollup",
     "orders_grouping_surface",  # merged cube+grouping-sets surface (r7 continuation)
@@ -119,8 +120,7 @@ HEADLINE = [
     "late_shipment_orders",
     "parts_never_ordered",
     "all_account_balances",
-    "purchase_after_view_asof",
-    "order_price_at_ship_asof",
+    "asof_join_surface",  # merged as-of surface (r7 continuation)
     "orders_by_price_band",
 ]
 

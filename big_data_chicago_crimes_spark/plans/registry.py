@@ -61,12 +61,14 @@ REGISTRY: dict[str, Query] = {}
 #         approx_distinct_users_by_type → users_distinct_exact_vs_approx;
 #         multimodal_decode_stats + multimodal_frame_sample_counts →
 #         multimodal_pipeline_stats; orders_cube + orders_grouping_sets →
-#         orders_grouping_surface. The freed slots hold the four new
-#         pipeline queries (domain quota, temperature mix, chunk windows,
-#         curriculum order).
+#         orders_grouping_surface; purchase_after_view_asof +
+#         order_price_at_ship_asof → asof_join_surface. The freed slots
+#         hold the five new pipeline queries (domain quota, temperature
+#         mix, chunk windows, curriculum order, and the four-stage
+#         end-to-end pipeline certification).
 # Tier 1: every query whose last driver row is r5 — the join/OLAP/
-#         reference cohort plus the r5 certification twins (36 after the
-#         set-op merge and the four pair-merges above) — all of which
+#         reference cohort plus the r5 certification twins (34 after the
+#         set-op merge and the five pair-merges above) — all of which
 #         would go >2 rounds stale if left outside the window. The former
 #         purchasers_with_errors / purchasers_without_errors rows merged
 #         into purchaser_error_overlap (both set operators hash-certify
@@ -99,7 +101,9 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_chunk_windows",
     "orders_grouping_surface",  # = orders_cube + orders_grouping_sets
     "docs_curriculum_order",
-    # --- tier 1: last driver row is r5 (36 after the merges above) ---
+    "asof_join_surface",  # = purchase_after_view_asof + order_price_at_ship_asof
+    "docs_pipeline_end_to_end",
+    # --- tier 1: last driver row is r5 (34 after the merges above) ---
     # reference-derived spine
     "events_count_by_type",
     "orders_count_by_priority",
@@ -134,8 +138,6 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "late_shipment_orders",
     "parts_never_ordered",
     "all_account_balances",
-    "purchase_after_view_asof",
-    "order_price_at_ship_asof",
     "orders_by_price_band",
     # dedup / similarity baselines + ml correlation
     "embedding_near_dups",

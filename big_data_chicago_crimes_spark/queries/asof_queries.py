@@ -12,85 +12,94 @@ from big_data_chicago_crimes_spark.sources.readers import load_tables
 
 
 @register(
-    "purchase_after_view_asof",
+    "asof_join_surface",
+    # r7 merge of purchase_after_view_asof + order_price_at_ship_asof
+    # (the purchaser_error_overlap precedent): BOTH as-of shapes — the
+    # backward event-to-event match and the slowly-changing-dimension
+    # lookup over the star schema — certify against DuckDB's native
+    # ASOF JOIN in ONE registry slot (union with a leg marker), funding
+    # a new query's place in the 50-entry driver window. Gap arithmetic
+    # floors timestamps to whole epoch seconds (exact integer math on
+    # both engines — Spark µs vs DuckDB ns precision never meets the
+    # hash); the star leg keeps its deterministic top-100 keys.
     oracle="""
         WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
              v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
-             m AS (
+             ev AS (
                 SELECT p.user_id,
                        CAST(floor(epoch(p.ts)) AS BIGINT)
                        - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_sec
                 FROM p ASOF JOIN v
                   ON p.user_id = v.user_id AND v.ts <= p.ts
-             )
-        SELECT user_id,
-               COUNT(*) AS n_purchases_after_view,
-               CAST(SUM(gap_sec) AS BIGINT) AS total_gap_sec
-        FROM m GROUP BY user_id ORDER BY user_id
-    """,
-    tags=("asof", "join", "extension"),
-)
-def purchase_after_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Backward as-of join: each purchase matched to the user's most
-    recent prior (≤) view; per-user match count + total gap. Gap floors
-    both timestamps to whole epoch seconds (exact integer math on both
-    engines — Spark µs vs DuckDB ns precision never meets the hash)."""
-    t = load_tables(spark, sf_dir)
-    purchases = t.events.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
-    )
-    views = t.events.filter(F.col("event_type") == "view").select("user_id", "ts")
-    matched = asof_join(purchases, views, "user_id", "ts", "ts", [])
-    gap = F.unix_timestamp("ts") - F.unix_timestamp("ts_asof")
-    return (
-        matched.select("user_id", gap.alias("gap_sec"))
-        .groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_purchases_after_view"),
-            F.sum("gap_sec").alias("total_gap_sec"),
-        )
-        .orderBy("user_id")
-    )
-
-
-@register(
-    "order_price_at_ship_asof",
-    oracle="""
-        WITH li AS (SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem),
+             ),
+             li AS (SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem),
              o AS (SELECT o_orderkey, o_orderdate, o_totalprice FROM orders),
-             m AS (
+             sc AS (
                 SELECT li.l_orderkey, o.o_totalprice
                 FROM li ASOF JOIN o
                   ON li.l_orderkey = o.o_orderkey AND o.o_orderdate <= li.l_shipdate
              )
-        SELECT l_orderkey, COUNT(*) AS n_lines,
-               ROUND(MAX(o_totalprice), 4) AS price_at_ship
-        FROM m GROUP BY l_orderkey
-        ORDER BY l_orderkey LIMIT 100
+        SELECT 'events' AS leg, user_id AS k,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(gap_sec) AS BIGINT) AS DOUBLE) AS metric
+        FROM ev GROUP BY user_id
+        UNION ALL
+        SELECT * FROM (
+            SELECT 'star' AS leg, l_orderkey AS k, COUNT(*) AS n,
+                   ROUND(MAX(o_totalprice), 4) AS metric
+            FROM sc GROUP BY l_orderkey
+            ORDER BY k LIMIT 100
+        )
+        ORDER BY leg, k
     """,
     tags=("asof", "join", "extension"),
 )
-def order_price_at_ship_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of over the star schema: each lineitem matched to the latest
-    order record dated ≤ its ship date (the slowly-changing-dimension
-    lookup shape). Deterministic top-100 keys for a bounded output."""
+def asof_join_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both as-of join shapes in one certified result: (events leg) each
+    purchase matched to the user's most recent prior (≤) view — per-user
+    match count + total gap in whole seconds; (star leg) each lineitem
+    matched to the latest order record dated ≤ its ship date — the
+    slowly-changing-dimension lookup, top-100 keys for bounded output."""
     t = load_tables(spark, sf_dir)
+
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = t.events.filter(F.col("event_type") == "view").select("user_id", "ts")
+    ev_matched = asof_join(purchases, views, "user_id", "ts", "ts", [])
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("ts_asof")
+    events_leg = (
+        ev_matched.select("user_id", gap.alias("gap_sec"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("gap_sec").alias("total_gap"))
+        .select(
+            F.lit("events").alias("leg"),
+            F.col("user_id").alias("k"),
+            "n",
+            F.col("total_gap").cast("double").alias("metric"),
+        )
+    )
+
     li = t.lineitem.select("l_orderkey", "l_linenumber", "l_shipdate")
     o = t.orders.select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", "o_totalprice"
     )
-    matched = asof_join(
+    sc_matched = asof_join(
         li, o, "l_orderkey", "l_shipdate", "o_orderdate", ["o_totalprice"]
     )
-    return (
-        matched.groupBy("l_orderkey")
+    star_leg = (
+        sc_matched.groupBy("l_orderkey")
         .agg(
-            F.count("*").alias("n_lines"),
-            F.round(F.max("o_totalprice_asof"), 4).alias("price_at_ship"),
+            F.count("*").alias("n"),
+            F.round(F.max("o_totalprice_asof"), 4).alias("metric"),
         )
         .orderBy("l_orderkey")
         .limit(100)
+        .select(
+            F.lit("star").alias("leg"), F.col("l_orderkey").alias("k"), "n", "metric"
+        )
     )
+    return events_leg.unionByName(star_leg).orderBy("leg", "k")
 
 
 @register(

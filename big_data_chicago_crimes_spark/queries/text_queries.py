@@ -650,3 +650,110 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "chunk_idx")
     )
+
+
+@register(
+    "docs_pipeline_end_to_end",
+    # The flagship composition: exact dedup → per-domain quota (n=15) →
+    # temperature mixing (alpha=0.5) → sequence packing (capacity 512),
+    # certified END TO END by a chained-CTE oracle that replays every
+    # stage. The point being proven: because every membership decision in
+    # the engine is a content-hash function of the row (never a seeded
+    # RNG, never partition-dependent), a four-stage pipeline is exactly
+    # reproducible by another engine — one divergent row at ANY stage
+    # would cascade into the packing prefix-sums and break the hash.
+    oracle="""
+        WITH dedup AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ), survivors AS (
+            SELECT d.* FROM documents d JOIN dedup USING (doc_id)
+        ), quota AS (
+            SELECT doc_id, lang, text FROM (
+                SELECT s.*,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4096,
+                                    md5(CAST(doc_id AS VARCHAR)),
+                                    doc_id
+                       ) AS rk
+                FROM survivors s
+            ) WHERE rk <= 15
+        ), counts AS (
+            SELECT lang, COUNT(*) AS n FROM quota GROUP BY lang
+        ), mixed AS (
+            SELECT q.* FROM quota q JOIN counts c USING (lang)
+            WHERE ('0x' || substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+                  < floor(1000 * sqrt((SELECT MIN(n) FROM counts) * 1.0 / c.n))
+        ), toks AS (
+            SELECT lang, doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tok
+            FROM mixed
+        ), packedb AS (
+            SELECT lang, n_tok,
+                   CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tok) / 512.0) AS BIGINT) AS bin_id
+            FROM toks
+        ), bins AS (
+            SELECT lang, bin_id, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens
+            FROM packedb GROUP BY lang, bin_id
+        )
+        SELECT lang,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens
+        FROM bins GROUP BY lang ORDER BY lang
+    """,
+    tags=("pipeline", "dedup", "mixing", "packing", "extension"),
+)
+def docs_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full training-data pipeline in one plan: exact dedup (min-id per
+    normalized-text fingerprint) → per-domain quota cap (≤15 docs per
+    source, histogram-bounded rank) → temperature-flattened language
+    mixing (alpha=0.5) → fixed-capacity sequence packing (512-token
+    bins, per-lang prefix-sum fill). Per-lang census of the final packed
+    state. Every stage's membership is a content-hash function of the
+    row, so the composition is engine-portable end to end — the DuckDB
+    oracle replays all four stages and must agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    from big_data_chicago_crimes_spark.operators.dedup import exact_dedup
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        quota_sample,
+        temperature_mix,
+    )
+
+    t = load_tables(spark, sf_dir)
+    survivors = exact_dedup(t.documents)
+    capped = quota_sample(survivors, ["source"], n=15, key="doc_id")
+    mixed = temperature_mix(capped, "lang", "doc_id", alpha=0.5, buckets=1000)
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = mixed.select(
+        "lang", "doc_id", token_count("text").alias("n_tok")
+    ).withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512).cast("bigint"),
+    )
+    bins = packed.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens")
+    )
+    return (
+        bins.groupBy("lang")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("bin_tokens").cast("bigint").alias("total_tokens"),
+            F.count("*").cast("bigint").alias("n_bins"),
+            F.max("bin_tokens").cast("bigint").alias("max_bin_tokens"),
+        )
+        .select("lang", "n_docs", "total_tokens", "n_bins", "max_bin_tokens")
+        .orderBy("lang")
+    )

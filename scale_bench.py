@@ -85,12 +85,13 @@ SUITE = {
         "docs_domain_quota",
         "docs_temperature_mix",
         "docs_curriculum_order",
+        "docs_pipeline_end_to_end",
     ],
     "events": [
         "events_hourly_tumbling",
         "user_session_counts",
         "events_by_segment_salted_join",
-        "purchase_after_view_asof",
+        "asof_join_surface",
     ],
     "tpc_joins": [
         "revenue_by_nation",
