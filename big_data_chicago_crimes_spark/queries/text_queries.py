@@ -729,7 +729,12 @@ def docs_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     survivors = exact_dedup(t.documents)
-    capped = quota_sample(survivors, ["source"], n=15, key="doc_id")
+    # Persist the capped set: it is RECIPE-sized (≤ n × #sources rows,
+    # independent of corpus size), and without the cache the mix stage's
+    # count and data legs each re-expand the dedup+quota subtree — the
+    # plan showed six corpus scans instead of two. With it, everything
+    # downstream reads a tiny InMemoryRelation.
+    capped = quota_sample(survivors, ["source"], n=15, key="doc_id").persist()
     mixed = temperature_mix(capped, "lang", "doc_id", alpha=0.5, buckets=1000)
 
     w = (
