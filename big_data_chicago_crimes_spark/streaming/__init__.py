@@ -1,6 +1,9 @@
 """Structured Streaming surface (engine extension; reference is batch-only
 — SURVEY.md §2.9)."""
 
+from big_data_chicago_crimes_spark.streaming.joins import (
+    purchases_after_views_interval_join,
+)
 from big_data_chicago_crimes_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_memory,
@@ -11,6 +14,7 @@ from big_data_chicago_crimes_spark.streaming.windows import (
 )
 
 __all__ = [
+    "purchases_after_views_interval_join",
     "read_events_stream",
     "run_stream_to_memory",
     "session_window_agg",

@@ -202,3 +202,30 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert 2 in by_window.values(), by_window
     assert 3 not in by_window.values(), by_window
     assert dropped == 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join (purchases x prior views
+    within 30 min) must emit exactly the batch range join's rows — the
+    remaining first-class streaming operator, same-builder both modes."""
+    from big_data_chicago_crimes_spark.streaming import (
+        purchases_after_views_interval_join,
+    )
+
+    def split(df):
+        return (
+            df.filter(df.event_type == "purchase"),
+            df.filter(df.event_type == "view"),
+        )
+
+    batch = load_table(spark, sf_dir, "events")
+    bp, bv = split(batch)
+    expected = sorted(
+        map(str, purchases_after_views_interval_join(bp, bv).collect())
+    )
+    assert expected  # the fixture must actually exercise the join
+
+    sp, sv = split(read_events_stream(spark, sf_dir))
+    joined = purchases_after_views_interval_join(sp, sv)
+    out = run_stream_to_memory(joined, "stream_interval_join_test", "append")
+    assert sorted(map(str, out.collect())) == expected
