@@ -49,7 +49,10 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     # contractions | letter runs | digit runs | punctuation runs
     pattern = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
-    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+    # regexp_count matches size(regexp_extract_all(...)) exactly but
+    # never materializes the match array — same regex cost, no per-row
+    # allocation/GC (A/B-verified identical counts at sf1)
+    return F.regexp_count(c, F.lit(pattern))
 
 
 def punct_ratio(text: Column | str) -> Column:
@@ -183,7 +186,7 @@ def pii_counts(text: Column | str) -> Column:
     for (pattern, sentinel) in _PII_PATTERNS:
         name = sentinel.strip("<>").lower() + "s"
         fields.append(
-            F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0))).alias(name)
+            F.regexp_count(c, F.lit(pattern)).alias(name)
         )
     return F.struct(*fields)
 

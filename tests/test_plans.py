@@ -188,3 +188,43 @@ def test_pair_join_broadcast_pin_is_size_guarded(spark):
         return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
     assert has_hint(hinted_small), "small build side should carry the hint"
     assert not has_hint(hinted_big), "oversized build side must not be hinted"
+
+
+def test_quota_sample_histogram_cached_and_windows_bounded(spark, sf_dir):
+    """quota_sample's scale contract: the groups-sized cutoff frame is
+    persisted (both output legs read InMemoryTableScan — the histogram
+    subtree plans once), it reaches the data via broadcast joins, and
+    the only window over DATA rows is partitioned by the group (the
+    boundary bucket), never unbounded."""
+    import re
+
+    df = QUERIES["docs_domain_quota"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "BroadcastHashJoin" in plan
+    row_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]+),", plan)
+    assert row_specs and all("source" in s for s in row_specs), row_specs
+
+
+def test_temperature_mix_thresholds_broadcast_no_data_shuffle(spark, sf_dir):
+    """temperature_mix's data-sized pass must be a scan + broadcast-join
+    filter: the domain-threshold frame reaches the corpus via broadcast,
+    never a SortMergeJoin shuffle of the data."""
+    plan = formatted_plan(spark, sf_dir, "docs_temperature_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_global_hash_order_rank_window_is_bucket_partitioned(spark, sf_dir):
+    """global_hash_order's exact-rank window must be partitioned by
+    (stage, hash bucket) — a bounded partition per task — never a
+    global or stage-wide row_number (the single-straggler shape the
+    histogram-offset design exists to avoid)."""
+    import re
+
+    df = QUERIES["docs_curriculum_order"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*?)\)", plan)
+    assert specs, plan
+    for s in specs:
+        assert "stage" in s and "__ob" in s, s
