@@ -681,3 +681,37 @@ def char_ngram_jaccard_pairs(
         max_block_rows,
         prefix_filter,
     )
+
+
+def exact_dedup_keep_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup with a QUALITY keep-policy: per normalized-text
+    fingerprint, keep the row with the highest ``score_col`` (ties break
+    to the minimum id, so the survivor set is deterministic — required
+    under the value-hash gate and for stable training sets). The
+    pipeline move behind it: when a document appears in several crawls /
+    sources, keep the best-scored copy, not an arbitrary one.
+
+    Same scale shape as ``exact_dedup`` (one hash aggregate on the
+    fingerprint + a min-sized semi join): the keep policy rides the
+    aggregate as ``max(struct(score, -id, id))`` — lexicographic struct
+    ordering gives max-score-then-min-id in ONE agg, with none of the
+    window/sort machinery a row_number formulation would shuffle.
+    """
+    fp = doc_fingerprint(text_col).alias("fingerprint")
+    key = F.struct(
+        F.col(score_col).alias("s"),
+        (-F.col(id_col)).alias("ni"),
+        F.col(id_col).alias("id"),
+    )
+    best = (
+        df.select(fp, key.alias("k"))
+        .groupBy("fingerprint")
+        .agg(F.max("k").alias("k"))
+        .select(F.col("k.id").alias(id_col))
+    )
+    return df.join(best, id_col, "left_semi")

@@ -221,3 +221,29 @@ def test_simhash_deterministic_and_discriminative(docs):
     ham_near = bin((t1[1] ^ t1[3]) & (2**64 - 1)).count("1")
     ham_far = bin((t1[1] ^ t1[4]) & (2**64 - 1)).count("1")
     assert ham_near < ham_far  # near-dup closer in Hamming space
+
+
+def test_exact_dedup_keep_best_prefers_score_then_min_id(spark):
+    """Keep-policy dedup: per fingerprint keep the highest-scored row,
+    ties to min id; result independent of partitioning."""
+    from big_data_chicago_crimes_spark.operators.dedup import exact_dedup_keep_best
+
+    rows = [
+        # fingerprint group A (same normalized text): scores 1.0 < 3.0 = 3.0
+        (1, "Hello   World", 1.0),
+        (2, "hello world", 3.0),
+        (3, "  HELLO WORLD ", 3.0),  # ties with 2 → min id (2) survives
+        # group B: single doc
+        (4, "unique text", 0.5),
+        # group C: best score on the larger id
+        (5, "another doc", 0.1),
+        (6, "Another    Doc", 0.9),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, quality double")
+    got = {r.doc_id for r in exact_dedup_keep_best(df, "quality").collect()}
+    assert got == {2, 4, 6}
+    got_re = {
+        r.doc_id
+        for r in exact_dedup_keep_best(df.repartition(5), "quality").collect()
+    }
+    assert got_re == got
