@@ -108,6 +108,7 @@ HEADLINE = [
     "docs_chunk_windows",  # sliding token-window fan-out
     "docs_curriculum_order",  # histogram-offset global ordering
     "docs_pipeline_end_to_end",  # dedup -> quota -> mix -> pack, one plan
+    "docs_hybrid_search",  # lexical recall -> dense rerank funnel
     # OLAP widening
     "lineitem_rollup",
     "orders_grouping_surface",  # merged cube+grouping-sets surface (r7 continuation)
@@ -137,8 +138,7 @@ CERTIFICATION = [
     # (VERDICT r6 #3) — it exists as the correctness baseline for the LSH
     # pair path, and its constant-cardinality blocking key is exactly the
     # shape that hides at sf0.1 and explodes at scale (56× at 10× data)
-    "embedding_near_dups",
-    "embedding_near_dups_seeded",
+    "embedding_near_dup_certification",  # organic census + planted twins
     "embedding_near_dups_lsh_seeded",
     "docs_simhash_seeded_recall",
     "docs_minhash_seeded_recall",

@@ -62,13 +62,16 @@ REGISTRY: dict[str, Query] = {}
 #         multimodal_decode_stats + multimodal_frame_sample_counts →
 #         multimodal_pipeline_stats; orders_cube + orders_grouping_sets →
 #         orders_grouping_surface; purchase_after_view_asof +
-#         order_price_at_ship_asof → asof_join_surface. The freed slots
-#         hold the five new pipeline queries (domain quota, temperature
-#         mix, chunk windows, curriculum order, and the four-stage
-#         end-to-end pipeline certification).
+#         order_price_at_ship_asof → asof_join_surface;
+#         embedding_near_dups + embedding_near_dups_seeded →
+#         embedding_near_dup_certification (organic census + planted
+#         twins). The freed slots hold the six new pipeline queries
+#         (domain quota, temperature mix, chunk windows, curriculum
+#         order, the four-stage end-to-end pipeline certification, and
+#         hybrid lexical+dense retrieval).
 # Tier 1: every query whose last driver row is r5 — the join/OLAP/
-#         reference cohort plus the r5 certification twins (34 after the
-#         set-op merge and the five pair-merges above) — all of which
+#         reference cohort plus the r5 certification twins (32 after the
+#         set-op merge and the six pair-merges above) — all of which
 #         would go >2 rounds stale if left outside the window. The former
 #         purchasers_with_errors / purchasers_without_errors rows merged
 #         into purchaser_error_overlap (both set operators hash-certify
@@ -103,7 +106,9 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_curriculum_order",
     "asof_join_surface",  # = purchase_after_view_asof + order_price_at_ship_asof
     "docs_pipeline_end_to_end",
-    # --- tier 1: last driver row is r5 (34 after the merges above) ---
+    "embedding_near_dup_certification",  # = embedding_near_dups + …_seeded
+    "docs_hybrid_search",
+    # --- tier 1: last driver row is r5 (32 after the merges above) ---
     # reference-derived spine
     "events_count_by_type",
     "orders_count_by_priority",
@@ -140,8 +145,6 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "all_account_balances",
     "orders_by_price_band",
     # dedup / similarity baselines + ml correlation
-    "embedding_near_dups",
-    "embedding_near_dups_seeded",
     "ml_correlation_matrix",
 )
 

@@ -190,38 +190,29 @@ def docs_simhash_seeded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "embedding_near_dups",
+    "embedding_near_dup_certification",
+    # r7 merge of embedding_near_dups + embedding_near_dups_seeded (the
+    # purchaser_error_overlap precedent): the quadratic label-blocked
+    # baseline and its planted-twin certification share ONE registry
+    # slot, funding a new query's place in the 50-entry driver window.
+    # The organic leg is now a CENSUS row (pair COUNT — expected 0 at
+    # test SFs, but hash-certified as the value 0, a positive assertion
+    # where the old empty result set was vacuous); the seeded leg keeps
+    # the full per-pair certification: every 20th vector gets a twin
+    # scaled by exactly 2 (a power of two: exact in float32, and cosine
+    # is scale-invariant), so the expected output is one (seed, twin)
+    # pair per seed at cosine 1.0 — any blocking, pairing, or norm bug
+    # breaks the match (VERDICT r4 #7). Still the certification-tier
+    # quadratic baseline — never the scale path (embedding_near_dups_lsh).
     oracle="""
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                     6) AS cosine
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-              (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-               sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.95
-        ORDER BY id_a, id_b
-    """,
-    tags=("dedup", "embedding", "extension"),
-)
-def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicates (≥0.95) blocked on label (the
-    scale path swaps label for an LSH bucket — operators.similarity)."""
-    t = load_tables(spark, sf_dir)
-    return embedding_near_dups(t.embeddings, threshold=0.95).orderBy("id_a", "id_b")
-
-
-_SEEDED_COS = """ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"""
-
-
-@register(
-    "embedding_near_dups_seeded",
-    oracle=f"""
-        WITH seeded AS (
+        WITH organic AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.95
+        ), seeded AS (
             SELECT vec_id, embedding, label FROM embeddings
             UNION ALL
             SELECT vec_id + 1000000 AS vec_id,
@@ -229,25 +220,42 @@ _SEEDED_COS = """ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUB
                    label
             FROM embeddings WHERE vec_id % 20 = 0
         )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_SEEDED_COS} AS cosine
+        SELECT 'organic_census' AS leg,
+               CAST(COUNT(*) AS BIGINT) AS k1, CAST(-1 AS BIGINT) AS k2,
+               CAST(-1.0 AS DOUBLE) AS metric
+        FROM organic
+        UNION ALL
+        SELECT 'seeded' AS leg, a.vec_id AS k1, b.vec_id AS k2,
+               ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     6) AS metric
         FROM seeded a JOIN seeded b
           ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE {_SEEDED_COS} >= 0.95
-        ORDER BY id_a, id_b
+        WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+              (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+               sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.95
+        ORDER BY leg, k1, k2
     """,
     tags=("dedup", "embedding", "extension"),
 )
-def embedding_near_dups_seeded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embedding_near_dups with PLANTED duplicates, so the operator
-    certifies on non-empty output (the synthetic embeddings are near
-    random — max in-block cosine ≈0.47 — so the production query's
-    correct answer at test SFs is 0 rows, a vacuous hash match;
-    VERDICT r4 #7). Every 20th vector gets a twin scaled by exactly 2
-    (a power of two: exact in float32, and cosine is scale-invariant),
-    so the expected output is one (seed, twin) pair per seed at
-    cosine 1.0 — any blocking, pairing, or norm bug breaks the match."""
+def embedding_near_dup_certification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (≥0.95, label-blocked) certified two
+    ways in one result: an organic-census leg (the production input's
+    pair count, hash-certified even when 0) and a planted-twin leg
+    (every pair the seeded fixture must produce, at cosine 1.0)."""
     t = load_tables(spark, sf_dir)
     emb = t.embeddings
+    organic = (
+        embedding_near_dups(emb, threshold=0.95)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("organic_census").alias("leg"),
+            F.col("n").cast("bigint").alias("k1"),
+            F.lit(-1).cast("bigint").alias("k2"),
+            F.lit(-1.0).cast("double").alias("metric"),
+        )
+    )
     twins = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
@@ -256,7 +264,13 @@ def embedding_near_dups_seeded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     seeded = emb.select("vec_id", "embedding", "label").unionByName(twins)
-    return embedding_near_dups(seeded, threshold=0.95).orderBy("id_a", "id_b")
+    seeded_pairs = embedding_near_dups(seeded, threshold=0.95).select(
+        F.lit("seeded").alias("leg"),
+        F.col("id_a").alias("k1"),
+        F.col("id_b").alias("k2"),
+        F.col("cosine").alias("metric"),
+    )
+    return organic.unionByName(seeded_pairs).orderBy("leg", "k1", "k2")
 
 
 @register(
@@ -280,6 +294,11 @@ def embedding_near_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(t.embeddings, dim=64, threshold=0.95).orderBy(
         "id_a", "id_b"
     )
+
+
+_SEEDED_COS = """ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"""
 
 
 @register(

@@ -361,3 +361,69 @@ def embedding_ivf_topk_lake_seeded(spark: SparkSession, sf_dir: str) -> DataFram
     hash certifies the ENTIRE probe plan: index build, centroid ranking,
     partition-pruned list scan, and exact re-rank."""
     return _ivf_probe(spark, sf_dir, seeded=True)
+
+
+@register(
+    "docs_hybrid_search",
+    # The retrieval funnel of a RAG/search stack: cheap lexical recall
+    # over the corpus (term-match scores, the inverted-index shape —
+    # docs_tfidf_similar_pairs is the doc-to-doc sibling), then dense
+    # cosine rerank of ONLY the candidate set against the query vector.
+    # documents.doc_id and embeddings.vec_id are aligned id spaces, so
+    # the rerank is a candidates-sized broadcast join — at 100 TB the
+    # expensive dense math touches 50 rows, never the corpus.
+    oracle="""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        lex AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS lex_score
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents
+            )
+            WHERE tok IN ('hash', 'join', 'scan')
+            GROUP BY doc_id
+        ), cand AS (
+            SELECT doc_id, lex_score FROM lex
+            ORDER BY lex_score DESC, doc_id LIMIT 50
+        )
+        SELECT c.doc_id, c.lex_score,
+               ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                     (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id CROSS JOIN q
+        ORDER BY cosine DESC, c.doc_id LIMIT 10
+    """,
+    tags=("similarity", "hybrid", "retrieval", "extension"),
+)
+def docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: lexical candidate generation (occurrence count
+    of the query terms, explode + codegen filter, top-50 via
+    TakeOrderedAndProject) reranked by exact cosine against the query
+    vector (vec_id=0) over the candidates only. Output: top-10
+    (doc_id, lex_score, cosine) by dense score."""
+    from big_data_chicago_crimes_spark.functions import cosine_similarity
+    from big_data_chicago_crimes_spark.functions.text import tokens
+
+    t = load_tables(spark, sf_dir)
+    terms = ["hash", "join", "scan"]
+    lex = (
+        t.documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("lex_score"))
+    )
+    cand = lex.orderBy(F.col("lex_score").desc(), "doc_id").limit(50)
+    q = _query_vec_col(t)
+    reranked = (
+        cand.join(t.embeddings, cand.doc_id == t.embeddings.vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            "lex_score",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qvec")), 6
+            ).alias("cosine"),
+        )
+    )
+    return reranked.orderBy(F.col("cosine").desc(), "doc_id").limit(10)

@@ -53,7 +53,6 @@ SUITE = {
         "docs_minhash_lsh_candidates",
         "docs_simhash_candidates",
         "docs_jaccard_pairs",
-        "embedding_near_dups",
         "embedding_near_dups_lsh",
     ],
     "similarity": [
@@ -62,6 +61,7 @@ SUITE = {
         "embedding_ann_lsh_topk_lake",
         "embedding_ivf_topk_lake",
         "embedding_lsh_bucket_histogram",
+        "docs_hybrid_search",
     ],
     "curation": [
         "docs_ngram_contamination",
