@@ -253,3 +253,30 @@ def chunk_spans(
         .drop("__t")
     )
     return out
+
+
+def vocab_top_k(
+    df,
+    text_col: str = "text",
+    k: int = 1000,
+    min_count: int = 1,
+):
+    """Corpus vocabulary table: the ``k`` most frequent whitespace
+    tokens with their counts — the precursor a tokenizer-training /
+    vocabulary-pruning step consumes. Deterministic: ties break on the
+    token string, so the table is stable under repartition and across
+    engines.
+
+    Scale shape: explode → hash-aggregate with map-side partials (the
+    per-partition combine means the shuffle carries one row per DISTINCT
+    token per partition, not per occurrence) → TakeOrderedAndProject
+    top-k (no global sort). Vocabulary cardinality, not corpus size,
+    bounds the shuffle.
+    """
+    toks = df.select(F.explode(tokens(text_col)).alias("token")).filter(
+        F.length("token") > 0
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    return counts.orderBy(F.col("n").desc(), F.col("token")).limit(k)

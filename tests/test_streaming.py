@@ -229,3 +229,21 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     joined = purchases_after_views_interval_join(sp, sv)
     out = run_stream_to_memory(joined, "stream_interval_join_test", "append")
     assert sorted(map(str, out.collect())) == expected
+
+
+def test_hash_sampling_filters_apply_to_streams(spark, sf_dir):
+    """The curation membership functions (hash_sample & friends) are
+    stateless content-hash filters, so the SAME recipe runs in the
+    ingest stream — streamed sample must equal the batch sample."""
+    from big_data_chicago_crimes_spark.operators.sampling import hash_sample
+
+    batch = load_table(spark, sf_dir, "events")
+    expected = sorted(
+        r.event_id for r in hash_sample(batch, "event_id", 0.2).collect()
+    )
+    assert expected
+
+    stream = read_events_stream(spark, sf_dir)
+    sampled = hash_sample(stream, "event_id", 0.2).select("event_id")
+    out = run_stream_to_memory(sampled, "stream_hash_sample_test", "append")
+    assert sorted(r.event_id for r in out.collect()) == expected

@@ -170,3 +170,24 @@ def test_chunk_spans_rejects_bad_config(spark):
 
     with pytest.raises(ValueError):
         chunk_spans(df, "text", max_len=8, stride=9)
+
+
+def test_vocab_top_k_counts_and_determinism(spark):
+    """Vocabulary table: exact counts, ties broken on token, stable
+    under repartition."""
+    from big_data_chicago_crimes_spark.functions.text import vocab_top_k
+
+    rows = [
+        (1, "a b b c c c"),
+        (2, "c d  d a"),
+        (3, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.token, r.n) for r in vocab_top_k(df, "text", k=3).collect()]
+    assert got == [("c", 4), ("a", 2), ("b", 2)]  # a before b on tie
+    got_re = [
+        (r.token, r.n) for r in vocab_top_k(df.repartition(4), "text", k=3).collect()
+    ]
+    assert got_re == got
+    top2 = [(r.token, r.n) for r in vocab_top_k(df, "text", k=2, min_count=3).collect()]
+    assert top2 == [("c", 4)]
