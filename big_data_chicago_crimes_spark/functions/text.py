@@ -218,6 +218,7 @@ def chunk_spans(
     text_col: str = "text",
     max_len: int = 32,
     stride: int = 24,
+    with_text: bool = False,
 ):
     """Sliding fixed-capacity token windows per document — the
     tokenize-and-chunk fan-out that turns long documents into training
@@ -252,6 +253,18 @@ def chunk_spans(
         )
         .drop("__t")
     )
+    if with_text:
+        # the chunk's token slice re-joined — slice() is 1-based; still a
+        # narrow codegen map, no shuffle
+        out = out.withColumn(
+            "chunk_text",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    tokens(text_col), F.col("chunk_start") + 1, F.col("chunk_len")
+                ),
+            ),
+        )
     return out
 
 

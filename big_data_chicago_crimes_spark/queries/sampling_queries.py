@@ -1,7 +1,8 @@
-"""Deterministic sampling/splitting queries over documents (extension
-surface: reproducible dataset curation). Both are fully oracle-checked —
-the md5 hash bucketing is engine-portable by construction, which is the
-point: the same row lands in the same sample/split in Spark, DuckDB, or
+"""Deterministic sampling/splitting/mixing/ordering queries over
+documents (extension surface: reproducible dataset curation). All fully
+oracle-checked — the md5 hash bucketing is engine-portable by
+construction, which is the point: the same row lands in the same
+sample/split/quota/mixture/curriculum-position in Spark, DuckDB, or
 anything else with md5."""
 
 from __future__ import annotations

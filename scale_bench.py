@@ -78,9 +78,11 @@ SUITE = {
         "docs_sequence_packing",
         "docs_chunk_windows",
     ],
-    # r7 continuation: the data-mixing recipes — per-domain quota capping
-    # (histogram-bounded exact rank) and temperature-flattened mixture
-    # sampling (tiny per-domain count agg + broadcast threshold filter)
+    # r7 continuation: the data-mixing/ordering recipes — per-domain
+    # quota capping (histogram-bounded exact rank), temperature-flattened
+    # mixture sampling (tiny per-domain count agg + broadcast threshold
+    # filter), curriculum ordering (histogram-offset global ranks), and
+    # the four-stage end-to-end pipeline certification
     "mixing": [
         "docs_domain_quota",
         "docs_temperature_mix",

@@ -191,3 +191,18 @@ def test_vocab_top_k_counts_and_determinism(spark):
     assert got_re == got
     top2 = [(r.token, r.n) for r in vocab_top_k(df, "text", k=2, min_count=3).collect()]
     assert top2 == [("c", 4)]
+
+
+def test_chunk_spans_emits_token_slices(spark):
+    """with_text=True materializes each window's token slice — the
+    actual training-sequence text — matching a python reference slice."""
+    from big_data_chicago_crimes_spark.functions.text import chunk_spans
+
+    toks = [f"t{i}" for i in range(40)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = chunk_spans(df, "text", max_len=32, stride=24, with_text=True)
+    got = {r.chunk_idx: r.chunk_text for r in out.collect()}
+    assert got == {
+        0: " ".join(toks[0:32]),
+        1: " ".join(toks[24:40]),
+    }
