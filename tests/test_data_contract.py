@@ -232,3 +232,16 @@ def test_date32_encoded_temporal_column_loads_as_timestamp(spark, tmp_path):
         ).collect()
     )
     assert got == ["2024-01-01 00:00:00", "2024-06-15 00:00:00"]
+
+
+def test_documents_and_embeddings_share_id_space(spark, sf_dir):
+    """docs_hybrid_search joins embeddings.vec_id = documents.doc_id —
+    that rerank silently under-returns if the id spaces drift. Pin the
+    alignment: every doc_id has exactly one embedding row."""
+    from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(F.col("doc_id").alias("id"))
+    embs = t.embeddings.select(F.col("vec_id").alias("id"))
+    assert docs.count() == embs.count()
+    assert docs.join(embs, "id", "left_anti").count() == 0
