@@ -243,9 +243,16 @@ def chunk_spans(
     idx_array = F.when(t > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
         F.array().cast("array<int>")
     )
+    staged = df.withColumn("__t", t)
+    if with_text:
+        # tokenize ONCE per document, BEFORE the explode — slicing the
+        # carried array per chunk row is O(chunk), while re-splitting the
+        # full text per emitted row would amplify the regex cost by the
+        # fan-out factor (~max_len/stride ×) on exactly the long
+        # documents chunking targets
+        staged = staged.withColumn("__toks", tokens(text_col))
     out = (
-        df.withColumn("__t", t)
-        .withColumn("chunk_idx", F.explode(idx_array))
+        staged.withColumn("chunk_idx", F.explode(idx_array))
         .withColumn("chunk_start", (F.col("chunk_idx") * stride).cast("int"))
         .withColumn(
             "chunk_len",
@@ -261,10 +268,10 @@ def chunk_spans(
             F.concat_ws(
                 " ",
                 F.slice(
-                    tokens(text_col), F.col("chunk_start") + 1, F.col("chunk_len")
+                    F.col("__toks"), F.col("chunk_start") + 1, F.col("chunk_len")
                 ),
             ),
-        )
+        ).drop("__toks")
     return out
 
 
@@ -293,3 +300,34 @@ def vocab_top_k(
     if min_count > 1:
         counts = counts.filter(F.col("n") >= min_count)
     return counts.orderBy(F.col("n").desc(), F.col("token")).limit(k)
+
+
+def assign_pack_bins(
+    df,
+    group_col: str = "lang",
+    text_col: str = "text",
+    capacity: int = 2048,
+):
+    """Contiguous-fill sequence packing: per ``group_col``, assign each
+    document the bin where its token prefix-sum lands (running token sum
+    in deterministic doc_id order; a doc longer than ``capacity``
+    overflows its bin — contiguous fill never splits documents, the
+    standard pre-splitting contract). The ONE packing implementation —
+    docs_sequence_packing and docs_pipeline_end_to_end both build on it,
+    so the bin arithmetic can never diverge between the two oracles.
+    Output: (group_col, doc_id, n_tok, bin_id). Window partitions by the
+    group, so packing parallelizes across groups; only the per-group
+    running sum is sequential, inherent to contiguous packing."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select(
+        group_col, "doc_id", token_count(text_col).alias("n_tok")
+    ).withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / capacity).cast("bigint"),
+    )

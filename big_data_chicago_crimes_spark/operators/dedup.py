@@ -701,10 +701,17 @@ def exact_dedup_keep_best(
     aggregate as ``max(struct(score, -id, id))`` — lexicographic struct
     ordering gives max-score-then-min-id in ONE agg, with none of the
     window/sort machinery a row_number formulation would shuffle.
+
+    Score edge cases are pinned explicitly (tests/test_dedup.py): a
+    NULL score is treated as lowest (coalesced to -Infinity, so a
+    scored copy always beats an unscored one — relying on raw
+    null-in-struct ordering would be engine-dependent); NaN follows
+    Spark's sort semantics (greater than every double) — clean NaNs
+    upstream if that is not the intended policy.
     """
     fp = doc_fingerprint(text_col).alias("fingerprint")
     key = F.struct(
-        F.col(score_col).alias("s"),
+        F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf"))).alias("s"),
         (-F.col(id_col)).alias("ni"),
         F.col(id_col).alias("id"),
     )

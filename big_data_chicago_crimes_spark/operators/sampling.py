@@ -93,6 +93,7 @@ def quota_sample(
     n: int,
     key: str,
     buckets: int = 4096,
+    cache_cutoffs: bool = True,
 ) -> DataFrame:
     """Keep AT MOST ``n`` rows per group — the per-domain quota cap of a
     data-mixing recipe ("no single domain may contribute more than N
@@ -122,7 +123,13 @@ def quota_sample(
     The exact-rank window therefore sees ~1/``buckets`` of the hottest
     group regardless of its size; raise ``buckets`` for hotter domains.
     ``key`` must be row-unique (like every operator in this module) —
-    duplicate keys would make the boundary rank order non-total.
+    duplicate keys would make the boundary rank order non-total — and
+    ``group_cols`` values must be NON-NULL: the cutoff join is plain
+    equality, so a NULL group would be silently dropped rather than
+    capped. ``cache_cutoffs=False`` skips persisting the groups-sized
+    cutoff frame (one extra histogram pass instead of a session-lifetime
+    cache entry — the right trade for one-shot jobs that build the plan
+    many times, e.g. benchmark loops).
     """
     b = hash_bucket(F.col(key), buckets).alias("__qb")
     keyed = df.withColumn("__qb", b)
@@ -146,8 +153,10 @@ def quota_sample(
     # against `cuts`. Without caching, Spark plans the histogram subtree
     # TWICE — two extra scans of the fact table for a groups-sized frame.
     # Persisting collapses that to one histogram pass shared via
-    # InMemoryRelation (verified in the physical plan).
-    cuts = cuts.persist()
+    # InMemoryRelation (verified in the physical plan); the cache entry
+    # lives until session LRU eviction (see ``cache_cutoffs``).
+    if cache_cutoffs:
+        cuts = cuts.persist()
     joined = keyed.join(cuts, group_cols, "inner")
     below = joined.filter(F.col("__qb") < F.col("__cut"))
     # boundary bucket: exact rank by (row hash, key) — a total order
@@ -232,6 +241,9 @@ def temperature_mix(
 
     Returns kept rows with ``__mix_n_total`` / ``__mix_threshold``
     attached for census queries; callers not needing them can drop them.
+    ``domain_col`` values must be NON-NULL: the threshold join is plain
+    equality, so NULL-domain rows would be silently dropped rather than
+    mixed.
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")

@@ -60,5 +60,15 @@ def multimodal_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames.join(t.documents.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(F.count("*").alias("n_frames"))
+        .withColumnRenamed("source", "f_source")
     )
-    return decode_stats.join(frame_stats, "source").orderBy("source")
+    # null-safe equality: a plain join on the group key would silently
+    # drop a NULL source group (NULL != NULL) that the one-pass oracle
+    # emits; eqNullSafe keeps the merge oracle-equivalent for any data
+    return (
+        decode_stats.join(
+            frame_stats, decode_stats["source"].eqNullSafe(frame_stats["f_source"])
+        )
+        .drop("f_source")
+        .orderBy("source")
+    )

@@ -224,21 +224,24 @@ def events_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both JSON extraction mechanisms over events.props, certified
     against each other in one result: sum/avg via JVM-side
     get_json_object (stringly path), min/max via from_json → typed
-    struct (schema'd path). No UDF on either leg."""
+    struct (schema'd path). ONE aggregation pass — a two-leg join on the
+    group key would silently drop a NULL event_type group (NULL != NULL)
+    while the one-pass oracle emits it. No UDF on either leg."""
     t = load_tables(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("bigint")
-    stringly = (
-        t.events.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(F.sum("k").alias("sum_k"), F.round(F.avg("k"), 6).alias("avg_k"))
-    )
     schema = T.StructType([T.StructField("k", T.IntegerType())])
-    typed = (
-        t.events.select("event_type", F.from_json("props", schema).alias("p"))
+    p = F.from_json("props", schema).alias("p")
+    return (
+        t.events.select("event_type", k.alias("k"), p)
         .groupBy("event_type")
-        .agg(F.min("p.k").alias("min_k"), F.max("p.k").alias("max_k"))
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+        )
+        .orderBy("event_type")
     )
-    return stringly.join(typed, "event_type").orderBy("event_type")
 
 
 @register(

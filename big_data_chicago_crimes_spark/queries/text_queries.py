@@ -565,22 +565,10 @@ def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherent to contiguous packing. A doc longer than the capacity
     overflows its bin (contiguous fill never splits documents — the
     standard pre-splitting contract)."""
-    from pyspark.sql import Window
+    from big_data_chicago_crimes_spark.functions.text import assign_pack_bins
 
     t = load_tables(spark, sf_dir)
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = t.documents.select(
-        "lang", "doc_id", token_count("text").alias("n_tok")
-    ).withColumn(
-        "bin_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_CAPACITY).cast(
-            "bigint"
-        ),
-    )
+    packed = assign_pack_bins(t.documents, "lang", "text", _PACK_CAPACITY)
     bins = packed.groupBy("lang", "bin_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens")
     )
@@ -719,8 +707,7 @@ def docs_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     state. Every stage's membership is a content-hash function of the
     row, so the composition is engine-portable end to end — the DuckDB
     oracle replays all four stages and must agree bit-for-bit."""
-    from pyspark.sql import Window
-
+    from big_data_chicago_crimes_spark.functions.text import assign_pack_bins
     from big_data_chicago_crimes_spark.operators.dedup import exact_dedup
     from big_data_chicago_crimes_spark.operators.sampling import (
         quota_sample,
@@ -737,17 +724,9 @@ def docs_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = quota_sample(survivors, ["source"], n=15, key="doc_id").persist()
     mixed = temperature_mix(capped, "lang", "doc_id", alpha=0.5, buckets=1000)
 
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = mixed.select(
-        "lang", "doc_id", token_count("text").alias("n_tok")
-    ).withColumn(
-        "bin_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512).cast("bigint"),
-    )
+    # same packing implementation as docs_sequence_packing — one helper,
+    # so the bin arithmetic can never diverge between the two oracles
+    packed = assign_pack_bins(mixed, "lang", "text", capacity=512)
     bins = packed.groupBy("lang", "bin_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens")
     )

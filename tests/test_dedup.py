@@ -247,3 +247,22 @@ def test_exact_dedup_keep_best_prefers_score_then_min_id(spark):
         for r in exact_dedup_keep_best(df.repartition(5), "quality").collect()
     }
     assert got_re == got
+
+
+def test_exact_dedup_keep_best_null_and_nan_scores(spark):
+    """NULL scores lose to any scored copy (coalesced to -inf); NaN
+    follows Spark sort semantics (greater than every double). Pinned so
+    the policy is explicit, not engine-accidental."""
+    from big_data_chicago_crimes_spark.operators.dedup import exact_dedup_keep_best
+
+    rows = [
+        (1, "same text", None),   # NULL loses to 2
+        (2, "Same   Text", 0.1),
+        (3, "other text", None),  # all-NULL group → min id survives
+        (4, "Other Text", None),
+        (5, "third text", 5.0),
+        (6, "Third   Text", float("nan")),  # NaN > 5.0 under Spark sort
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, quality double")
+    got = {r.doc_id for r in exact_dedup_keep_best(df, "quality").collect()}
+    assert got == {2, 3, 6}
