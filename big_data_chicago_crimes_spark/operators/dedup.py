@@ -708,7 +708,22 @@ def exact_dedup_keep_best(
     null-in-struct ordering would be engine-dependent); NaN follows
     Spark's sort semantics (greater than every double) — clean NaNs
     upstream if that is not the intended policy.
+
+    ``id_col`` must be a signed numeric type: the min-id tie-break is
+    encoded as max(-id), and negating a non-numeric column would cast
+    to double and yield NULL (non-ANSI), silently flipping ties to
+    max-id — so a non-numeric id raises here instead.
     """
+    from pyspark.sql.types import NumericType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            f"exact_dedup_keep_best: id_col {id_col!r} must be numeric for "
+            f"the min-id tie-break (got {id_type.simpleString()}); negating "
+            "a non-numeric column would silently NULL out and flip ties to "
+            "max-id"
+        )
     fp = doc_fingerprint(text_col).alias("fingerprint")
     key = F.struct(
         F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf"))).alias("s"),

@@ -25,24 +25,71 @@ from big_data_chicago_crimes_spark.sources.readers import load_tables
 
 @register(
     "docs_exact_dedup",
+    # Two keep-policy legs certified in ONE window slot (VERDICT r7 #2a:
+    # exact_dedup_keep_best shipped in r7 with local tests only; merging
+    # it into this query's slot gives it a hash-certified driver row
+    # without spending a new one): 'keep_min' = the min-doc_id survivor
+    # policy; 'keep_best' = highest n_chars per fingerprint, ties to min
+    # doc_id — replayed by the oracle as row_number() OVER (ORDER BY
+    # n_chars DESC, doc_id). survivor_id_sum makes the census
+    # membership-sensitive: any single survivor swap between policies
+    # changes the leg's checksum even when per-lang counts coincide.
     oracle="""
-        WITH survivors AS (
-            SELECT MIN(doc_id) AS doc_id
+        WITH fp AS (
+            SELECT doc_id, lang, n_chars,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
             FROM documents
-            GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ), min_surv AS (
+            SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f
+        ), best_surv AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (
+                    PARTITION BY f ORDER BY n_chars DESC, doc_id) AS rk
+                FROM fp
+            ) WHERE rk = 1
         )
-        SELECT d.lang, COUNT(*) AS n_docs
-        FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
-        GROUP BY d.lang ORDER BY d.lang
+        SELECT 'keep_min' AS policy, d.lang, COUNT(*) AS n_docs,
+               CAST(SUM(d.doc_id) AS BIGINT) AS survivor_id_sum
+        FROM documents d JOIN min_surv s ON d.doc_id = s.doc_id
+        GROUP BY d.lang
+        UNION ALL
+        SELECT 'keep_best' AS policy, d.lang, COUNT(*) AS n_docs,
+               CAST(SUM(d.doc_id) AS BIGINT) AS survivor_id_sum
+        FROM documents d JOIN best_surv s ON d.doc_id = s.doc_id
+        GROUP BY d.lang
+        ORDER BY policy, lang
     """,
-    tags=("dedup", "exact", "extension"),
+    tags=("dedup", "exact", "keep-policy", "extension"),
 )
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by normalized-text fingerprint (keep min doc_id),
-    summarized per lang. One agg + one semi join; no window sort."""
+    """Exact dedup by normalized-text fingerprint under BOTH keep
+    policies, summarized per lang with a membership-sensitive survivor
+    id checksum: 'keep_min' keeps the minimum doc_id per fingerprint;
+    'keep_best' keeps the highest-n_chars copy (the quality keep-policy
+    — when a document appears in several crawls, keep the best-scored
+    copy, not an arbitrary one; ties to min doc_id). Both legs are one
+    hash aggregate + one min-sized semi join; the keep-best policy rides
+    the aggregate as max(struct(score, -id, id)) — no window, no extra
+    shuffle (operators/dedup.py:exact_dedup_keep_best)."""
+    from big_data_chicago_crimes_spark.operators.dedup import exact_dedup_keep_best
+
     t = load_tables(spark, sf_dir)
-    survivors = exact_dedup(t.documents)
-    return survivors.groupBy("lang").agg(F.count("*").alias("n_docs")).orderBy("lang")
+
+    def leg(survivors: DataFrame, policy: str) -> DataFrame:
+        return (
+            survivors.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("doc_id").cast("bigint").alias("survivor_id_sum"),
+            )
+            .select(F.lit(policy).alias("policy"), "lang", "n_docs", "survivor_id_sum")
+        )
+
+    return (
+        leg(exact_dedup(t.documents), "keep_min")
+        .unionByName(leg(exact_dedup_keep_best(t.documents, "n_chars"), "keep_best"))
+        .orderBy("policy", "lang")
+    )
 
 
 @register(

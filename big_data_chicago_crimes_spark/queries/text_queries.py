@@ -27,32 +27,74 @@ _SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
     # blank-text guard mirrors token_count's 0-for-blank semantics:
     # regexp_split_to_array('') yields [''] (len 1), while the engine's
     # token_count returns 0 — same divergence docs_sequence_packing's
-    # oracle guards against (its prefix-sum would amplify one mismatch)
+    # oracle guards against (its prefix-sum would amplify one mismatch).
+    # Two sections certified in ONE window slot (VERDICT r7 #2b:
+    # vocab_top_k shipped in r7 with local tests only; it shares this
+    # query's explode spine, so it merges here rather than spending a
+    # slot): 'lang_stats' = the per-lang token census; 'vocab_top100' =
+    # the 100 most frequent tokens with counts (ties break on the token
+    # string; the blank-token filter mirrors vocab_top_k's
+    # length(token) > 0 guard). NULL stats columns on the vocab leg are
+    # typed NULLs on both engines so the schema hash agrees.
     oracle="""
-        SELECT lang,
-               COUNT(*) AS n_docs,
+        SELECT 'lang_stats' AS section, lang AS key,
+               COUNT(*) AS n,
                ROUND(AVG(CASE WHEN trim(text) = '' THEN 0
                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                          END), 6) AS avg_tokens,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        FROM documents GROUP BY lang ORDER BY lang
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 'vocab_top100' AS section, token AS key, n,
+               CAST(NULL AS DOUBLE) AS avg_tokens,
+               CAST(NULL AS BIGINT) AS total_chars
+        FROM (
+            SELECT token, COUNT(*) AS n
+            FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                FROM documents
+            ) WHERE token <> ''
+            GROUP BY token
+            ORDER BY n DESC, token LIMIT 100
+        )
+        ORDER BY section, key
     """,
-    tags=("text", "extension"),
+    tags=("text", "vocab", "extension"),
 )
 def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting per language — pure JVM expressions
-    (split/size), no UDF in the scan path."""
+    """Whitespace token counting per language ('lang_stats' section —
+    pure JVM split/size, no UDF in the scan path) plus the corpus
+    vocabulary table ('vocab_top100' section — the 100 most frequent
+    tokens via functions/text.py:vocab_top_k: explode → hash-aggregate
+    with map-side partials → TakeOrderedAndProject top-k; the shuffle is
+    bounded by vocabulary cardinality, not corpus size)."""
+    from big_data_chicago_crimes_spark.functions.text import vocab_top_k
+
     t = load_tables(spark, sf_dir)
-    return (
+    stats = (
         t.documents.select("lang", "n_chars", token_count("text").alias("n_tokens"))
         .groupBy("lang")
         .agg(
-            F.count("*").alias("n_docs"),
+            F.count("*").alias("n"),
             F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
             F.sum("n_chars").alias("total_chars"),
         )
-        .orderBy("lang")
+        .select(
+            F.lit("lang_stats").alias("section"),
+            F.col("lang").alias("key"),
+            "n",
+            "avg_tokens",
+            "total_chars",
+        )
     )
+    vocab = vocab_top_k(t.documents, "text", k=100).select(
+        F.lit("vocab_top100").alias("section"),
+        F.col("token").alias("key"),
+        "n",
+        F.lit(None).cast("double").alias("avg_tokens"),
+        F.lit(None).cast("bigint").alias("total_chars"),
+    )
+    return stats.unionByName(vocab).orderBy("section", "key")
 
 
 @register(
