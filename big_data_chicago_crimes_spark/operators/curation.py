@@ -72,12 +72,39 @@ def ngram_contamination(
     )
 
 
+def _lineage_cut(edges: DataFrame, reliable: bool):
+    """Per-round lineage-cut strategy for the iterative components
+    operators: eager ``localCheckpoint`` by default (cheap,
+    executor-local), or eager reliable ``checkpoint()`` when
+    ``reliable=True`` — which writes under the SESSION-scoped checkpoint
+    root that session.py sets once at startup (operators never call
+    ``setCheckpointDir``; it mutates global SparkContext state)."""
+    if reliable:
+        spark = edges.sparkSession
+        if spark.sparkContext.getCheckpointDir() is None:
+            raise RuntimeError(
+                "reliable=True needs a session checkpoint root; build the "
+                "session via session.get_spark (SPARK_GRAFT_CHECKPOINT_DIR) "
+                "or call sparkContext.setCheckpointDir once at startup"
+            )
+
+        def cut(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    return cut
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
-    checkpoint_dir: str | None = None,
+    reliable: bool = False,
     edges_canonical: bool = False,
 ) -> DataFrame:
     """Connected components of the undirected graph given as an edge
@@ -112,39 +139,18 @@ def connected_components(
     Checkpoint durability: by default lineage is cut with
     ``localCheckpoint`` — executor-local block storage, cheap, but LOST
     if an executor dies (the job then fails and must rerun; results are
-    never silently wrong). On a real cluster pass ``checkpoint_dir`` (an
-    HDFS/object-store path): each round then uses reliable
-    ``DataFrame.checkpoint()`` to that directory, so a multi-hour run
-    survives executor loss at the price of one distributed write per
-    round.
-
-    Two operational caveats of the reliable path (they are Spark-wide
-    behavior, not specific to this operator):
-
-    - ``setCheckpointDir`` mutates GLOBAL SparkContext state. Each call
-      here scopes its writes into a fresh ``cc-<uuid>`` subdirectory so
-      concurrent/repeated invocations never interleave files, but the
-      context's checkpoint dir remains pointed at the last call's
-      subdirectory afterwards.
-    - Superseded rounds accumulate: a ``k``-round run leaves ``k``
-      checkpointed copies of labels+sym under its subdirectory. Enable
-      ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` to have
-      Spark GC checkpoints whose DataFrames go out of scope, and/or
-      delete the ``cc-*`` subdirectory after consuming the result.
+    never silently wrong). On a real cluster pass ``reliable=True``:
+    each round then uses reliable ``DataFrame.checkpoint()`` under the
+    SESSION-scoped checkpoint root (set once at session creation from
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` — point it at HDFS/object storage;
+    session.py), so a multi-hour run survives executor loss at the
+    price of one distributed write per round. No operator mutates
+    ``setCheckpointDir``; per-RDD checkpoint paths under the root are
+    unique, so concurrent runs never interleave, and superseded rounds
+    are GC'd via ``spark.cleaner.referenceTracking.cleanCheckpoints``
+    (enabled by session.py).
     """
-    spark = edges.sparkSession
-    if checkpoint_dir is not None:
-        import uuid
-
-        spark.sparkContext.setCheckpointDir(f"{checkpoint_dir}/cc-{uuid.uuid4().hex}")
-
-        def cut(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
-
-    else:
-
-        def cut(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+    cut = _lineage_cut(edges, reliable)
 
     sym = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).union(
         edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
@@ -205,7 +211,7 @@ def connected_components_star(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
-    checkpoint_dir: str | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Connected components via large-star/small-star alternation
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -231,9 +237,9 @@ def connected_components_star(
     convergence count). Per round: two groupBy-join pairs on node id —
     shuffle volume proportional to the CURRENT edge set, which shrinks
     toward one edge per node. Lineage is cut per round exactly like the
-    propagation variant (localCheckpoint, or reliable ``checkpoint()``
-    under ``checkpoint_dir`` for executor-loss durability on a real
-    cluster).
+    propagation variant (localCheckpoint, or ``reliable=True`` for
+    executor-loss durability via the session-scoped checkpoint root on
+    a real cluster).
 
     Propagation remains the default for near-dup dedup graphs (their
     clusters are near-cliques — diameter 2-3, so 3-4 cheap rounds beat
@@ -242,19 +248,7 @@ def connected_components_star(
     chain-shaped / adversarial-diameter graphs, certified identical on a
     planted 256-link chain by tests/test_curation.py.
     """
-    spark = edges.sparkSession
-    if checkpoint_dir is not None:
-        import uuid
-
-        spark.sparkContext.setCheckpointDir(f"{checkpoint_dir}/cc-{uuid.uuid4().hex}")
-
-        def cut(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
-
-    else:
-
-        def cut(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+    cut = _lineage_cut(edges, reliable)
 
     nodes = (
         edges.select(F.col(src).alias("id"))

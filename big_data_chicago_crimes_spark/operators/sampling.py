@@ -153,10 +153,14 @@ def quota_sample(
     # against `cuts`. Without caching, Spark plans the histogram subtree
     # TWICE — two extra scans of the fact table for a groups-sized frame.
     # Persisting collapses that to one histogram pass shared via
-    # InMemoryRelation (verified in the physical plan); the cache entry
-    # lives until session LRU eviction (see ``cache_cutoffs``).
+    # InMemoryRelation (verified in the physical plan); the entry is
+    # registered with the session scratch-cache so loop callers
+    # (bench.py) release it after each materialization instead of
+    # accumulating entries until LRU eviction (see ``cache_cutoffs``).
     if cache_cutoffs:
-        cuts = cuts.persist()
+        from big_data_chicago_crimes_spark.session import scratch_persist
+
+        cuts = scratch_persist(cuts)
     joined = keyed.join(cuts, group_cols, "inner")
     below = joined.filter(F.col("__qb") < F.col("__cut"))
     # boundary bucket: exact rank by (row hash, key) — a total order
@@ -238,6 +242,13 @@ def temperature_mix(
     IEEE-754 requires sqrt to be correctly rounded (pow is not), which
     makes the integer thresholds — and therefore membership — engine-
     portable bit-for-bit, the property the DuckDB oracle certifies.
+    For any OTHER alpha the pow() branch is NOT certified bit-portable
+    across engines (pow's last-ulp error may differ, and a borderline
+    value could flip a floored threshold; ADVICE r7): membership is
+    still deterministic WITHIN Spark — retries/repartition/engine
+    version are safe — but cross-engine replay should either use
+    alpha=0.5 or derive the thresholds once and ship them to both
+    engines as literals.
 
     Returns kept rows with ``__mix_n_total`` / ``__mix_threshold``
     attached for census queries; callers not needing them can drop them.

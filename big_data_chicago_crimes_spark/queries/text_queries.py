@@ -837,14 +837,18 @@ def docs_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         temperature_mix,
     )
 
+    from big_data_chicago_crimes_spark.session import scratch_persist
+
     t = load_tables(spark, sf_dir)
     survivors = exact_dedup(t.documents)
     # Persist the capped set: it is RECIPE-sized (≤ n × #sources rows,
     # independent of corpus size), and without the cache the mix stage's
     # count and data legs each re-expand the dedup+quota subtree — the
     # plan showed six corpus scans instead of two. With it, everything
-    # downstream reads a tiny InMemoryRelation.
-    capped = quota_sample(survivors, ["source"], n=15, key="doc_id").persist()
+    # downstream reads a tiny InMemoryRelation. Registered with the
+    # session scratch-cache so loop callers release it per build
+    # (ADVICE r7) instead of leaking an entry per construction.
+    capped = scratch_persist(quota_sample(survivors, ["source"], n=15, key="doc_id"))
     mixed = temperature_mix(capped, "lang", "doc_id", alpha=0.5, buckets=1000)
 
     # same packing implementation as docs_sequence_packing — one helper,

@@ -217,8 +217,11 @@ def main() -> None:
 
     queries = all_queries()
 
+    from big_data_chicago_crimes_spark.session import release_scratch_caches
+
     def run(name: str, d: str) -> None:
         queries[name].build(spark, d).write.format("noop").mode("overwrite").save()
+        release_scratch_caches()  # per-build scratch caches (ADVICE r7)
 
     names = [n for qs in SUITE.values() for n in qs]
 

@@ -39,19 +39,25 @@ def test_connected_components_long_chain_raises_loudly(spark):
 
 
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
-    """checkpoint_dir switches the per-round lineage cut from
-    executor-local localCheckpoint to reliable DataFrame.checkpoint():
-    same labeling, and the checkpoint directory actually receives RDD
-    checkpoint data (proving the durable path was taken)."""
-    ckpt = str(tmp_path / "cc_ckpt")
+    """reliable=True switches the per-round lineage cut from
+    executor-local localCheckpoint to reliable DataFrame.checkpoint()
+    under the SESSION-scoped checkpoint root (set once at session
+    creation; operators never mutate setCheckpointDir): same labeling,
+    and the root actually receives RDD checkpoint data (proving the
+    durable path was taken)."""
+    import pathlib
+
+    root = spark.sparkContext.getCheckpointDir()
+    assert root, "session factory must set the checkpoint root once"
     edges = _edges(spark, [(1, 2), (2, 3), (7, 8)])
     got = {
         (r.id, r.component)
-        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+        for r in connected_components(edges, reliable=True).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
-    ckpt_files = list((tmp_path / "cc_ckpt").rglob("*"))
-    assert ckpt_files, "reliable checkpoint dir is empty — durable path not taken"
+    root_path = pathlib.Path(root.removeprefix("file:"))
+    ckpt_files = list(root_path.rglob("*"))
+    assert ckpt_files, "reliable checkpoint root is empty — durable path not taken"
 
 
 def test_star_components_match_propagation_on_basics(spark):
