@@ -75,6 +75,7 @@ HEADLINE = [
     "events_hourly_tumbling",
     "events_sliding_1h_30m",
     "user_session_counts",
+    "events_interval_join_batch",  # stream-stream interval join, batch degradation (r8)
     # text suite
     "docs_token_stats",
     "docs_quality_by_source",
@@ -87,8 +88,10 @@ HEADLINE = [
     "docs_repetition_stats",
     "docs_pii_scrub_stats",
     "docs_sequence_packing",
+    "docs_chunk_pack",  # chunk -> pack-the-chunks composition (r8)
     # dedup / similarity (xxhash64 / LSH / blocked scale paths)
     "docs_exact_dedup",
+    "docs_incremental_dedup",  # new-batch-vs-corpus fingerprint anti-join (r8)
     "docs_minhash_lsh_candidates",
     "docs_simhash_candidates",
     "docs_jaccard_pairs",
@@ -98,6 +101,7 @@ HEADLINE = [
     "embedding_ann_lsh_topk_lake",   # materialized-index probe (scale path)
     "embedding_ivf_topk_lake",       # materialized-index probe (scale path)
     "embedding_lsh_bucket_histogram",
+    "embedding_batch_topk",  # multi-query broadcast bucket join (r8)
     "events_json_profile",  # merged JSON surface (r7 continuation)
     # sampling / splits
     "docs_sampling_census",
@@ -139,8 +143,7 @@ CERTIFICATION = [
     # shape that hides at sf0.1 and explodes at scale (56× at 10× data)
     "embedding_near_dup_certification",  # organic census + planted twins
     "embedding_near_dups_lsh_seeded",
-    "docs_simhash_seeded_recall",
-    "docs_minhash_seeded_recall",
+    "docs_sketch_seeded_recall",
     "docs_pii_scrub_seeded",
     "embedding_ivf_topk_lake_seeded",
     "events_etl_clean_seeded",

@@ -104,6 +104,41 @@ def exact_dedup(
     return df.join(survivors.select(id_col), id_col, "left_semi")
 
 
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    corpus_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus without rescanning
+    the corpus text — the incremental-crawl shape of a production
+    training-data pipeline (each crawl must drop both its internal
+    duplicates and anything the corpus already holds):
+
+    1. within-batch exact dedup: min-``id_col`` per normalized-text
+       fingerprint (identical semantics to ``exact_dedup``);
+    2. anti-join the surviving fingerprints against
+       ``corpus_fingerprints`` (a frame with a ``fingerprint`` column —
+       at scale a MATERIALIZED fingerprint index: one md5 string per
+       unique corpus doc, built once via sinks.cached and appended per
+       accepted batch, so each new crawl shuffles batch-sized
+       fingerprints and an index-sized string column, never corpus
+       text);
+    3. semi-join the accepted ids back to the full batch rows.
+
+    Deterministic: the survivor set is a pure function of batch content
+    and the corpus fingerprint set.
+    """
+    keyed = new_df.select(
+        doc_fingerprint(text_col).alias("fingerprint"), F.col(id_col)
+    )
+    batch_min = keyed.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    fresh = batch_min.join(
+        corpus_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+    )
+    return new_df.join(fresh.select(id_col), id_col, "left_semi")
+
+
 def minhash_signature_table(
     df: DataFrame,
     text_col: str = "text",

@@ -226,6 +226,90 @@ def ann_topk(
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
 
 
+def batch_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    dim: int = 64,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """MANY query vectors answered in ONE bucket join — the batch shape
+    of ANN serving / training-set retrieval (``ann_topk`` answers a
+    single driver-side literal; here the queries arrive as a DataFrame,
+    the way a retrieval batch does):
+
+    1. each query row gets its LSH signature through the SAME codegen
+       path the corpus uses (no driver-side math, no collect);
+    2. the probe set (own bucket + every bucket within
+       ``multiprobe_hamming`` bit flips) is exploded query-side —
+       (1 + Σ C(n_planes, r)) rows per query, batch-sized;
+    3. that probe frame is BROADCAST and equi-joined to the bucketed
+       corpus: candidates ≈ probes/2^n_planes of the corpus per query,
+       and the corpus-sized side never shuffles (at scale, with the
+       corpus written partitioned by bucket, the join is also
+       partition-pruned);
+    4. exact cosine re-rank per query via a window partitioned by
+       ``query_id_col`` — bounded to the probed candidates, never the
+       corpus (a corpus-wide per-query window would funnel the whole
+       table through one task per query).
+
+    A corpus row joins at most one probe per query (its bucket is a
+    single value and probe buckets are distinct), so no dedup pass is
+    needed. Output: (query_id, id, cosine, rank ≤ k), ranked by rounded
+    cosine with id tie-break — deterministic and engine-replayable.
+    """
+    import itertools
+
+    from pyspark.sql import Window
+
+    from big_data_chicago_crimes_spark.functions.vectors import cosine_similarity
+
+    masks = [0]
+    for radius in range(1, multiprobe_hamming + 1):
+        for bits in itertools.combinations(range(n_planes), radius):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    qsig = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        hyperplane_signature(vec_col, dim, n_planes).alias("__qb"),
+    )
+    probes = (
+        qsig.withColumn(
+            "__mask", F.explode(F.array(*[F.lit(m) for m in masks]))
+        )
+        .select(
+            query_id_col,
+            "__qvec",
+            F.col("__qb").bitwiseXOR(F.col("__mask")).alias("__probe"),
+        )
+    )
+    bucketed = hyperplane_lsh_buckets(corpus, dim, n_planes, vec_col)
+    cand = bucketed.join(
+        F.broadcast(probes), bucketed["bucket"] == probes["__probe"]
+    )
+    scored = cand.select(
+        query_id_col,
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # --- IVF (inverted-file) ANN: KMeans-partitioned index ------------------
 
 

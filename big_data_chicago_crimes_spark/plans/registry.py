@@ -41,7 +41,6 @@ REGISTRY: dict[str, Query] = {}
 # indexes 0-49). ``CERTIFICATION_PRIORITY`` pins iteration order so the
 # sample window is always spent where evidence is weakest. Rotated every round
 # (VERDICT r4 #3); tests/test_registry.py derives the staleness contract from
-# (VERDICT r4 #3); tests/test_registry.py derives the staleness contract from
 # the committed CORRECTNESS history, so a bad rotation fails CI.
 #
 # ROUND-8 WINDOW (the mechanical cohort rotation, VERDICT r7 #1): at 100
@@ -66,8 +65,8 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_char_ngram_jaccard",
     "docs_minhash_lsh_candidates",
     "docs_simhash_candidates",
-    "docs_minhash_seeded_recall",
-    "docs_simhash_seeded_recall",
+    "docs_sketch_seeded_recall",  # = docs_minhash_seeded_recall + docs_simhash_seeded_recall
+    "docs_incremental_dedup",  # new-batch-vs-corpus dedup (funded by the merge above)
     "docs_minhash_md5_oracled",
     "docs_simhash_md5_oracled",
     "docs_simhash_band_candidates_md5_oracled",
@@ -99,8 +98,8 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_sampling_census",  # = docs_hash_sample + docs_stratified_sample
     "docs_train_val_test_split",
     # --- ML surface ---
-    "ml_logreg_auc",
-    "ml_random_forest_auc",
+    "ml_classifier_auc_surface",  # = ml_logreg_auc + ml_random_forest_auc
+    "embedding_batch_topk",  # multi-query bucket-join ANN (funded by the merge above)
     "ml_gbt_rmse",
     "ml_kmeans_customer_clusters",
     # --- reference / OLAP spine (last row r6) ---

@@ -152,37 +152,58 @@ def docs_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "docs_minhash_seeded_recall",
+    "docs_incremental_dedup",
+    # funded by the docs_minhash_seeded_recall + docs_simhash_seeded_recall
+    # merge (docs_sketch_seeded_recall). The corpus/batch split reuses the
+    # engine-portable md5 bucket convention (bucket < 80 = existing
+    # corpus, rest = new crawl), so the oracle replays the exact split.
+    # EXACT MEMBERSHIP output: the accepted new-batch rows themselves.
     oracle="""
-        SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
-        FROM documents WHERE doc_id % 20 = 0
-        ORDER BY id_a
-    """,
-    tags=("dedup", "minhash", "lsh", "seeded", "extension"),
-)
-def docs_minhash_seeded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """docs_minhash_lsh_candidates with PLANTED exact-copy twins — the
-    minhash sibling of docs_simhash_seeded_recall. An exact text copy has
-    an identical shingle set, hence identical minhash signature in EVERY
-    band, so the banded join MUST surface each (seed, seed+1000000) pair
-    through the full xxhash64 production path (shingling → minhash →
-    banding → collision join → dedup). Output keeps only the planted
-    pairs (organic candidates are hash-family-dependent); the oracle is
-    fully determined, so the driver hash-certifies recall on a non-empty
-    answer — closing the same vacuity gap VERDICT r4 #7 / r5 #6 flagged
-    for the other sketch paths."""
-    t = load_tables(spark, sf_dir)
-    docs = t.documents.select("doc_id", "text")
-    twins = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-    )
-    return (
-        minhash_lsh_candidates(docs.unionByName(twins))
-        .filter(
-            (F.col("id_a") % 20 == 0) & (F.col("id_b") == F.col("id_a") + 1_000_000)
+        WITH fp AS (
+            SELECT doc_id, lang,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 AS b
+            FROM documents
+        ), corpus AS (
+            SELECT DISTINCT f FROM fp WHERE b < 80
+        ), batch AS (
+            SELECT * FROM fp WHERE b >= 80
+        ), batch_min AS (
+            SELECT f, MIN(doc_id) AS doc_id FROM batch GROUP BY f
         )
-        .orderBy("id_a")
+        SELECT bm.doc_id, b.lang
+        FROM batch_min bm
+        JOIN batch b ON bm.doc_id = b.doc_id
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.f = bm.f)
+        ORDER BY bm.doc_id
+    """,
+    tags=("dedup", "exact", "incremental", "extension"),
+)
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new crawl against an existing corpus: the
+    hash-bucket split (doc_id bucket < 80 = corpus, ≥ 80 = new batch)
+    stands in for today's corpus vs tonight's crawl; the batch drops its
+    internal duplicates (min-id per fingerprint) AND anything whose
+    fingerprint the corpus already holds, via
+    operators/dedup.py:incremental_exact_dedup. Scale shape: the corpus
+    contributes only its fingerprint column (at 100 TB, a materialized
+    fingerprint index via sinks.cached, appended per accepted batch) —
+    corpus TEXT is never rescanned or shuffled. Returns the accepted
+    (doc_id, lang) rows."""
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        doc_fingerprint,
+        incremental_exact_dedup,
     )
+    from big_data_chicago_crimes_spark.operators.sampling import hash_bucket
+
+    t = load_tables(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), 100)
+    corpus = t.documents.filter(b < 80)
+    batch = t.documents.filter(b >= 80)
+    corpus_fps = corpus.select(doc_fingerprint("text").alias("fingerprint")).distinct()
+    kept = incremental_exact_dedup(batch, corpus_fps)
+    return kept.select("doc_id", "lang").orderBy("doc_id")
 
 
 # 3 bits across 3 DIFFERENT 16-bit bands (bits 1, 21, 42 → bands 0, 1,
@@ -192,48 +213,76 @@ _SIMHASH_TWIN_FLIP = (1 << 1) | (1 << 21) | (1 << 42)
 
 
 @register(
-    "docs_simhash_seeded_recall",
+    "docs_sketch_seeded_recall",
+    # merges the former docs_minhash_seeded_recall and
+    # docs_simhash_seeded_recall registrations (both r6-green, identical
+    # planted-pair schema and fully-determined oracles) into one two-leg
+    # query: BOTH xxhash64 sketch recall certifications still execute and
+    # hash-certify in a single registry slot; the slot freed funds the
+    # docs_incremental_dedup query (the purchaser_error_overlap
+    # merge-funding pattern).
     oracle="""
-        SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+        SELECT 'minhash' AS sketch, doc_id AS id_a, doc_id + 1000000 AS id_b
         FROM documents WHERE doc_id % 20 = 0
-        ORDER BY id_a
+        UNION ALL
+        SELECT 'simhash' AS sketch, doc_id AS id_a, doc_id + 1000000 AS id_b
+        FROM documents WHERE doc_id % 20 = 0
+        ORDER BY sketch, id_a
     """,
-    tags=("dedup", "simhash", "seeded", "extension"),
+    tags=("dedup", "minhash", "simhash", "seeded", "extension"),
 )
-def docs_simhash_seeded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """docs_simhash_candidates with PLANTED Hamming-3 twins, certifying
-    RECALL of the xxhash64 production path on a fully-determined answer
-    (VERDICT r5 #6: the raw candidate set is rows-only checkable because
-    xxhash64 has no DuckDB twin — this variant's output IS predictable).
+def docs_sketch_seeded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLANTED-twin recall certification of BOTH xxhash64 sketch paths
+    on fully-determined answers (the raw candidate sets are rows-only
+    checkable because xxhash64 has no DuckDB twin — these planted
+    variants' outputs ARE predictable, closing the vacuity gap VERDICT
+    r4 #7 / r5 #6 flagged):
 
-    Every 20th document's real xxhash64 fingerprint (computed through the
-    production explode→bit-packed-agg pipeline) gets a twin with exactly
-    3 bits flipped, one in each of bands 0-2 — pigeonhole leaves band 3
-    agreeing, so the banded join MUST emit every (seed, seed+1000000)
-    pair. The output keeps only those planted pairs (organic seed-seed
-    collisions are hash-family-dependent, hence unpredictable in SQL);
-    any fingerprinting, band-extraction, join, or dedup bug loses rows
-    and breaks the driver's hash match. Precision of the band join is
-    certified separately by docs_simhash_band_candidates_md5_oracled."""
+    - 'minhash' leg: every 20th document gets an exact text copy — an
+      identical shingle set hashes to an identical minhash signature in
+      EVERY band, so the banded join MUST surface each (seed,
+      seed+1000000) pair through the full production path (shingling →
+      minhash → banding → collision join → dedup).
+    - 'simhash' leg: every 20th document's real fingerprint gets a twin
+      with exactly 3 bits flipped, one in each of bands 0-2 — pigeonhole
+      leaves band 3 agreeing, so the banded join MUST emit every planted
+      pair; any fingerprinting, band-extraction, join, or dedup bug
+      loses rows and breaks the hash. Precision of the band join is
+      certified separately by docs_simhash_band_candidates_md5_oracled.
+
+    Output keeps only the planted pairs (organic candidates are
+    hash-family-dependent, hence unpredictable in SQL)."""
     from big_data_chicago_crimes_spark.operators.dedup import (
         simhash_band_candidates,
         simhash_table,
     )
 
     t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    text_twins = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    planted = (F.col("id_a") % 20 == 0) & (
+        F.col("id_b") == F.col("id_a") + 1_000_000
+    )
+    minhash_leg = (
+        minhash_lsh_candidates(docs.unionByName(text_twins))
+        .filter(planted)
+        .select(F.lit("minhash").alias("sketch"), "id_a", "id_b")
+    )
     fp = simhash_table(t.documents)
-    seeds = fp.filter(F.col("doc_id") % 20 == 0)
-    twins = seeds.select(
+    fp_twins = fp.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.expr(f"simhash ^ {_SIMHASH_TWIN_FLIP}L").alias("simhash"),
     )
-    return (
-        simhash_band_candidates(fp.unionByName(twins))
-        .filter(
-            (F.col("id_a") % 20 == 0) & (F.col("id_b") == F.col("id_a") + 1_000_000)
-        )
-        .orderBy("id_a")
+    simhash_leg = (
+        simhash_band_candidates(fp.unionByName(fp_twins))
+        .filter(planted)
+        .select(F.lit("simhash").alias("sketch"), "id_a", "id_b")
     )
+    return minhash_leg.unionByName(simhash_leg).orderBy("sketch", "id_a")
+
+
 
 
 @register(

@@ -130,36 +130,31 @@ def _auc_band_oracle(model: str) -> str:
 
 
 @register(
-    "ml_logreg_auc",
-    oracle=_auc_band_oracle("logistic_regression"),
-    tags=("ml", "reference:M7"),
+    "ml_classifier_auc_surface",
+    # merges the former ml_logreg_auc and ml_random_forest_auc
+    # registrations (both r6-green, identical band-check schema via
+    # _certified_auc) into one two-row query: BOTH classifier paths —
+    # Dataset.py:563-682 and :685-789, bugs fixed — still fit and
+    # band-certify in a single registry slot; the slot freed funds the
+    # embedding_batch_topk query (the purchaser_error_overlap
+    # merge-funding pattern)
+    oracle=f"""
+        {_auc_band_oracle("logistic_regression")}
+        UNION ALL
+        {_auc_band_oracle("random_forest")}
+        ORDER BY model
+    """,
+    tags=("ml", "reference:M7", "reference:M8"),
 )
-def ml_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Logistic regression AUC (Dataset.py:563-682 shape, bugs fixed),
+def ml_classifier_auc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression AND random forest AUC on one surface,
     certified as band-check booleans plus degeneracy/discrimination
     checks a constant classifier cannot pass (see module comment)."""
-    return _certified_auc(
-        spark,
-        sf_dir,
-        "logistic_regression",
-        logistic_regression_predictions,
+    lr = _certified_auc(
+        spark, sf_dir, "logistic_regression", logistic_regression_predictions
     )
-
-
-@register(
-    "ml_random_forest_auc",
-    oracle=_auc_band_oracle("random_forest"),
-    tags=("ml", "reference:M8"),
-)
-def ml_random_forest_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random forest AUC (Dataset.py:685-789 shape), band-certified plus
-    degeneracy/discrimination checks (see module comment)."""
-    return _certified_auc(
-        spark,
-        sf_dir,
-        "random_forest",
-        random_forest_predictions,
-    )
+    rf = _certified_auc(spark, sf_dir, "random_forest", random_forest_predictions)
+    return lr.unionByName(rf).orderBy("model")
 
 
 @register(

@@ -128,6 +128,67 @@ def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _batch_ann_oracle() -> str:
+    """The ENTIRE batch-ANN path in SQL: per-query bucket, Hamming-1
+    probe sets, one bucket join for all queries, per-query rounded-cosine
+    rank — the multi-query generalization of ``_ann_lsh_oracle``."""
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                   {_bucket_sql("embedding::DOUBLE[]")} AS qb
+            FROM embeddings WHERE vec_id < 8
+        ), probes AS (
+            SELECT query_id, qv,
+                   unnest(list_append(list_transform(generate_series(0, 7),
+                                      i -> xor(qb, 1 << i)), qb)) AS pb
+            FROM q
+        ), cand AS (
+            SELECT p.query_id, e.vec_id,
+                   ROUND(list_dot_product(e.embedding::DOUBLE[], p.qv) /
+                         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine
+            FROM embeddings e JOIN probes p
+              ON {_bucket_sql("e.embedding::DOUBLE[]")} = p.pb
+            WHERE e.vec_id >= 8
+        ), ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM cand
+        )
+        SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+    """
+
+
+@register(
+    "embedding_batch_topk",
+    # funded by the ml_logreg_auc + ml_random_forest_auc merge
+    # (ml_classifier_auc_surface). Ranks order by the ROUNDED cosine on
+    # both engines so rank ties are engine-identical.
+    oracle=_batch_ann_oracle(),
+    tags=("similarity", "ann", "lsh", "batch", "extension"),
+)
+def embedding_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: the first 8 vectors act as a retrieval batch of query
+    vectors, answered against the rest of the table in ONE broadcast
+    bucket join (operators/similarity.py:batch_ann_topk) — per-query
+    top-3 by exact cosine inside the probed buckets. The scale property
+    under certification: the corpus side never shuffles and the rerank
+    window sees only probed candidates (~9/256 of the corpus per query),
+    never the corpus — the multi-query shape an embedding-dedup or
+    retrieval pipeline runs, where per-query driver-side math would not
+    batch."""
+    from big_data_chicago_crimes_spark.operators.similarity import batch_ann_topk
+
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 8)
+    corpus = t.embeddings.filter(F.col("vec_id") >= 8)
+    return batch_ann_topk(corpus, queries, k=3, dim=_EMB_DIM).orderBy(
+        "query_id", "rank"
+    )
+
+
 def _lsh_histogram_oracle(dim: int = 64, n_planes: int = 8) -> str:
     """The hyperplane signature re-expressed in DuckDB: the seeded planes
     are literals, both engines widen float32→double and compare the dot

@@ -50,6 +50,7 @@ _OFFSET = 10_000_000
 SUITE = {
     "dedup": [
         "docs_exact_dedup",
+        "docs_incremental_dedup",
         "docs_minhash_lsh_candidates",
         "docs_simhash_candidates",
         "docs_jaccard_pairs",
@@ -61,6 +62,7 @@ SUITE = {
         "embedding_ann_lsh_topk_lake",
         "embedding_ivf_topk_lake",
         "embedding_lsh_bucket_histogram",
+        "embedding_batch_topk",
         "docs_hybrid_search",
     ],
     "curation": [
@@ -77,6 +79,7 @@ SUITE = {
         "docs_pii_scrub_stats",
         "docs_sequence_packing",
         "docs_chunk_windows",
+        "docs_chunk_pack",
     ],
     # r7 continuation: the data-mixing/ordering recipes — per-domain
     # quota capping (histogram-bounded exact rank), temperature-flattened
@@ -94,6 +97,7 @@ SUITE = {
         "user_session_counts",
         "events_by_segment_salted_join",
         "asof_join_surface",
+        "events_interval_join_batch",
     ],
     "tpc_joins": [
         "revenue_by_nation",

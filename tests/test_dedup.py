@@ -266,3 +266,57 @@ def test_exact_dedup_keep_best_null_and_nan_scores(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, quality double")
     got = {r.doc_id for r in exact_dedup_keep_best(df, "quality").collect()}
     assert got == {2, 3, 6}
+
+
+def test_incremental_exact_dedup_drops_batch_and_corpus_dups(spark):
+    """The new-crawl shape: a batch must drop (a) its internal
+    duplicates (min id per fingerprint) and (b) anything whose
+    fingerprint the corpus index already holds — while the corpus
+    contributes only fingerprints, never text."""
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        doc_fingerprint,
+        incremental_exact_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "known document"), (2, "another known one")],
+        "doc_id long, text string",
+    )
+    corpus_fps = corpus.select(doc_fingerprint("text").alias("fingerprint"))
+    batch = spark.createDataFrame(
+        [
+            (10, "fresh content"),          # genuinely new → kept
+            (11, "Fresh   Content"),        # in-batch dup of 10 → dropped
+            (12, "KNOWN document"),         # corpus dup (normalized) → dropped
+            (13, "also brand new"),         # new → kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in incremental_exact_dedup(batch, corpus_fps).collect()}
+    assert got == {10, 13}
+
+
+def test_incremental_exact_dedup_matches_full_recompute(docs, spark):
+    """Incremental(batch vs corpus) ∪ corpus-survivors must equal a full
+    exact_dedup over corpus ∪ batch whenever corpus is itself dedup'd
+    and every corpus id < every batch id (min-id policy)."""
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        doc_fingerprint,
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    corpus_raw = docs.filter(F.col("doc_id") <= 3)
+    corpus = exact_dedup(corpus_raw)
+    batch = docs.filter(F.col("doc_id") > 3).withColumn(
+        "doc_id", F.col("doc_id") + 100
+    )
+    inc = incremental_exact_dedup(
+        batch, corpus.select(doc_fingerprint("text").alias("fingerprint"))
+    )
+    got = {r.doc_id for r in corpus.unionByName(inc).collect()}
+    full = {
+        r.doc_id for r in exact_dedup(corpus_raw.unionByName(batch)).collect()
+    }
+    assert got == full

@@ -54,12 +54,11 @@ def test_ml_banded_certification_queries(spark, sf_dir):
     hash-verify against their SQL oracles (VERDICT r2 #5): every band must
     actually hold on the seeded fits."""
     qs = all_queries()
-    for name in ("ml_logreg_auc", "ml_random_forest_auc", "ml_gbt_rmse"):
-        row = qs[name].build(spark, sf_dir).collect()[0]
-        assert row.valid and row.within_band, f"{name}: {row}"
-    for name in ("ml_logreg_auc", "ml_random_forest_auc"):
-        row = qs[name].build(spark, sf_dir).collect()[0]
-        assert row.nondegenerate and row.learns_signal, f"{name}: {row}"
+    for row in qs["ml_classifier_auc_surface"].build(spark, sf_dir).collect():
+        assert row.valid and row.within_band, f"{row.model}: {row}"
+        assert row.nondegenerate and row.learns_signal, f"{row.model}: {row}"
+    row = qs["ml_gbt_rmse"].build(spark, sf_dir).collect()[0]
+    assert row.valid and row.within_band, f"ml_gbt_rmse: {row}"
     km = qs["ml_kmeans_customer_clusters"].build(spark, sf_dir).collect()[0]
     cust_n = load_table(spark, sf_dir, "customer").count()
     assert km.n_clusters == 3 and km.total_assigned == cust_n and km.all_nonempty

@@ -224,3 +224,44 @@ def test_lsh_near_dup_pairs_recall_on_noisy_twins(spark):
     planted = {(r.id_a, r.id_b) for r in found if r.id_b == r.id_a + 1_000_000}
     assert len(planted) >= 90, f"recall too low: {len(planted)}/100"
     assert all(r.cosine >= 0.95 for r in found)
+
+
+def test_batch_ann_topk_planted_exact_copies(spark):
+    """Each of 4 query vectors gets an exact copy planted in the corpus:
+    the copy shares the query's bucket (identical signature), so the
+    batch bucket join MUST surface it and the rerank MUST put it at
+    rank 1 with cosine 1.0. Distractors are random unit vectors."""
+    import numpy as np
+
+    from big_data_chicago_crimes_spark.operators.similarity import batch_ann_topk
+
+    rng = np.random.RandomState(11)
+    dim, n_q, n_noise = 64, 4, 50
+    qs = rng.randn(n_q, dim)
+    noise = rng.randn(n_noise, dim)
+    rows = (
+        [(i, [float(x) for x in qs[i]]) for i in range(n_q)]
+        + [(100 + i, [float(x) for x in qs[i]]) for i in range(n_q)]  # copies
+        + [(1000 + j, [float(x) for x in noise[j]]) for j in range(n_noise)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = batch_ann_topk(
+        df.filter("vec_id >= 100"),
+        df.filter("vec_id < 100"),
+        k=3,
+        dim=dim,
+    ).collect()
+    top1 = {r.query_id: (r.vec_id, r.cosine) for r in out if r.rank == 1}
+    assert set(top1) == set(range(n_q))
+    for q, (vid, cos) in top1.items():
+        assert vid == 100 + q and cos == 1.0, f"query {q}: {vid} {cos}"
+    # ranks are contiguous from 1 and capped at k per query (a sparse
+    # corpus may probe fewer than k candidates; the planted copy
+    # guarantees >= 1)
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in out:
+        per_q[r.query_id].append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
