@@ -50,3 +50,44 @@ def purchases_after_views_interval_join(
         & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}"))
     )
     return p.join(v, cond, "inner").select("p_user", "purchase_id", "p_ts", "v_ts")
+
+
+def dedup_stream_against_corpus(
+    docs: DataFrame,
+    corpus_fingerprints: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STATIC anti-join dedup — the ingest edge of the
+    incremental pipeline (batch counterpart:
+    operators/dedup.py:incremental_exact_dedup, driver-certified as
+    docs_incremental_dedup): each incoming document is dropped if its
+    normalized-text fingerprint already exists in the STATIC corpus
+    index, then first-arrival-wins within the stream itself.
+
+    Structured Streaming executes the stream-static left-anti join
+    per micro-batch with NO state store (the static side is just a
+    batch relation, broadcast when small — exactly the fingerprint
+    index's shape); only the in-stream dedup keeps state, bounded by
+    the watermark when ``ts_col`` is given
+    (dropDuplicatesWithinWatermark) and unbounded otherwise — pass a
+    ``ts_col`` for any long-running ingest.
+
+    Batch degradation: the same calls run as a plain anti-join plus
+    keyed dedup; batch keeps an arbitrary row per fingerprint where
+    min-id semantics matter, use ``incremental_exact_dedup`` — the
+    survivors' FINGERPRINT SET is identical either way, which is what
+    the stream-vs-batch equality test pins.
+    """
+    from big_data_chicago_crimes_spark.operators.dedup import doc_fingerprint
+
+    keyed = docs.withColumn("fingerprint", doc_fingerprint(text_col))
+    fresh = keyed.join(
+        corpus_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+    )
+    if docs.isStreaming and ts_col is not None:
+        return fresh.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["fingerprint"]
+        )
+    return fresh.dropDuplicates(["fingerprint"])

@@ -247,3 +247,69 @@ def test_hash_sampling_filters_apply_to_streams(spark, sf_dir):
     sampled = hash_sample(stream, "event_id", 0.2).select("event_id")
     out = run_stream_to_memory(sampled, "stream_hash_sample_test", "append")
     assert sorted(r.event_id for r in out.collect()) == expected
+
+
+def test_stream_static_dedup_matches_batch(spark, tmp_path):
+    """Stream-STATIC anti-join dedup (dedup_stream_against_corpus): docs
+    arriving over two micro-batches drop (a) anything whose fingerprint
+    the static corpus index holds and (b) later re-arrivals of a
+    fingerprint already seen in the stream. The surviving FINGERPRINT
+    set must equal the batch degradation's over the same input (which
+    copy of a dup survives is arrival-order-dependent by design)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_chicago_crimes_spark.operators.dedup import doc_fingerprint
+    from big_data_chicago_crimes_spark.streaming import run_stream_to_memory
+    from big_data_chicago_crimes_spark.streaming.joins import (
+        dedup_stream_against_corpus,
+    )
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+
+    def write(name, rows):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+            }
+        )
+        pq.write_table(tbl, str(src / name))
+
+    write("crawl1.parquet", [(10, "fresh content"), (11, "known document")])
+    write(
+        "crawl2.parquet",
+        [(12, "Fresh   Content"), (13, "also brand new"), (14, "fresh content")],
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "known document"), (2, "another known one")],
+        "doc_id long, text string",
+    )
+    corpus_fps = corpus.select(doc_fingerprint("text").alias("fingerprint"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    assert stream.isStreaming
+    out = run_stream_to_memory(
+        dedup_stream_against_corpus(stream, corpus_fps),
+        "stream_static_dedup_test",
+        output_mode="append",
+    )
+    got = {r.fingerprint for r in out.select("fingerprint").collect()}
+
+    batch = spark.read.schema("doc_id long, text string").parquet(str(src))
+    expect = {
+        r.fingerprint
+        for r in dedup_stream_against_corpus(batch, corpus_fps)
+        .select("fingerprint")
+        .collect()
+    }
+    assert got == expect and len(got) == 2  # {fresh content, also brand new}
+    # corpus-known fingerprint must be absent from the stream output
+    known = corpus_fps.collect()[0].fingerprint
+    assert known not in got
