@@ -228,3 +228,34 @@ def test_global_hash_order_rank_window_is_bucket_partitioned(spark, sf_dir):
     assert specs, plan
     for s in specs:
         assert "stage" in s and "__ob" in s, s
+
+
+def test_batch_ann_probe_side_broadcasts_corpus_never_shuffles(spark, sf_dir):
+    """embedding_batch_topk's scale contract: the query-probe frame is
+    the BROADCAST side of the bucket join (corpus never shuffles into
+    it) and the per-query rerank window partitions by query_id over
+    probed candidates only — no corpus-wide Exchange below the join."""
+    plan = formatted_plan(spark, sf_dir, "embedding_batch_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the rerank window exists and partitions by query_id
+    assert "Window" in plan and "query_id" in plan
+
+
+def test_incremental_dedup_is_anti_join_on_fingerprints(spark, sf_dir):
+    """docs_incremental_dedup's scale contract: the corpus participates
+    via a LeftAnti join on the fingerprint column (plus the final
+    LeftSemi id join) — no window, no sort of corpus text anywhere."""
+    plan = formatted_plan(spark, sf_dir, "docs_incremental_dedup")
+    assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
+    assert "Window" not in plan
+
+
+def test_interval_join_is_single_key_shuffle_with_range_residual(spark, sf_dir):
+    """events_interval_join_batch: one equi-key join on user with the
+    time-range bound as a residual condition — not a cross join, not a
+    broadcast nested loop over the fact table."""
+    plan = formatted_plan(spark, sf_dir, "events_interval_join_batch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
