@@ -236,11 +236,16 @@ def batch_ann_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     multiprobe_hamming: int = 1,
+    bucketed: bool = False,
 ) -> DataFrame:
     """MANY query vectors answered in ONE bucket join — the batch shape
     of ANN serving / training-set retrieval (``ann_topk`` answers a
     single driver-side literal; here the queries arrive as a DataFrame,
-    the way a retrieval batch does):
+    the way a retrieval batch does). Pass ``bucketed=True`` when the
+    corpus already carries its ``bucket`` column — e.g. the
+    materialized bucket-PARTITIONED lake index, where the bucket join
+    then triggers dynamic partition pruning (the scan reads only the
+    probed partitions; pinned in tests/test_plans.py):
 
     1. each query row gets its LSH signature through the SAME codegen
        path the corpus uses (no driver-side math, no collect);
@@ -290,9 +295,11 @@ def batch_ann_topk(
             F.col("__qb").bitwiseXOR(F.col("__mask")).alias("__probe"),
         )
     )
-    bucketed = hyperplane_lsh_buckets(corpus, dim, n_planes, vec_col)
-    cand = bucketed.join(
-        F.broadcast(probes), bucketed["bucket"] == probes["__probe"]
+    corpus_b = (
+        corpus if bucketed else hyperplane_lsh_buckets(corpus, dim, n_planes, vec_col)
+    )
+    cand = corpus_b.join(
+        F.broadcast(probes), corpus_b["bucket"] == probes["__probe"]
     )
     scored = cand.select(
         query_id_col,

@@ -170,23 +170,27 @@ def _batch_ann_oracle() -> str:
     tags=("similarity", "ann", "lsh", "batch", "extension"),
 )
 def embedding_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch ANN: the first 8 vectors act as a retrieval batch of query
-    vectors, answered against the rest of the table in ONE broadcast
-    bucket join (operators/similarity.py:batch_ann_topk) — per-query
-    top-3 by exact cosine inside the probed buckets. The scale property
-    under certification: the corpus side never shuffles and the rerank
-    window sees only probed candidates (~9/256 of the corpus per query),
-    never the corpus — the multi-query shape an embedding-dedup or
+    """Batch ANN over the MATERIALIZED lake index: the first 8 vectors
+    act as a retrieval batch of query vectors, answered against the
+    bucket-partitioned index in ONE broadcast bucket join
+    (operators/similarity.py:batch_ann_topk, bucketed corpus) —
+    per-query top-3 by exact cosine inside the probed buckets. The
+    scale properties under certification: the corpus side never
+    shuffles, the bucket join DYNAMICALLY PARTITION-PRUNES the lake
+    scan to the union of all probe sets (pinned in tests/test_plans.py),
+    and the rerank window sees only probed candidates (~9/256 of the
+    corpus per query) — the multi-query shape an embedding-dedup or
     retrieval pipeline runs, where per-query driver-side math would not
-    batch."""
+    batch. The in-memory (unbucketed) form stays library surface,
+    planted-copy-tested in tests/test_similarity.py."""
     from big_data_chicago_crimes_spark.operators.similarity import batch_ann_topk
 
     t = load_tables(spark, sf_dir)
     queries = t.embeddings.filter(F.col("vec_id") < 8)
-    corpus = t.embeddings.filter(F.col("vec_id") >= 8)
-    return batch_ann_topk(corpus, queries, k=3, dim=_EMB_DIM).orderBy(
-        "query_id", "rank"
-    )
+    corpus = _lsh_lake(spark, sf_dir).filter(F.col("vec_id") >= 8)
+    return batch_ann_topk(
+        corpus, queries, k=3, dim=_EMB_DIM, bucketed=True
+    ).orderBy("query_id", "rank")
 
 
 def _lsh_histogram_oracle(dim: int = 64, n_planes: int = 8) -> str:

@@ -240,6 +240,9 @@ def test_batch_ann_probe_side_broadcasts_corpus_never_shuffles(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     # the rerank window exists and partitions by query_id
     assert "Window" in plan and "query_id" in plan
+    # the bucket join DYNAMICALLY PARTITION-PRUNES the lake index scan:
+    # only the partitions in the broadcast probe set are read
+    assert "dynamicpruning" in plan, "lake scan not DPP-pruned"
 
 
 def test_incremental_dedup_is_anti_join_on_fingerprints(spark, sf_dir):
