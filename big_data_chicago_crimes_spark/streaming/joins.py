@@ -91,3 +91,63 @@ def dedup_stream_against_corpus(
             ["fingerprint"]
         )
     return fresh.dropDuplicates(["fingerprint"])
+
+
+def ingest_with_incremental_dedup(
+    docs_stream: DataFrame,
+    accepted_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The full incremental-ingest loop as a ``foreachBatch`` stream: each
+    micro-batch is deduped against the CURRENT fingerprint index
+    (operators/dedup.py:incremental_exact_dedup — in-batch min-id dedup
+    plus a fingerprint anti-join), accepted rows are appended to
+    ``accepted_path``, and their fingerprints are appended to
+    ``index_path`` — so a document accepted in micro-batch N is rejected
+    as a duplicate in micro-batch N+1, across RESTARTS, without any
+    state store.
+
+    Why foreachBatch instead of the stream-static join
+    (``dedup_stream_against_corpus``): a stream-static join resolves the
+    static side's file listing at plan time, so appends made DURING the
+    run are not guaranteed visible to later micro-batches; inside
+    foreachBatch every batch is plain batch Spark — the index read is
+    fresh by construction, and the batch id + checkpoint give replay
+    idempotence at the micro-batch level (a replayed batch re-appends,
+    but its rows were already fingerprint-deduped against the index the
+    first time, so re-running the dedup yields the same accepted set;
+    dedup the accepted table on ``id_col`` downstream if exact-once
+    matters beyond fingerprints).
+
+    Returns the started StreamingQuery; caller awaits/stops it.
+    """
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        doc_fingerprint,
+        incremental_exact_dedup,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from big_data_chicago_crimes_spark.sources.sinks import path_exists
+
+        if path_exists(spark, index_path):
+            index = spark.read.parquet(index_path)
+        else:
+            index = spark.createDataFrame([], "fingerprint string")
+        accepted = incremental_exact_dedup(batch_df, index, text_col, id_col)
+        # fingerprints first would lose rows on a crash between writes;
+        # rows first merely re-accepts the same rows on replay (idempotent
+        # w.r.t. fingerprints) — crash-ordering chosen deliberately
+        accepted.write.mode("append").parquet(accepted_path)
+        accepted.select(doc_fingerprint(text_col).alias("fingerprint")).write.mode(
+            "append"
+        ).parquet(index_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )

@@ -313,3 +313,52 @@ def test_stream_static_dedup_matches_batch(spark, tmp_path):
     # corpus-known fingerprint must be absent from the stream output
     known = corpus_fps.collect()[0].fingerprint
     assert known not in got
+
+
+def test_foreachbatch_ingest_dedupes_across_microbatches(spark, tmp_path):
+    """ingest_with_incremental_dedup closes the incremental loop: a doc
+    accepted in micro-batch 1 must be REJECTED in micro-batch 2 (its
+    fingerprint was appended to the index between batches), alongside
+    in-batch dups and corpus-known dups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_chicago_crimes_spark.streaming.joins import (
+        ingest_with_incremental_dedup,
+    )
+
+    src = tmp_path / "crawls"
+    src.mkdir()
+    accepted = str(tmp_path / "accepted")
+    index = str(tmp_path / "fp_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+            }
+        )
+        pq.write_table(tbl, str(src / name))
+
+    write("crawl1.parquet", [(10, "alpha doc"), (11, "beta doc"), (12, "Alpha   Doc")])
+    write("crawl2.parquet", [(20, "ALPHA doc"), (21, "gamma doc")])
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = ingest_with_incremental_dedup(stream, accepted, index, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.doc_id for r in spark.read.parquet(accepted).collect()}
+    # 10 (alpha, first arrival), 11 (beta), 21 (gamma); 12 in-batch dup,
+    # 20 cross-micro-batch dup of 10 via the growing index
+    assert got == {10, 11, 21}, got
+    fps = [r.fingerprint for r in spark.read.parquet(index).collect()]
+    assert len(fps) == 3 and len(set(fps)) == 3
