@@ -252,3 +252,42 @@ def test_chunk_spans_match_python_model(spark, docs, max_len, stride_frac):
         for k in range(n):
             expect[(i, k)] = (k * stride, min(max_len, t - k * stride))
     assert got == expect
+
+
+@given(
+    items=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),          # group
+            st.integers(min_value=0, max_value=600),  # token count
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    capacity=st.integers(min_value=1, max_value=512),
+)
+@settings(deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_bins_match_python_contiguous_fill(spark, items, capacity):
+    """assign_pack_bins_from_counts (the ONE packing core behind
+    docs_sequence_packing, docs_chunk_pack, and the pipeline query)
+    agrees with an independent Python contiguous-fill model on arbitrary
+    (group, count, capacity) configurations — pins the prefix-sum bin
+    arithmetic including overflow (an item larger than capacity opens in
+    the bin where its prefix lands and spills past it)."""
+    from big_data_chicago_crimes_spark.functions.text import (
+        assign_pack_bins_from_counts,
+    )
+
+    rows = [(i, g, n) for i, (g, n) in enumerate(items)]
+    df = spark.createDataFrame(rows, "item_id long, grp string, n_tok long")
+    out = assign_pack_bins_from_counts(df, "grp", "n_tok", ["item_id"], capacity)
+    got = {r.item_id: r.bin_id for r in out.collect()}
+
+    expect = {}
+    for grp in {g for g, _ in items}:
+        cum = 0
+        for i, (g, n) in enumerate(items):
+            if g != grp:
+                continue
+            expect[i] = cum // capacity
+            cum += n
+    assert got == expect
