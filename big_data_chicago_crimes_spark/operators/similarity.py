@@ -308,11 +308,31 @@ def batch_ann_topk(
             "cosine"
         ),
     )
+    # Two-phase top-k: a single per-query window would funnel EVERY
+    # probed candidate of a query through one task (~probes/2^n_planes
+    # of the corpus — still huge at 100 TB). Phase 1 takes a local
+    # top-k per (query, salt) — each window partition sees
+    # ~candidates/salts rows; phase 2 ranks the ≤ salts×k survivors per
+    # query. Global top-k = top-k of the union of local top-ks, so the
+    # result is identical to the single-window form (and to the SQL
+    # oracle) — only the task-size distribution changes.
+    salts = 64
+    salted = scored.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts))
+    )
+    w_local = Window.partitionBy(query_id_col, "__salt").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    survivors = (
+        salted.withColumn("__lrk", F.row_number().over(w_local))
+        .filter(F.col("__lrk") <= k)
+        .drop("__salt", "__lrk")
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
