@@ -127,9 +127,11 @@ def quota_sample(
     ``group_cols`` values must be NON-NULL: the cutoff join is plain
     equality, so a NULL group would be silently dropped rather than
     capped. ``cache_cutoffs=False`` skips persisting the groups-sized
-    cutoff frame (one extra histogram pass instead of a session-lifetime
-    cache entry — the right trade for one-shot jobs that build the plan
-    many times, e.g. benchmark loops).
+    cutoff frame entirely (one extra histogram pass, zero cache
+    footprint). The default True path registers the entry with the
+    session scratch-cache; loop callers (bench.py) release it per build
+    via ``session.release_scratch_caches()`` — prefer that lifecycle
+    over False wherever the single-histogram plan matters.
     """
     b = hash_bucket(F.col(key), buckets).alias("__qb")
     keyed = df.withColumn("__qb", b)

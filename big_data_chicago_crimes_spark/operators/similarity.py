@@ -196,6 +196,22 @@ def lsh_near_dup_pairs(
     )
 
 
+def _hamming_masks(n_planes: int, radius: int) -> list[int]:
+    """XOR masks for every bucket within ``radius`` bit flips (incl. 0) —
+    the ONE probe-set enumeration behind single-query and batch ANN, so
+    multiprobe semantics can never drift between the two paths."""
+    import itertools
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in itertools.combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def ann_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -208,19 +224,11 @@ def ann_topk(
     """Approximate top-k: probe the query's LSH bucket plus buckets
     within ``multiprobe_hamming`` bit flips, then exact cosine re-rank.
     Probing H=1 over 8 planes scans 9/256 of the data in expectation."""
-    import itertools
-
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes)
     dots = planes @ np.asarray(query_vec, dtype=float)
     q_bucket = int(sum((1 << i) for i, d in enumerate(dots) if d > 0))
-    probes = {q_bucket}
-    for radius in range(1, multiprobe_hamming + 1):
-        for bits in itertools.combinations(range(n_planes), radius):
-            flip = 0
-            for b in bits:
-                flip |= 1 << b
-            probes.add(q_bucket ^ flip)
+    probes = {q_bucket ^ m for m in _hamming_masks(n_planes, multiprobe_hamming)}
     bucketed = hyperplane_lsh_buckets(df, dim, n_planes, vec_col)
     candidates = bucketed.filter(F.col("bucket").isin(sorted(probes)))
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
@@ -267,19 +275,15 @@ def batch_ann_topk(
     needed. Output: (query_id, id, cosine, rank ≤ k), ranked by rounded
     cosine with id tie-break — deterministic and engine-replayable.
     """
-    import itertools
-
     from pyspark.sql import Window
 
     from big_data_chicago_crimes_spark.functions.vectors import cosine_similarity
 
-    masks = [0]
-    for radius in range(1, multiprobe_hamming + 1):
-        for bits in itertools.combinations(range(n_planes), radius):
-            m = 0
-            for b in bits:
-                m |= 1 << b
-            masks.append(m)
+    if bucketed and "bucket" not in corpus.columns:
+        raise ValueError(
+            "batch_ann_topk(bucketed=True): corpus has no 'bucket' column"
+        )
+    masks = _hamming_masks(n_planes, multiprobe_hamming)
     qsig = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qvec"),

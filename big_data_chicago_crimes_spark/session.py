@@ -97,6 +97,11 @@ def get_spark(
     # subpaths under this root, so concurrent runs never interleave.
     # Point SPARK_GRAFT_CHECKPOINT_DIR at HDFS/object storage on a real
     # cluster; the local default only serves single-node durability.
+    # Lifecycle: cleanCheckpoints GCs only RDDs collected while THIS
+    # context lives — a run's final checkpoints and everything from
+    # crashed runs persist under the root. Put a TTL/lifecycle rule on
+    # the object-store prefix (or periodically delete rdd-* dirs older
+    # than the longest job) — the root is append-only by design.
     if spark.sparkContext.getCheckpointDir() is None:
         import tempfile
 
@@ -136,6 +141,8 @@ def release_scratch_caches() -> int:
         df = _SCRATCH_CACHES.pop()
         try:
             df.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
+        except Exception as exc:  # keep draining, but never silently
+            import warnings
+
+            warnings.warn(f"scratch-cache unpersist failed: {exc!r}")
     return n

@@ -75,10 +75,16 @@ def dedup_stream_against_corpus(
     ``ts_col`` for any long-running ingest.
 
     Batch degradation: the same calls run as a plain anti-join plus
-    keyed dedup; batch keeps an arbitrary row per fingerprint where
-    min-id semantics matter, use ``incremental_exact_dedup`` — the
-    survivors' FINGERPRINT SET is identical either way, which is what
-    the stream-vs-batch equality test pins.
+    keyed dedup; batch keeps an arbitrary row per fingerprint (where
+    min-id semantics matter, use ``incremental_exact_dedup``). WITHOUT
+    ``ts_col`` the survivors' FINGERPRINT SET is identical between
+    stream and batch — what the stream-vs-batch equality test pins.
+    WITH ``ts_col`` the in-stream dedup is scoped to the watermark
+    horizon (that bounded state is the point): a re-arrival later than
+    the watermark is re-emitted, so long-horizon exactness must come
+    from the downstream index (the ``ingest_with_incremental_dedup``
+    loop, whose fingerprint anti-join has no horizon), not from this
+    operator's state.
     """
     from big_data_chicago_crimes_spark.operators.dedup import doc_fingerprint
 
@@ -138,13 +144,21 @@ def ingest_with_incremental_dedup(
         else:
             index = spark.createDataFrame([], "fingerprint string")
         accepted = incremental_exact_dedup(batch_df, index, text_col, id_col)
-        # fingerprints first would lose rows on a crash between writes;
-        # rows first merely re-accepts the same rows on replay (idempotent
-        # w.r.t. fingerprints) — crash-ordering chosen deliberately
-        accepted.write.mode("append").parquet(accepted_path)
-        accepted.select(doc_fingerprint(text_col).alias("fingerprint")).write.mode(
-            "append"
-        ).parquet(index_path)
+        # persist: the two writes below would otherwise each re-run the
+        # whole dedup (scan + groupBy + anti/semi joins) — and a
+        # nondeterministic plan could let the two writes disagree
+        accepted = accepted.persist()
+        try:
+            # fingerprints first would lose rows on a crash between
+            # writes; rows first merely re-accepts the same rows on
+            # replay (idempotent w.r.t. fingerprints) — crash-ordering
+            # chosen deliberately
+            accepted.write.mode("append").parquet(accepted_path)
+            accepted.select(
+                doc_fingerprint(text_col).alias("fingerprint")
+            ).write.mode("append").parquet(index_path)
+        finally:
+            accepted.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)
