@@ -95,9 +95,9 @@ HEADLINE = [
     "docs_minhash_lsh_candidates",
     "docs_simhash_candidates",
     "docs_jaccard_pairs",
+    "docs_fuzzy_match_pairs",  # length-banded Levenshtein pairs (r8)
     "embedding_near_dups_lsh",  # data-sized LSH blocking (scale path)
-    "embedding_cosine_topk",
-    "embedding_ann_lsh_topk",
+    "embedding_topk_surface",  # exact + LSH legs in one result (r8 merge)
     "embedding_ann_lsh_topk_lake",   # materialized-index probe (scale path)
     "embedding_ivf_topk_lake",       # materialized-index probe (scale path)
     "embedding_lsh_bucket_histogram",

@@ -104,6 +104,72 @@ def exact_dedup(
     return df.join(survivors.select(id_col), id_col, "left_semi")
 
 
+def fuzzy_match_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    max_dist: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_width: int = 64,
+) -> DataFrame:
+    """Edit-distance near-match pairs: every pair inside a
+    ``block_cols`` block whose Levenshtein distance is ≤ ``max_dist``
+    (the fuzzy record-linkage move — variant titles, re-crawled pages
+    with small diffs — where token-set Jaccard is blind to
+    character-level edits). Output: (id_a, id_b, dist), id_a < id_b.
+
+    Scale shape — candidates never enumerate whole blocks: strings are
+    banded by length (``band_width`` ≥ ``max_dist``, so a qualifying
+    pair is always in the same or adjacent band — |len(a)−len(b)| ≤
+    dist is the classic length lower bound), and the join key is
+    (block, band) / (block, band, band+1): candidate count is bounded
+    by band populations, not block². The O(n·m) Levenshtein verify runs
+    only on candidates, with Spark's thresholded ``levenshtein(l, r,
+    k)`` early-exiting past ``max_dist``. ``band_width`` must be >
+    ``max_dist`` or adjacent-band coverage breaks (raises)."""
+    if band_width <= max_dist:
+        raise ValueError(
+            f"band_width {band_width} must exceed max_dist {max_dist} "
+            "(length-band adjacency covers |len diff| <= max_dist only then)"
+        )
+    base = df.select(
+        *block_cols,
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.floor(F.length(text_col) / band_width).alias("__band"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+
+    def block_eq(extra):
+        # an OR of band conditions would stop Catalyst extracting the
+        # equi-keys (the join would enumerate whole blocks, band-filtered
+        # after the fact) — so same-band and adjacent-band run as two
+        # separate HASH joins keyed on (block, band), unioned before the
+        # verify; each unordered pair appears exactly once (same band →
+        # id order; adjacent → band order)
+        cond = extra
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        return cond
+
+    same = a.join(
+        b,
+        block_eq(F.col("a.__band") == F.col("b.__band"))
+        & (F.col("a.__id") < F.col("b.__id")),
+    )
+    adjacent = a.join(b, block_eq(F.col("a.__band") + 1 == F.col("b.__band")))
+    dist = F.levenshtein(F.col("a.__t"), F.col("b.__t"), max_dist)
+
+    def verify(cand):
+        return cand.select(
+            F.least(F.col("a.__id"), F.col("b.__id")).alias("id_a"),
+            F.greatest(F.col("a.__id"), F.col("b.__id")).alias("id_b"),
+            dist.alias("dist"),
+        ).filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+
+    return verify(same).unionByName(verify(adjacent))
+
+
 def incremental_exact_dedup(
     new_df: DataFrame,
     corpus_fingerprints: DataFrame,

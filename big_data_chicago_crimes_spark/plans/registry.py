@@ -76,8 +76,8 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_ngram_contamination",
     "docs_tfidf_similar_pairs",
     # --- ANN / lake index reads ---
-    "embedding_cosine_topk",
-    "embedding_ann_lsh_topk",
+    "embedding_topk_surface",  # = embedding_cosine_topk + embedding_ann_lsh_topk
+    "docs_fuzzy_match_pairs",  # edit-distance near-match pairs (funded by the merge above)
     "embedding_lsh_bucket_histogram",
     "embedding_ann_lsh_topk_lake",
     "embedding_ivf_topk_lake",

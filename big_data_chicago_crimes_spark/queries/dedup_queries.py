@@ -206,6 +206,69 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang").orderBy("doc_id")
 
 
+@register(
+    "docs_fuzzy_match_pairs",
+    # funded by the embedding_cosine_topk + embedding_ann_lsh_topk merge
+    # (embedding_topk_surface). Planted twins (every 25th doc + ' xyz',
+    # an append both engines construct identically → edit distance
+    # exactly 4) make the certification non-vacuous; the organic corpus
+    # contributes its own near-matches. The whole answer — candidates
+    # AND distances — is replayed by the oracle, since Levenshtein is
+    # the same integer function in both engines.
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, lang, source, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, lang, source, text || ' xyz'
+            FROM documents WHERE doc_id % 25 = 0
+        ), banded AS (
+            SELECT doc_id, lang, source, text,
+                   CAST(floor(length(text) / 64) AS BIGINT) AS band
+            FROM corpus
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   levenshtein(a.text, b.text) AS dist
+            FROM banded a JOIN banded b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.band = b.band AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id),
+                   levenshtein(a.text, b.text)
+            FROM banded a JOIN banded b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.band + 1 = b.band
+        )
+        SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist
+        FROM pairs WHERE dist <= 8 ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "fuzzy", "levenshtein", "extension"),
+)
+def docs_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level fuzzy matching: every same-(lang, source) pair
+    within Levenshtein distance 8 — the record-linkage/near-variant move
+    token-set Jaccard is blind to (re-crawled pages differing by a few
+    character edits). Every 25th document gets a planted '+ xyz' twin
+    (edit distance exactly 4, constructed identically in both engines)
+    so recall of the full path — length banding → two hash joins →
+    thresholded Levenshtein verify — is certified on a fully-determined
+    answer alongside the organic matches
+    (operators/dedup.py:fuzzy_match_pairs; the length-band join key is
+    what keeps candidates off the block² path at scale)."""
+    from big_data_chicago_crimes_spark.operators.dedup import fuzzy_match_pairs
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang", "source", "text")
+    twins = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "lang",
+        "source",
+        F.concat(F.col("text"), F.lit(" xyz")).alias("text"),
+    )
+    corpus = docs.unionByName(twins)
+    pairs = fuzzy_match_pairs(corpus, ["lang", "source"], max_dist=8)
+    return pairs.orderBy("id_a", "id_b")
+
+
 # 3 bits across 3 DIFFERENT 16-bit bands (bits 1, 21, 42 → bands 0, 1,
 # 2); band 3 stays intact, so pigeonhole (Hamming 3 < 4 bands) GUARANTEES
 # every (seed, twin) pair collides on ≥1 band.

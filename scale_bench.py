@@ -54,11 +54,11 @@ SUITE = {
         "docs_minhash_lsh_candidates",
         "docs_simhash_candidates",
         "docs_jaccard_pairs",
+        "docs_fuzzy_match_pairs",
         "embedding_near_dups_lsh",
     ],
     "similarity": [
-        "embedding_cosine_topk",
-        "embedding_ann_lsh_topk",
+        "embedding_topk_surface",
         "embedding_ann_lsh_topk_lake",
         "embedding_ivf_topk_lake",
         "embedding_lsh_bucket_histogram",

@@ -320,3 +320,39 @@ def test_incremental_exact_dedup_matches_full_recompute(docs, spark):
         r.doc_id for r in exact_dedup(corpus_raw.unionByName(batch)).collect()
     }
     assert got == full
+
+
+def test_fuzzy_match_pairs_banding_and_distances(spark):
+    """Length-banded Levenshtein pairs: same-band and adjacent-band
+    matches are both found (a pair straddling a 64-char band boundary
+    must not be lost), distances are exact, and pairs past the
+    threshold or in different blocks are excluded."""
+    from big_data_chicago_crimes_spark.operators.dedup import fuzzy_match_pairs
+
+    near_boundary = "x" * 62
+    rows = [
+        (1, "en", "s0", "kitten sat here"),
+        (2, "en", "s0", "sitten sat here"),      # dist 1, same band
+        (3, "en", "s0", near_boundary),           # len 62 -> band 0
+        (4, "en", "s0", near_boundary + " ab"),   # len 65 -> band 1, dist 3
+        (5, "en", "s1", "kitten sat here"),       # other block: excluded
+        (6, "en", "s0", "completely different text entirely"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_match_pairs(df, ["lang", "source"], max_dist=5).collect()
+    }
+    assert got == {(1, 2): 1, (3, 4): 3}, got
+
+
+def test_fuzzy_match_pairs_band_width_guard(spark):
+    from big_data_chicago_crimes_spark.operators.dedup import fuzzy_match_pairs
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="band_width"):
+        fuzzy_match_pairs(df, [], max_dist=64, band_width=64)

@@ -138,7 +138,14 @@ def test_lake_ann_partition_pruned_and_matches_in_query_path(spark, sf_dir, tmp_
         lsh_lake = qs["embedding_ann_lsh_topk_lake"].build(spark, sf_dir)
         plan = lsh_lake._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "bucket" in plan
-        in_query = qs["embedding_ann_lsh_topk"].build(spark, sf_dir)
+        # the in-query multiprobe path now ships as the 'lsh' leg of the
+        # merged embedding_topk_surface
+        in_query = (
+            qs["embedding_topk_surface"]
+            .build(spark, sf_dir)
+            .filter("method = 'lsh'")
+            .select("vec_id", "cosine")
+        )
         assert [tuple(r) for r in lsh_lake.collect()] == [
             tuple(r) for r in in_query.collect()
         ]
