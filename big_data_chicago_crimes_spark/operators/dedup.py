@@ -110,7 +110,7 @@ def fuzzy_match_pairs(
     max_dist: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    band_width: int = 64,
+    band_width: int = 16,
 ) -> DataFrame:
     """Edit-distance near-match pairs: every pair inside a
     ``block_cols`` block whose Levenshtein distance is ≤ ``max_dist``
@@ -126,7 +126,12 @@ def fuzzy_match_pairs(
     by band populations, not block². The O(n·m) Levenshtein verify runs
     only on candidates, with Spark's thresholded ``levenshtein(l, r,
     k)`` early-exiting past ``max_dist``. ``band_width`` must be >
-    ``max_dist`` or adjacent-band coverage breaks (raises)."""
+    ``max_dist`` or adjacent-band coverage breaks (raises); the result
+    set is band_width-INDEPENDENT for any valid width (banding prunes
+    candidates, never matches — |len diff| > max_dist already implies
+    dist > max_dist), so pick the smallest width the distance budget
+    allows: tighter bands mean smaller per-(block, band) populations
+    and quadratically fewer candidate pairs."""
     if band_width <= max_dist:
         raise ValueError(
             f"band_width {band_width} must exceed max_dist {max_dist} "

@@ -223,7 +223,7 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents WHERE doc_id % 25 = 0
         ), banded AS (
             SELECT doc_id, lang, source, text,
-                   CAST(floor(length(text) / 64) AS BIGINT) AS band
+                   CAST(floor(length(text) / 16) AS BIGINT) AS band
             FROM corpus
         ), pairs AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -265,7 +265,7 @@ def docs_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" xyz")).alias("text"),
     )
     corpus = docs.unionByName(twins)
-    pairs = fuzzy_match_pairs(corpus, ["lang", "source"], max_dist=8)
+    pairs = fuzzy_match_pairs(corpus, ["lang", "source"], max_dist=8, band_width=16)
     return pairs.orderBy("id_a", "id_b")
 
 
