@@ -104,6 +104,9 @@ def exact_dedup(
     return df.join(survivors.select(id_col), id_col, "left_semi")
 
 
+_FUZZY_SIG_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
 def fuzzy_match_pairs(
     df: DataFrame,
     block_cols: list[str],
@@ -137,12 +140,30 @@ def fuzzy_match_pairs(
             f"band_width {band_width} must exceed max_dist {max_dist} "
             "(length-band adjacency covers |len diff| <= max_dist only then)"
         )
+    lowered = F.lower(F.col(text_col))
+    sig = F.array(
+        *[
+            (
+                F.length(lowered)
+                - F.length(F.replace(lowered, F.lit(c), F.lit("")))
+            ).cast("int")
+            for c in _FUZZY_SIG_CHARS
+        ]
+    )
     base = df.select(
         *block_cols,
         F.col(id_col).alias("__id"),
         F.col(text_col).alias("__t"),
         F.floor(F.length(text_col) / band_width).alias("__band"),
+        sig.alias("__sig"),
     )
+    # Catalyst pushes the (deterministic) Levenshtein predicate into the
+    # hash join's residual condition, so the verify executes inside the
+    # join stage — spreading the STREAM side beforehand is what actually
+    # parallelizes the banded-DP work (a post-join repartition gets
+    # hoisted above the pushed-down verify and spreads nothing; the
+    # hashing-stage pattern, local-mode only via the config gate)
+    base = spread_for_compute(base)
     a, b = base.alias("a"), base.alias("b")
 
     def block_eq(extra):
@@ -163,14 +184,37 @@ def fuzzy_match_pairs(
         & (F.col("a.__id") < F.col("b.__id")),
     )
     adjacent = a.join(b, block_eq(F.col("a.__band") + 1 == F.col("b.__band")))
-    dist = F.levenshtein(F.col("a.__t"), F.col("b.__t"), max_dist)
 
     def verify(cand):
-        return cand.select(
-            F.least(F.col("a.__id"), F.col("b.__id")).alias("id_a"),
-            F.greatest(F.col("a.__id"), F.col("b.__id")).alias("id_b"),
-            dist.alias("dist"),
-        ).filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        # sound O(|alphabet|) prefilter before the O(len·k) DP: every
+        # edit changes at most two character counts by one, so the L1
+        # distance of the (a-z, 0-9) histograms of a true match is
+        # ≤ 2·max_dist — dense candidate cells full of far-apart strings
+        # (the dominant population at scale) die here ~200× cheaper
+        # than in the Levenshtein itself; the final result is
+        # prefilter-independent, so the SQL oracle needs no mirror
+        # zip_with/aggregate HOF, NOT 36 unrolled getItem terms: the
+        # unrolled tree measured 1.7× SLOWER end-to-end (A/B at sf1:
+        # 20 s vs 11.6 s — same pathology as the hyperplane signature's
+        # codegen-budget blowout, just at smaller scale), so the tight
+        # interpreted per-array loop wins again
+        l1 = F.aggregate(
+            F.zip_with(
+                F.col("a.__sig"), F.col("b.__sig"), lambda x, y: F.abs(x - y)
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        d = F.levenshtein(F.col("a.__t"), F.col("b.__t"), max_dist)
+        return (
+            cand.filter(l1 <= 2 * max_dist)
+            .select(
+                F.least(F.col("a.__id"), F.col("b.__id")).alias("id_a"),
+                F.greatest(F.col("a.__id"), F.col("b.__id")).alias("id_b"),
+                d.alias("dist"),
+            )
+            .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        )
 
     return verify(same).unionByName(verify(adjacent))
 
