@@ -1,9 +1,12 @@
 """Deduplication queries over documents + embeddings (extension surface).
 
-Exact dedup and token-Jaccard carry full DuckDB oracles. MinHash+LSH and
-SimHash are registered WITHOUT oracles (their xxhash64 hash family has no
-DuckDB equivalent → driver records the weaker rows-only check); their
-correctness is pinned instead by tests/test_dedup.py, which verifies
+Exact dedup (both keep policies), incremental crawl-vs-corpus dedup,
+token-Jaccard, and Levenshtein fuzzy matching carry full DuckDB
+oracles. MinHash+LSH and SimHash are registered WITHOUT oracles (their
+xxhash64 hash family has no DuckDB equivalent → driver records the
+weaker rows-only check); their correctness is pinned by md5-twin
+queries, the merged planted-recall certification
+(docs_sketch_seeded_recall), and tests/test_dedup.py, which verifies
 planted near-duplicates are found and Jaccard-dissimilar pairs are not.
 """
 
