@@ -362,3 +362,61 @@ def test_foreachbatch_ingest_dedupes_across_microbatches(spark, tmp_path):
     assert got == {10, 11, 21}, got
     fps = [r.fingerprint for r in spark.read.parquet(index).collect()]
     assert len(fps) == 3 and len(set(fps)) == 3
+
+
+def test_foreachbatch_ingest_survives_restart(spark, tmp_path):
+    """The docstring's 'across RESTARTS' claim: stop the ingest query,
+    add a new crawl re-delivering an already-accepted doc, start a NEW
+    query on the SAME checkpoint — the restarted stream must process
+    only the new file and reject the re-delivery via the persisted
+    fingerprint index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_chicago_crimes_spark.streaming.joins import (
+        ingest_with_incremental_dedup,
+    )
+
+    src = tmp_path / "crawls"
+    src.mkdir()
+    accepted = str(tmp_path / "accepted")
+    index = str(tmp_path / "fp_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+            }
+        )
+        pq.write_table(tbl, str(src / name))
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        return ingest_with_incremental_dedup(stream, accepted, index, ckpt)
+
+    write("crawl1.parquet", [(1, "first doc"), (2, "second doc")])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {r.doc_id for r in spark.read.parquet(accepted).collect()} == {1, 2}
+
+    # restart on the same checkpoint; the new crawl re-delivers doc 1's
+    # content under a fresh id and adds one genuinely new doc
+    write("crawl2.parquet", [(10, "FIRST   doc"), (11, "third doc")])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id for r in spark.read.parquet(accepted).collect()}
+    assert got == {1, 2, 11}, got  # 10 rejected by the persisted index
+    fps = [r.fingerprint for r in spark.read.parquet(index).collect()]
+    assert len(fps) == 3 and len(set(fps)) == 3  # no re-appends on restart
