@@ -234,6 +234,95 @@ def ann_topk(
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
 
 
+def _probe_scored_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_planes: int,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    multiprobe_hamming: int,
+    bucketed: bool,
+    op: str,
+) -> DataFrame:
+    """Shared candidate stage for the batch ANN family: query-side LSH
+    signatures (same codegen path as the corpus), probe-set explode,
+    ONE broadcast bucket join (DPP-pruned against a bucket-partitioned
+    lake), exact rounded cosine per candidate. Returns
+    (query_id_col, id_col, cosine) — top-k and threshold consumers
+    diverge only above this."""
+    from big_data_chicago_crimes_spark.functions.vectors import cosine_similarity
+
+    if bucketed and "bucket" not in corpus.columns:
+        raise ValueError(f"{op}(bucketed=True): corpus has no 'bucket' column")
+    masks = _hamming_masks(n_planes, multiprobe_hamming)
+    qsig = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        hyperplane_signature(vec_col, dim, n_planes).alias("__qb"),
+    )
+    probes = (
+        qsig.withColumn(
+            "__mask", F.explode(F.array(*[F.lit(m) for m in masks]))
+        )
+        .select(
+            query_id_col,
+            "__qvec",
+            F.col("__qb").bitwiseXOR(F.col("__mask")).alias("__probe"),
+        )
+    )
+    corpus_b = (
+        corpus if bucketed else hyperplane_lsh_buckets(corpus, dim, n_planes, vec_col)
+    )
+    cand = corpus_b.join(
+        F.broadcast(probes), corpus_b["bucket"] == probes["__probe"]
+    )
+    return cand.select(
+        query_id_col,
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias(
+            "cosine"
+        ),
+    )
+
+
+def incremental_embedding_near_dups(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe_hamming: int = 1,
+    bucketed: bool = False,
+) -> DataFrame:
+    """Tonight's embedding batch deduped against the existing corpus —
+    the vector counterpart of ``incremental_exact_dedup`` (and the
+    missing half of the incremental-ingest story: exact fingerprints
+    catch byte-identical re-crawls, this catches re-encoded /
+    near-identical content whose vectors still point the same way).
+
+    Same candidate machinery as ``batch_ann_topk`` (probe-set explode on
+    the BATCH side, broadcast, one bucket join — the corpus never
+    shuffles, and against the bucket-partitioned lake the scan is
+    DPP-pruned), but thresholded instead of ranked: returns every
+    (batch_id, corpus_id, cosine ≥ threshold) pair. A batch row with no
+    row in the output is genuinely new — anti-join the ids to keep it.
+    Recall follows the multiprobe geometry (exactly-parallel duplicates
+    share every signature bit, so their recall is 1.0; near-duplicates
+    at cosine ≥ 0.95 collide per the Charikar bound — raise
+    ``multiprobe_hamming`` or probe multiple tables for more)."""
+    scored = _probe_scored_candidates(
+        corpus, batch, dim, n_planes, vec_col, id_col, "batch_id",
+        multiprobe_hamming, bucketed, "incremental_embedding_near_dups",
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "batch_id", F.col(id_col).alias("corpus_id"), "cosine"
+    )
+
+
 def batch_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -277,40 +366,9 @@ def batch_ann_topk(
     """
     from pyspark.sql import Window
 
-    from big_data_chicago_crimes_spark.functions.vectors import cosine_similarity
-
-    if bucketed and "bucket" not in corpus.columns:
-        raise ValueError(
-            "batch_ann_topk(bucketed=True): corpus has no 'bucket' column"
-        )
-    masks = _hamming_masks(n_planes, multiprobe_hamming)
-    qsig = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        hyperplane_signature(vec_col, dim, n_planes).alias("__qb"),
-    )
-    probes = (
-        qsig.withColumn(
-            "__mask", F.explode(F.array(*[F.lit(m) for m in masks]))
-        )
-        .select(
-            query_id_col,
-            "__qvec",
-            F.col("__qb").bitwiseXOR(F.col("__mask")).alias("__probe"),
-        )
-    )
-    corpus_b = (
-        corpus if bucketed else hyperplane_lsh_buckets(corpus, dim, n_planes, vec_col)
-    )
-    cand = corpus_b.join(
-        F.broadcast(probes), corpus_b["bucket"] == probes["__probe"]
-    )
-    scored = cand.select(
-        query_id_col,
-        F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias(
-            "cosine"
-        ),
+    scored = _probe_scored_candidates(
+        corpus, queries, dim, n_planes, vec_col, id_col, query_id_col,
+        multiprobe_hamming, bucketed, "batch_ann_topk",
     )
     # Two-phase top-k: a single per-query window would funnel EVERY
     # probed candidate of a query through one task (~probes/2^n_planes

@@ -272,3 +272,44 @@ def test_batch_ann_topk_planted_exact_copies(spark):
         per_q[r.query_id].append(r.rank)
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+
+
+def test_incremental_embedding_near_dups_planted(spark):
+    """Vector-side incremental dedup: a new batch containing exact
+    copies of corpus vectors must surface each (batch, corpus) pair at
+    cosine 1.0 (parallel duplicates share every signature bit — recall
+    1.0 by construction); noise vectors must produce no pair, and the
+    anti-join of flagged ids yields exactly the genuinely-new rows."""
+    import numpy as np
+
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        incremental_embedding_near_dups,
+    )
+
+    rng = np.random.RandomState(5)
+    dim = 64
+    corpus_vecs = rng.randn(30, dim)
+    new_noise = rng.randn(6, dim)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in corpus_vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, [float(x) for x in corpus_vecs[i]]) for i in range(4)]
+        + [(200 + j, [float(x) for x in new_noise[j]]) for j in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = incremental_embedding_near_dups(corpus, batch, threshold=0.95, dim=dim)
+    got = {(r.batch_id, r.corpus_id): r.cosine for r in pairs.collect()}
+    assert {(100 + i, i) for i in range(4)} <= set(got)
+    assert all(c == 1.0 for (b, c_), c in got.items() if b - 100 == c_)
+    assert not any(b >= 200 for b, _ in got), got  # noise stays clean
+
+    from pyspark.sql import functions as F
+
+    fresh = batch.join(
+        pairs.select(F.col("batch_id").alias("vec_id")).distinct(),
+        "vec_id",
+        "left_anti",
+    )
+    assert {r.vec_id for r in fresh.collect()} == {200 + j for j in range(6)}
