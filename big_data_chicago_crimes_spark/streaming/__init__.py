@@ -2,6 +2,8 @@
 — SURVEY.md §2.9)."""
 
 from big_data_chicago_crimes_spark.streaming.joins import (
+    dedup_stream_against_corpus,
+    ingest_with_incremental_dedup,
     purchases_after_views_interval_join,
 )
 from big_data_chicago_crimes_spark.streaming.windows import (
@@ -14,6 +16,8 @@ from big_data_chicago_crimes_spark.streaming.windows import (
 )
 
 __all__ = [
+    "dedup_stream_against_corpus",
+    "ingest_with_incremental_dedup",
     "purchases_after_views_interval_join",
     "read_events_stream",
     "run_stream_to_memory",
