@@ -429,6 +429,105 @@ def ivf_index(
     return assigned, centroids
 
 
+def batch_ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """MANY query vectors against the IVF index in ONE list join — the
+    IVF sibling of ``batch_ann_topk`` (same probe pattern, centroid
+    lists instead of LSH buckets):
+
+    1. the k×dim centroid table is baked in as literals and
+       cross-joined to the query batch; each query ranks its ``nprobe``
+       nearest cells with a per-query array sort over k_centroids
+       entries — all codegen, no driver-side per-query math, no
+       collect;
+    2. the (query, cell) probe frame — batch × nprobe rows — is
+       BROADCAST and equi-joined to ``assigned`` on ``centroid_id``:
+       against the centroid-partitioned lake the scan is dynamically
+       partition-pruned to the union of probed cells, and the
+       corpus-sized side never shuffles;
+    3. exact cosine re-rank per query with the same two-phase salted
+       top-k as the LSH batch path (no corpus-sized window partitions).
+
+    Output: (query_id, id, cosine, rank ≤ k), ranked by rounded cosine
+    with id tie-break."""
+    from pyspark.sql import Window
+
+    from big_data_chicago_crimes_spark.functions.vectors import cosine_similarity
+
+    cent_lits = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("cv"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    qv = F.col(vec_col)
+    # squared L2 distance to each centroid, then take the nprobe nearest
+    # cell ids via array_sort on (dist, cid) structs — k_centroids-sized
+    # per-row work, independent of corpus size
+    dists = F.transform(
+        cent_lits,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    qv, c.getField("cv"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            qv.alias("__qvec"),
+            F.slice(F.array_sort(dists), 1, nprobe).alias("__cells"),
+        )
+        .withColumn("__cell", F.explode("__cells"))
+        .select(query_id_col, "__qvec", F.col("__cell.cid").alias("__probe"))
+    )
+    cand = assigned.join(
+        F.broadcast(probes), assigned["centroid_id"] == probes["__probe"]
+    )
+    scored = cand.select(
+        query_id_col,
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias(
+            "cosine"
+        ),
+    )
+    salts = 64
+    salted = scored.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts))
+    )
+    w_local = Window.partitionBy(query_id_col, "__salt").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    survivors = (
+        salted.withColumn("__lrk", F.row_number().over(w_local))
+        .filter(F.col("__lrk") <= k)
+        .drop("__salt", "__lrk")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[list[float]],

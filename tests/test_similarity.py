@@ -313,3 +313,46 @@ def test_incremental_embedding_near_dups_planted(spark):
         "left_anti",
     )
     assert {r.vec_id for r in fresh.collect()} == {200 + j for j in range(6)}
+
+
+def test_batch_ivf_topk_matches_single_query_path(spark):
+    """batch_ivf_topk (queries as a DataFrame, one centroid-list join)
+    must agree with the single-query ivf_topk driver-side path on every
+    query in the batch, and a planted exact copy must rank first."""
+    import numpy as np
+
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        batch_ivf_topk,
+        ivf_index,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    dim, n = 16, 80
+    vecs = rng.randn(n, dim)
+    qs = vecs[:3].copy()  # queries = exact copies of corpus rows 0..2
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, centroids = ivf_index(corpus, k_centroids=4)
+    assigned = assigned.cache()
+    queries = spark.createDataFrame(
+        [(100 + i, [float(x) for x in qs[i]]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    batch = batch_ivf_topk(assigned, centroids, queries, k=3, nprobe=2)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+    for i in range(3):
+        single = ivf_topk(
+            assigned, centroids, [float(x) for x in qs[i]], k=3, nprobe=2
+        ).collect()
+        expect = [
+            (rk + 1, r.vec_id, round(r.cosine, 6)) for rk, r in enumerate(single)
+        ]
+        assert sorted(got[100 + i]) == expect, (i, got[100 + i], expect)
+        # the planted exact copy is its own nearest neighbor at 1.0
+        assert got[100 + i][0][1:] == (i, 1.0) or sorted(got[100 + i])[0][1] == i
+    assigned.unpersist()
