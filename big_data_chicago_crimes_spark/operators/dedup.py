@@ -128,7 +128,7 @@ def fuzzy_match_pairs(
     (block, band) / (block, band, band+1): candidate count is bounded
     by band populations, not block². The O(n·m) Levenshtein verify runs
     only on candidates, with Spark's thresholded ``levenshtein(l, r,
-    k)`` early-exiting past ``max_dist``. ``band_width`` must be >
+    k)`` early-exiting past ``max_dist``. ``band_width`` must be ≥
     ``max_dist`` or adjacent-band coverage breaks (raises); the result
     set is band_width-INDEPENDENT for any valid width (banding prunes
     candidates, never matches — |len diff| > max_dist already implies
@@ -146,10 +146,11 @@ def fuzzy_match_pairs(
     PassJoin-style segment blocking (Li et al., VLDB'12) replaces the
     cell pair enumeration with an inverted segment index — not needed
     at the measured densities."""
-    if band_width <= max_dist:
+    if band_width < max_dist:
         raise ValueError(
-            f"band_width {band_width} must exceed max_dist {max_dist} "
-            "(length-band adjacency covers |len diff| <= max_dist only then)"
+            f"band_width {band_width} must be >= max_dist {max_dist} "
+            "(length-band adjacency covers |len diff| <= max_dist only then; "
+            "adding exactly band_width to a length shifts its band by one)"
         )
     lowered = F.lower(F.col(text_col))
     sig = F.array(

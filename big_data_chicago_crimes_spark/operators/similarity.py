@@ -234,6 +234,41 @@ def ann_topk(
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
 
 
+def _salted_topk(
+    scored: DataFrame, query_id_col: str, id_col: str, k: int, salts: int = 64
+) -> DataFrame:
+    """Two-phase per-query top-k over (query_id, id, cosine) candidates —
+    the ONE ranking contract behind both batch ANN families (LSH and
+    IVF), so tie-breaks and task-size behavior can never diverge. A
+    single per-query window would funnel EVERY probed candidate of a
+    query through one task; phase 1 takes a local top-k per (query,
+    salt) — each window partition sees ~candidates/salts rows — and
+    phase 2 ranks the ≤ salts×k survivors per query. Global top-k =
+    top-k of the union of local top-ks, so the result is identical to
+    the single-window form (and to the SQL oracles); only the task-size
+    distribution changes. Ranked by rounded cosine with id tie-break."""
+    from pyspark.sql import Window
+
+    salted = scored.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts))
+    )
+    w_local = Window.partitionBy(query_id_col, "__salt").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    survivors = (
+        salted.withColumn("__lrk", F.row_number().over(w_local))
+        .filter(F.col("__lrk") <= k)
+        .drop("__salt", "__lrk")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _probe_scored_candidates(
     corpus: DataFrame,
     queries: DataFrame,
@@ -364,8 +399,6 @@ def batch_ann_topk(
     needed. Output: (query_id, id, cosine, rank ≤ k), ranked by rounded
     cosine with id tie-break — deterministic and engine-replayable.
     """
-    from pyspark.sql import Window
-
     scored = _probe_scored_candidates(
         corpus, queries, dim, n_planes, vec_col, id_col, query_id_col,
         multiprobe_hamming, bucketed, "batch_ann_topk",
@@ -378,25 +411,7 @@ def batch_ann_topk(
     # query. Global top-k = top-k of the union of local top-ks, so the
     # result is identical to the single-window form (and to the SQL
     # oracle) — only the task-size distribution changes.
-    salts = 64
-    salted = scored.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts))
-    )
-    w_local = Window.partitionBy(query_id_col, "__salt").orderBy(
-        F.col("cosine").desc(), F.col(id_col)
-    )
-    survivors = (
-        salted.withColumn("__lrk", F.row_number().over(w_local))
-        .filter(F.col("__lrk") <= k)
-        .drop("__salt", "__lrk")
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col)
-    )
-    return (
-        survivors.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _salted_topk(scored, query_id_col, id_col, k)
 
 
 # --- IVF (inverted-file) ANN: KMeans-partitioned index ------------------
@@ -458,8 +473,6 @@ def batch_ivf_topk(
 
     Output: (query_id, id, cosine, rank ≤ k), ranked by rounded cosine
     with id tie-break."""
-    from pyspark.sql import Window
-
     from big_data_chicago_crimes_spark.functions.vectors import cosine_similarity
 
     cent_lits = F.array(
@@ -507,25 +520,7 @@ def batch_ivf_topk(
             "cosine"
         ),
     )
-    salts = 64
-    salted = scored.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts))
-    )
-    w_local = Window.partitionBy(query_id_col, "__salt").orderBy(
-        F.col("cosine").desc(), F.col(id_col)
-    )
-    survivors = (
-        salted.withColumn("__lrk", F.row_number().over(w_local))
-        .filter(F.col("__lrk") <= k)
-        .drop("__salt", "__lrk")
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col)
-    )
-    return (
-        survivors.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _salted_topk(scored, query_id_col, id_col, k)
 
 
 def ivf_topk(

@@ -324,7 +324,7 @@ def test_incremental_exact_dedup_matches_full_recompute(docs, spark):
 
 def test_fuzzy_match_pairs_banding_and_distances(spark):
     """Length-banded Levenshtein pairs: same-band and adjacent-band
-    matches are both found (a pair straddling a 64-char band boundary
+    matches are both found (a pair straddling a 16-char band boundary
     must not be lost), distances are exact, and pairs past the
     threshold or in different blocks are excluded."""
     from big_data_chicago_crimes_spark.operators.dedup import fuzzy_match_pairs
@@ -333,8 +333,8 @@ def test_fuzzy_match_pairs_banding_and_distances(spark):
     rows = [
         (1, "en", "s0", "kitten sat here"),
         (2, "en", "s0", "sitten sat here"),      # dist 1, same band
-        (3, "en", "s0", near_boundary),           # len 62 -> band 0
-        (4, "en", "s0", near_boundary + " ab"),   # len 65 -> band 1, dist 3
+        (3, "en", "s0", near_boundary),           # len 62 -> band 3
+        (4, "en", "s0", near_boundary + " ab"),   # len 65 -> band 4, dist 3
         (5, "en", "s1", "kitten sat here"),       # other block: excluded
         (6, "en", "s0", "completely different text entirely"),
     ]
@@ -355,4 +355,4 @@ def test_fuzzy_match_pairs_band_width_guard(spark):
     import pytest
 
     with pytest.raises(ValueError, match="band_width"):
-        fuzzy_match_pairs(df, [], max_dist=64, band_width=64)
+        fuzzy_match_pairs(df, [], max_dist=65, band_width=64)
