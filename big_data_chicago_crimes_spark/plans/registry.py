@@ -43,30 +43,83 @@ REGISTRY: dict[str, Query] = {}
 # (VERDICT r4 #3); tests/test_registry.py derives the staleness contract from
 # the committed CORRECTNESS history, so a bad rotation fails CI.
 #
-# ROUND-8 WINDOW (the mechanical cohort rotation, VERDICT r7 #1): at 100
+# ROUND-9 WINDOW (the mechanical cohort rotation, VERDICT r8 #1): at 100
 # registered queries the two 50-query cohorts alternate windows every
-# round or the 2-round staleness contract breaks. The r7 window (ETL /
-# layout / pipeline / join-spine cohort) rotates OUT; the 50 queries
-# whose last driver row is r6 (dedup sketch family, ML, sampling splits,
-# text analysis, ANN/lake reads, streaming batch-degradations) rotate
-# IN. In-round additions are funded by the established pair-merge
-# pattern (merge two queries ALREADY inside this window into one result
-# that certifies both operators — precedent purchaser_error_overlap —
-# netting +1 slot each; merging across cohorts costs −2 and is never
-# done).
+# round or the 2-round staleness contract breaks. The r8 window (dedup
+# sketches / ANN / text / sampling / ML cohort) rotates OUT; the 50
+# queries whose last driver row is r7 (ETL, lake layout, pipeline,
+# join spine, OLAP reference set) rotate IN. In-round additions are
+# funded by the established pair-merge pattern (merge two queries
+# ALREADY inside this window into one result that certifies both
+# operators — precedent purchaser_error_overlap — netting +1 slot
+# each; merging across cohorts costs −2 and is never done).
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- tier 0: new this round, never sampled (each funded by one of
-    # the two pair-merges below) ---
-    "events_interval_join_batch",  # batch degradation of the stream-stream interval join
-    "docs_chunk_pack",  # chunk → pack-the-chunks composition
-    # --- dedup / sketch family (last row r6) ---
+    # --- ETL / cleaning spine (last row r7) ---
+    "events_etl_clean_seeded",
+    "events_null_census",
+    "events_not_in_filter",
+    "events_dedup_keyed",
+    "events_csv_roundtrip",
+    "events_json_profile",
+    "events_count_by_type",
+    "event_value_stats",
+    "distinct_event_types",
+    "hourly_max_event_count",
+    "purchase_top_users",
+    "purchaser_error_overlap",
+    "users_distinct_exact_vs_approx",
+    "events_by_segment_salted_join",
+    "events_sliding_1h_30m",
+    # --- lake layout ---
+    "orders_lake_partitioned_scan",
+    "lineitem_zorder_box_scan",
+    # --- OLAP / reference spine ---
+    "orders_count_by_priority",
+    "orders_by_price_band",
+    "orders_filled_pct",
+    "orders_quarter_pivot",
+    "orders_grouping_surface",
+    "orders_price_quantiles",
+    "orders_running_total",
+    "lineitem_rollup",
+    "lineitem_correlations",
+    "promo_revenue_pct",
+    "late_shipment_orders",
+    "shipping_priority_top10",
+    "returned_item_top_customers",
+    "top_revenue_orders",
+    "top10_part_types",
+    "supplier_nation_revenue",
+    "parts_never_ordered",
+    "segment_customers_with_orders",
+    "forecast_revenue_change",
+    "nation_balance_extremes",
+    "all_account_balances",
+    "customer_balance_quartiles",
+    "asof_join_surface",
+    # --- pipeline / curation / similarity (last row r7) ---
+    "docs_pipeline_end_to_end",
+    "docs_domain_quota",
+    "docs_temperature_mix",
+    "docs_curriculum_order",
+    "docs_chunk_windows",
+    "docs_hybrid_search",
+    "embedding_near_dup_certification",
+    "embedding_ivf_topk_lake_seeded",
+    "ml_correlation_matrix",
+    "multimodal_pipeline_stats",
+    # ------------------------------------------------------------------
+    # r8 cohort (all green r8; rotates back in next round)
+    # ------------------------------------------------------------------
+    "events_interval_join_batch",
+    "docs_chunk_pack",
     "docs_exact_dedup",
     "docs_jaccard_pairs",
     "docs_char_ngram_jaccard",
     "docs_minhash_lsh_candidates",
     "docs_simhash_candidates",
-    "docs_sketch_seeded_recall",  # = docs_minhash_seeded_recall + docs_simhash_seeded_recall
-    "docs_incremental_dedup",  # new-batch-vs-corpus dedup (funded by the merge above)
+    "docs_sketch_seeded_recall",
+    "docs_incremental_dedup",
     "docs_minhash_md5_oracled",
     "docs_simhash_md5_oracled",
     "docs_simhash_band_candidates_md5_oracled",
@@ -75,13 +128,11 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_dedup_components",
     "docs_ngram_contamination",
     "docs_tfidf_similar_pairs",
-    # --- ANN / lake index reads ---
-    "embedding_topk_surface",  # = embedding_cosine_topk + embedding_ann_lsh_topk
-    "docs_fuzzy_match_pairs",  # edit-distance near-match pairs (funded by the merge above)
+    "embedding_topk_surface",
+    "docs_fuzzy_match_pairs",
     "embedding_lsh_bucket_histogram",
     "embedding_ann_lsh_topk_lake",
     "embedding_ivf_topk_lake",
-    # --- text analysis ---
     "docs_token_stats",
     "docs_quality_by_source",
     "docs_fingerprint_census",
@@ -94,22 +145,18 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_pii_scrub_stats",
     "docs_pii_scrub_seeded",
     "docs_sequence_packing",
-    # --- sampling / splits ---
-    "docs_sampling_census",  # = docs_hash_sample + docs_stratified_sample
+    "docs_sampling_census",
     "docs_train_val_test_split",
-    # --- ML surface ---
-    "ml_classifier_auc_surface",  # = ml_logreg_auc + ml_random_forest_auc
-    "embedding_batch_topk",  # multi-query bucket-join ANN (funded by the merge above)
+    "ml_classifier_auc_surface",
+    "embedding_batch_topk",
     "ml_gbt_rmse",
     "ml_kmeans_customer_clusters",
-    # --- reference / OLAP spine (last row r6) ---
     "revenue_by_nation",
     "pricing_summary",
     "orders_price_quantiles_approx",
     "orders_year_range_filter",
     "orders_by_season",
-    # --- windows / streaming batch-degradations ---
-    "orders_monthly_window_surface",  # = orders_moving_avg_3m + orders_monthly_delta
+    "orders_monthly_window_surface",
     "best_order_per_customer",
     "customer_balance_rank_in_nation",
     "events_hourly_tumbling",
