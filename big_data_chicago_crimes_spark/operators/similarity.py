@@ -417,6 +417,82 @@ def batch_ann_topk(
 # --- IVF (inverted-file) ANN: KMeans-partitioned index ------------------
 
 
+def nearest_centroid_cells(
+    vec_col: Column, centroids: list[list[float]], n: int
+) -> Column:
+    """Array of the ``n`` nearest centroid ids to ``vec_col`` — the cell
+    ranking shared by the batch-IVF probe stage (n = nprobe) and
+    literal-centroid index assignment (n = 1). Squared L2 to each
+    centroid, then array_sort over (dist, cid) structs — k_centroids-
+    sized per-row work, independent of corpus size, all codegen, no
+    driver-side math. The distance is ROUNDED to 6dp before ranking
+    (cid tie-break): double summation order differs across engines
+    (DuckDB's list_sum is not a sequential fold — measured ulp-level
+    divergence from Spark's sequential F.aggregate), so ranking on the
+    raw sum would make the cell choice engine-dependent at the last
+    ulp. Same portability contract the cosine rank already uses."""
+    cent_lits = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("cv"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    dists = F.transform(
+        cent_lits,
+        lambda c: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        c.getField("cv"),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("d"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(dists), 1, n), lambda s: s.getField("cid")
+    )
+
+
+def literal_centroids(k: int, dim: int) -> list[list[float]]:
+    """Seeded pseudo-random centroids (same determinism contract as the
+    LSH hyperplanes): a FIXED centroid list both the Spark plan and an
+    external SQL oracle can bake in as literals. The IVF operators take
+    centroids as an input, so a literal codebook is a first-class way to
+    build the index — e.g. centroids trained offline or on a sample —
+    and it makes the whole batch-IVF path exactly oracle-checkable
+    (KMeans-trained indexes are certified separately via the
+    planted-duplicate fixture)."""
+    rng = np.random.RandomState(_LSH_SEED + 1)
+    return [[float(x) for x in row] for row in rng.randn(k, dim)]
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment against a FIXED centroid list: every row gets the
+    ``centroid_id`` of its nearest centroid (rounded-distance ranking,
+    cid tie-break — see nearest_centroid_cells). The literal-codebook
+    sibling of ``ivf_index`` (which trains centroids with KMeans); at
+    scale, write the result partitioned by centroid_id so probes prune
+    partitions."""
+    return df.withColumn(
+        "centroid_id",
+        nearest_centroid_cells(F.col(vec_col), centroids, 1)[0].cast("int"),
+    )
+
+
 def ivf_index(
     df: DataFrame,
     k_centroids: int = 16,
@@ -475,40 +551,15 @@ def batch_ivf_topk(
     with id tie-break."""
     from big_data_chicago_crimes_spark.functions.vectors import cosine_similarity
 
-    cent_lits = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("cv"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    qv = F.col(vec_col)
-    # squared L2 distance to each centroid, then take the nprobe nearest
-    # cell ids via array_sort on (dist, cid) structs — k_centroids-sized
-    # per-row work, independent of corpus size
-    dists = F.transform(
-        cent_lits,
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    qv, c.getField("cv"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            c.getField("cid").alias("cid"),
-        ),
-    )
+    cells = nearest_centroid_cells(F.col(vec_col), centroids, nprobe)
     probes = (
         queries.select(
             F.col(id_col).alias(query_id_col),
-            qv.alias("__qvec"),
-            F.slice(F.array_sort(dists), 1, nprobe).alias("__cells"),
+            F.col(vec_col).alias("__qvec"),
+            cells.alias("__cells"),
         )
-        .withColumn("__cell", F.explode("__cells"))
-        .select(query_id_col, "__qvec", F.col("__cell.cid").alias("__probe"))
+        .withColumn("__probe", F.explode("__cells"))
+        .select(query_id_col, "__qvec", "__probe")
     )
     cand = assigned.join(
         F.broadcast(probes), assigned["centroid_id"] == probes["__probe"]

@@ -403,39 +403,191 @@ def embedding_ivf_topk_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_probe(spark, sf_dir, seeded=False)
 
 
+# --- literal-codebook IVF: the fully-oracled batch probe path -----------
+#
+# The KMeans-trained index can't put its centroids in a static SQL
+# oracle (they're fit at runtime), so its certification is the planted
+# fixture above. The IVF OPERATORS, however, take centroids as an
+# input — a literal codebook (centroids trained offline / on a sample)
+# is a first-class way to run them, and it makes the ENTIRE batch path
+# exactly SQL-expressible: assignment, per-query probe-cell ranking,
+# the one broadcast list join, and the cosine rerank all mirror in
+# DuckDB with the same seeded centroid literals.
+
+_IVF_LIT_K = 8
+_IVF_LIT_NPROBE = 3
+
+
+def _ivf_lit_centroids() -> list[list[float]]:
+    from big_data_chicago_crimes_spark.operators.similarity import literal_centroids
+
+    return literal_centroids(_IVF_LIT_K, _EMB_DIM)
+
+
+def _ivf_lit_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted lists under the LITERAL codebook, materialized once per
+    SF partitioned by centroid_id — probes against it are dynamically
+    partition-pruned scans (the 100 TB shape), and unlike the KMeans
+    lake the whole artifact is reproducible from the seed alone."""
+    from big_data_chicago_crimes_spark.operators.similarity import assign_to_centroids
+    from big_data_chicago_crimes_spark.sources.sinks import cached
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir)
+        return assign_to_centroids(t.embeddings, _ivf_lit_centroids()).repartition(
+            "centroid_id"
+        )
+
+    return cached(
+        spark,
+        f"{_lake_root(spark, sf_dir)}/embeddings_ivf_lit",
+        build,
+        partition_by=["centroid_id"],
+    )
+
+
+def _sqdist_sql(vec_expr: str, cent_expr: str) -> str:
+    """Rounded squared-L2 between two DOUBLE[] expressions — the DuckDB
+    mirror of operators/similarity.nearest_centroid_cells' per-cell
+    distance (both engines rank cells on ROUND(d, 6) with cid
+    tie-break; raw sums differ at the last ulp because DuckDB's
+    list_sum is not a sequential fold)."""
+    return (
+        f"ROUND(list_sum(list_transform(list_zip({vec_expr}, {cent_expr}), "
+        f"x -> (x[1] - x[2])*(x[1] - x[2]))), 6)"
+    )
+
+
+def _batch_ivf_oracle() -> str:
+    """The ENTIRE literal-codebook batch-IVF path in SQL: centroid
+    VALUES, per-query nprobe cell ranking, nearest-cell assignment, the
+    cell join, exact rounded-cosine rerank — the IVF sibling of
+    ``_batch_ann_oracle``."""
+    values = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])"
+        for cid, cv in enumerate(_ivf_lit_centroids())
+    )
+    return f"""
+        WITH cells AS (SELECT * FROM (VALUES {values}) t(cid, cv)),
+        q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 8
+        ), probes AS (
+            SELECT query_id, qv, cid FROM (
+                SELECT query_id, qv, c.cid,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY {_sqdist_sql("qv", "c.cv")}, c.cid) AS rn
+                FROM q CROSS JOIN cells c) WHERE rn <= {_IVF_LIT_NPROBE}
+        ), assigned AS (
+            SELECT vec_id, emb, cid AS cell FROM (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_sqdist_sql("e.embedding::DOUBLE[]", "c.cv")},
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN cells c
+                WHERE e.vec_id >= 8) WHERE rn = 1
+        ), cand AS (
+            SELECT p.query_id, a.vec_id,
+                   ROUND(list_dot_product(a.emb, p.qv) /
+                         (sqrt(list_dot_product(a.emb, a.emb)) *
+                          sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine
+            FROM assigned a JOIN probes p ON a.cell = p.cid
+        )
+        SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+            FROM cand) WHERE rank <= 3
+    """
+
+
 @register(
     "embedding_ivf_topk_lake_seeded",
+    # TWO-LEG IVF certification in one slot (the zero-cost extend
+    # pattern, precedent: keep_best inside docs_exact_dedup):
+    # 'seeded_single' certifies the KMeans-trained lake probe via the
+    # planted-duplicate fixture; 'batch_ivf' certifies
+    # operators/similarity.batch_ivf_topk (the r8 operator that shipped
+    # with local tests only — VERDICT r8 #2) end-to-end against a
+    # literal-codebook index with a FULL organic-data oracle.
     oracle=f"""
-        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
-                   WHERE vec_id = {_QUERY_VEC_ID}),
-        seeded AS (
-            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-            UNION ALL
-            SELECT {_IVF_PLANT_BASE} + r.i AS vec_id, q.qv AS emb
-            FROM q, range({_IVF_PLANT_N}) r(i)
+        SELECT 'seeded_single' AS section, CAST(0 AS BIGINT) AS query_id,
+               vec_id, cosine,
+               CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+                    AS INTEGER) AS rank
+        FROM (
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = {_QUERY_VEC_ID}),
+            seeded AS (
+                SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+                UNION ALL
+                SELECT {_IVF_PLANT_BASE} + r.i AS vec_id, q.qv AS emb
+                FROM q, range({_IVF_PLANT_N}) r(i)
+            )
+            SELECT s.vec_id,
+                   ROUND(list_dot_product(s.emb, q.qv) /
+                         (sqrt(list_dot_product(s.emb, s.emb)) *
+                          sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+            FROM seeded s, q
+            WHERE s.vec_id <> {_QUERY_VEC_ID}
+            ORDER BY cosine DESC, s.vec_id LIMIT {_IVF_PLANT_N}
         )
-        SELECT s.vec_id,
-               ROUND(list_dot_product(s.emb, q.qv) /
-                     (sqrt(list_dot_product(s.emb, s.emb)) *
-                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
-        FROM seeded s, q
-        WHERE s.vec_id <> {_QUERY_VEC_ID}
-        ORDER BY cosine DESC, s.vec_id LIMIT {_IVF_PLANT_N}
+        UNION ALL
+        SELECT 'batch_ivf' AS section, query_id, vec_id, cosine, rank FROM (
+    """
+    + _batch_ivf_oracle()
+    + """
+        )
     """,
-    tags=("similarity", "ann", "ivf", "lake", "seeded", "extension"),
+    tags=("similarity", "ann", "ivf", "lake", "seeded", "batch", "extension"),
 )
 def embedding_ivf_topk_lake_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``embedding_ivf_topk_lake``'s planted-fixture certification
-    (VERDICT r6 #2): the index is built over embeddings plus 10 exact
-    copies of the query vector. Every copy's centroid distances equal
-    q's, so KMeans puts them all in q's nearest cell — the first cell
-    probed — and with k = 10 the output is fully determined (cosine
-    exactly 1.0 each, organic max ~0.41) no matter where the cell
-    boundaries fall. The oracle computes
-    the exact global top-k over the same seeded union, so the driver
-    hash certifies the ENTIRE probe plan: index build, centroid ranking,
-    partition-pruned list scan, and exact re-rank."""
-    return _ivf_probe(spark, sf_dir, seeded=True)
+    """IVF certification surface, two legs in one driver row.
+
+    'seeded_single' — ``embedding_ivf_topk_lake``'s planted-fixture
+    certification (VERDICT r6 #2): the index is built over embeddings
+    plus 10 exact copies of the query vector. Every copy's centroid
+    distances equal q's, so KMeans puts them all in q's nearest cell —
+    the first cell probed — and with k = 10 the output is fully
+    determined (cosine exactly 1.0 each, organic max ~0.41) no matter
+    where the cell boundaries fall; the oracle's exact global top-k over
+    the same seeded union certifies the ENTIRE probe plan: index build,
+    centroid ranking, partition-pruned list scan, exact re-rank.
+
+    'batch_ivf' — ``batch_ivf_topk`` (operators/similarity.py) run for
+    real: the first 8 vectors as a query batch against the MATERIALIZED
+    literal-codebook inverted lists. One broadcast of the (query, cell)
+    probe frame, one equi-join on centroid_id (dynamically
+    partition-pruned against the lake), exact rounded-cosine rerank via
+    the shared two-phase salted top-k. Every stage mirrors in the SQL
+    oracle with the same seeded centroid literals, so the driver hash
+    pins assignment, probe-cell ranking, join, and rerank — full organic
+    data, no plants."""
+    from pyspark.sql import Window
+
+    from big_data_chicago_crimes_spark.operators.similarity import batch_ivf_topk
+
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    single = (
+        _ivf_probe(spark, sf_dir, seeded=True)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.lit("seeded_single").alias("section"),
+            F.lit(0).cast("long").alias("query_id"),
+            "vec_id",
+            "cosine",
+            "rank",
+        )
+    )
+    t = load_tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 8)
+    corpus = _ivf_lit_lake(spark, sf_dir).filter(F.col("vec_id") >= 8)
+    batch = batch_ivf_topk(
+        corpus, _ivf_lit_centroids(), queries, k=3, nprobe=_IVF_LIT_NPROBE
+    ).select(
+        F.lit("batch_ivf").alias("section"), "query_id", "vec_id", "cosine", "rank"
+    )
+    return single.unionByName(batch)
 
 
 @register(

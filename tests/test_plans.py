@@ -245,6 +245,17 @@ def test_batch_ann_probe_side_broadcasts_corpus_never_shuffles(spark, sf_dir):
     assert "dynamicpruning" in plan, "lake scan not DPP-pruned"
 
 
+def test_batch_ivf_probe_side_broadcasts_and_prunes_lake(spark, sf_dir):
+    """The batch_ivf leg of embedding_ivf_topk_lake_seeded: the
+    (query, cell) probe frame is the BROADCAST side of the centroid_id
+    join, and the literal-codebook lake scan is dynamically
+    partition-pruned to the probed cells — the corpus side never
+    shuffles (same contract as the LSH batch path)."""
+    plan = formatted_plan(spark, sf_dir, "embedding_ivf_topk_lake_seeded")
+    assert "BroadcastHashJoin" in plan
+    assert "dynamicpruning" in plan, "literal-codebook lake scan not DPP-pruned"
+
+
 def test_incremental_dedup_is_anti_join_on_fingerprints(spark, sf_dir):
     """docs_incremental_dedup's scale contract: the corpus participates
     via a LeftAnti join on the fingerprint column (plus the final

@@ -315,6 +315,33 @@ def test_incremental_embedding_near_dups_planted(spark):
     assert {r.vec_id for r in fresh.collect()} == {200 + j for j in range(6)}
 
 
+def test_assign_to_centroids_matches_numpy_argmin(spark):
+    """Literal-codebook assignment (assign_to_centroids) must agree with
+    a NumPy argmin over the same rounded squared-L2 distances — the
+    contract the batch-IVF oracle relies on."""
+    import numpy as np
+
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        assign_to_centroids,
+        literal_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    dim, n, k = 16, 60, 4
+    vecs = rng.randn(n, dim)
+    cents = literal_centroids(k, dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r.centroid_id for r in assign_to_centroids(df, cents).collect()}
+    c = np.asarray(cents)
+    for i in range(n):
+        v = np.asarray([float(np.float32(x)) for x in vecs[i]])
+        d = np.round(((v[None, :] - c) ** 2).sum(axis=1), 6)
+        assert got[i] == int(np.argmin(d)), (i, got[i], d)
+
+
 def test_batch_ivf_topk_matches_single_query_path(spark):
     """batch_ivf_topk (queries as a DataFrame, one centroid-list join)
     must agree with the single-query ivf_topk driver-side path on every
