@@ -69,7 +69,7 @@ HEADLINE = [
     # window functions
     "orders_running_total",
     "customer_balance_rank_in_nation",
-    "customer_balance_quartiles",
+    "nation_balance_window_surface",  # merged quartiles+extremes window pass (r9)
     "forecast_revenue_change",
     # time windows (streaming batch twins)
     "events_hourly_tumbling",
@@ -92,6 +92,7 @@ HEADLINE = [
     # dedup / similarity (xxhash64 / LSH / blocked scale paths)
     "docs_exact_dedup",
     "docs_incremental_dedup",  # new-batch-vs-corpus fingerprint anti-join (r8)
+    "docs_stream_static_dedup_batch",  # stream-static anti-join dedup, batch degradation (r9)
     "docs_minhash_lsh_candidates",
     "docs_simhash_candidates",
     "docs_jaccard_pairs",
@@ -115,7 +116,6 @@ HEADLINE = [
     # OLAP widening
     "lineitem_rollup",
     "orders_grouping_surface",  # merged cube+grouping-sets surface (r7 continuation)
-    "nation_balance_extremes",
     "users_distinct_exact_vs_approx",  # merged exact+HLL surface (r7 continuation)
     "orders_price_quantiles",
     "orders_price_quantiles_approx",

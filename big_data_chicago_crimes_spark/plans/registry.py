@@ -54,6 +54,8 @@ REGISTRY: dict[str, Query] = {}
 # operators — precedent purchaser_error_overlap — netting +1 slot
 # each; merging across cohorts costs −2 and is never done).
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
+    # --- tier 0: new this round, never sampled ---
+    "docs_stream_static_dedup_batch",  # batch degradation of the stream-static anti-join dedup (funded by the balance-window merge)
     # --- ETL / cleaning spine (last row r7) ---
     "events_etl_clean_seeded",
     "events_null_census",
@@ -93,9 +95,8 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "parts_never_ordered",
     "segment_customers_with_orders",
     "forecast_revenue_change",
-    "nation_balance_extremes",
     "all_account_balances",
-    "customer_balance_quartiles",
+    "nation_balance_window_surface",  # = customer_balance_quartiles + nation_balance_extremes (one window pass)
     "asof_join_surface",
     # --- pipeline / curation / similarity (last row r7) ---
     "docs_pipeline_end_to_end",

@@ -210,6 +210,66 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_stream_static_dedup_batch",
+    # funded by the customer_balance_quartiles + nation_balance_extremes
+    # merge (nation_balance_window_surface). Batch degradation of the
+    # stream-STATIC anti-join dedup (streaming/joins.py:
+    # dedup_stream_against_corpus — the ingest edge of the
+    # foreachBatch loop): the SAME builder runs on batch frames, so the
+    # driver row certifies the anti-join's dedup SEMANTICS, not just
+    # streaming plumbing (VERDICT r8 #5; precedent:
+    # events_interval_join_batch). Batch dropDuplicates keeps an
+    # arbitrary row per fingerprint, so the certified projection is the
+    # survivors' FINGERPRINT SET — exactly the stream-vs-batch equality
+    # contract the operator documents (the min-id keep policy is
+    # docs_incremental_dedup's certified job). Same md5-bucket
+    # corpus/batch split as docs_incremental_dedup, so the two rows
+    # jointly pin that the stream-side fresh set equals the batch
+    # pipeline's accepted fingerprints.
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 AS b
+            FROM documents
+        )
+        SELECT DISTINCT fingerprint FROM fp batch
+        WHERE b >= 80
+          AND NOT EXISTS (SELECT 1 FROM fp c
+                          WHERE c.b < 80 AND c.fingerprint = batch.fingerprint)
+        ORDER BY fingerprint
+    """,
+    tags=("dedup", "streaming", "batch-degradation", "extension"),
+)
+def docs_stream_static_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-static anti-join dedup run in batch mode: new-crawl
+    docs (md5 bucket ≥ 80) against the corpus fingerprint index (bucket
+    < 80), via the batch/stream-symmetric builder
+    streaming/joins.py:dedup_stream_against_corpus. Scale shape: the
+    static side contributes only fingerprints (broadcast when
+    index-sized); per micro-batch this is exactly the plan Structured
+    Streaming executes — no state store. Returns the surviving
+    fingerprint set, sorted."""
+    from big_data_chicago_crimes_spark.operators.dedup import doc_fingerprint
+    from big_data_chicago_crimes_spark.operators.sampling import hash_bucket
+    from big_data_chicago_crimes_spark.streaming.joins import (
+        dedup_stream_against_corpus,
+    )
+
+    t = load_tables(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), 100)
+    corpus_fps = (
+        t.documents.filter(b < 80)
+        .select(doc_fingerprint("text").alias("fingerprint"))
+        .distinct()
+    )
+    batch = t.documents.filter(b >= 80)
+    survivors = dedup_stream_against_corpus(batch, corpus_fps)
+    return survivors.select("fingerprint").orderBy("fingerprint")
+
+
+@register(
     "docs_fuzzy_match_pairs",
     # funded by the embedding_cosine_topk + embedding_ann_lsh_topk merge
     # (embedding_topk_surface). Planted twins (every 25th doc + ' xyz',

@@ -354,59 +354,19 @@ def promo_revenue_pct(spark, sf_dir):
 
 
 @register(
-    "customer_balance_quartiles",
+    "nation_balance_window_surface",
+    # merges the former customer_balance_quartiles and
+    # nation_balance_extremes registrations (both r7-green, SAME input
+    # join and SAME window spec — PARTITION BY n_name ORDER BY
+    # c_acctbal, c_custkey) into one result: NTILE(4), PERCENT_RANK,
+    # and FIRST/LAST_VALUE now ride a single customer⋈nation scan and a
+    # single per-nation sort instead of two (the
+    # orders_monthly_window_surface precedent). The slot freed funds
+    # docs_stream_static_dedup_batch.
     oracle="""
         WITH ranked AS (
-            SELECT n_name,
-                   NTILE(4) OVER (PARTITION BY n_name
-                                  ORDER BY c_acctbal, c_custkey) AS quartile,
-                   c_acctbal
-            FROM customer JOIN nation ON c_nationkey = n_nationkey
-        )
-        SELECT n_name, quartile,
-               COUNT(*) AS n_customers,
-               ROUND(SUM(c_acctbal), 2) AS total_balance
-        FROM ranked GROUP BY n_name, quartile ORDER BY n_name, quartile
-    """,
-    tags=("window", "ntile", "extension"),
-)
-def customer_balance_quartiles(spark, sf_dir):
-    """NTILE(4) account-balance quartiles per nation (window-function
-    breadth beyond rank/lag: tile assignment). The window partitions by
-    nation — bounded key cardinality, no global sort — and orders with a
-    c_custkey tie-break so tile assignment is deterministic on both
-    engines."""
-    from pyspark.sql import Window
-
-    from big_data_chicago_crimes_spark.operators.relational import dim_join
-    from big_data_chicago_crimes_spark.sources.readers import load_tables
-
-    t = load_tables(spark, sf_dir)
-    cust = dim_join(
-        t.customer.select("c_custkey", "c_acctbal", "c_nationkey"),
-        t.nation.select("n_nationkey", "n_name"),
-        F.col("c_nationkey") == F.col("n_nationkey"),
-    )
-    w = Window.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
-    ranked = cust.select("n_name", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
-    return (
-        ranked.groupBy("n_name", "quartile")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            # SUM, not AVG: an average of 2dp money can land exactly on a
-            # .005 midpoint where the two engines' doubles round apart;
-            # a sum of 2dp-grained values never sits on a midpoint.
-            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
-        )
-        .orderBy("n_name", "quartile")
-    )
-
-
-@register(
-    "nation_balance_extremes",
-    oracle="""
-        WITH ranked AS (
-            SELECT n_name, c_name, c_acctbal,
+            SELECT n_name, c_acctbal,
+                   NTILE(4) OVER w AS quartile,
                    PERCENT_RANK() OVER w AS pr,
                    FIRST_VALUE(c_name) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
                                              AND UNBOUNDED FOLLOWING) AS poorest,
@@ -415,21 +375,30 @@ def customer_balance_quartiles(spark, sf_dir):
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
         )
-        SELECT n_name,
+        SELECT n_name, quartile,
+               COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS total_balance,
                CAST(SUM(CASE WHEN ROUND(pr, 6) >= 0.9 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_top_decile,
                MIN(poorest) AS poorest_customer,
                MIN(richest) AS richest_customer
-        FROM ranked GROUP BY n_name ORDER BY n_name
+        FROM ranked GROUP BY n_name, quartile ORDER BY n_name, quartile
     """,
-    tags=("window", "percent-rank", "extension"),
+    tags=("window", "ntile", "percent-rank", "extension"),
 )
-def nation_balance_extremes(spark, sf_dir):
-    """Window-function breadth beyond rank/lag/ntile: PERCENT_RANK (top-
-    decile census per nation) plus FIRST_VALUE/LAST_VALUE over the full
-    partition frame (poorest/richest customer name). Deterministic via a
+def nation_balance_window_surface(spark, sf_dir):
+    """Window-function breadth beyond rank/lag in ONE per-nation pass:
+    NTILE(4) quartile assignment, PERCENT_RANK (the top-decile census —
+    decile members land in quartile 4, so the per-nation figure is the
+    quartile-4 row's), and FIRST_VALUE/LAST_VALUE over the full
+    partition frame (poorest/richest customer name, constant per
+    nation). All four functions share one window spec — bounded key
+    cardinality, one sort, no global ordering. Deterministic via a
     c_custkey tie-break; the decile threshold compares a 6dp-ROUNDED
-    percent_rank so the census is float-stable on both engines."""
+    percent_rank so the census is float-stable on both engines. SUM,
+    not AVG, for balances: an average of 2dp money can land exactly on
+    a .005 midpoint where the two engines' doubles round apart; a sum
+    of 2dp-grained values never sits on a midpoint."""
     from pyspark.sql import Window
 
     from big_data_chicago_crimes_spark.operators.relational import dim_join
@@ -445,16 +414,20 @@ def nation_balance_extremes(spark, sf_dir):
     full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = cust.select(
         "n_name",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.first("c_name").over(full).alias("poorest"),
         F.last("c_name").over(full).alias("richest"),
     )
     return (
-        ranked.groupBy("n_name")
+        ranked.groupBy("n_name", "quartile")
         .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
             F.sum((F.col("pr") >= 0.9).cast("long")).alias("n_top_decile"),
             F.min("poorest").alias("poorest_customer"),
             F.min("richest").alias("richest_customer"),
         )
-        .orderBy("n_name")
+        .orderBy("n_name", "quartile")
     )
