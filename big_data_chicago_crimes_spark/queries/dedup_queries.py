@@ -312,12 +312,20 @@ def docs_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-set Jaccard is blind to (re-crawled pages differing by a few
     character edits). Every 25th document gets a planted '+ xyz' twin
     (edit distance exactly 4, constructed identically in both engines)
-    so recall of the full path — length banding → two hash joins →
-    thresholded Levenshtein verify — is certified on a fully-determined
-    answer alongside the organic matches
-    (operators/dedup.py:fuzzy_match_pairs; the length-band join key is
-    what keeps candidates off the block² path at scale)."""
-    from big_data_chicago_crimes_spark.operators.dedup import fuzzy_match_pairs
+    so recall of the full path is certified on a fully-determined answer
+    alongside the organic matches.
+
+    Candidate generation is PassJoin-style segment blocking
+    (operators/dedup.py:fuzzy_match_pairs_segments — VERDICT r8 #4,
+    replacing the r8 length-band cell join whose candidate count grew
+    quadratically in same-length cohort density: 604k cell pairs vs
+    ~3k segment candidates at sf1). The oracle replays the BANDED
+    construction — both are exact candidate supersets over the same
+    verify, so the result set is construction-independent (pinned by
+    tests/test_dedup.py equality tests, organic + adversarial)."""
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        fuzzy_match_pairs_segments,
+    )
 
     t = load_tables(spark, sf_dir)
     docs = t.documents.select("doc_id", "lang", "source", "text")
@@ -328,7 +336,7 @@ def docs_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" xyz")).alias("text"),
     )
     corpus = docs.unionByName(twins)
-    pairs = fuzzy_match_pairs(corpus, ["lang", "source"], max_dist=8, band_width=16)
+    pairs = fuzzy_match_pairs_segments(corpus, ["lang", "source"], max_dist=8)
     return pairs.orderBy("id_a", "id_b")
 
 

@@ -356,3 +356,94 @@ def test_fuzzy_match_pairs_band_width_guard(spark):
 
     with pytest.raises(ValueError, match="band_width"):
         fuzzy_match_pairs(df, [], max_dist=65, band_width=64)
+
+
+def test_fuzzy_segments_semantics(spark):
+    """The PassJoin-style segment path finds same-band, band-straddling,
+    and length-differing pairs with exact distances, and excludes
+    cross-block and past-threshold pairs — same fixture contract as the
+    banded test above."""
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        fuzzy_match_pairs_segments,
+    )
+
+    near_boundary = "x" * 62
+    rows = [
+        (1, "en", "s0", "kitten sat here"),
+        (2, "en", "s0", "sitten sat here"),
+        (3, "en", "s0", near_boundary),
+        (4, "en", "s0", near_boundary + " ab"),
+        (5, "en", "s1", "kitten sat here"),
+        (6, "en", "s0", "completely different text entirely"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_match_pairs_segments(
+            df, ["lang", "source"], max_dist=5
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (3, 4): 3}, got
+
+
+def test_fuzzy_segments_equals_banded_on_adversarial_corpus(spark):
+    """Candidate-superset property, checked end-to-end (VERDICT r8 #4):
+    on a seeded random corpus engineered to stress the construction —
+    shared vocabulary word-soup, dense same-length cohorts, planted
+    edits of every kind (prefix insert, suffix delete, mid-string
+    substitution, boundary-straddling edits) at distances around the
+    threshold — the segment path and the banded path return IDENTICAL
+    (id_a, id_b, dist) sets. Both constructions share the verify, so
+    equality pins that neither candidate generator misses a qualifying
+    pair the other finds."""
+    import random
+
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        fuzzy_match_pairs,
+        fuzzy_match_pairs_segments,
+    )
+
+    rng = random.Random(42)
+    vocab = ["hash", "join", "scan", "row", "line", "key", "group", "sort"]
+    rows = []
+    did = 0
+    for _ in range(60):
+        n = rng.randint(5, 40)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        rows.append((did, "en", "s0", text))
+        base_id = did
+        did += 1
+        kind = rng.randrange(5)
+        if kind == 0:  # suffix append (longer partner, shift 0)
+            rows.append((did, "en", "s0", text + " " + "q" * rng.randint(1, 7)))
+        elif kind == 1:  # prefix insert (every segment shifts)
+            rows.append((did, "en", "s0", "zz" * rng.randint(1, 4) + text))
+        elif kind == 2:  # mid-string deletion
+            cut = rng.randint(0, max(0, len(text) - 9))
+            rows.append((did, "en", "s0", text[:cut] + text[cut + rng.randint(1, 8):]))
+        elif kind == 3:  # scattered substitutions
+            chars = list(text)
+            for _ in range(rng.randint(1, 9)):
+                chars[rng.randrange(len(chars))] = "#"
+            rows.append((did, "en", "s0", "".join(chars)))
+        else:  # distance just past the threshold (should be excluded)
+            rows.append((did, "en", "s0", text + " " + "w" * 12))
+        did += 1
+        del base_id
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    banded = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_match_pairs(df, ["lang", "source"], max_dist=8).collect()
+    }
+    seg = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_match_pairs_segments(
+            df, ["lang", "source"], max_dist=8
+        ).collect()
+    }
+    assert banded == seg
+    assert len(banded) >= 40  # the planted pairs actually exercise recall
