@@ -277,7 +277,13 @@ def docs_stream_static_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFram
     # exactly 4) make the certification non-vacuous; the organic corpus
     # contributes its own near-matches. The whole answer — candidates
     # AND distances — is replayed by the oracle, since Levenshtein is
-    # the same integer function in both engines.
+    # the same integer function in both engines. PORTABILITY ASSUMPTION
+    # (ADVICE r8): that equivalence holds on ASCII text only — DuckDB's
+    # levenshtein is byte-oriented while Spark's counts codepoints, so
+    # multi-byte text (e.g. real CJK for the zh lang) would diverge; if
+    # the documents fixture ever gains non-ASCII text, the oracle needs
+    # a byte-level recoding (same class of note as the md5-bucket and
+    # sqrt-not-pow conventions).
     oracle="""
         WITH corpus AS (
             SELECT doc_id, lang, source, text FROM documents

@@ -110,6 +110,23 @@ def get_spark(
             os.path.join(tempfile.gettempdir(), "bdcc-checkpoints"),
         )
         spark.sparkContext.setCheckpointDir(root)
+        # A driver-local default root on a MULTI-NODE master is a trap:
+        # 'reliable' checkpoints would land on per-node local disk and
+        # fail only at read-back mid-run (ADVICE r8). Surface the
+        # misconfiguration at session build, where it's actionable.
+        resolved = spark.sparkContext.getCheckpointDir() or ""
+        if not master.startswith("local") and (
+            resolved.startswith("file:") or "://" not in resolved
+        ):
+            import warnings
+
+            warnings.warn(
+                "checkpoint root resolves to node-local storage "
+                f"({resolved!r}) under non-local master {master!r}; "
+                "reliable=True checkpoints will not be durable/shared — "
+                "set SPARK_GRAFT_CHECKPOINT_DIR to HDFS/object storage",
+                stacklevel=2,
+            )
     return spark
 
 
@@ -124,12 +141,27 @@ def get_spark(
 # bounded one-entry-per-query steady state is the old behavior.
 
 _SCRATCH_CACHES: list = []
+# Long-running sessions that never call release_scratch_caches() must
+# not pin persisted frames forever through the registry's strong
+# references (ADVICE r8): past the cap, the OLDEST entry is unpersisted
+# and evicted on registration — FIFO matches the access pattern (a
+# scratch frame is consumed by the build that registered it, never
+# revisited rounds later).
+_SCRATCH_CACHE_CAP = 32
 
 
 def scratch_persist(df):
     """persist() a DataFrame and register it for bulk release."""
     df = df.persist()
     _SCRATCH_CACHES.append(df)
+    while len(_SCRATCH_CACHES) > _SCRATCH_CACHE_CAP:
+        old = _SCRATCH_CACHES.pop(0)
+        try:
+            old.unpersist()
+        except Exception as exc:
+            import warnings
+
+            warnings.warn(f"scratch-cache evict unpersist failed: {exc!r}")
     return df
 
 

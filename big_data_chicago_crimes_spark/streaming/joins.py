@@ -121,47 +121,96 @@ def ingest_with_incremental_dedup(
     static side's file listing at plan time, so appends made DURING the
     run are not guaranteed visible to later micro-batches; inside
     foreachBatch every batch is plain batch Spark — the index read is
-    fresh by construction, and the batch id + checkpoint give replay
-    idempotence at the micro-batch level (a replayed batch re-appends,
-    but its rows were already fingerprint-deduped against the index the
-    first time, so re-running the dedup yields the same accepted set;
-    dedup the accepted table on ``id_col`` downstream if exact-once
-    matters beyond fingerprints).
+    fresh by construction.
+
+    Replay idempotence (ADVICE r8): both outputs carry ``batch_id``,
+    and a replayed micro-batch first checks which of its two appends
+    already landed — fully-processed batches are skipped outright, and
+    a crash BETWEEN the appends resumes by deriving the missing
+    fingerprint rows from the already-written accepted rows (never by
+    re-running the dedup, whose answer could differ against the
+    now-partial index). The accepted table therefore converges to
+    exactly one row per accepted document under any crash/replay
+    interleaving — no downstream dedup needed.
 
     Returns the started StreamingQuery; caller awaits/stops it.
     """
-    from big_data_chicago_crimes_spark.operators.dedup import (
-        doc_fingerprint,
-        incremental_exact_dedup,
-    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        from big_data_chicago_crimes_spark.sources.sinks import path_exists
-
-        if path_exists(spark, index_path):
-            index = spark.read.parquet(index_path)
-        else:
-            index = spark.createDataFrame([], "fingerprint string")
-        accepted = incremental_exact_dedup(batch_df, index, text_col, id_col)
-        # persist: the two writes below would otherwise each re-run the
-        # whole dedup (scan + groupBy + anti/semi joins) — and a
-        # nondeterministic plan could let the two writes disagree
-        accepted = accepted.persist()
-        try:
-            # fingerprints first would lose rows on a crash between
-            # writes; rows first merely re-accepts the same rows on
-            # replay (idempotent w.r.t. fingerprints) — crash-ordering
-            # chosen deliberately
-            accepted.write.mode("append").parquet(accepted_path)
-            accepted.select(
-                doc_fingerprint(text_col).alias("fingerprint")
-            ).write.mode("append").parquet(index_path)
-        finally:
-            accepted.unpersist()
+        ingest_process_batch(
+            batch_df, batch_id, accepted_path, index_path, text_col, id_col
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_path)
         .start()
     )
+
+
+def ingest_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    accepted_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the ingest loop, idempotent under replay —
+    module-level so the replay contract is unit-testable without
+    forcing a checkpoint recovery (tests/test_streaming.py calls it
+    twice with the same batch_id and asserts no duplicate rows)."""
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        doc_fingerprint,
+        incremental_exact_dedup,
+    )
+    from big_data_chicago_crimes_spark.sources.sinks import path_exists
+
+    spark = batch_df.sparkSession
+
+    def _has_batch(path: str) -> bool:
+        if not path_exists(spark, path):
+            return False
+        df = spark.read.parquet(path)
+        if "batch_id" not in df.columns:
+            return False
+        return bool(df.filter(F.col("batch_id") == batch_id).head(1))
+
+    acc_done = _has_batch(accepted_path)
+    idx_done = _has_batch(index_path)
+    if acc_done and idx_done:
+        return  # fully-processed replay
+    if acc_done:
+        # crashed between the two appends: finish the index append FROM
+        # the rows the first attempt accepted (re-running the dedup
+        # against the partial index would re-accept nothing — the
+        # fingerprints must come from what was actually written)
+        spark.read.parquet(accepted_path).filter(
+            F.col("batch_id") == batch_id
+        ).select(
+            doc_fingerprint(text_col).alias("fingerprint"),
+            F.lit(batch_id).alias("batch_id"),
+        ).write.mode("append").parquet(index_path)
+        return
+
+    if path_exists(spark, index_path):
+        index = spark.read.parquet(index_path)
+    else:
+        index = spark.createDataFrame([], "fingerprint string")
+    accepted = incremental_exact_dedup(batch_df, index, text_col, id_col)
+    # persist: the two writes below would otherwise each re-run the
+    # whole dedup (scan + groupBy + anti/semi joins) — and a
+    # nondeterministic plan could let the two writes disagree
+    accepted = accepted.withColumn("batch_id", F.lit(batch_id)).persist()
+    try:
+        # fingerprints first would lose rows on a crash between writes;
+        # rows first lets the replay branch above finish the index
+        # append from the accepted rows — crash-ordering chosen
+        # deliberately
+        accepted.write.mode("append").parquet(accepted_path)
+        accepted.select(
+            doc_fingerprint(text_col).alias("fingerprint"),
+            F.col("batch_id"),
+        ).write.mode("append").parquet(index_path)
+    finally:
+        accepted.unpersist()

@@ -420,3 +420,43 @@ def test_foreachbatch_ingest_survives_restart(spark, tmp_path):
     assert got == {1, 2, 11}, got  # 10 rejected by the persisted index
     fps = [r.fingerprint for r in spark.read.parquet(index).collect()]
     assert len(fps) == 3 and len(set(fps)) == 3  # no re-appends on restart
+
+
+def test_ingest_process_batch_replay_idempotent(spark, tmp_path):
+    """The replay contract (ADVICE r8): re-running a micro-batch with
+    the same batch_id — the checkpoint-recovery case — must not
+    duplicate accepted rows or index fingerprints; and a crash BETWEEN
+    the two appends (accepted written, index not) must be finished from
+    the written accepted rows on replay."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.streaming.joins import ingest_process_batch
+
+    accepted = str(tmp_path / "accepted")
+    index = str(tmp_path / "fp_index")
+    batch = spark.createDataFrame(
+        [(1, "first doc"), (2, "second doc"), (3, "First   DOC")],
+        "doc_id long, text string",
+    )
+
+    ingest_process_batch(batch, 0, accepted, index)
+    ingest_process_batch(batch, 0, accepted, index)  # full replay: no-op
+    acc = spark.read.parquet(accepted)
+    assert sorted(r.doc_id for r in acc.collect()) == [1, 2]
+    assert spark.read.parquet(index).count() == 2
+
+    # crash between writes: batch 1's accepted rows land, index doesn't
+    batch2 = spark.createDataFrame([(10, "third doc")], "doc_id long, text string")
+    batch2.withColumn("batch_id", F.lit(1)).write.mode("append").parquet(accepted)
+    ingest_process_batch(batch2, 1, accepted, index)  # replay finishes index
+    assert spark.read.parquet(accepted).count() == 3  # no duplicate rows
+    fps = [r.fingerprint for r in spark.read.parquet(index).collect()]
+    assert len(fps) == 3 and len(set(fps)) == 3
+
+    # batch 2 against the recovered index: the doc 10 twin is rejected
+    batch3 = spark.createDataFrame(
+        [(20, "THIRD doc"), (21, "fourth doc")], "doc_id long, text string"
+    )
+    ingest_process_batch(batch3, 2, accepted, index)
+    got = sorted(r.doc_id for r in spark.read.parquet(accepted).collect())
+    assert got == [1, 2, 10, 21], got
