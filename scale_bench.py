@@ -51,6 +51,7 @@ SUITE = {
     "dedup": [
         "docs_exact_dedup",
         "docs_incremental_dedup",
+        "docs_stream_static_dedup_batch",
         "docs_minhash_lsh_candidates",
         "docs_simhash_candidates",
         "docs_jaccard_pairs",
