@@ -93,6 +93,7 @@ HEADLINE = [
     "docs_exact_dedup",
     "docs_incremental_dedup",  # new-batch-vs-corpus fingerprint anti-join (r8)
     "docs_stream_static_dedup_batch",  # stream-static anti-join dedup, batch degradation (r9)
+    "docs_shared_span_pairs",  # exact-substring span dedup, strided k-gram sampling (r9)
     "docs_minhash_lsh_candidates",
     "docs_simhash_candidates",
     "docs_jaccard_pairs",

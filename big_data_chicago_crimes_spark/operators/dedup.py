@@ -422,6 +422,108 @@ def fuzzy_match_pairs_segments(
     )
 
 
+def shared_span_pairs(
+    df: DataFrame,
+    min_span: int = 50,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs of documents sharing an EXACT character span of length ≥
+    ``min_span`` — the exact-substring dedup shape of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" (ACL
+    2022), re-expressed as Spark joins instead of a suffix array (which
+    doesn't distribute): boilerplate headers, quoted passages, and
+    near-identical re-crawls that token-level fingerprints dilute.
+
+    Candidate generation is k-gram sampling with stride
+    s = min_span − k + 1: the FULL side emits the xxhash64 of every
+    k-gram; the STRIDED side emits k-grams only at positions ≡ 1
+    (mod s). Any shared span of length ≥ min_span spans s consecutive
+    k-gram start positions in the strided doc — hence ≥ 1 sampled
+    position — and the full side holds every position, so the hash
+    join finds every qualifying pair in either orientation (sound
+    superset; a hash collision only ADDS a candidate). Fan-out is
+    corpus-linear: ~len rows on the full side, ~len/s on the strided
+    side, hashes only — no substring strings ever shuffle.
+
+    Exact verify per candidate pair: array_intersect of the two docs'
+    distinct min_span-gram STRING arrays — no hashes, no false
+    positives. Output: (id_a, id_b, n_shared_spans) with id_a < id_b,
+    n_shared_spans = number of DISTINCT shared min_span-char
+    substrings (≥ 1 by construction of the filter).
+    """
+    if k > min_span:
+        raise ValueError(f"k {k} must be <= min_span {min_span}")
+    stride = min_span - k + 1
+    m = F.length(F.col(text_col))
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"), m.alias("__len"))
+    base = spread_for_compute(base)
+
+    def gram_rows(positions: Column) -> DataFrame:
+        # sequence(1, n) is DESCENDING for n < 1 — guard emits no rows
+        return (
+            base.withColumn("__p", F.explode(positions))
+            .select(
+                F.xxhash64(F.substring(F.col("__t"), F.col("__p"), k)).alias("__h"),
+                F.col("__id"),
+            )
+        )
+
+    full = gram_rows(
+        F.when(
+            F.col("__len") >= k, F.sequence(F.lit(1), F.col("__len") - k + 1)
+        )
+    )
+    strided = gram_rows(
+        F.when(
+            F.col("__len") >= k,
+            F.sequence(F.lit(1), F.col("__len") - k + 1, F.lit(stride)),
+        )
+    )
+    strided2 = strided.withColumnRenamed("__id", "__id2").withColumnRenamed(
+        "__h", "__h2"
+    )
+    cand = (
+        full.join(
+            _pin_pair_join_build_side(strided2),
+            (F.col("__h") == F.col("__h2")) & (F.col("__id") != F.col("__id2")),
+        )
+        .select(
+            F.least(F.col("__id"), F.col("__id2")).alias("__ida"),
+            F.greatest(F.col("__id"), F.col("__id2")).alias("__idb"),
+        )
+        .distinct()
+    )
+
+    def spans(t: Column) -> Column:
+        return F.array_distinct(
+            F.when(
+                F.length(t) >= min_span,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - min_span + 1),
+                    lambda p: F.substring(t, p, min_span),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+
+    lhs = base.select(F.col("__id").alias("__ida"), F.col("__t").alias("__ta"))
+    rhs = base.select(F.col("__id").alias("__idb"), F.col("__t").alias("__tb"))
+    verified = (
+        cand.join(lhs, "__ida")
+        .join(rhs, "__idb")
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            F.size(
+                F.array_intersect(spans(F.col("__ta")), spans(F.col("__tb")))
+            ).alias("n_shared_spans"),
+        )
+        .filter(F.col("n_shared_spans") >= 1)
+    )
+    return verified
+
+
 def incremental_exact_dedup(
     new_df: DataFrame,
     corpus_fingerprints: DataFrame,

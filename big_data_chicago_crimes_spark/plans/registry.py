@@ -56,6 +56,7 @@ REGISTRY: dict[str, Query] = {}
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # --- tier 0: new this round, never sampled ---
     "docs_stream_static_dedup_batch",  # batch degradation of the stream-static anti-join dedup (funded by the balance-window merge)
+    "docs_shared_span_pairs",  # exact-substring span dedup (funded by the priority/fill rollup merge)
     # --- ETL / cleaning spine (last row r7) ---
     "events_etl_clean_seeded",
     "events_null_census",
@@ -76,9 +77,8 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "orders_lake_partitioned_scan",
     "lineitem_zorder_box_scan",
     # --- OLAP / reference spine ---
-    "orders_count_by_priority",
+    "orders_priority_fill_rollup",  # = orders_count_by_priority + orders_filled_pct (one ROLLUP pass)
     "orders_by_price_band",
-    "orders_filled_pct",
     "orders_quarter_pivot",
     "orders_grouping_surface",
     "orders_price_quantiles",

@@ -210,6 +210,61 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_shared_span_pairs",
+    # funded by the orders_count_by_priority + orders_filled_pct merge
+    # (orders_priority_fill_rollup). Planted quote-twins (every 25th doc
+    # spawns a 'quoted: <80-char slice> :end' doc — identical
+    # construction in both engines) guarantee non-vacuous recall; the
+    # shared-vocabulary organic corpus contributes its own coincidental
+    # ≥50-char spans. The oracle replays the DEFINITION (all 50-gram
+    # pairs, count distinct shared grams), not the sampling — the
+    # k-gram stride join is a sound candidate superset and the verify
+    # is exact string intersection, so the answers coincide.
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 2000000, 'quoted: ' || substr(text, 10, 80) || ' :end'
+            FROM documents WHERE doc_id % 25 = 0
+        ), pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 49)) AS p
+            FROM corpus WHERE length(text) >= 50
+        ), g AS (
+            SELECT doc_id, substr(text, CAST(p AS INTEGER), 50) AS gram FROM pos
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(DISTINCT a.gram) AS INTEGER) AS n_shared_spans
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "exact-substring", "span", "extension"),
+)
+def docs_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (Lee et al., ACL 2022, the
+    train-data boilerplate/quotation shape): every document pair
+    sharing an exact ≥50-char span, with the count of distinct shared
+    50-grams, via operators/dedup.py:shared_span_pairs — strided
+    20-gram hash sampling (sound candidate superset, corpus-linear
+    fan-out, hashes-only shuffle) + exact string-intersect verify on
+    candidates only. Every 25th document spawns a quote-twin embedding
+    an 80-char slice, certifying recall on a fully-determined answer
+    alongside the organic span collisions."""
+    from big_data_chicago_crimes_spark.operators.dedup import shared_span_pairs
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    quotes = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("quoted: "), F.substring("text", 10, 80), F.lit(" :end")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(quotes)
+    return shared_span_pairs(corpus, min_span=50, k=20).orderBy("id_a", "id_b")
+
+
+@register(
     "docs_stream_static_dedup_batch",
     # funded by the customer_balance_quartiles + nation_balance_extremes
     # merge (nation_balance_window_surface). Batch degradation of the

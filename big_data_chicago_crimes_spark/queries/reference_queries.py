@@ -16,7 +16,6 @@ from big_data_chicago_crimes_spark.operators.aggregates import (
     count_then_max,
     distinct_values,
     pivot_counts,
-    ratio_of,
     top_k,
 )
 from big_data_chicago_crimes_spark.operators.cleaning import null_census
@@ -43,18 +42,50 @@ def events_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "orders_count_by_priority",
+    "orders_priority_fill_rollup",
+    # merges the former orders_count_by_priority (reference:A2 group
+    # count) and orders_filled_pct (reference:A6 global ratio)
+    # registrations — both r7-green single-scan aggregates over orders —
+    # into ONE ROLLUP pass: per-priority count AND filled-% per row,
+    # plus the grand-total row whose pct IS the former global ratio.
+    # One scan and one aggregate instead of two. The slot freed funds
+    # docs_shared_span_pairs.
     oracle="""
-        SELECT o_orderpriority, COUNT(*) AS cnt
-        FROM orders GROUP BY o_orderpriority
+        SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COUNT(*) AS cnt,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                     * 100.0 / COUNT(*), 6) AS pct
+        FROM orders GROUP BY ROLLUP(o_orderpriority)
         ORDER BY o_orderpriority
     """,
-    tags=("agg", "reference:A2"),
+    tags=("agg", "rollup", "reference:A2", "reference:A6"),
 )
-def orders_count_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crimes-per-District (Dataset.py:344) → orders per priority."""
+def orders_priority_fill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crimes-per-District (Dataset.py:344) + arrest percentage
+    (Dataset.py:463-465) in one pass: orders per priority with the
+    filled (status F) percentage per priority, ROLLUP'd so the
+    grand-total row carries the original global ratio. SUM*100/COUNT
+    (not AVG of 0/1) keeps the rounding midpoint behavior identical on
+    both engines."""
     t = load_tables(spark, sf_dir)
-    return count_by(t.orders, "o_orderpriority").orderBy("o_orderpriority")
+    filled = F.sum(
+        F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        t.orders.rollup("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(filled * 100.0 / F.count(F.lit(1)), 6).alias("pct"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                "o_orderpriority"
+            ),
+            "cnt",
+            "pct",
+        )
+        .orderBy("o_orderpriority")
+    )
 
 
 @register(
@@ -100,20 +131,10 @@ def orders_quarter_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivot_counts(df, "year", "q", ["Q1", "Q2", "Q3", "Q4"]).orderBy("year")
 
 
-@register(
-    "orders_filled_pct",
-    oracle="""
-        SELECT ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0
-                     / COUNT(*), 6) AS pct
-        FROM orders
-    """,
-    tags=("agg", "reference:A6"),
-)
-def orders_filled_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrest percentage (Dataset.py:463-465) → % of orders with status F.
-    Single global aggregate; no self-join, no collect."""
-    t = load_tables(spark, sf_dir)
-    return ratio_of(t.orders, F.col("o_orderstatus") == "F")
+# orders_filled_pct (reference:A6) merged into orders_priority_fill_rollup
+# above — the ROLLUP grand-total row carries the identical global ratio.
+# The ratio_of operator stays library surface (app.py arrest-rate panel,
+# covered by tests/test_app.py).
 
 
 @register(

@@ -52,6 +52,7 @@ SUITE = {
         "docs_exact_dedup",
         "docs_incremental_dedup",
         "docs_stream_static_dedup_batch",
+        "docs_shared_span_pairs",
         "docs_minhash_lsh_candidates",
         "docs_simhash_candidates",
         "docs_jaccard_pairs",

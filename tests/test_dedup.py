@@ -447,3 +447,63 @@ def test_fuzzy_segments_equals_banded_on_adversarial_corpus(spark):
     }
     assert banded == seg
     assert len(banded) >= 40  # the planted pairs actually exercise recall
+
+
+def _py_shared_spans(a: str, b: str, L: int) -> int:
+    ga = {a[i : i + L] for i in range(len(a) - L + 1)} if len(a) >= L else set()
+    gb = {b[i : i + L] for i in range(len(b) - L + 1)} if len(b) >= L else set()
+    return len(ga & gb)
+
+
+def test_shared_span_pairs_semantics(spark):
+    """Exact-substring span dedup: pairs sharing a >=min_span-char span
+    are found with the exact distinct-shared-gram count (checked vs a
+    Python set model); sub-threshold overlaps, unrelated docs, and
+    short docs are excluded."""
+    from big_data_chicago_crimes_spark.operators.dedup import shared_span_pairs
+
+    span = "the quick brown fox jumps over the lazy dog again and again!"
+    rows = [
+        (1, "AAA " + span + " BBB"),
+        (2, "intro text here " + span + " outro"),
+        (3, "completely different content with no overlap at all in here ok"),
+        (4, "short"),
+        (5, "prefix " + span[:40] + " suffix but only forty shared chars"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b, r.n_shared_spans)
+        for r in shared_span_pairs(df, min_span=50, k=20).collect()
+    )
+    texts = dict((i, t) for i, t in rows)
+    expect = sorted(
+        (a, b, _py_shared_spans(texts[a], texts[b], 50))
+        for a in texts
+        for b in texts
+        if a < b and _py_shared_spans(texts[a], texts[b], 50) >= 1
+    )
+    assert got == expect, (got, expect)
+    assert [(a, b) for a, b, _ in got] == [(1, 2)]
+
+
+def test_shared_span_pairs_stride_boundary(spark):
+    """The sampling guarantee at its tightest: a shared span of EXACTLY
+    min_span chars placed so its only strided sample position is the
+    last of the s consecutive starts — still found (and one char
+    shorter is not)."""
+    import random
+
+    from big_data_chicago_crimes_spark.operators.dedup import shared_span_pairs
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    span = "".join(rng.choice(alphabet) for _ in range(50))
+    for offset in range(0, 35, 7):  # slide the span across stride phases
+        a = "".join(rng.choice(alphabet) for _ in range(offset)) + span
+        b = "".join(rng.choice(alphabet) for _ in range(60)) + span + "tail"
+        df = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+        got = shared_span_pairs(df, min_span=50, k=20).collect()
+        exp = _py_shared_spans(a, b, 50)
+        assert len(got) == 1 and got[0].n_shared_spans == exp, (offset, got, exp)
