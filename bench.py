@@ -94,6 +94,7 @@ HEADLINE = [
     "docs_incremental_dedup",  # new-batch-vs-corpus fingerprint anti-join (r8)
     "docs_stream_static_dedup_batch",  # stream-static anti-join dedup, batch degradation (r9)
     "docs_shared_span_pairs",  # exact-substring span dedup, strided k-gram sampling (r9)
+    "docs_line_dedup",  # C4-style line-level boilerplate removal (r9)
     "docs_minhash_lsh_candidates",
     "docs_simhash_candidates",
     "docs_jaccard_pairs",
@@ -116,9 +117,8 @@ HEADLINE = [
     "docs_hybrid_search",  # lexical recall -> dense rerank funnel
     # OLAP widening
     "lineitem_rollup",
-    "orders_grouping_surface",  # merged cube+grouping-sets surface (r7 continuation)
+    "orders_grouping_surface",  # merged cube+grouping-sets+pctl surface (r7/r9)
     "users_distinct_exact_vs_approx",  # merged exact+HLL surface (r7 continuation)
-    "orders_price_quantiles",
     "orders_price_quantiles_approx",
     "promo_revenue_pct",
     "lineitem_correlations",

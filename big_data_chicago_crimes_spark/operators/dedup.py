@@ -524,6 +524,79 @@ def shared_span_pairs(
     return verified
 
 
+def line_level_dedup(
+    df: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """Line-level boilerplate removal — the C4 / RefinedWeb corpus-
+    hygiene pass (Raffel et al. 2020 §2.2 drop any line occurring ≥3
+    times; the reference has no corpus ops — engine extension): a line
+    is BOILERPLATE when it appears in at least ``min_docs`` distinct
+    documents; every document is rewritten with its boilerplate lines
+    removed, remaining lines in original order.
+
+    Plan (three shuffles, all corpus-bounded):
+      1. explode ``split(text, delim)`` with position;
+      2. distinct (line, doc) → count per line (two-stage hash agg with
+         map-side partials — the census is bounded by DISTINCT line
+         volume, not corpus size);
+      3. join lines←census on the line key (the census is already
+         partitioned by line from step 2, so the exchange is reused),
+         then ONE groupBy(doc) rebuilds each document:
+         ``array_join(transform(array_sort(collect_list(struct(pos,
+         line)))), delim)`` — collect_list drops the NULLed boilerplate
+         rows, array_sort restores document order deterministically.
+
+    The line key is the exact string (C4 semantics — no false removals
+    from hash collisions). At 100 TB, shrink the census/join key to
+    ``xxhash64(line)`` — collision-tolerant pipelines do — or keep
+    strings and let AQE size the exchange; both keep the same plan
+    shape. Returns (id, n_lines, n_removed, cleaned_text) for every
+    input document (docs whose every line is boilerplate come back with
+    cleaned_text = '').
+    """
+    lines = spread_for_compute(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(text_col), delim)).alias("__p", "__line"),
+        )
+    )
+    census = (
+        lines.select("__line", "__id")
+        .distinct()
+        .groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__ndocs"))
+    )
+    flagged = lines.join(census, "__line").withColumn(
+        "__boiler", F.col("__ndocs") >= min_docs
+    )
+    return (
+        flagged.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.sum(F.col("__boiler").cast("int")).cast("int").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("__boiler"),
+                                F.struct(F.col("__p"), F.col("__line")),
+                            )
+                        )
+                    ),
+                    lambda x: x.getField("__line"),
+                ),
+                delim,
+            ).alias("cleaned_text"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 def incremental_exact_dedup(
     new_df: DataFrame,
     corpus_fingerprints: DataFrame,

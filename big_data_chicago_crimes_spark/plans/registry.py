@@ -57,6 +57,7 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # --- tier 0: new this round, never sampled ---
     "docs_stream_static_dedup_batch",  # batch degradation of the stream-static anti-join dedup (funded by the balance-window merge)
     "docs_shared_span_pairs",  # exact-substring span dedup (funded by the priority/fill rollup merge)
+    "docs_line_dedup",  # C4-style line-level boilerplate removal (funded by the pctl-leg merge)
     # --- ETL / cleaning spine (last row r7) ---
     "events_etl_clean_seeded",
     "events_null_census",
@@ -80,8 +81,7 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "orders_priority_fill_rollup",  # = orders_count_by_priority + orders_filled_pct (one ROLLUP pass)
     "orders_by_price_band",
     "orders_quarter_pivot",
-    "orders_grouping_surface",
-    "orders_price_quantiles",
+    "orders_grouping_surface",  # + 'pctl' leg = former orders_price_quantiles (r9)
     "orders_running_total",
     "lineitem_rollup",
     "lineitem_correlations",

@@ -265,6 +265,95 @@ def docs_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_line_dedup",
+    # funded by folding orders_price_quantiles into the grouping
+    # surface's 'pctl' leg (orders_grouping_surface). The documents
+    # fixture is single-line, so the query derives a lined corpus with
+    # constructions both engines replay literally: newline-split at the
+    # literal tokens ' join ' / ' hash ' (leftmost non-overlapping
+    # literal replace — identical semantics in Spark's replace and
+    # DuckDB's replace), a planted header line on every 4th doc and a
+    # planted footer line on every 5th — those two lines are boilerplate
+    # by construction (125/100 occurrences >= 3), so removal recall is
+    # non-vacuous, while the organic inter-token segments certify the
+    # keep path. cleaned_md5 pins the REBUILT text of every document
+    # byte-for-byte (md5 is engine-portable), so a single out-of-order
+    # or mis-kept line anywhere fails the driver hash.
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN 'subscribe to our newsletter today' || chr(10)
+                        ELSE '' END
+                   || replace(replace(text, ' join ', chr(10)), ' hash ', chr(10))
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN chr(10) || 'all rights reserved worldwide'
+                           ELSE '' END AS text
+            FROM documents
+        ), pos AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(string_split(text, chr(10))))) AS p,
+                   string_split(text, chr(10)) AS ls
+            FROM corpus
+        ), ln AS (
+            SELECT doc_id, CAST(p AS INTEGER) AS p,
+                   ls[CAST(p AS INTEGER)] AS line
+            FROM pos
+        ), census AS (
+            SELECT line, COUNT(DISTINCT doc_id) AS ndocs FROM ln GROUP BY line
+        ), flagged AS (
+            SELECT ln.doc_id, ln.p, ln.line, census.ndocs >= 3 AS boiler
+            FROM ln JOIN census USING (line)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS INTEGER) AS n_lines,
+               CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS INTEGER) AS n_removed,
+               md5(COALESCE(string_agg(CASE WHEN NOT boiler THEN line END,
+                                       chr(10) ORDER BY p), '')) AS cleaned_md5
+        FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "line-level", "boilerplate", "extension"),
+)
+def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate removal (Raffel et al. 2020
+    §2.2) over a deterministically lined corpus: lines occurring in >=3
+    distinct documents are dropped, every document is rebuilt with its
+    remaining lines in order, and the rebuilt text is pinned by md5.
+    operators/dedup.py:line_level_dedup — explode + line census (hash
+    agg) + one join + one per-doc rebuild groupBy; census bounded by
+    distinct-line volume, never all-pairs."""
+    from big_data_chicago_crimes_spark.operators.dedup import line_level_dedup
+
+    t = load_tables(spark, sf_dir)
+    nl = F.lit("\n")
+    lined = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("subscribe to our newsletter today\n"),
+            ).otherwise(F.lit("")),
+            F.replace(
+                F.replace(F.col("text"), F.lit(" join "), nl),
+                F.lit(" hash "),
+                nl,
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nall rights reserved worldwide"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    res = line_level_dedup(lined, min_docs=3)
+    return res.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        F.md5(F.col("cleaned_text")).alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
     "docs_stream_static_dedup_batch",
     # funded by the customer_balance_quartiles + nation_balance_extremes
     # merge (nation_balance_window_surface). Batch degradation of the

@@ -47,6 +47,11 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the DataFrame .cube() API and explicit SQL GROUPING SETS — certify
     # in ONE registry slot (union with a leg marker), funding a new
     # query's place in the 50-entry driver window.
+    # r9: a third 'pctl' leg absorbs the former orders_price_quantiles
+    # registration (exact interpolated percentiles over the SAME orders
+    # scan — 4 rows, metric name in k1, value in total_price), freeing
+    # its slot to fund docs_line_dedup. The exact GK-sketch contrast
+    # query (orders_price_quantiles_approx) is unchanged.
     oracle="""
         SELECT 'cube' AS leg,
                CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS k1,
@@ -63,9 +68,19 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(SUM(o_totalprice), 2) AS total_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        UNION ALL
+        SELECT 'pctl' AS leg, m.k1, 'ALL' AS k2, s.n, m.v AS total_price
+        FROM (SELECT COUNT(*) AS n,
+                     ROUND(median(o_totalprice), 4) AS med,
+                     ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                     ROUND(MIN(o_totalprice), 4) AS mn,
+                     ROUND(MAX(o_totalprice), 4) AS mx
+              FROM orders) s,
+             LATERAL (VALUES ('max_price', s.mx), ('median_price', s.med),
+                             ('min_price', s.mn), ('p90_price', s.p90)) m(k1, v)
         ORDER BY leg, k1 NULLS FIRST, k2 NULLS FIRST
     """,
-    tags=("olap", "grouping-sets", "extension"),
+    tags=("olap", "grouping-sets", "percentile", "extension"),
 )
 def orders_grouping_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-set machinery through BOTH API surfaces in one result:
@@ -73,7 +88,10 @@ def orders_grouping_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinations) and explicit GROUPING SETS ((priority),(status),())
     via SQL — per-priority totals, per-status totals, and the grand
     total in ONE pass each (Spark expands the sets map-side — one
-    shuffle, not three scans)."""
+    shuffle, not three scans). The 'pctl' leg carries the exact
+    interpolated percentiles of o_totalprice (SQL percentile_cont
+    semantics on both engines — former orders_price_quantiles,
+    merged r9): one global aggregate, 4 metric rows."""
     t = load_tables(spark, sf_dir)
     cube_leg = (
         t.orders.select(
@@ -99,7 +117,35 @@ def orders_grouping_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
     """)
-    return cube_leg.unionByName(gsets_leg).orderBy(
+    pctl_leg = (
+        t.orders.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.median("o_totalprice"), 4).alias("med"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.min("o_totalprice"), 4).alias("mn"),
+            F.round(F.max("o_totalprice"), 4).alias("mx"),
+        )
+        .select(
+            F.lit("pctl").alias("leg"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit("max_price").alias("k1"), F.col("mx").alias("v")),
+                    F.struct(F.lit("median_price").alias("k1"), F.col("med").alias("v")),
+                    F.struct(F.lit("min_price").alias("k1"), F.col("mn").alias("v")),
+                    F.struct(F.lit("p90_price").alias("k1"), F.col("p90").alias("v")),
+                )
+            ).alias("m"),
+            "n",
+        )
+        .select(
+            "leg",
+            F.col("m.k1").alias("k1"),
+            F.lit("ALL").alias("k2"),
+            "n",
+            F.col("m.v").alias("total_price"),
+        )
+    )
+    return cube_leg.unionByName(gsets_leg).unionByName(pctl_leg).orderBy(
         "leg", F.col("k1").asc_nulls_first(), F.col("k2").asc_nulls_first()
     )
 
@@ -179,27 +225,10 @@ def users_distinct_exact_vs_approx(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register(
-    "orders_price_quantiles",
-    oracle="""
-        SELECT ROUND(median(o_totalprice), 4) AS median_price,
-               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
-               ROUND(MIN(o_totalprice), 4) AS min_price,
-               ROUND(MAX(o_totalprice), 4) AS max_price
-        FROM orders
-    """,
-    tags=("agg", "percentile"),
-)
-def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (SQL percentile_cont semantics on
-    both engines)."""
-    t = load_tables(spark, sf_dir)
-    return t.orders.agg(
-        F.round(F.median("o_totalprice"), 4).alias("median_price"),
-        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
-        F.round(F.min("o_totalprice"), 4).alias("min_price"),
-        F.round(F.max("o_totalprice"), 4).alias("max_price"),
-    )
+# orders_price_quantiles merged into orders_grouping_surface's 'pctl'
+# leg (r9) — identical exact-percentile values over the same scan, one
+# registry slot freed to fund docs_line_dedup. The GK-sketch contrast
+# (orders_price_quantiles_approx) below still certifies approx vs exact.
 
 
 @register(

@@ -53,6 +53,7 @@ SUITE = {
         "docs_incremental_dedup",
         "docs_stream_static_dedup_batch",
         "docs_shared_span_pairs",
+        "docs_line_dedup",
         "docs_minhash_lsh_candidates",
         "docs_simhash_candidates",
         "docs_jaccard_pairs",

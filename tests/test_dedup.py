@@ -507,3 +507,38 @@ def test_shared_span_pairs_stride_boundary(spark):
         got = shared_span_pairs(df, min_span=50, k=20).collect()
         exp = _py_shared_spans(a, b, 50)
         assert len(got) == 1 and got[0].n_shared_spans == exp, (offset, got, exp)
+
+
+def test_line_level_dedup_semantics(spark):
+    """C4-style line dedup vs a Python model: lines in >=min_docs
+    distinct docs are removed (multiple occurrences INSIDE one doc
+    don't count toward the threshold), every doc comes back, order of
+    kept lines is preserved, all-boilerplate docs rebuild to ''."""
+    from collections import Counter
+
+    from big_data_chicago_crimes_spark.operators.dedup import line_level_dedup
+
+    rows = [
+        (1, "ad banner\nunique alpha\nad banner\nfooter"),  # in-doc repeat
+        (2, "ad banner\nunique beta\nfooter"),
+        (3, "ad banner\nfooter"),
+        (4, "unique gamma\nsolo line"),
+        (5, "footer\nad banner"),  # all lines boilerplate -> ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_removed, r.cleaned_text)
+        for r in line_level_dedup(df, min_docs=3).collect()
+    }
+    ndocs = Counter()
+    for _, t in rows:
+        for line in set(t.split("\n")):
+            ndocs[line] += 1
+    expect = {}
+    for i, t in rows:
+        lines = t.split("\n")
+        kept = [l for l in lines if ndocs[l] < 3]
+        expect[i] = (len(lines), len(lines) - len(kept), "\n".join(kept))
+    assert got == expect, (got, expect)
+    assert got[5][2] == ""  # fully-boilerplate doc survives as empty
+    assert got[1] == (4, 3, "unique alpha")  # both in-doc copies removed
