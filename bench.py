@@ -116,12 +116,11 @@ HEADLINE = [
     "docs_pipeline_end_to_end",  # dedup -> quota -> mix -> pack, one plan
     "docs_hybrid_search",  # lexical recall -> dense rerank funnel
     # OLAP widening
-    "lineitem_rollup",
+    "lineitem_rollup",  # + corr columns (former lineitem_correlations, r9)
     "orders_grouping_surface",  # merged cube+grouping-sets+pctl surface (r7/r9)
     "users_distinct_exact_vs_approx",  # merged exact+HLL surface (r7 continuation)
     "orders_price_quantiles_approx",
     "promo_revenue_pct",
-    "lineitem_correlations",
     "late_shipment_orders",
     "parts_never_ordered",
     "all_account_balances",
@@ -143,6 +142,7 @@ CERTIFICATION = [
     # pair path, and its constant-cardinality blocking key is exactly the
     # shape that hides at sf0.1 and explodes at scale (56× at 10× data)
     "embedding_near_dup_certification",  # organic census + planted twins
+    "embedding_semantic_dedup",  # SemDeDup planted-twin membership (cell-quadratic at fixed k: cert tier)
     "embedding_near_dups_lsh_seeded",
     "docs_sketch_seeded_recall",
     "docs_pii_scrub_seeded",

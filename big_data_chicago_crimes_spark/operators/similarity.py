@@ -493,6 +493,70 @@ def assign_to_centroids(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster-scoped
+    semantic pruning of an embedded corpus. Every vector is assigned to
+    its nearest codebook centroid (``assign_to_centroids`` — rounded-
+    distance ranking, cid tie-break, so membership is engine-portable);
+    within each cluster, a vector is PRUNED when any smaller-id member
+    of the same cluster has rounded cosine ≥ ``threshold`` with it
+    (deterministic keep-one-per-ε-ball without a components pass).
+    Returns the kept (id, centroid_id) rows. Comparisons NEVER cross
+    cluster boundaries — the paper's point: pair work is Σ|cell|², and
+    the production contract is k ∝ N (cells stay ~constant-sized, e.g.
+    50k clusters at web scale), which makes the pair stage corpus-
+    linear. A FIXED small codebook (like the certification fixture's
+    k=8) is therefore quadratic-in-cell-size by design — certification
+    scale only; grow k with the corpus (``ivf_index`` trains one with
+    KMeans), or route discovery through ``lsh_near_dup_pairs`` when no
+    codebook exists. Norms are computed once per row before the pair
+    join; candidate pairs shuffle inside their cell's partition only.
+    """
+    from big_data_chicago_crimes_spark.operators.dedup import spread_for_compute
+
+    assigned = assign_to_centroids(df, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__nrm"),
+        "centroid_id",
+    )
+    left = assigned.select(
+        F.col("__id").alias("__idl"),
+        F.col("__v").alias("__vl"),
+        F.col("__nrm").alias("__nl"),
+        "centroid_id",
+    )
+    right = assigned.select(
+        F.col("__id").alias("__idr"),
+        F.col("__v").alias("__vr"),
+        F.col("__nrm").alias("__nr"),
+        "centroid_id",
+    )
+    sim = cosine_similarity(
+        F.col("__vl"), F.col("__vr"), norm_a=F.col("__nl"), norm_b=F.col("__nr")
+    )
+    pruned = (
+        spread_for_compute(
+            left.join(right, "centroid_id").filter(F.col("__idl") < F.col("__idr"))
+        )
+        .withColumn("__cos", F.round(sim, 6))
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("__idr").alias("__id"))
+        .distinct()
+    )
+    return (
+        assigned.join(pruned, "__id", "left_anti")
+        .select(F.col("__id").alias(id_col), "centroid_id")
+    )
+
+
 def ivf_index(
     df: DataFrame,
     k_centroids: int = 16,

@@ -58,6 +58,7 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_stream_static_dedup_batch",  # batch degradation of the stream-static anti-join dedup (funded by the balance-window merge)
     "docs_shared_span_pairs",  # exact-substring span dedup (funded by the priority/fill rollup merge)
     "docs_line_dedup",  # C4-style line-level boilerplate removal (funded by the pctl-leg merge)
+    "embedding_semantic_dedup",  # SemDeDup cluster-scoped pruning (funded by the rollup-corr merge)
     # --- ETL / cleaning spine (last row r7) ---
     "events_etl_clean_seeded",
     "events_null_census",
@@ -83,8 +84,7 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "orders_quarter_pivot",
     "orders_grouping_surface",  # + 'pctl' leg = former orders_price_quantiles (r9)
     "orders_running_total",
-    "lineitem_rollup",
-    "lineitem_correlations",
+    "lineitem_rollup",  # + corr columns = former lineitem_correlations (r9)
     "promo_revenue_pct",
     "late_shipment_orders",
     "shipping_priority_top10",

@@ -222,26 +222,10 @@ def ml_kmeans_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lineitem_correlations",
-    oracle="""
-        SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price,
-               ROUND(corr(l_extendedprice, l_discount), 6) AS price_discount,
-               ROUND(corr(l_quantity, l_tax), 6) AS qty_tax
-        FROM lineitem
-    """,
-    tags=("ml", "stats", "reference:M13"),
-)
-def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlations as a distributed aggregate (F.corr — same
-    math as ml.stat.Correlation, Dataset.py:883-885, but expressible as
-    one hash aggregate AND SQL-oracle-checkable)."""
-    t = load_tables(spark, sf_dir)
-    return t.lineitem.agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
-        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("price_discount"),
-        F.round(F.corr("l_quantity", "l_tax"), 6).alias("qty_tax"),
-    )
+# lineitem_correlations (reference:M13) merged into lineitem_rollup's
+# aggregate (olap_queries.py, r9): the rollup's grand-total row carries
+# the identical three global Pearson pairs, one scan instead of two.
+# ml_correlation_matrix below still certifies the matrix surface.
 
 
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]

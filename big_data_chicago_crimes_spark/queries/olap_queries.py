@@ -17,22 +17,41 @@ from big_data_chicago_crimes_spark.sources.readers import load_tables
 
 @register(
     "lineitem_rollup",
+    # r9: the former lineitem_correlations registration (reference:M13 —
+    # the three global Pearson pairs, r7-green) folds into this SAME
+    # single-pass rollup aggregate: corr() rides the existing groups and
+    # the grand-total row carries the identical global values. One scan
+    # and one aggregate instead of two; the slot freed funds
+    # embedding_semantic_dedup. The 4×4 matrix form (ml_correlation_matrix)
+    # still certifies M13's matrix surface separately.
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
+               COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(corr(l_extendedprice, l_discount), 6) AS corr_price_discount,
+               ROUND(corr(l_quantity, l_tax), 6) AS corr_qty_tax
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
-    tags=("olap", "grouping-sets"),
+    tags=("olap", "grouping-sets", "ml", "stats", "reference:M13"),
 )
 def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals: (flag, status) → (flag) → grand total.
-    One shuffle; Catalyst expands the grouping sets into a single agg."""
+    One shuffle; Catalyst expands the grouping sets into a single agg.
+    Pearson correlations (F.corr — same math as ml.stat.Correlation,
+    Dataset.py:883-885) ride the same aggregate per group; the grand-
+    total row's values are the former lineitem_correlations result."""
     t = load_tables(spark, sf_dir)
     return (
         t.lineitem.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_discount"),
+            F.round(F.corr("l_quantity", "l_tax"), 6).alias("corr_qty_tax"),
+        )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),

@@ -659,3 +659,98 @@ def docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return reranked.orderBy(F.col("cosine").desc(), "doc_id").limit(10)
+
+
+# --- SemDeDup: cluster-scoped semantic dedup ---------------------------
+
+_SEM_THRESHOLD = 0.95
+
+
+def _semantic_dedup_oracle() -> str:
+    """The ENTIRE SemDeDup path in SQL against the same literal codebook
+    the Spark plan bakes in (k=8 — shared with the batch-IVF leg):
+    planted-corpus construction, nearest-centroid assignment (rounded
+    distance, cid tie-break), within-cell rounded-cosine pairs, and the
+    smaller-id pruning rule. Exact twins (cosine 1.0) certify removal;
+    the sign-flip twins land wherever 1 − 2·v₁²/‖v‖² falls against the
+    threshold — a per-vector decision near 0.95 that both engines must
+    make identically — and every organic pair certifies the keep path
+    (max organic cosine ≈ 0.51 in the fixture)."""
+    values = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])"
+        for cid, cv in enumerate(_ivf_lit_centroids())
+    )
+    return f"""
+        WITH cells AS (SELECT * FROM (VALUES {values}) t(cid, cv)),
+        corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000, embedding::DOUBLE[]
+            FROM embeddings WHERE vec_id % 20 = 0
+            UNION ALL
+            SELECT vec_id + 2000000,
+                   [-(embedding::DOUBLE[])[1]] || (embedding::DOUBLE[])[2:]
+            FROM embeddings WHERE vec_id % 20 = 10
+        ), assigned AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT c2.vec_id, c2.v, c.cid,
+                       row_number() OVER (PARTITION BY c2.vec_id
+                           ORDER BY {_sqdist_sql("c2.v", "c.cv")}, c.cid) AS rn
+                FROM corpus c2 CROSS JOIN cells c) WHERE rn = 1
+        ), pruned AS (
+            SELECT DISTINCT b.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) *
+                         sqrt(list_dot_product(b.v, b.v))), 6) >= {_SEM_THRESHOLD}
+        )
+        SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id
+        FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM pruned)
+        ORDER BY vec_id
+    """
+
+
+@register(
+    "embedding_semantic_dedup",
+    # funded by folding lineitem_correlations into lineitem_rollup's
+    # aggregate (olap_queries.py). EXACT MEMBERSHIP certification: the
+    # kept (vec_id, centroid_id) rows themselves are the result, so the
+    # driver hash pins every assignment AND every prune decision.
+    oracle=_semantic_dedup_oracle(),
+    tags=("similarity", "dedup", "semantic", "clustering", "extension"),
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over a planted corpus: assign every
+    vector to its nearest literal-codebook centroid, prune any vector
+    whose cluster holds a smaller-id member at rounded cosine >= 0.95
+    (operators/similarity.py:semantic_dedup). Every 20th vector spawns
+    an exact twin (pruned: cosine 1.0, same cell); vectors ≡10 (mod 20)
+    spawn a first-coordinate sign-flip twin whose cosine to its source
+    is 1 − 2·v₁²/‖v‖² — individually above or below the threshold, so
+    the prune frontier itself is certified; all organic pairs are kept
+    (fixture max organic cosine ≈ 0.51)."""
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        literal_centroids,
+        semantic_dedup,
+    )
+
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", "embedding")
+    exact_twins = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    flip_twins = e.filter(F.col("vec_id") % 20 == 10).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.concat(
+            F.array(-F.col("embedding").getItem(0)),
+            F.slice(F.col("embedding"), 2, _EMB_DIM - 1),
+        ).alias("embedding"),
+    )
+    corpus = e.unionByName(exact_twins).unionByName(flip_twins)
+    kept = semantic_dedup(
+        corpus,
+        literal_centroids(_IVF_LIT_K, _EMB_DIM),
+        threshold=_SEM_THRESHOLD,
+    )
+    return kept.orderBy("vec_id")

@@ -383,3 +383,52 @@ def test_batch_ivf_topk_matches_single_query_path(spark):
         # the planted exact copy is its own nearest neighbor at 1.0
         assert got[100 + i][0][1:] == (i, 1.0) or sorted(got[100 + i])[0][1] == i
     assigned.unpersist()
+
+
+def test_semantic_dedup_semantics(spark):
+    """SemDeDup vs a Python model on a hand-built corpus: pruning is
+    cluster-scoped (a cross-cluster near-dup pair is NOT pruned), the
+    smaller id always survives, chains prune every non-minimal member,
+    and sub-threshold cluster-mates are kept."""
+    import math
+
+    from big_data_chicago_crimes_spark.operators.similarity import semantic_dedup
+
+    cents = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0]]
+    rows = [
+        (1, [9.0, 0.1, 0.0]),   # cell 0
+        (2, [9.0, 0.1, 0.0]),   # exact dup of 1 -> pruned
+        (3, [9.0, 0.1, 0.001]), # near dup of 1/2 -> pruned (chain)
+        (4, [8.0, 4.0, 0.0]),   # cell 0, dissimilar -> kept
+        (5, [0.1, 9.0, 0.0]),   # cell 1 -> kept
+        (6, [0.1, 9.0, 0.0]),   # exact dup of 5, same cell -> pruned
+        (7, [4.6, 5.0, 0.0]),  # boundary vector, lands in cell 1 -> kept
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    got = sorted((r.vec_id, r.centroid_id) for r in
+                 semantic_dedup(df, cents, threshold=0.99).collect())
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    def cell(v):
+        d = [sum((x - c) ** 2 for x, c in zip(v, cv)) for cv in cents]
+        return d.index(min(d))
+
+    vecs = dict(rows)
+    expect = sorted(
+        (i, cell(v))
+        for i, v in rows
+        if not any(
+            j < i and cell(vecs[j]) == cell(v) and round(cos(vecs[j], v), 6) >= 0.99
+            for j in vecs
+        )
+    )
+    assert got == expect, (got, expect)
+    kept_ids = [i for i, _ in got]
+    assert 2 not in kept_ids and 3 not in kept_ids and 6 not in kept_ids
+    assert {1, 4, 5, 7} <= set(kept_ids)
