@@ -447,11 +447,21 @@ def shared_span_pairs(
     corpus-linear: ~len rows on the full side, ~len/s on the strided
     side, hashes only — no substring strings ever shuffle.
 
-    Exact verify per candidate pair: array_intersect of the two docs'
-    distinct min_span-gram STRING arrays — no hashes, no false
-    positives. Output: (id_a, id_b, n_shared_spans) with id_a < id_b,
-    n_shared_spans = number of DISTINCT shared min_span-char
-    substrings (≥ 1 by construction of the filter).
+    Exact verify over candidate DOCS (not per pair): documents touched
+    by any candidate pair explode their distinct min_span-gram STRINGS
+    once (codegen substring-by-position — measured 90× faster at sf0.1
+    than the first formulation's per-pair interpreted
+    transform+array_intersect, which recomputed both span arrays for
+    every pair), then one self-join on the exact span string counts
+    distinct shared spans per pair. No hashes in the verify — no false
+    positives; and every qualifying pair has both docs in the candidate
+    set (the pair itself is a candidate by the sampling guarantee), so
+    the span join restricted to candidate docs IS the exact answer.
+    Span strings shuffle only for candidate docs — at web scale a small
+    fraction of the corpus; the candidate stage still shuffles hashes
+    only. Output: (id_a, id_b, n_shared_spans) with id_a < id_b,
+    n_shared_spans = number of DISTINCT shared min_span-char substrings
+    (≥ 1 by construction).
     """
     if k > min_span:
         raise ValueError(f"k {k} must be <= min_span {min_span}")
@@ -496,30 +506,39 @@ def shared_span_pairs(
         .distinct()
     )
 
-    def spans(t: Column) -> Column:
-        return F.array_distinct(
-            F.when(
-                F.length(t) >= min_span,
-                F.transform(
-                    F.sequence(F.lit(1), F.length(t) - min_span + 1),
-                    lambda p: F.substring(t, p, min_span),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+    cand_ids = (
+        cand.select(F.col("__ida").alias("__id"))
+        .unionAll(cand.select(F.col("__idb").alias("__id")))
+        .distinct()
+    )
+    span_rows = (
+        base.join(cand_ids, "__id", "left_semi")
+        .withColumn(
+            "__p",
+            F.explode(
+                F.when(
+                    F.col("__len") >= min_span,
+                    F.sequence(F.lit(1), F.col("__len") - min_span + 1),
+                )
+            ),
         )
-
-    lhs = base.select(F.col("__id").alias("__ida"), F.col("__t").alias("__ta"))
-    rhs = base.select(F.col("__id").alias("__idb"), F.col("__t").alias("__tb"))
-    verified = (
-        cand.join(lhs, "__ida")
-        .join(rhs, "__idb")
         .select(
-            F.col("__ida").alias("id_a"),
-            F.col("__idb").alias("id_b"),
-            F.size(
-                F.array_intersect(spans(F.col("__ta")), spans(F.col("__tb")))
-            ).alias("n_shared_spans"),
+            "__id", F.substring(F.col("__t"), F.col("__p"), min_span).alias("__s")
         )
-        .filter(F.col("n_shared_spans") >= 1)
+        .distinct()
+    )
+    span_rows2 = span_rows.withColumnRenamed("__id", "__id2").withColumnRenamed(
+        "__s", "__s2"
+    )
+    verified = (
+        span_rows.join(
+            span_rows2,
+            (F.col("__s") == F.col("__s2")) & (F.col("__id") < F.col("__id2")),
+        )
+        .groupBy(
+            F.col("__id").alias("id_a"), F.col("__id2").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_spans"))
     )
     return verified
 
