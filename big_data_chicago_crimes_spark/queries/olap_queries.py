@@ -136,13 +136,25 @@ def orders_grouping_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
     """)
+    # ONE percentile(array(...)) aggregate, not median()+percentile():
+    # each separate call buffers the full column independently inside
+    # the sort-based agg — measured 0.9 s vs 0.4 s at sf0.1 for the
+    # identical interpolated values.
     pctl_leg = (
         t.orders.agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.median("o_totalprice"), 4).alias("med"),
-            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
-            F.round(F.min("o_totalprice"), 4).alias("mn"),
-            F.round(F.max("o_totalprice"), 4).alias("mx"),
+            F.percentile(
+                "o_totalprice", F.array(F.lit(0.5), F.lit(0.9))
+            ).alias("ps"),
+            F.min("o_totalprice").alias("mn0"),
+            F.max("o_totalprice").alias("mx0"),
+        )
+        .select(
+            "n",
+            F.round(F.col("ps")[0], 4).alias("med"),
+            F.round(F.col("ps")[1], 4).alias("p90"),
+            F.round(F.col("mn0"), 4).alias("mn"),
+            F.round(F.col("mx0"), 4).alias("mx"),
         )
         .select(
             F.lit("pctl").alias("leg"),
