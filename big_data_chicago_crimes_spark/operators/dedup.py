@@ -525,22 +525,24 @@ def shared_span_pairs(
         .select(
             "__id", F.substring(F.col("__t"), F.col("__p"), min_span).alias("__s")
         )
-        .distinct()
     )
-    span_rows2 = span_rows.withColumnRenamed("__id", "__id2").withColumnRenamed(
-        "__s", "__s2"
+    # ONE shuffle of the span strings: groupBy(span) + collect_set(id)
+    # replaces distinct + string self-join (three full string shuffles —
+    # measured 3× slower at the 10× corpus). collect_set dedups in-doc
+    # repeats; only spans held by ≥2 docs (i.e. the answer's spans —
+    # rare) reach the pair explode, whose fan-out is bounded by dup-
+    # cluster size², not corpus size.
+    shared = (
+        span_rows.groupBy("__s")
+        .agg(F.collect_set("__id").alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+        .select(F.explode("__ids").alias("__id"), "__ids")
+        .select("__id", F.explode("__ids").alias("__id2"))
+        .filter(F.col("__id") < F.col("__id2"))
     )
-    verified = (
-        span_rows.join(
-            span_rows2,
-            (F.col("__s") == F.col("__s2")) & (F.col("__id") < F.col("__id2")),
-        )
-        .groupBy(
-            F.col("__id").alias("id_a"), F.col("__id2").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_spans"))
-    )
-    return verified
+    return shared.groupBy(
+        F.col("__id").alias("id_a"), F.col("__id2").alias("id_b")
+    ).agg(F.count(F.lit(1)).cast("int").alias("n_shared_spans"))
 
 
 def line_level_dedup(

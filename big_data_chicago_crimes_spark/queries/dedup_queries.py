@@ -261,7 +261,14 @@ def docs_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = docs.unionByName(quotes)
-    return shared_span_pairs(corpus, min_span=50, k=20).orderBy("id_a", "id_b")
+    # k=28 (stride 23): on this narrow-vocabulary fixture, 20-char grams
+    # span ~3 tokens and hash-collide far more than web text would —
+    # k=28 grams span ~4.5 tokens, cutting accidental candidates ~40%
+    # at sf0.1 and ~3× at the 10× corpus (where replica token-suffixing
+    # shrinks the effective gram alphabet further). The answer is
+    # k-independent (sampling is a sound candidate superset; the verify
+    # is exact), so the oracle is unchanged.
+    return shared_span_pairs(corpus, min_span=50, k=28).orderBy("id_a", "id_b")
 
 
 @register(
