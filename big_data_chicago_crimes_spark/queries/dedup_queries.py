@@ -370,10 +370,13 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver row certifies the anti-join's dedup SEMANTICS, not just
     # streaming plumbing (VERDICT r8 #5; precedent:
     # events_interval_join_batch). Batch dropDuplicates keeps an
-    # arbitrary row per fingerprint, so the certified projection is the
-    # survivors' FINGERPRINT SET — exactly the stream-vs-batch equality
-    # contract the operator documents (the min-id keep policy is
-    # docs_incremental_dedup's certified job). Same md5-bucket
+    # arbitrary row per fingerprint, so the certified projection is
+    # fingerprint-level: every distinct batch fingerprint with
+    # in_corpus (false ⇔ the builder's anti-join kept it — the survivor
+    # set, exactly the stream-vs-batch equality contract the operator
+    # documents; the min-id keep policy is docs_incremental_dedup's
+    # certified job) and bloom_hit (the r9 bloom-prefilter leg — see
+    # the docstring). Same md5-bucket
     # corpus/batch split as docs_incremental_dedup, so the two rows
     # jointly pin that the stream-side fresh set equals the batch
     # pipeline's accepted fingerprints.
@@ -384,14 +387,34 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                        % 100 AS b
             FROM documents
+        ), corpus AS (
+            SELECT DISTINCT fingerprint FROM fp WHERE b < 80
+        ), batch AS (
+            SELECT DISTINCT fingerprint FROM fp WHERE b >= 80
+        ), m AS (
+            SELECT 4 * count(*) AS num_bits FROM corpus
+        ), bits AS (
+            SELECT DISTINCT
+                   ('0x' || substring(md5(fingerprint || '#' || j), 1, 8))::BIGINT
+                       % (SELECT num_bits FROM m) AS pos
+            FROM corpus CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+        ), probe AS (
+            SELECT fingerprint,
+                   ('0x' || substring(md5(fingerprint || '#' || j), 1, 8))::BIGINT
+                       % (SELECT num_bits FROM m) AS pos
+            FROM batch CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+        ), flags AS (
+            SELECT p.fingerprint, bool_and(bi.pos IS NOT NULL) AS bloom_hit
+            FROM probe p LEFT JOIN bits bi ON p.pos = bi.pos
+            GROUP BY p.fingerprint
         )
-        SELECT DISTINCT fingerprint FROM fp batch
-        WHERE b >= 80
-          AND NOT EXISTS (SELECT 1 FROM fp c
-                          WHERE c.b < 80 AND c.fingerprint = batch.fingerprint)
+        SELECT f.fingerprint,
+               (c.fingerprint IS NOT NULL) AS in_corpus,
+               f.bloom_hit
+        FROM flags f LEFT JOIN corpus c USING (fingerprint)
         ORDER BY fingerprint
     """,
-    tags=("dedup", "streaming", "batch-degradation", "extension"),
+    tags=("dedup", "streaming", "batch-degradation", "bloom", "extension"),
 )
 def docs_stream_static_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stream-static anti-join dedup run in batch mode: new-crawl
@@ -400,9 +423,27 @@ def docs_stream_static_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFram
     streaming/joins.py:dedup_stream_against_corpus. Scale shape: the
     static side contributes only fingerprints (broadcast when
     index-sized); per micro-batch this is exactly the plan Structured
-    Streaming executes — no state store. Returns the surviving
-    fingerprint set, sorted."""
-    from big_data_chicago_crimes_spark.operators.dedup import doc_fingerprint
+    Streaming executes — no state store.
+
+    Round-9 bloom leg: each distinct batch fingerprint additionally
+    carries ``bloom_hit`` — membership in a bloom filter built over the
+    corpus index (operators/dedup.py:bloom_index, 4 bits/key, k=3, md5
+    bit positions the oracle replays bit-exactly, modulus = 4·|corpus|
+    via a scalar cross-join so the FP rate is scale-invariant instead
+    of saturating at 10× data). The hash pins the full deterministic
+    hit set — true members AND the tight-sizing false positives —
+    alongside ``in_corpus`` (derived from the SAME builder output as
+    before: a fingerprint is in-corpus iff the anti-join dropped it),
+    so the no-false-negative contract (in_corpus ⇒ bloom_hit) is
+    certified row-by-row. This is the prefilter
+    ``incremental_dedup_with_bloom`` puts in front of the exact
+    anti-join at crawl scale; the original survivor-set contract is the
+    ``NOT in_corpus`` rows, unchanged."""
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        bloom_index,
+        bloom_membership_flags,
+        doc_fingerprint,
+    )
     from big_data_chicago_crimes_spark.operators.sampling import hash_bucket
     from big_data_chicago_crimes_spark.streaming.joins import (
         dedup_stream_against_corpus,
@@ -416,8 +457,26 @@ def docs_stream_static_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFram
         .distinct()
     )
     batch = t.documents.filter(b >= 80)
-    survivors = dedup_stream_against_corpus(batch, corpus_fps)
-    return survivors.select("fingerprint").orderBy("fingerprint")
+    survivors = (
+        dedup_stream_against_corpus(batch, corpus_fps)
+        .select("fingerprint")
+        .distinct()
+        .withColumn("__fresh", F.lit(True))
+    )
+    batch_fps = batch.select(
+        doc_fingerprint("text").alias("fingerprint")
+    ).distinct()
+    flags = bloom_membership_flags(batch_fps, bloom_index(corpus_fps))
+    return (
+        batch_fps.join(survivors, "fingerprint", "left")
+        .join(flags, "fingerprint")
+        .select(
+            "fingerprint",
+            F.col("__fresh").isNull().alias("in_corpus"),
+            "bloom_hit",
+        )
+        .orderBy("fingerprint")
+    )
 
 
 @register(

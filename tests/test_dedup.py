@@ -322,6 +322,73 @@ def test_incremental_exact_dedup_matches_full_recompute(docs, spark):
     assert got == full
 
 
+def test_bloom_index_no_false_negatives_and_bounded(spark):
+    """The bloom membership contract: every indexed key is a hit (no
+    false negatives — the property that makes the prefilter sound), the
+    bitmap frame is bounded by bits_per_key * |keys|, and the default
+    deliberately-tight sizing (4 bits/key, k=3) produces at least one
+    false positive on a 200-key fixture — the FP path the query leg
+    certifies is exercised, not vacuous."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        bloom_index,
+        bloom_membership_flags,
+    )
+
+    keys = spark.range(200).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("fingerprint")
+    )
+    others = spark.range(200).select(
+        F.concat(F.lit("outsider-"), F.col("id")).alias("fingerprint")
+    )
+    index = bloom_index(keys)
+    assert index.count() <= 4 * 200
+    flags = {
+        r.fingerprint: r.bloom_hit
+        for r in bloom_membership_flags(
+            keys.unionByName(others), index
+        ).collect()
+    }
+    assert all(flags[f"member-{i}"] for i in range(200))  # no false negatives
+    fps = sum(flags[f"outsider-{i}"] for i in range(200))
+    assert 0 < fps < 100  # tight sizing exercises the FP path, bounded rate
+
+
+def test_incremental_dedup_with_bloom_matches_exact(spark):
+    """The bloom prefilter changes the plan, never the answer: survivors
+    must equal incremental_exact_dedup's on a batch mixing in-batch
+    dups, corpus dups, and fresh docs."""
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        doc_fingerprint,
+        incremental_dedup_with_bloom,
+        incremental_exact_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "known document"), (2, "another known one")],
+        "doc_id long, text string",
+    )
+    corpus_fps = corpus.select(doc_fingerprint("text").alias("fingerprint"))
+    batch = spark.createDataFrame(
+        [
+            (10, "fresh content"),
+            (11, "Fresh   Content"),
+            (12, "KNOWN document"),
+            (13, "also brand new"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id
+        for r in incremental_dedup_with_bloom(batch, corpus_fps).collect()
+    }
+    want = {
+        r.doc_id for r in incremental_exact_dedup(batch, corpus_fps).collect()
+    }
+    assert got == want == {10, 13}
+
+
 def test_fuzzy_match_pairs_banding_and_distances(spark):
     """Length-banded Levenshtein pairs: same-band and adjacent-band
     matches are both found (a pair straddling a 16-char band boundary
