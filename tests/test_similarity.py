@@ -432,3 +432,56 @@ def test_semantic_dedup_semantics(spark):
     kept_ids = [i for i, _ in got]
     assert 2 not in kept_ids and 3 not in kept_ids and 6 not in kept_ids
     assert {1, 4, 5, 7} <= set(kept_ids)
+
+
+def test_semantic_dedup_vectorized_matches_pair_join_form(spark):
+    """The BLAS per-cell form (applyInPandas gram matrix) is
+    output-identical to the certified pair-join form on organic
+    embeddings AND on a planted fixture covering the edge semantics:
+    exact twins, scale-invariant twins (cos exactly 1 after
+    normalization), zero vectors (cos defined as 0.0 — never pruned,
+    never pruning), and cross-cell near-dups (never compared)."""
+    import numpy as np
+
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        assign_to_centroids,
+        assign_to_centroids_vectorized,
+        literal_centroids,
+        semantic_dedup,
+        semantic_dedup_vectorized,
+    )
+    from big_data_chicago_crimes_spark.session import release_scratch_caches
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    cents = literal_centroids(8, dim)
+
+    a = sorted(
+        assign_to_centroids(emb, cents).select("vec_id", "centroid_id").collect()
+    )
+    b = sorted(
+        assign_to_centroids_vectorized(emb.select("vec_id", "embedding"), cents)
+        .select("vec_id", "centroid_id")
+        .collect()
+    )
+    assert a == b
+
+    h = sorted(semantic_dedup(emb, cents).collect())
+    release_scratch_caches()
+    v = sorted(semantic_dedup_vectorized(emb, cents).collect())
+    assert h == v
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(dim)]) for i in range(40)]
+    rows.append((100, rows[3][1]))                     # exact twin of 3
+    rows.append((101, [0.0] * dim))                    # zero vector
+    rows.append((102, [0.0] * dim))                    # second zero vector
+    rows.append((103, [x * 2.0 for x in rows[5][1]]))  # scaled twin of 5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    h2 = sorted(semantic_dedup(df, cents).collect())
+    release_scratch_caches()
+    v2 = sorted(semantic_dedup_vectorized(df, cents).collect())
+    assert h2 == v2
+    kept = {r.vec_id for r in v2}
+    assert 100 not in kept and 103 not in kept  # twins pruned
+    assert {101, 102} <= kept                   # zero vectors kept (cos 0.0)
