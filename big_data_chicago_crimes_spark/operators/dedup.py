@@ -877,6 +877,10 @@ def minhash_lsh_candidates(
     uniformly distributed, so no skew at scale; true duplicates collide
     with probability 1-(1-s^r)^b for Jaccard similarity s."""
     rows_per_band = num_hashes // bands
+    # NOTE: no persist here, deliberately — A/B at sf0.1 measured the
+    # band self-join's signature aggregate already exchange-reused
+    # (1.16 s vs 1.23 s persisted); contrast simhash_band_candidates /
+    # lsh_near_dup_pairs where pinning the replayed parent won 19-32%.
     sig = minhash_signature_table(
         df, text_col, id_col, num_hashes, shingle_k, hash_family
     )
@@ -1061,6 +1065,12 @@ def simhash_band_candidates(
     certification fixtures can inject fingerprints with known Hamming
     distance). Explode into bits/band_bits band values; any pair agreeing
     on ≥1 band is a candidate."""
+    from big_data_chicago_crimes_spark.session import scratch_persist
+
+    # Same replayed-parent shape as the minhash band join: both sides of
+    # the self-join replay the caller's fingerprint computation unless
+    # the (id, simhash) table — two columns, corpus-sized — is pinned.
+    sh_table = scratch_persist(sh_table)
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     band_structs = ", ".join(

@@ -165,9 +165,19 @@ def lsh_near_dup_pairs(
     structs = ", ".join(
         f"struct({t} as tbl, {sig_sql(t)} as sig)" for t in range(n_tables)
     )
-    sigs = df.select(
-        F.col(id_col), F.expr(f"explode(array({structs})) as s")
-    ).select(id_col, "s.tbl", "s.sig")
+    # Both self-join sides replay the n_tables × n_planes interpreted
+    # plane dots without a persist; the pinned frame is (id, tbl, sig) —
+    # n × n_tables rows, three scalar columns. Same for `base` below:
+    # its two verify-side projections each rescan the source and replay
+    # the norm fold otherwise. Result-invariant.
+    from big_data_chicago_crimes_spark.session import scratch_persist
+
+    sigs = scratch_persist(
+        df.select(
+            F.col(id_col), F.expr(f"explode(array({structs})) as s")
+        ).select(id_col, "s.tbl", "s.sig")
+    )
+    base = scratch_persist(base)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(
