@@ -1152,6 +1152,10 @@ def _blocked_jaccard_pairs(
     # streaming side — one core would compute EVERY pair. Spreading the
     # streaming side keeps the broadcast (no extra shuffle for the join)
     # while fanning the quadratic work across the cluster.
+    # NOTE: deliberately NOT persisted — A/B at sf0.1 measured the
+    # persisted form 52% SLOWER (1.64 → 2.50 s): pinning materializes
+    # the wide items+text columns that per-arm column pruning otherwise
+    # drops, and the broadcast self-join exchange is already reused.
     base = spread_for_compute(df).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
