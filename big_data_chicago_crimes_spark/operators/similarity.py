@@ -672,6 +672,92 @@ def semantic_dedup_vectorized(
     )
 
 
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup for the incremental-crawl shape: dedup a NEW batch
+    against a maintained index of previously-KEPT vectors (the vector
+    sibling of ``dedup.incremental_exact_dedup``'s contract — compare
+    against survivors, never rescan or re-prune the corpus). A batch
+    vector is kept iff its cell holds NO index member at rounded cosine
+    ≥ ``threshold`` AND no smaller-id batch member matches it (the same
+    any-smaller-id rule as ``semantic_dedup``, so in-batch pruning is
+    order-deterministic, not greedy-sequential). Returns the kept batch
+    (id, centroid_id) rows — append them to the index to continue.
+
+    Index contract: because only SURVIVORS are indexed, a batch vector
+    is compared against strictly fewer corpus members than a full
+    ``semantic_dedup`` recompute over index ∪ batch would use (a pruned
+    corpus vector can no longer prune) — identical results whenever the
+    kept set is ε-ball-representative, and exactly the trade every
+    production incremental dedup makes; documented, tested.
+
+    Plan shape: batch-sized assignment (O(|batch|·k) — the corpus never
+    re-ranks), one cell-keyed join of the batch against the index (at
+    scale the index is written partitioned by centroid_id, so the probe
+    prunes partitions — the same layout the IVF lake uses), and an
+    in-batch pair join bounded by batch-cell occupancy. Everything is
+    the engine-portable 6dp-rounded column arithmetic, so a SQL oracle
+    replays it verbatim."""
+    from big_data_chicago_crimes_spark.session import scratch_persist
+
+    b = scratch_persist(
+        assign_to_centroids(batch, centroids, vec_col=vec_col).select(
+            F.col(id_col).alias("__bid"),
+            F.col(vec_col).alias("__bv"),
+            l2_norm(F.col(vec_col)).alias("__bn"),
+            "centroid_id",
+        )
+    )
+    idx = index.select(
+        F.col(id_col).alias("__iid"),
+        F.col(vec_col).alias("__iv"),
+        l2_norm(F.col(vec_col)).alias("__in"),
+        "centroid_id",
+    )
+    idx_cos = cosine_similarity(
+        F.col("__bv"), F.col("__iv"), norm_a=F.col("__bn"), norm_b=F.col("__in")
+    )
+    hit_index = (
+        b.join(idx, "centroid_id")
+        .filter(F.round(idx_cos, 6) >= threshold)
+        .select(F.col("__bid"))
+        .distinct()
+    )
+    lhs = b.select(
+        F.col("__bid").alias("__ida"),
+        F.col("__bv").alias("__va"),
+        F.col("__bn").alias("__na"),
+        "centroid_id",
+    )
+    rhs = b.select(
+        F.col("__bid").alias("__idb"),
+        F.col("__bv").alias("__vb"),
+        F.col("__bn").alias("__nb"),
+        "centroid_id",
+    )
+    in_cos = cosine_similarity(
+        F.col("__va"), F.col("__vb"), norm_a=F.col("__na"), norm_b=F.col("__nb")
+    )
+    hit_batch = (
+        lhs.join(rhs, "centroid_id")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(F.round(in_cos, 6) >= threshold)
+        .select(F.col("__idb").alias("__bid"))
+        .distinct()
+    )
+    pruned = hit_index.unionByName(hit_batch).distinct()
+    return (
+        b.join(pruned, "__bid", "left_anti")
+        .select(F.col("__bid").alias(id_col), "centroid_id")
+    )
+
+
 def ivf_index(
     df: DataFrame,
     k_centroids: int = 16,

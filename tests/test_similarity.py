@@ -485,3 +485,82 @@ def test_semantic_dedup_vectorized_matches_pair_join_form(spark):
     kept = {r.vec_id for r in v2}
     assert 100 not in kept and 103 not in kept  # twins pruned
     assert {101, 102} <= kept                   # zero vectors kept (cos 0.0)
+
+
+def test_incremental_semantic_dedup_contract(spark):
+    """Incremental SemDeDup vs a Python model: index hits prune, the
+    in-batch any-smaller-id rule prunes, novel vectors survive,
+    cross-cell twins survive (cluster-scoped), and — the documented
+    index contract — a batch vector matching only a vector that was
+    PRUNED from the corpus (hence absent from the index) is KEPT."""
+    import math
+
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    cents = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0]]
+    # Index = survivors of some earlier run. (9.0, 0.1, 0.0) survived;
+    # imagine (9.0, 0.1, 0.001) was pruned earlier -> NOT in the index.
+    index_rows = [
+        (1, [9.0, 0.1, 0.0]),    # cell 0
+        (5, [0.1, 9.0, 0.0]),    # cell 1
+    ]
+    batch_rows = [
+        (10, [9.0, 0.1, 0.0]),   # exact twin of index 1 -> pruned (index hit)
+        (11, [8.0, 4.0, 0.0]),   # novel, cell 0 -> kept
+        (12, [0.2, 8.5, 0.0]),   # near index 5, cell 1 -> pruned (index hit)
+        (13, [5.0, 4.9, 0.0]),   # boundary-cell novel -> kept
+        (14, [8.0, 4.0, 0.0]),   # exact twin of 11 IN BATCH -> pruned (in-batch)
+        (15, [8.0, 4.0, 0.001]), # near 11 and 14 -> pruned (in-batch, non-greedy:
+                                 #   14 being pruned does not rescue 15)
+    ]
+    idx = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in index_rows],
+        "vec_id long, embedding array<float>",
+    )
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    idx_assigned = assign_to_centroids(idx, cents)
+    batch = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in batch_rows],
+        "vec_id long, embedding array<float>",
+    )
+    got = sorted(
+        (r.vec_id, r.centroid_id)
+        for r in incremental_semantic_dedup(
+            batch, idx_assigned, cents, threshold=0.99
+        ).collect()
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return 0.0 if na * nb == 0 else d / (na * nb)
+
+    def cell(v):
+        d = [sum((x - c) ** 2 for x, c in zip(v, cv)) for cv in cents]
+        return d.index(min(d))
+
+    ivecs = dict(index_rows)
+    bvecs = dict(batch_rows)
+    expect = sorted(
+        (i, cell(v))
+        for i, v in batch_rows
+        if not any(
+            cell(ivecs[j]) == cell(v) and round(cos(ivecs[j], v), 6) >= 0.99
+            for j in ivecs
+        )
+        and not any(
+            j < i and cell(bvecs[j]) == cell(v) and round(cos(bvecs[j], v), 6) >= 0.99
+            for j in bvecs
+        )
+    )
+    assert got == expect, (got, expect)
+    kept = [i for i, _ in got]
+    assert 10 not in kept and 12 not in kept          # index hits
+    assert 14 not in kept and 15 not in kept          # in-batch hits
+    assert {11, 13} <= set(kept)                      # novel survivors
