@@ -704,10 +704,52 @@ def _semantic_dedup_oracle() -> str:
             WHERE ROUND(list_dot_product(a.v, b.v) /
                         (sqrt(list_dot_product(a.v, a.v)) *
                          sqrt(list_dot_product(b.v, b.v))), 6) >= {_SEM_THRESHOLD}
+        ), kept AS (
+            SELECT vec_id, v, cid FROM assigned
+            WHERE vec_id NOT IN (SELECT vec_id FROM pruned)
+        ), batch AS (
+            -- incremental leg's planted crawl batch (r9): exact twins of
+            -- ≡5 (mod 20) organics (index hits), negated ≡7 organics
+            -- (novel — cosine −1 to their source), and TWO negated
+            -- copies of each ≡13 organic (first kept, second pruned by
+            -- the in-batch any-smaller-id rule)
+            SELECT vec_id + 3000000 AS vec_id, v
+            FROM corpus WHERE vec_id % 20 = 5 AND vec_id < 1000000
+            UNION ALL
+            SELECT vec_id + 4000000, list_transform(v, x -> -x)
+            FROM corpus WHERE vec_id % 20 = 7 AND vec_id < 1000000
+            UNION ALL
+            SELECT vec_id + 5000000, list_transform(v, x -> -x)
+            FROM corpus WHERE vec_id % 20 = 13 AND vec_id < 1000000
+            UNION ALL
+            SELECT vec_id + 6000000, list_transform(v, x -> -x)
+            FROM corpus WHERE vec_id % 20 = 13 AND vec_id < 1000000
+        ), b_assigned AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT b.vec_id, b.v, c.cid,
+                       row_number() OVER (PARTITION BY b.vec_id
+                           ORDER BY {_sqdist_sql("b.v", "c.cv")}, c.cid) AS rn
+                FROM batch b CROSS JOIN cells c) WHERE rn = 1
+        ), b_pruned AS (
+            SELECT DISTINCT b.vec_id
+            FROM b_assigned b JOIN kept k ON b.cid = k.cid
+            WHERE ROUND(list_dot_product(b.v, k.v) /
+                        (sqrt(list_dot_product(b.v, b.v)) *
+                         sqrt(list_dot_product(k.v, k.v))), 6) >= {_SEM_THRESHOLD}
+            UNION
+            SELECT DISTINCT y.vec_id
+            FROM b_assigned x JOIN b_assigned y
+              ON x.cid = y.cid AND x.vec_id < y.vec_id
+            WHERE ROUND(list_dot_product(x.v, y.v) /
+                        (sqrt(list_dot_product(x.v, x.v)) *
+                         sqrt(list_dot_product(y.v, y.v))), 6) >= {_SEM_THRESHOLD}
         )
-        SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id
-        FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM pruned)
-        ORDER BY vec_id
+        SELECT 'full' AS leg, vec_id, CAST(cid AS INTEGER) AS centroid_id
+        FROM kept
+        UNION ALL
+        SELECT 'incr', vec_id, CAST(cid AS INTEGER)
+        FROM b_assigned WHERE vec_id NOT IN (SELECT vec_id FROM b_pruned)
+        ORDER BY leg, vec_id
     """
 
 
@@ -729,8 +771,18 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spawn a first-coordinate sign-flip twin whose cosine to its source
     is 1 − 2·v₁²/‖v‖² — individually above or below the threshold, so
     the prune frontier itself is certified; all organic pairs are kept
-    (fixture max organic cosine ≈ 0.51)."""
+    (fixture max organic cosine ≈ 0.51).
+
+    Second leg (``leg='incr'``, r9): the kept set becomes the INDEX and
+    a planted crawl batch runs
+    operators/similarity.py:incremental_semantic_dedup — exact twins of
+    ≡5 (mod 20) organics certify the index-hit prune, negated ≡7
+    organics (cosine −1 to their source) certify the novel keep path,
+    and two negated copies of each ≡13 organic certify the in-batch
+    any-smaller-id rule. The driver hash pins both legs' exact
+    membership."""
     from big_data_chicago_crimes_spark.operators.similarity import (
+        incremental_semantic_dedup,
         literal_centroids,
         semantic_dedup,
     )
@@ -748,9 +800,49 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = e.unionByName(exact_twins).unionByName(flip_twins)
-    kept = semantic_dedup(
-        corpus,
-        literal_centroids(_IVF_LIT_K, _EMB_DIM),
-        threshold=_SEM_THRESHOLD,
+    cents = literal_centroids(_IVF_LIT_K, _EMB_DIM)
+    kept = semantic_dedup(corpus, cents, threshold=_SEM_THRESHOLD)
+
+    # Incremental leg (r9): the kept set IS the index (vectors joined
+    # back by id), and a planted crawl batch exercises all three paths
+    # of operators/similarity.py:incremental_semantic_dedup — exact
+    # twins of ≡5 (mod 20) organics are index hits, negated ≡7 organics
+    # are novel (cosine −1 to their source), and two negated copies of
+    # each ≡13 organic certify the in-batch any-smaller-id rule (first
+    # kept, second pruned by the first).
+    index_assigned = corpus.join(kept, "vec_id").select(
+        "vec_id", "embedding", "centroid_id"
     )
-    return kept.orderBy("vec_id")
+    neg = F.transform(F.col("embedding"), lambda x: -x)
+    batch = (
+        e.filter(F.col("vec_id") % 20 == 5)
+        .select((F.col("vec_id") + 3_000_000).alias("vec_id"), "embedding")
+        .unionByName(
+            e.filter(F.col("vec_id") % 20 == 7).select(
+                (F.col("vec_id") + 4_000_000).alias("vec_id"),
+                neg.alias("embedding"),
+            )
+        )
+        .unionByName(
+            e.filter(F.col("vec_id") % 20 == 13).select(
+                (F.col("vec_id") + 5_000_000).alias("vec_id"),
+                neg.alias("embedding"),
+            )
+        )
+        .unionByName(
+            e.filter(F.col("vec_id") % 20 == 13).select(
+                (F.col("vec_id") + 6_000_000).alias("vec_id"),
+                neg.alias("embedding"),
+            )
+        )
+    )
+    inc_kept = incremental_semantic_dedup(
+        batch, index_assigned, cents, threshold=_SEM_THRESHOLD
+    )
+    return (
+        kept.select(F.lit("full").alias("leg"), "vec_id", "centroid_id")
+        .unionByName(
+            inc_kept.select(F.lit("incr").alias("leg"), "vec_id", "centroid_id")
+        )
+        .orderBy("leg", "vec_id")
+    )
