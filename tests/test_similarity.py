@@ -564,3 +564,48 @@ def test_incremental_semantic_dedup_contract(spark):
     assert 10 not in kept and 12 not in kept          # index hits
     assert 14 not in kept and 15 not in kept          # in-batch hits
     assert {11, 13} <= set(kept)                      # novel survivors
+
+
+def test_incremental_semantic_dedup_vectorized_assign_equal(spark):
+    """vectorized_assign=True (gram-form mapInPandas assignment) returns
+    the same survivors as the portable expression form, and a stored
+    ``norm`` column on the index changes nothing but the plan."""
+    import numpy as np
+
+    from big_data_chicago_crimes_spark.functions.vectors import l2_norm
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        assign_to_centroids,
+        incremental_semantic_dedup,
+        literal_centroids,
+    )
+
+    dim = 8
+    cents = literal_centroids(4, dim)
+    rng = np.random.RandomState(11)
+    idx_rows = [(i, [float(x) for x in rng.randn(dim)]) for i in range(30)]
+    idx = assign_to_centroids(
+        spark.createDataFrame(idx_rows, "vec_id long, embedding array<float>"),
+        cents,
+    )
+    batch_rows = [(100 + i, [float(x) for x in rng.randn(dim)]) for i in range(20)]
+    batch_rows.append((200, idx_rows[4][1]))   # index twin -> pruned
+    batch_rows.append((201, batch_rows[2][1])) # in-batch twin -> pruned
+    batch = spark.createDataFrame(batch_rows, "vec_id long, embedding array<float>")
+
+    expr = sorted(
+        incremental_semantic_dedup(batch, idx, cents, threshold=0.95).collect()
+    )
+    vec = sorted(
+        incremental_semantic_dedup(
+            batch, idx, cents, threshold=0.95, vectorized_assign=True
+        ).collect()
+    )
+    with_norm = idx.withColumn("norm", l2_norm(idx["embedding"]))
+    vec_norm = sorted(
+        incremental_semantic_dedup(
+            batch, with_norm, cents, threshold=0.95, vectorized_assign=True
+        ).collect()
+    )
+    assert expr == vec == vec_norm
+    kept = {r.vec_id for r in vec}
+    assert 200 not in kept and 201 not in kept
