@@ -609,3 +609,32 @@ def test_incremental_semantic_dedup_vectorized_assign_equal(spark):
     assert expr == vec == vec_norm
     kept = {r.vec_id for r in vec}
     assert 200 not in kept and 201 not in kept
+
+
+def test_incremental_semantic_dedup_empty_edges(spark):
+    """Empty batch -> empty result; empty index -> pure in-batch dedup
+    (first copy kept). Guards the join/anti-join plumbing on the shapes
+    a crawl loop actually hits (first batch ever; quiet poll)."""
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        assign_to_centroids,
+        incremental_semantic_dedup,
+        literal_centroids,
+    )
+
+    cents = literal_centroids(2, 4)
+    schema = "vec_id long, embedding array<float>"
+    idx = assign_to_centroids(
+        spark.createDataFrame([(1, [1.0, 0.0, 0.0, 0.0])], schema), cents
+    )
+    empty_batch = spark.createDataFrame([], schema)
+    assert incremental_semantic_dedup(empty_batch, idx, cents).count() == 0
+
+    empty_idx = assign_to_centroids(spark.createDataFrame([], schema), cents)
+    batch = spark.createDataFrame(
+        [(10, [0.0, 2.0, 0.0, 0.0]), (11, [0.0, 2.0, 0.0, 0.0])], schema
+    )
+    kept = sorted(
+        r.vec_id
+        for r in incremental_semantic_dedup(batch, empty_idx, cents).collect()
+    )
+    assert kept == [10]
