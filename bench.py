@@ -134,8 +134,7 @@ HEADLINE = [
 CERTIFICATION = [
     "docs_rolling_hash_md5_oracled",
     "docs_minhash_md5_oracled",
-    "docs_simhash_md5_oracled",
-    "docs_simhash_band_candidates_md5_oracled",
+    "docs_simhash_md5_surface",  # r10 merge: fingerprint + band legs, one fingerprint pass
     "docs_char_ngram_jaccard",  # exact in-block verify; scale path = LSH+verify
     # label-blocked quadratic baseline: demoted from HEADLINE in r7
     # (VERDICT r6 #3) — it exists as the correctness baseline for the LSH
@@ -143,6 +142,7 @@ CERTIFICATION = [
     # shape that hides at sf0.1 and explodes at scale (56× at 10× data)
     "embedding_near_dup_certification",  # organic census + planted twins
     "embedding_semantic_dedup",  # SemDeDup planted-twin membership (cell-quadratic at fixed k: cert tier)
+    "embedding_semantic_dedup_vec",  # same membership, BLAS forms + normed survivor index (r10)
     "embedding_near_dups_lsh_seeded",
     "docs_sketch_seeded_recall",
     "docs_pii_scrub_seeded",

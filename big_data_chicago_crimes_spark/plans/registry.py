@@ -61,6 +61,10 @@ REGISTRY: dict[str, Query] = {}
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # --- r10 window: the r8-green cohort rotates back in ---
     "docs_fuzzy_match_pairs",  # FIRST: builder changed post-r8-row (PassJoin segments) — weakest evidence in the window
+    # tier 0: new this round, never sampled — funded by folding
+    # docs_simhash_md5_oracled into the band-candidates twin
+    # (→ docs_simhash_md5_surface, one fingerprint pass, both legs)
+    "embedding_semantic_dedup_vec",  # BLAS SemDeDup + normed-index incremental under the driver hash
     "events_interval_join_batch",
     "docs_chunk_pack",
     "docs_exact_dedup",
@@ -71,8 +75,7 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_sketch_seeded_recall",
     "docs_incremental_dedup",
     "docs_minhash_md5_oracled",
-    "docs_simhash_md5_oracled",
-    "docs_simhash_band_candidates_md5_oracled",
+    "docs_simhash_md5_surface",  # r10 merge: fingerprint + band legs in one result
     "embedding_near_dups_lsh",
     "embedding_near_dups_lsh_seeded",
     "docs_dedup_components",

@@ -141,7 +141,7 @@ def docs_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_simhash_candidates",
     # xxhash64-based 64-bit fingerprint — rows-only check. The band logic
-    # is certified at 32 bits by docs_simhash_band_candidates_md5_oracled;
+    # is certified at 32 bits by docs_simhash_md5_surface (band leg);
     # tests/test_dedup.py::test_simhash_pigeonhole_completeness proves the
     # 64-bit path complete for Hamming<=3 exhaustively at sf0.001.
     oracle=None,
@@ -598,7 +598,7 @@ def docs_sketch_seeded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       leaves band 3 agreeing, so the banded join MUST emit every planted
       pair; any fingerprinting, band-extraction, join, or dedup bug
       loses rows and breaks the hash. Precision of the band join is
-      certified separately by docs_simhash_band_candidates_md5_oracled.
+      certified separately by docs_simhash_md5_surface (band leg).
 
     Output keeps only the planted pairs (organic candidates are
     hash-family-dependent, hence unpredictable in SQL)."""
@@ -900,23 +900,7 @@ def _simhash_md5_oracle(bits: int = 32) -> str:
     """
 
 
-@register(
-    "docs_simhash_md5_oracled",
-    oracle=_simhash_md5_oracle(),
-    tags=("dedup", "simhash", "extension"),
-)
-def docs_simhash_md5_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit) fingerprints with the md5-derived bit stream —
-    byte-identical in DuckDB, so every per-document fingerprint is
-    value-hash-checked. The 64-bit xxhash64 variant
-    (docs_simhash_candidates) stays the fast default."""
-    from big_data_chicago_crimes_spark.operators.dedup import simhash_table
-
-    t = load_tables(spark, sf_dir)
-    return simhash_table(t.documents, bits=32, hash_family="md5").orderBy("doc_id")
-
-
-def _simhash_band_md5_oracle(bits: int = 32, band_bits: int = 8) -> str:
+def _simhash_md5_surface_oracle(bits: int = 32, band_bits: int = 8) -> str:
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     band_selects = "\n            UNION ALL\n            ".join(
@@ -924,42 +908,66 @@ def _simhash_band_md5_oracle(bits: int = 32, band_bits: int = 8) -> str:
         "AS band_val FROM fp"
         for b in range(n_bands)
     )
-    # fingerprint CTE identical to _simhash_md5_oracle, then integer-only
-    # band extraction + collision self-join — no float anywhere.
-    fp_sql = _simhash_md5_oracle(bits).replace(
-        "SELECT doc_id, CAST(", "SELECT doc_id, CAST("
-    )
+    # fingerprint CTE = _simhash_md5_oracle verbatim; band extraction +
+    # collision self-join are integer-only bit math — no float anywhere.
     return f"""
-        WITH fp AS ({fp_sql}), banded AS (
+        WITH fp AS ({_simhash_md5_oracle(bits)}), banded AS (
             {band_selects}
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
         )
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b
-          ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-        ORDER BY id_a, id_b
+        SELECT 'fp' AS leg, doc_id AS a, simhash AS b FROM fp
+        UNION ALL
+        SELECT 'band', id_a, id_b FROM pairs
+        ORDER BY leg, a, b
     """
 
 
 @register(
-    "docs_simhash_band_candidates_md5_oracled",
-    oracle=_simhash_band_md5_oracle(),
+    "docs_simhash_md5_surface",
+    oracle=_simhash_md5_surface_oracle(),
     tags=("dedup", "simhash", "lsh", "extension"),
 )
-def docs_simhash_band_candidates_md5_oracled(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The FULL SimHash candidate pipeline (md5 bit stream → 32-bit
-    fingerprint → 4×8-bit bands → collision self-join) oracle-checked
-    end to end: band extraction and pairing are pure integer bit math,
-    so Spark and DuckDB agree exactly. Certifies the band stage that
-    docs_simhash_candidates (xxhash64) runs as the fast default.
+def docs_simhash_md5_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SimHash md5 certification surface in ONE result (r10
+    merge of docs_simhash_md5_oracled + the band-candidates twin —
+    funding the embedding_semantic_dedup_vec window slot): leg='fp'
+    emits every 32-bit fingerprint from the md5-derived bit stream
+    (byte-identical in DuckDB), leg='band' the 4×8-bit band-collision
+    pairs over those same fingerprints. The fingerprint table is
+    computed ONCE (scratch-persisted inside simhash_band_candidates;
+    the fp leg's identical plan hits the same cache), so the merged
+    query costs ~the band query alone — cheaper than the pair it
+    replaced. Certifies both stages that docs_simhash_candidates
+    (xxhash64, 64-bit/16-bit bands) runs as the fast default.
 
     CERTIFICATION query, not a scale path: 8-bit bands collide at rate
-    ~n²·4/256 on non-duplicate docs (2.5M pairs at sf0.1), which is the
-    price of a fingerprint small enough to reproduce in SQL. The
-    production variant is the 64-bit/16-bit docs_simhash_candidates,
-    whose band space (2¹⁶ per band) keeps random collisions negligible."""
+    ~n²·4/256 on non-duplicate docs, the price of a fingerprint small
+    enough to reproduce in SQL; the production band space (2¹⁶ per
+    band) keeps random collisions negligible."""
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        simhash_band_candidates,
+        simhash_table,
+    )
+
     t = load_tables(spark, sf_dir)
-    return simhash_candidates(
-        t.documents, band_bits=8, bits=32, hash_family="md5"
-    ).orderBy("id_a", "id_b")
+    fp = simhash_table(t.documents, bits=32, hash_family="md5")
+    pairs = simhash_band_candidates(fp, band_bits=8, bits=32)
+    return (
+        fp.select(
+            F.lit("fp").alias("leg"),
+            F.col("doc_id").alias("a"),
+            F.col("simhash").alias("b"),
+        )
+        .unionByName(
+            pairs.select(
+                F.lit("band").alias("leg"),
+                F.col("id_a").alias("a"),
+                F.col("id_b").alias("b"),
+            )
+        )
+        .orderBy("leg", "a", "b")
+    )
