@@ -578,11 +578,20 @@ def line_level_dedup(
     shape. Returns (id, n_lines, n_removed, cleaned_text) for every
     input document (docs whose every line is boilerplate come back with
     cleaned_text = '').
+
+    ``delim`` is a LITERAL separator (regex-escaped before the split —
+    ``F.split`` treats its pattern as a Java regex, so a caller passing
+    '.' or '|' would otherwise get per-char splits while the rebuild
+    side and the DuckDB oracle treat it literally; ADVICE r9).
     """
+    import re as _re
+
     lines = spread_for_compute(
         df.select(
             F.col(id_col).alias("__id"),
-            F.posexplode(F.split(F.col(text_col), delim)).alias("__p", "__line"),
+            F.posexplode(F.split(F.col(text_col), _re.escape(delim))).alias(
+                "__p", "__line"
+            ),
         )
     )
     census = (
@@ -791,6 +800,69 @@ def incremental_dedup_with_bloom(
     )
     fresh = misses.select(id_col).unionByName(fresh_hits.select(id_col))
     return new_df.join(fresh, id_col, "left_semi")
+
+
+def bloom_index_packed(
+    keys: DataFrame,
+    key_col: str = "fingerprint",
+    bits_per_key: int = 4,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """``bloom_index`` packed 64 bits to the word: schema ``(word_id
+    bigint, word bigint, num_bits bigint)`` where bit ``pos & 63`` of
+    the word for ``pos >> 6`` is set iff ``pos`` is set. Exactly
+    ``num_bits/8`` bytes of payload — the position-table form costs 8
+    bytes per DISTINCT SET BIT (~64× more at production occupancy),
+    which is the difference between a broadcastable sketch and a
+    multi-TB join at large index sizes (ADVICE r9: 10¹² keys at 16
+    bits/key is a 2 TB packed bitmap but tens of TB of position longs).
+    Same geometry, same no-false-negative contract; flags equality is
+    property-tested against the unpacked form."""
+    pos = bloom_index(keys, key_col, bits_per_key, num_hashes)
+    return (
+        pos.groupBy(F.shiftright("pos", 6).alias("word_id"))
+        .agg(
+            F.bit_or(F.expr("shiftleft(1L, cast(pos & 63 as int))")).alias("word"),
+            F.max("num_bits").alias("num_bits"),
+        )
+    )
+
+
+def bloom_membership_flags_packed(
+    probe: DataFrame,
+    index: DataFrame,
+    key_col: str = "fingerprint",
+    num_hashes: int = 3,
+) -> DataFrame:
+    """``bloom_membership_flags`` over a PACKED index
+    (``bloom_index_packed``): probe positions join on their word id —
+    64× fewer index rows than the position-table join — and the lane
+    test is one shift-and-mask. Broadcast while the bitmap fits (it is
+    exactly num_bits/8 bytes); past broadcast size the same plan runs
+    as a shuffle join on word_id with nothing else changing."""
+    m = index.agg(F.max("num_bits").alias("num_bits"))
+    probed = (
+        probe.crossJoin(F.broadcast(m))
+        .select(
+            F.col(key_col),
+            F.explode(
+                _bloom_positions(F.col(key_col), F.col("num_bits"), num_hashes)
+            ).alias("pos"),
+        )
+        .select(key_col, "pos", F.shiftright("pos", 6).alias("word_id"))
+    )
+    words = index.select(
+        F.col("word_id").alias("__wid"), F.col("word").alias("__w")
+    )
+    hit = (
+        F.col("__w").isNotNull()
+        & (F.expr("(__w >> cast(pos & 63 as int)) & 1") == 1)
+    )
+    return (
+        probed.join(F.broadcast(words), probed["word_id"] == F.col("__wid"), "left")
+        .groupBy(key_col)
+        .agg(F.bool_and(hit).alias("bloom_hit"))
+    )
 
 
 def minhash_signature_table(

@@ -148,29 +148,48 @@ _SCRATCH_CACHES: list = []
 # scratch frame is consumed by the build that registered it, never
 # revisited rounds later).
 _SCRATCH_CACHE_CAP = 32
+# Build-boundary generation: release_scratch_caches() is the boundary
+# loop callers already mark. Evicting an entry registered in the
+# CURRENT generation means one build registered more than the cap and
+# is about to silently recompute the persist it just counted on
+# (ADVICE r9) — that case warns loudly; steady-state eviction of
+# prior-generation entries in never-releasing sessions stays silent
+# (it is the designed cap behavior).
+_SCRATCH_GEN = 0
 
 
 def scratch_persist(df):
     """persist() a DataFrame and register it for bulk release."""
     df = df.persist()
-    _SCRATCH_CACHES.append(df)
+    _SCRATCH_CACHES.append((_SCRATCH_GEN, df))
     while len(_SCRATCH_CACHES) > _SCRATCH_CACHE_CAP:
-        old = _SCRATCH_CACHES.pop(0)
+        gen, old = _SCRATCH_CACHES.pop(0)
+        import warnings
+
+        if gen == _SCRATCH_GEN:
+            warnings.warn(
+                f"scratch-cache cap ({_SCRATCH_CACHE_CAP}) evicted a frame "
+                "registered by the CURRENT build — its consumers will "
+                "recompute instead of reading the cache (results are "
+                "unaffected). Raise the cap or split the build.",
+                stacklevel=2,
+            )
         try:
             old.unpersist()
         except Exception as exc:
-            import warnings
-
             warnings.warn(f"scratch-cache evict unpersist failed: {exc!r}")
     return df
 
 
 def release_scratch_caches() -> int:
     """Unpersist every registered scratch cache (blocking=False).
-    Returns how many entries were released."""
+    Returns how many entries were released. Also marks a build
+    boundary for the eviction-visibility warning above."""
+    global _SCRATCH_GEN
+    _SCRATCH_GEN += 1
     n = len(_SCRATCH_CACHES)
     while _SCRATCH_CACHES:
-        df = _SCRATCH_CACHES.pop()
+        _, df = _SCRATCH_CACHES.pop()
         try:
             df.unpersist()
         except Exception as exc:  # keep draining, but never silently

@@ -171,7 +171,13 @@ def ingest_process_batch(
     def _has_batch(path: str) -> bool:
         if not path_exists(spark, path):
             return False
-        df = spark.read.parquet(path)
+        # mergeSchema: a table whose OLD files predate the batch_id
+        # column must not hide it — default schema inference samples one
+        # file, so on an upgraded deployment an old file could make this
+        # return False for an already-written batch and let the replay
+        # path double-append accepted rows (ADVICE r9). Merging unions
+        # the schemas; pre-batch_id rows read as NULL and never match.
+        df = spark.read.option("mergeSchema", "true").parquet(path)
         if "batch_id" not in df.columns:
             return False
         return bool(df.filter(F.col("batch_id") == batch_id).head(1))

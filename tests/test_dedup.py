@@ -355,6 +355,53 @@ def test_bloom_index_no_false_negatives_and_bounded(spark):
     assert 0 < fps < 100  # tight sizing exercises the FP path, bounded rate
 
 
+def test_bloom_packed_flags_equal_unpacked(spark):
+    """The packed 64-bit-word bitmap (the representation that keeps the
+    sketch broadcastable at large index sizes — ADVICE r9) is
+    flag-for-flag identical to the position-table form, at both the
+    tight fixture sizing and a production sizing, so it inherits the
+    no-false-negative contract by equality."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        bloom_index,
+        bloom_index_packed,
+        bloom_membership_flags,
+        bloom_membership_flags_packed,
+    )
+
+    keys = spark.range(150).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("fingerprint")
+    )
+    probe = spark.range(300).select(
+        F.when(F.col("id") < 150, F.concat(F.lit("member-"), F.col("id")))
+        .otherwise(F.concat(F.lit("outsider-"), F.col("id")))
+        .alias("fingerprint")
+    )
+    for bpk, k in [(4, 3), (14, 7)]:
+        unpacked = {
+            r.fingerprint: r.bloom_hit
+            for r in bloom_membership_flags(
+                probe, bloom_index(keys, bits_per_key=bpk, num_hashes=k), num_hashes=k
+            ).collect()
+        }
+        packed = {
+            r.fingerprint: r.bloom_hit
+            for r in bloom_membership_flags_packed(
+                probe,
+                bloom_index_packed(keys, bits_per_key=bpk, num_hashes=k),
+                num_hashes=k,
+            ).collect()
+        }
+        assert packed == unpacked, (bpk, k)
+        assert all(packed[f"member-{i}"] for i in range(150))  # no false negatives
+    # packing really packs: word rows ≤ ceil(num_bits/64), never one
+    # row per set bit
+    idx = bloom_index_packed(keys, bits_per_key=14, num_hashes=7)
+    num_bits = idx.agg(F.max("num_bits")).first()[0]
+    assert idx.count() <= num_bits // 64 + 1
+
+
 def test_incremental_dedup_with_bloom_matches_exact(spark):
     """The bloom prefilter changes the plan, never the answer: survivors
     must equal incremental_exact_dedup's on a batch mixing in-batch
@@ -609,3 +656,18 @@ def test_line_level_dedup_semantics(spark):
     assert got == expect, (got, expect)
     assert got[5][2] == ""  # fully-boilerplate doc survives as empty
     assert got[1] == (4, 3, "unique alpha")  # both in-doc copies removed
+
+
+def test_line_level_dedup_delim_is_literal(spark):
+    """``delim`` is a literal separator, not a Java regex (ADVICE r9):
+    a regex-special delimiter like '.' must split on the dot itself,
+    not per-char, and the rebuild must join with the same literal."""
+    from big_data_chicago_crimes_spark.operators.dedup import line_level_dedup
+
+    rows = [(1, "a.b.c"), (2, "a.x"), (3, "a.y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_removed, r.cleaned_text)
+        for r in line_level_dedup(df, min_docs=3, delim=".").collect()
+    }
+    assert got == {1: (3, 1, "b.c"), 2: (2, 1, "x"), 3: (2, 1, "y")}, got

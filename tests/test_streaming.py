@@ -460,3 +460,35 @@ def test_ingest_process_batch_replay_idempotent(spark, tmp_path):
     ingest_process_batch(batch3, 2, accepted, index)
     got = sorted(r.doc_id for r in spark.read.parquet(accepted).collect())
     assert got == [1, 2, 10, 21], got
+
+
+def test_ingest_replay_sees_batch_id_despite_legacy_files(spark, tmp_path):
+    """Upgraded-deployment replay (ADVICE r9): when the accepted table
+    holds OLD files written before the batch_id column existed, schema
+    inference may sample a legacy file and hide batch_id — the replay
+    probe must still see the already-written batch (mergeSchema) or it
+    double-appends accepted rows."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.streaming.joins import ingest_process_batch
+
+    accepted = str(tmp_path / "accepted")
+    index = str(tmp_path / "fp_index")
+    # legacy ingest: accepted rows with NO batch_id column, in MANY
+    # files so post-merge inference would likely sample one of them
+    legacy = spark.createDataFrame(
+        [(i, f"legacy doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    legacy.repartition(8).write.mode("append").parquet(accepted)
+    legacy.select(
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
+            "fingerprint"
+        )
+    ).write.mode("append").parquet(index)
+
+    # new-version ingest writes batch 7, then the batch is replayed
+    batch = spark.createDataFrame([(100, "novel doc")], "doc_id long, text string")
+    ingest_process_batch(batch, 7, accepted, index)
+    ingest_process_batch(batch, 7, accepted, index)  # replay: must no-op
+    acc = spark.read.option("mergeSchema", "true").parquet(accepted)
+    assert acc.filter(F.col("doc_id") == 100).count() == 1  # no double-append
