@@ -435,6 +435,27 @@ def test_incremental_dedup_with_bloom_matches_exact(spark):
     }
     assert got == want == {10, 13}
 
+    # Production shape: a PREBUILT filter (packed or position form)
+    # passed via ``bloom`` yields identical survivors — the filter is
+    # materialized once next to the fingerprint index, never rebuilt
+    # from the corpus per batch.
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        bloom_index,
+        bloom_index_packed,
+    )
+
+    for prebuilt in (
+        bloom_index(corpus_fps, bits_per_key=12),
+        bloom_index_packed(corpus_fps, bits_per_key=12),
+    ):
+        got_pre = {
+            r.doc_id
+            for r in incremental_dedup_with_bloom(
+                batch, corpus_fps, bits_per_key=12, bloom=prebuilt
+            ).collect()
+        }
+        assert got_pre == want
+
 
 def test_fuzzy_match_pairs_banding_and_distances(spark):
     """Length-banded Levenshtein pairs: same-band and adjacent-band
