@@ -389,3 +389,69 @@ def tfidf_cosine_pairs(
         .agg(F.round(F.sum(F.col("a.wn") * F.col("b.wn")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_cap: int | None = None,
+) -> DataFrame:
+    """Per-document average unigram log10-probability under an add-one
+    smoothed LM fit on the corpus itself — the perplexity-style filter
+    CCNet (Wenzek et al. 2020) popularized for web-corpus curation:
+    documents whose token mix is improbable under the corpus LM (OCR
+    noise, boilerplate soup, wrong-language residue) land in the low
+    tail and get dropped or down-weighted.
+
+    Definition (shared with the DuckDB oracle): with corpus token count
+    ``N``, distinct-token count ``V`` and per-token count ``c(t)``,
+    ``p(t) = (c(t)+1)/(N+V)`` and the document score is
+    ``avg over tokens of log10 p(t)``, ROUNDed to 6dp. The sum is
+    computed as ``sum(log10(c+1)) − n·log10(N+V)`` so every term is a
+    deterministic function of integers.
+
+    Scale shape: one explode + one count shuffle fit the LM; scoring
+    re-joins tokens to counts. The corpus side of that join never
+    shuffles — the vocabulary is the broadcast side (Zipf-bounded, and
+    ``vocab_cap`` keeps it bounded even on typo-heavy web text: only the
+    top-``cap`` tokens by (count, token) keep their counts, the tail
+    scores as OOV with the same smoothed floor ``1/(N+V)``; N and V stay
+    exact either way, so capped and uncapped agree whenever
+    ``cap ≥ V`` — property-tested). The N+V totals ride in as a 1-row
+    broadcast cross join, not a driver collect.
+    """
+    toks = spread_for_compute(df).select(
+        id_col, F.explode(tokens(text_col)).alias("__tok")
+    )
+    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    totals = vocab.agg(
+        F.sum("__c").alias("__n_total"), F.count(F.lit(1)).alias("__v_size")
+    )
+    if vocab_cap is not None:
+        # Deterministic cap: top tokens by (count desc, token asc).
+        # orderBy+limit plans as TakeOrderedAndProject — per-partition
+        # partial top-K then a single merge, never a global sort.
+        vocab = vocab.orderBy(F.col("__c").desc(), F.col("__tok").asc()).limit(
+            vocab_cap
+        )
+    scored = (
+        toks.join(F.broadcast(vocab), "__tok", "left")
+        .groupBy(id_col)
+        .agg(
+            # OOV (capped-out) tokens contribute log10(0+1) = 0.
+            F.sum(F.log10(F.coalesce(F.col("__c"), F.lit(0)) + 1)).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(totals)).select(
+        id_col,
+        F.round(
+            (
+                F.col("__s")
+                - F.col("__n") * F.log10(F.col("__n_total") + F.col("__v_size"))
+            )
+            / F.col("__n"),
+            6,
+        ).alias("avg_logprob"),
+    )

@@ -269,22 +269,71 @@ def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT ROUND((len_score + LEAST(sw_ratio / 0.3, 1.0)
                           + 1.0 - LEAST(p_ratio / 0.2, 1.0)) / 3.0, 6) AS qs
             FROM scored
+        ), quality AS (
+            SELECT 'quality' AS leg, CAST(FLOOR(qs * 10) AS INTEGER) AS bucket,
+                   COUNT(*) AS n_docs
+            FROM q GROUP BY bucket
+        ), toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ), vocab AS (
+            SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        ), tot AS (
+            SELECT SUM(c) AS n_total, COUNT(*) AS v_size FROM vocab
+        ), per_doc AS (
+            SELECT t.doc_id, SUM(LOG10(v.c + 1)) AS s, COUNT(*) AS n
+            FROM toks t JOIN vocab v USING (tok) GROUP BY t.doc_id
+        ), lm AS (
+            SELECT 'lm' AS leg,
+                   CAST(FLOOR(ROUND((s - n * LOG10(n_total + v_size)) / n, 6)
+                              * 10) AS INTEGER) AS bucket,
+                   COUNT(*) AS n_docs
+            FROM per_doc, tot GROUP BY bucket
         )
-        SELECT CAST(FLOOR(qs * 10) AS INTEGER) AS decile, COUNT(*) AS n_docs
-        FROM q GROUP BY decile ORDER BY decile
+        SELECT * FROM quality UNION ALL SELECT * FROM lm
+        ORDER BY leg, bucket
     """,
-    tags=("text", "quality", "extension"),
+    tags=("text", "quality", "lm-filter", "extension"),
 )
 def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite [0,1] quality score histogram (0.1-wide buckets) — the
-    filter a training-data pipeline thresholds on."""
+    """Two pipeline quality filters in one certified surface, tagged by
+    ``leg``:
+
+    - ``quality`` — composite [0,1] heuristic score histogram (0.1-wide
+      buckets): length + stopword rate + punctuation soup, the cheap
+      per-row filter.
+    - ``lm`` — average unigram log10-probability histogram under an
+      add-one-smoothed LM fit on the corpus itself (CCNet shape, Wenzek
+      et al. 2020): the corpus-level filter that needs a fitted model.
+      See :func:`~big_data_chicago_crimes_spark.operators.curation.unigram_logprob`
+      for the definition and the vocab-cap production variant.
+
+    The heuristic leg is pure per-row codegen; the LM leg is one
+    explode + one count shuffle + a broadcast re-join."""
+    from big_data_chicago_crimes_spark.operators.curation import unigram_logprob
+
     t = load_tables(spark, sf_dir)
-    bucket = F.floor(quality_score("text") * 10).cast("int").alias("decile")
-    return (
+    bucket = F.floor(quality_score("text") * 10).cast("int").alias("bucket")
+    qual = (
         t.documents.select(bucket)
-        .groupBy("decile")
+        .groupBy("bucket")
         .agg(F.count("*").alias("n_docs"))
-        .orderBy("decile")
+        .withColumn("leg", F.lit("quality"))
+    )
+    lm = (
+        unigram_logprob(t.documents)
+        .select(
+            F.floor(F.col("avg_logprob") * 10).cast("int").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("leg", F.lit("lm"))
+    )
+    return (
+        qual.unionByName(lm)
+        .select("leg", "bucket", "n_docs")
+        .orderBy("leg", "bucket")
     )
 
 
@@ -299,40 +348,63 @@ def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, lang, len(t) AS n,
                    ROUND(1.0 - len(list_distinct(t)) * 1.0 / len(t), 6) AS dup_frac
             FROM toks
-        ), bigrams AS (
-            SELECT doc_id,
+        ), grams AS (
+            SELECT doc_id, 2 AS g,
                    unnest(list_transform(generate_series(1, greatest(len(t) - 1, 1)),
-                          i -> concat_ws(' ', t[i], t[i+1]))) AS bg
+                          i -> concat_ws(' ', t[i], t[i+1]))) AS gram
             FROM toks
-        ), bg_counts AS (
-            SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
-        ), top_bg AS (
-            SELECT doc_id, MAX(c) AS max_c FROM bg_counts GROUP BY doc_id
+            UNION ALL
+            SELECT doc_id, 3 AS g,
+                   unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+            FROM toks
+            UNION ALL
+            SELECT doc_id, 4 AS g,
+                   unnest(list_transform(generate_series(1, greatest(len(t) - 3, 1)),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]))) AS gram
+            FROM toks
+        ), gram_counts AS (
+            SELECT doc_id, g, gram, COUNT(*) AS c
+            FROM grams GROUP BY doc_id, g, gram
+        ), tops AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN g = 2 THEN c END) AS m2,
+                   MAX(CASE WHEN g = 3 THEN c END) AS m3,
+                   MAX(CASE WHEN g = 4 THEN c END) AS m4
+            FROM gram_counts GROUP BY doc_id
         ), joined AS (
             SELECT p.lang, p.dup_frac,
-                   ROUND(LEAST(2.0 * t.max_c / p.n, 1.0), 6) AS top_bigram_frac
-            FROM per_doc p JOIN top_bg t ON p.doc_id = t.doc_id
+                   ROUND(LEAST(2.0 * t.m2 / p.n, 1.0), 6) AS top2_frac,
+                   ROUND(LEAST(3.0 * t.m3 / p.n, 1.0), 6) AS top3_frac,
+                   ROUND(LEAST(4.0 * t.m4 / p.n, 1.0), 6) AS top4_frac
+            FROM per_doc p JOIN tops t ON p.doc_id = t.doc_id
         )
         SELECT lang,
                COUNT(*) AS n_docs,
-               CAST(SUM(CASE WHEN dup_frac > 0.3 OR top_bigram_frac > 0.18
+               CAST(SUM(CASE WHEN dup_frac > 0.3 OR top2_frac > 0.20
+                             OR top3_frac > 0.18 OR top4_frac > 0.16
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
                ROUND(AVG(dup_frac), 6) AS avg_dup_frac,
-               ROUND(AVG(top_bigram_frac), 6) AS avg_top_bigram_frac
+               ROUND(AVG(top2_frac), 6) AS avg_top2_frac,
+               ROUND(AVG(top3_frac), 6) AS avg_top3_frac,
+               ROUND(AVG(top4_frac), 6) AS avg_top4_frac
         FROM joined GROUP BY lang ORDER BY lang
     """,
     tags=("text", "quality", "repetition", "extension"),
 )
 def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition signals per language: duplicate-token
-    fraction (1 - distinct/total) and top-bigram coverage (tokens claimed
-    by the most frequent word 2-gram), plus the count of docs a
-    Gopher-like filter (dup > 0.3 OR top-bigram > 0.18) would drop.
+    """Gopher-style repetition signals per language (Rae et al. 2021,
+    Table A1): duplicate-token fraction (1 - distinct/total) and the
+    token coverage of the most frequent word 2-, 3- and 4-gram, plus the
+    count of docs the Gopher thresholds (dup > 0.3, top-2g > 0.20,
+    top-3g > 0.18, top-4g > 0.16) would drop.
 
     Shape: the dup fraction is per-row codegen (array_distinct/size);
-    the bigram stage is explode → two-level count/max aggregate. Both
-    thresholds compare 6dp-ROUNDED values so the flag census is stable
-    under float noise on both engines."""
+    all three gram sizes ride ONE tagged explode (array-of-struct concat,
+    so the corpus is scanned once, not once per n) into a two-level
+    count/conditional-max aggregate. Thresholds compare 6dp-ROUNDED
+    values so the flag census is stable under float noise on both
+    engines."""
     from big_data_chicago_crimes_spark.functions.text import tokens
     from big_data_chicago_crimes_spark.operators.dedup import spread_for_compute
 
@@ -350,32 +422,51 @@ def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.size(F.array_distinct("t")) / n.cast("double"), 6
         ).alias("dup_frac"),
     )
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1)))
-    bigrams = base.select(
+
+    def gram_structs(k: int):
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(k).alias("g"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.try_element_at(F.col("t"), i + F.lit(j))
+                        for j in range(k)
+                    ],
+                ).alias("gram"),
+            ),
+        )
+
+    grams = base.select(
         "doc_id",
         F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ",
-                    F.try_element_at(F.col("t"), i),
-                    F.try_element_at(F.col("t"), i + F.lit(1)),
-                ),
-            )
-        ).alias("bg"),
-    )
-    top_bg = (
-        bigrams.groupBy("doc_id", "bg")
+            F.concat(gram_structs(2), gram_structs(3), gram_structs(4))
+        ).alias("e"),
+    ).select("doc_id", F.col("e.g").alias("g"), F.col("e.gram").alias("gram"))
+    tops = (
+        grams.groupBy("doc_id", "g", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
-        .agg(F.max("c").alias("max_c"))
+        .agg(
+            F.max(F.when(F.col("g") == 2, F.col("c"))).alias("m2"),
+            F.max(F.when(F.col("g") == 3, F.col("c"))).alias("m3"),
+            F.max(F.when(F.col("g") == 4, F.col("c"))).alias("m4"),
+        )
     )
-    joined = per_doc.join(top_bg, "doc_id").select(
+    joined = per_doc.join(tops, "doc_id").select(
         "lang",
         "dup_frac",
-        F.round(
-            F.least(F.lit(2.0) * F.col("max_c") / F.col("n"), F.lit(1.0)), 6
-        ).alias("top_bigram_frac"),
+        *[
+            F.round(
+                F.least(
+                    F.lit(float(k)) * F.col(f"m{k}") / F.col("n"), F.lit(1.0)
+                ),
+                6,
+            ).alias(f"top{k}_frac")
+            for k in (2, 3, 4)
+        ],
     )
     return (
         joined.groupBy("lang")
@@ -383,11 +474,16 @@ def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(
                 (
-                    (F.col("dup_frac") > 0.3) | (F.col("top_bigram_frac") > 0.18)
+                    (F.col("dup_frac") > 0.3)
+                    | (F.col("top2_frac") > 0.20)
+                    | (F.col("top3_frac") > 0.18)
+                    | (F.col("top4_frac") > 0.16)
                 ).cast("long")
             ).alias("n_flagged"),
             F.round(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
-            F.round(F.avg("top_bigram_frac"), 6).alias("avg_top_bigram_frac"),
+            F.round(F.avg("top2_frac"), 6).alias("avg_top2_frac"),
+            F.round(F.avg("top3_frac"), 6).alias("avg_top3_frac"),
+            F.round(F.avg("top4_frac"), 6).alias("avg_top4_frac"),
         )
         .orderBy("lang")
     )

@@ -118,3 +118,72 @@ def test_star_components_match_on_dedup_graph(spark, sf_dir):
     prop = {(r.id, r.component) for r in connected_components(edges).collect()}
     star = {(r.id, r.component) for r in connected_components_star(edges).collect()}
     assert star == prop and prop
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    """Tiny corpus where the smoothed LM is computable by hand:
+    corpus = {a: 3, b: 1} → N=4, V=2, p(a)=(3+1)/6, p(b)=(1+1)/6."""
+    import math
+
+    from big_data_chicago_crimes_spark.operators.curation import unigram_logprob
+
+    docs = _docs(spark, [(1, "a a b"), (2, "a")])
+    out = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in unigram_logprob(docs).collect()
+    }
+    lp_a = math.log10(4 / 6)
+    lp_b = math.log10(2 / 6)
+    assert out[1] == round((2 * lp_a + lp_b) / 3, 6)
+    assert out[2] == round(lp_a, 6)
+
+
+def test_unigram_logprob_cap_at_or_above_vocab_is_identity(spark):
+    """cap ≥ V must not change any score (N and V stay exact; no token
+    is forced to the OOV floor)."""
+    from big_data_chicago_crimes_spark.operators.curation import unigram_logprob
+
+    docs = _docs(
+        spark,
+        [(i, f"tok{i % 7} tok{(i * 3) % 7} common common") for i in range(40)],
+    )
+    full = unigram_logprob(docs).orderBy("doc_id").collect()
+    capped = unigram_logprob(docs, vocab_cap=1000).orderBy("doc_id").collect()
+    assert full == capped
+
+
+def test_unigram_logprob_capped_oov_scores_floor(spark):
+    """With cap=1 only the most frequent token keeps its count; every
+    other token scores the smoothed OOV floor 1/(N+V) — so a doc made of
+    rare tokens must score exactly n·log10(1/(N+V))/n."""
+    import math
+
+    from big_data_chicago_crimes_spark.operators.curation import unigram_logprob
+
+    docs = _docs(spark, [(1, "hot hot hot hot"), (2, "rare1 rare2")])
+    out = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in unigram_logprob(docs, vocab_cap=1).collect()
+    }
+    n_total, v_size = 6, 3
+    assert out[2] == round(math.log10(1 / (n_total + v_size)), 6)
+    assert out[1] == round(math.log10(5 / (n_total + v_size)), 6)
+
+
+def test_unigram_logprob_cap_tiebreak_deterministic(spark):
+    """Equal-count tokens at the cap boundary break by token asc —
+    two runs (and any partitioning) must pick the same survivor."""
+    from big_data_chicago_crimes_spark.operators.curation import unigram_logprob
+
+    docs = _docs(spark, [(1, "aa bb"), (2, "aa bb")])
+    a = unigram_logprob(docs, vocab_cap=1).orderBy("doc_id").collect()
+    b = (
+        unigram_logprob(docs.repartition(7), vocab_cap=1)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
