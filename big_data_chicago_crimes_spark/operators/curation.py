@@ -421,6 +421,13 @@ def unigram_logprob(
     ``cap ≥ V`` — property-tested). The N+V totals ride in as a 1-row
     broadcast cross join, not a driver collect.
     """
+    # A/B'd (r10, sf0.1, interleaved): persisting the exploded token
+    # frame LOSES (1.84 vs 1.66 s — wide rows, cheap recompute), and a
+    # pre-reduced per-(doc, token) count formulation also loses at
+    # fixture scale (1.08 vs 0.93 s — the 40-token vocab leaves nothing
+    # to reduce) while staying output-identical. On repetitive web text
+    # the reduced form cuts scoring-join volume to distinct (doc, token)
+    # pairs — revisit if profiles show the join dominating at scale.
     toks = spread_for_compute(df).select(
         id_col, F.explode(tokens(text_col)).alias("__tok")
     )

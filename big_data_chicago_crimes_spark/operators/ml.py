@@ -214,6 +214,21 @@ def one_hot_pipeline(df: DataFrame, label_col: str) -> tuple[DataFrame, list[str
     return pipeline.fit(df).transform(df), feature_cols
 
 
+def one_hot_lr_predictions(df: DataFrame, label_col: str) -> DataFrame:
+    """LR held-out predictions over the one-hot feature pipeline — the
+    M14 OneHotEncoder path (imported but commented out in the reference,
+    Dataset.py:26) run end-to-end so the driver gate certifies it, not
+    just the local suite. Same split/hyperparameters as
+    :func:`logistic_regression_predictions`; only the featurization
+    differs."""
+    prepared, _ = one_hot_pipeline(df, label_col)
+    train, test = prepared.randomSplit([0.8, 0.2], seed=SEED)
+    model = LogisticRegression(
+        featuresCol="features", labelCol=label_col, maxIter=100, regParam=0.1
+    ).fit(train)
+    return model.transform(test)
+
+
 def cross_validated_lr_auc(df: DataFrame, label_col: str, folds: int = 3) -> DataFrame:
     """CrossValidator + ParamGridBuilder (M14: imported and sketched in
     comments at Dataset.py:615-642 but never run) — a working 3-fold CV

@@ -141,20 +141,29 @@ def _auc_band_oracle(model: str) -> str:
     oracle=f"""
         {_auc_band_oracle("logistic_regression")}
         UNION ALL
+        {_auc_band_oracle("one_hot_lr")}
+        UNION ALL
         {_auc_band_oracle("random_forest")}
         ORDER BY model
     """,
-    tags=("ml", "reference:M7", "reference:M8"),
+    tags=("ml", "reference:M7", "reference:M8", "reference:M14"),
 )
 def ml_classifier_auc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic regression AND random forest AUC on one surface,
     certified as band-check booleans plus degeneracy/discrimination
-    checks a constant classifier cannot pass (see module comment)."""
+    checks a constant classifier cannot pass (see module comment).
+    The r10 ``one_hot_lr`` leg runs the M14 OneHotEncoder featurization
+    (StringIndexer → OneHotEncoder → assembler, operators/ml.py
+    ``one_hot_pipeline``) through the same LR + band certification, so
+    the encoder path is driver-gated rather than local-suite-only."""
+    from big_data_chicago_crimes_spark.operators.ml import one_hot_lr_predictions
+
     lr = _certified_auc(
         spark, sf_dir, "logistic_regression", logistic_regression_predictions
     )
+    ohe = _certified_auc(spark, sf_dir, "one_hot_lr", one_hot_lr_predictions)
     rf = _certified_auc(spark, sf_dir, "random_forest", random_forest_predictions)
-    return lr.unionByName(rf).orderBy("model")
+    return lr.unionByName(ohe).unionByName(rf).orderBy("model")
 
 
 @register(

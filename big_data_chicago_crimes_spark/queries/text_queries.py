@@ -290,8 +290,29 @@ def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                               * 10) AS INTEGER) AS bucket,
                    COUNT(*) AS n_docs
             FROM per_doc, tot GROUP BY bucket
+        ), gopher_rules AS (
+            SELECT ROUND(list_sum(list_transform(t, w -> length(w)))
+                         * 1.0 / greatest(len(t), 1), 6) AS mean_wlen,
+                   ROUND((length(text) - length(replace(text, '#', ''))
+                          + (length(text) - length(replace(text, '...', ''))) / 3)
+                         * 1.0 / greatest(len(t), 1), 6) AS sym_ratio,
+                   ROUND(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
+                         * 1.0 / greatest(len(t), 1), 6) AS alpha_frac,
+                   len(list_filter(t, w -> list_contains([{_SW_LIST}], lower(w))))
+                       AS sw_count
+            FROM (SELECT text, regexp_split_to_array(trim(text), '\\s+') AS t
+                  FROM documents)
+        ), gopher AS (
+            SELECT 'gopher' AS leg,
+                   CAST((CASE WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN sym_ratio > 0.1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END)
+                      + (CASE WHEN sw_count < 2 THEN 1 ELSE 0 END) AS INTEGER) AS bucket,
+                   COUNT(*) AS n_docs
+            FROM gopher_rules GROUP BY bucket
         )
         SELECT * FROM quality UNION ALL SELECT * FROM lm
+        UNION ALL SELECT * FROM gopher
         ORDER BY leg, bucket
     """,
     tags=("text", "quality", "lm-filter", "extension"),
@@ -308,9 +329,17 @@ def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       et al. 2020): the corpus-level filter that needs a fitted model.
       See :func:`~big_data_chicago_crimes_spark.operators.curation.unigram_logprob`
       for the definition and the vocab-cap production variant.
+    - ``gopher`` — census of docs by how many of four Gopher document
+      rules they FAIL (Rae et al. 2021 Table A1: mean word length in
+      [3,10], symbol-to-word ratio ≤ 0.1, ≥80% words alphabetic,
+      ≥2 stopwords): bucket 0 = passes all, 4 = fails all.
 
-    The heuristic leg is pure per-row codegen; the LM leg is one
-    explode + one count shuffle + a broadcast re-join."""
+    The heuristic and gopher legs are pure per-row codegen; the LM leg
+    is one explode + one count shuffle + a broadcast re-join."""
+    from big_data_chicago_crimes_spark.functions.text import (
+        STOPWORDS_EN,
+        tokens,
+    )
     from big_data_chicago_crimes_spark.operators.curation import unigram_logprob
 
     t = load_tables(spark, sf_dir)
@@ -330,8 +359,51 @@ def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .withColumn("leg", F.lit("lm"))
     )
+    toks = tokens("text")
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    mean_wlen = F.round(
+        F.aggregate(
+            toks, F.lit(0), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / n_toks,
+        6,
+    )
+    sym_ratio = F.round(
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+            + (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit("...")))
+            )
+            / F.lit(3)
+        ).cast("double")
+        / n_toks,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n_toks,
+        6,
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    sw_count = F.size(
+        F.filter(toks, lambda w: F.array_contains(sw, F.lower(w)))
+    )
+    fails = (
+        ((mean_wlen < 3.0) | (mean_wlen > 10.0)).cast("int")
+        + (sym_ratio > 0.1).cast("int")
+        + (alpha_frac < 0.8).cast("int")
+        + (sw_count < 2).cast("int")
+    )
+    gopher = (
+        t.documents.select(fails.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("leg", F.lit("gopher"))
+    )
     return (
         qual.unionByName(lm)
+        .unionByName(gopher)
         .select("leg", "bucket", "n_docs")
         .orderBy("leg", "bucket")
     )

@@ -77,6 +77,9 @@ SUITE = {
         "docs_token_stats",
         "docs_bpe_token_stats",
         "docs_repetition_stats",
+        # r10: carries the new unigram-LM leg — the interesting scale
+        # term is the LM fit (vocab count shuffle) + broadcast re-join
+        "docs_quality_scores",
         "docs_lang_id",
         # first-class as of r7 (r6 measured both ad hoc as late additions)
         "docs_pii_scrub_stats",
