@@ -333,3 +333,38 @@ def global_hash_order(
         )
         .drop("__ob", "__off")
     )
+
+
+def balanced_shards(
+    df: DataFrame,
+    weight: Column,
+    n_shards: int,
+    key: str = "doc_id",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign every row to one of ``n_shards`` so per-shard total
+    ``weight`` (e.g. token count) is balanced — the training-shard
+    layout problem: unbalanced shards leave accelerators idle at epoch
+    tails. Greedy LPT-style snake packing: rows rank globally by
+    (weight desc, content-hash, key), then walk shards 0..n-1, n-1..0,
+    0..n-1, … so each round pairs a heavy row on one shard with lighter
+    rows on the others; per-shard totals land within one max-row-weight
+    of each other on realistic weight mixes.
+
+    Deterministic (pure function of row content — stable under
+    repartition, retry, engine change) and APPEND-monotone in rank
+    construction like the rest of this module. Scale shape: the global
+    rank is :func:`global_hash_order`'s two-level histogram plan keyed
+    by (negated weight, hash bucket) — no global-sort funnel; the snake
+    arithmetic is per-row codegen.
+    """
+    keyed = df.withColumn("__negw", -weight.cast("long"))
+    ranked = global_hash_order(
+        keyed, key, stage_cols=["__negw"], rank_col="__rk"
+    )
+    pos = (F.col("__rk") - 1) % n_shards
+    rnd = F.floor((F.col("__rk") - 1) / n_shards)
+    snake = F.when(rnd % 2 == 0, pos).otherwise(n_shards - 1 - pos)
+    return ranked.withColumn(shard_col, snake.cast("int")).drop(
+        "__negw", "__rk"
+    )

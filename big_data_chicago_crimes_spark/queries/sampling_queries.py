@@ -84,28 +84,109 @@ def docs_sampling_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_train_val_test_split",
+    # r10: second leg certifies balanced_shards (LPT-snake training-shard
+    # assignment). The oracle replays the exact total order the two-level
+    # rank implements — (weight desc, hash bucket, md5, key) — then the
+    # snake arithmetic, then the same census; n_tokens per shard makes
+    # the balance property visible in the certified values themselves.
     oracle=f"""
-        SELECT CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
-                    WHEN {_BUCKET_SQL} < 90 THEN 'val'
-                    ELSE 'test' END AS split,
-               lang, COUNT(*) AS n_docs
-        FROM documents
-        GROUP BY split, lang ORDER BY split, lang
+        WITH split AS (
+            SELECT 'split' AS leg,
+                   CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                        WHEN {_BUCKET_SQL} < 90 THEN 'val'
+                        ELSE 'test' END AS grp,
+                   lang,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tok
+            FROM documents
+        ), split_census AS (
+            SELECT leg, grp, lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM split GROUP BY leg, grp, lang
+        ), weighted AS (
+            SELECT doc_id, lang,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tok
+            FROM documents
+        ), ranked AS (
+            SELECT lang, n_tok,
+                   row_number() OVER (
+                       ORDER BY -n_tok ASC,
+                                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4096,
+                                md5(CAST(doc_id AS VARCHAR)),
+                                doc_id
+                   ) AS rk
+            FROM weighted
+        ), sharded AS (
+            SELECT lang, n_tok,
+                   CASE WHEN ((rk - 1) // 8) % 2 = 0 THEN (rk - 1) % 8
+                        ELSE 7 - ((rk - 1) % 8) END AS shard
+            FROM ranked
+        ), shard_census AS (
+            SELECT 'shards8' AS leg, CAST(shard AS VARCHAR) AS grp, lang,
+                   COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM sharded GROUP BY leg, grp, lang
+        )
+        SELECT * FROM split_census UNION ALL SELECT * FROM shard_census
+        ORDER BY leg, grp, lang
     """,
-    tags=("sampling", "split", "extension"),
+    tags=("sampling", "split", "sharding", "extension"),
 )
 def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """80/10/10 train/val/test assignment by doc_id hash bucket, counted
-    per (split, lang). Per-row-deterministic: new corpus rows never move
-    existing rows between splits."""
+    """Two deterministic corpus-partitioning recipes on one certified
+    surface, tagged by ``leg``:
+
+    - ``split`` — 80/10/10 train/val/test assignment by doc_id hash
+      bucket, counted per (split, lang). Per-row-deterministic: new
+      corpus rows never move existing rows between splits.
+    - ``shards8`` — :func:`~big_data_chicago_crimes_spark.operators.sampling.balanced_shards`
+      LPT-snake assignment into 8 training shards weighted by token
+      count; the per-shard ``n_tokens`` totals in the certified result
+      exhibit the balance directly."""
+    from big_data_chicago_crimes_spark.functions.text import token_count
+    from big_data_chicago_crimes_spark.operators.sampling import balanced_shards
+
     t = load_tables(spark, sf_dir)
+    n_tok = token_count("text")
     split = hash_split(
         t.documents, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).withColumn("__nt", n_tok)
+    split_census = (
+        split.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.lit("split").alias("leg"),
+            F.col("split").alias("grp"),
+            "lang",
+            "n_docs",
+            "n_tokens",
+        )
+    )
+    sharded = balanced_shards(
+        t.documents.withColumn("__nt", n_tok), F.col("__nt"), 8
+    )
+    shard_census = (
+        sharded.groupBy("shard", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.lit("shards8").alias("leg"),
+            F.col("shard").cast("string").alias("grp"),
+            "lang",
+            "n_docs",
+            "n_tokens",
+        )
     )
     return (
-        split.groupBy("split", "lang")
-        .agg(F.count("*").alias("n_docs"))
-        .orderBy("split", "lang")
+        split_census.unionByName(shard_census)
+        .orderBy("leg", "grp", "lang")
     )
 
 

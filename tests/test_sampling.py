@@ -255,3 +255,34 @@ def test_global_hash_order_append_stable_within_earlier_stages(spark):
     rb = {r.id: r.global_rank for r in global_hash_order(df_b, "id", ["stage"]).collect()}
     rg = {r.id: r.global_rank for r in global_hash_order(df_g, "id", ["stage"]).collect()}
     assert all(rg[i] == rb[i] for i in rb)  # stage-0 ranks untouched
+
+
+def test_balanced_shards_balance_and_determinism(spark):
+    """LPT-snake sharding: per-shard weight totals within one max row
+    weight of each other on a mixed-weight corpus, every row assigned
+    exactly one shard in [0, n), and the assignment is a pure function
+    of content (stable under repartition)."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.sampling import balanced_shards
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = balanced_shards(df, F.col("w"), 4, key="doc_id")
+    per_shard = {
+        r["shard"]: (r["n"], r["tot"])
+        for r in out.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.sum("w").alias("tot"))
+        .collect()
+    }
+    assert set(per_shard) == {0, 1, 2, 3}
+    totals = [t for _, t in per_shard.values()]
+    assert max(totals) - min(totals) <= 100  # one max row weight
+    a = sorted((r["doc_id"], r["shard"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["shard"])
+        for r in balanced_shards(
+            df.repartition(13), F.col("w"), 4, key="doc_id"
+        ).collect()
+    )
+    assert a == b
