@@ -462,3 +462,73 @@ def unigram_logprob(
             6,
         ).alias("avg_logprob"),
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document importance score for Data Selection via Importance
+    Resampling (DSIR, Xie et al. 2023): the length-normalized log-ratio
+    ``avg over tokens of (log10 p_target(t) − log10 p_source(t))``
+    between a unigram LM fit on ``target`` (the in-domain sample) and
+    one fit on ``df`` (the raw corpus). Documents whose token mix looks
+    more in-domain than generic score high; selecting the top slice
+    importance-resamples the corpus toward the target distribution.
+
+    Both LMs share the SOURCE corpus vocabulary V and add-one smoothing
+    (``p(t) = (c(t)+1)/(N+V)``), so target-OOV tokens get the smoothed
+    floor and every term is a deterministic function of integer counts
+    — same oracle contract as :func:`unigram_logprob`. The constant
+    ``log10((N_src+V)/(N_tgt+V))`` is NOT dropped, so scores are true
+    log ratios (comparable across corpora), but note it shifts rank
+    ties nowhere: ranking is invariant to it.
+
+    Scale shape: one explode each over corpus and target (the target is
+    dim-sized by definition); token counts via one shuffle each; both
+    count frames broadcast into the scoring join, so the corpus never
+    shuffles. Per-doc aggregation is the only corpus-sized shuffle.
+    """
+    toks = spread_for_compute(df).select(
+        id_col, F.explode(tokens(text_col)).alias("__tok")
+    )
+    vocab_src = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cs"))
+    vocab_tgt = (
+        target.select(F.explode(tokens(text_col)).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    totals = vocab_src.agg(
+        F.sum("__cs").alias("__ns"), F.count(F.lit(1)).alias("__v")
+    ).crossJoin(
+        vocab_tgt.agg(F.sum("__ct").alias("__nt"))
+    )
+    scored = (
+        toks.join(F.broadcast(vocab_src), "__tok")
+        .join(F.broadcast(vocab_tgt), "__tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.log10(F.coalesce(F.col("__ct"), F.lit(0)) + 1)
+                - F.log10(F.col("__cs") + 1)
+            ).alias("__d"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(totals)).select(
+        id_col,
+        F.round(
+            (
+                F.col("__d")
+                - F.col("__n")
+                * (
+                    F.log10(F.col("__nt") + F.col("__v"))
+                    - F.log10(F.col("__ns") + F.col("__v"))
+                )
+            )
+            / F.col("__n"),
+            6,
+        ).alias("dsir_score"),
+    )

@@ -198,6 +198,12 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under that exact total order. EXACT MEMBERSHIP certification: the
     # query returns the kept (doc_id, source) rows themselves, so the
     # driver's value hash pins every selected row, not a summary.
+    # r10: second leg certifies dsir_logratio (DSIR importance
+    # resampling, Xie et al. 2023) as EXACT MEMBERSHIP of the top-200
+    # docs by in-domain (source='src0') importance score. The oracle
+    # replays both unigram LMs from integer counts, the shared-V
+    # add-one smoothing, the 6dp-rounded length-normalized log ratio,
+    # and the (score desc, doc_id) tie-break.
     oracle="""
         WITH ranked AS (
             SELECT doc_id, source,
@@ -208,23 +214,81 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 doc_id
                    ) AS rk
             FROM documents
+        ), quota AS (
+            SELECT 'quota' AS leg, doc_id, source FROM ranked WHERE rk <= 10
+        ), toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ), vocab_src AS (
+            SELECT tok, COUNT(*) AS cs FROM toks GROUP BY tok
+        ), vocab_tgt AS (
+            SELECT tok, COUNT(*) AS ct
+            FROM toks JOIN documents USING (doc_id)
+            WHERE source = 'src0' GROUP BY tok
+        ), tot AS (
+            SELECT (SELECT SUM(cs) FROM vocab_src) AS ns,
+                   (SELECT COUNT(*) FROM vocab_src) AS v,
+                   (SELECT SUM(ct) FROM vocab_tgt) AS nt
+        ), per_doc AS (
+            SELECT t.doc_id,
+                   SUM(LOG10(COALESCE(g.ct, 0) + 1) - LOG10(s.cs + 1)) AS d,
+                   COUNT(*) AS n
+            FROM toks t
+            JOIN vocab_src s USING (tok)
+            LEFT JOIN vocab_tgt g USING (tok)
+            GROUP BY t.doc_id
+        ), scored AS (
+            SELECT doc_id,
+                   ROUND((d - n * (LOG10(nt + v) - LOG10(ns + v))) / n, 6)
+                       AS dsir_score
+            FROM per_doc, tot
+        ), dsir AS (
+            SELECT 'dsir_top200' AS leg, s.doc_id, doc.source
+            FROM (SELECT doc_id,
+                         row_number() OVER (ORDER BY dsir_score DESC, doc_id)
+                             AS rk
+                  FROM scored) s
+            JOIN documents doc ON s.doc_id = doc.doc_id
+            WHERE s.rk <= 200
         )
-        SELECT doc_id, source FROM ranked WHERE rk <= 10
-        ORDER BY source, doc_id
+        SELECT * FROM quota UNION ALL SELECT * FROM dsir
+        ORDER BY leg, source, doc_id
     """,
-    tags=("sampling", "quota", "mixing", "extension"),
+    tags=("sampling", "quota", "mixing", "dsir", "extension"),
 )
 def docs_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain quota cap of a data-mixing recipe: at most 10 documents
-    per source, selected by content-hash order (deterministic under
-    repartition/retry/engine change; monotone in the quota). The scale
-    shape is the point — the (group, hash-bucket) histogram bounds the
-    exact-rank window to ~1/4096 of the hottest domain instead of
-    funnelling every row of a group through one WindowExec task
-    (operators/sampling.py:quota_sample)."""
+    """Two data-mixing selections, exact membership, tagged by ``leg``:
+
+    - ``quota`` — at most 10 documents per source, selected by
+      content-hash order (deterministic under repartition/retry/engine
+      change; monotone in the quota). The scale shape is the point —
+      the (group, hash-bucket) histogram bounds the exact-rank window
+      to ~1/4096 of the hottest domain instead of funnelling every row
+      of a group through one WindowExec task
+      (operators/sampling.py:quota_sample).
+    - ``dsir_top200`` — DSIR importance resampling
+      (:func:`~big_data_chicago_crimes_spark.operators.curation.dsir_logratio`):
+      the 200 docs whose token mix looks most like the in-domain
+      target (source='src0') under the unigram-LM log-ratio, ties by
+      doc_id. Top-k by score plans as TakeOrderedAndProject — no
+      global sort."""
+    from big_data_chicago_crimes_spark.operators.curation import dsir_logratio
+
     t = load_tables(spark, sf_dir)
     kept = quota_sample(t.documents, ["source"], n=10, key="doc_id")
-    return kept.select("doc_id", "source").orderBy("source", "doc_id")
+    quota = kept.select(
+        F.lit("quota").alias("leg"), "doc_id", "source"
+    )
+    target = t.documents.filter(F.col("source") == "src0")
+    dsir = (
+        dsir_logratio(t.documents, target)
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(200)
+        .join(t.documents.select("doc_id", "source"), "doc_id")
+        .select(F.lit("dsir_top200").alias("leg"), "doc_id", "source")
+    )
+    return quota.unionByName(dsir).orderBy("leg", "source", "doc_id")
 
 
 @register(

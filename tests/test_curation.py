@@ -187,3 +187,39 @@ def test_unigram_logprob_cap_tiebreak_deterministic(spark):
         .collect()
     )
     assert a == b
+
+
+def test_dsir_logratio_matches_hand_computation(spark):
+    """corpus = {d1: 'a a', d2: 'b'}, target = {d1}: shared V=2,
+    N_src=3, N_tgt=2; d1's tokens match the target exactly (positive
+    score), d2's token is target-OOV (negative score)."""
+    import math
+
+    from big_data_chicago_crimes_spark.operators.curation import dsir_logratio
+
+    docs = _docs(spark, [(1, "a a"), (2, "b")])
+    target = docs.filter("doc_id = 1")
+    out = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_logratio(docs, target).collect()
+    }
+    shift = math.log10(2 + 2) - math.log10(3 + 2)  # log10((nt+v)/(ns+v))
+    assert out[1] == round(0.0 - shift, 6)
+    d2 = math.log10(0 + 1) - math.log10(1 + 1)
+    assert out[2] == round(d2 - shift, 6)
+
+
+def test_dsir_logratio_prefers_target_like_docs(spark):
+    """Docs sharing the target's vocabulary outrank docs that don't."""
+    from big_data_chicago_crimes_spark.operators.curation import dsir_logratio
+
+    docs = _docs(
+        spark,
+        [(1, "law court judge"), (2, "law court ruling"), (3, "cat dog fish")],
+    )
+    target = docs.filter("doc_id = 1")
+    out = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_logratio(docs, target).collect()
+    }
+    assert out[2] > out[3]
