@@ -93,9 +93,11 @@ SUITE = {
     # filter), curriculum ordering (histogram-offset global ranks), and
     # the four-stage end-to-end pipeline certification
     "mixing": [
-        "docs_domain_quota",
+        "docs_domain_quota",  # r10: + dsir_top200 leg (two LM fits + broadcast score)
         "docs_temperature_mix",
         "docs_curriculum_order",
+        # r10: split census + balanced-shards leg (histogram-rank + snake)
+        "docs_train_val_test_split",
         "docs_pipeline_end_to_end",
     ],
     "events": [
