@@ -129,7 +129,14 @@ def docs_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters labeled by their minimum doc_id — the keep-one-per-cluster
     resolution step after pair generation. Returns each cluster's label
     and size. The oracle computes the same fixpoint via a recursive-CTE
-    transitive closure."""
+    transitive closure.
+
+    A/B'd (r10, interleaved, both tiers): the large-star/small-star
+    variant LOSES on this graph — 47.7 s vs 32.8 s at sf1 (10.1 vs
+    10.6 s at sf0.1) — because dedup clusters are near-cliques, so
+    propagation converges in diameter≈small rounds while star pays more
+    rounds of heavier two-sided joins. Star remains the right tool only
+    for adversarially long chains (see connected_components_star)."""
     t = load_tables(spark, sf_dir)
     edges = token_jaccard_pairs(t.documents, ["lang", "source"], threshold=0.5)
     # token_jaccard_pairs emits unique (id_a < id_b) pairs, so the
