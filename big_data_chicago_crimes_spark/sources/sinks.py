@@ -37,6 +37,31 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines sink — the interchange format most external
+    training-data tooling consumes/produces. One JSON object per line,
+    written distributed (one file per partition, same layout rules as
+    parquet); gzip by default since JSONL is ~5-10× parquet's size
+    uncompressed. Read back with ``readers.read_json`` + the explicit
+    schema — never inferSchema at scale (a full extra pass over the
+    data; the reference's CSV inferSchema is the same trap, see
+    Dataset.py:59-100). Timestamps serialize as ISO-8601 strings;
+    read_json's explicit schema restores them — roundtrip pinned by
+    tests/test_io.py."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
 def path_exists(spark: SparkSession, path: str) -> bool:
     """Filesystem-agnostic existence probe through the Hadoop FS API —
     the same JVM call the reference makes (Dataset.py:50-56), but works

@@ -75,3 +75,50 @@ def test_lake_root_invalidates_on_source_regeneration(spark, tmp_path):
     os.utime(sf / "events.parquet", (later, later))
     r2 = lake_root(spark, str(sf))
     assert r2 != r1, "regenerated source must move the lake namespace"
+
+
+def test_jsonl_roundtrip_preserves_values_and_timestamps(spark, tmp_path):
+    """write_jsonl → read_json with the explicit schema is lossless,
+    including timestamp columns (ISO-8601 strings on disk) and nulls."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from big_data_chicago_crimes_spark.sources.readers import read_json
+    from big_data_chicago_crimes_spark.sources.sinks import write_jsonl
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    rows = [
+        (1, "alpha", 0.5, datetime.datetime(2024, 1, 2, 3, 4, 5)),
+        (2, None, -1.25, datetime.datetime(2024, 6, 7, 8, 9, 10)),
+        (3, "unicode ✓ and \"quotes\"", None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "out.jsonl")
+    write_jsonl(df, path)
+    back = read_json(spark, path, schema)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_jsonl_partitioned_write_layout(spark, tmp_path):
+    """partition_by produces the same pruning-friendly directory layout
+    as the parquet sink."""
+    import os
+
+    from big_data_chicago_crimes_spark.sources.sinks import write_jsonl
+
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(10)], "id long, part string"
+    )
+    path = str(tmp_path / "parted")
+    write_jsonl(df, path, partition_by=["part"])
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("part=")
+    ) == ["part=a", "part=b"]
