@@ -43,28 +43,80 @@ REGISTRY: dict[str, Query] = {}
 # (VERDICT r4 #3); tests/test_registry.py derives the staleness contract from
 # the committed CORRECTNESS history, so a bad rotation fails CI.
 #
-# ROUND-10 WINDOW (the mechanical cohort rotation, VERDICT r9 #1): at 100
+# ROUND-11 WINDOW (the mechanical cohort rotation, VERDICT r10 #1): at 100
 # registered queries the two 50-query cohorts alternate windows every
-# round or the 2-round staleness contract breaks. The r9 window (ETL /
-# lake layout / OLAP / join spine / pipeline cohort plus the four r9
-# tier-0 additions) rotates OUT; the 50 queries whose last driver row
-# is r8 (dedup sketches / ANN / text / sampling / ML / streaming
-# twins) rotate IN. This rotation carries real freight this round: it
-# is what certifies the PassJoin-segments builder behind
-# ``docs_fuzzy_match_pairs`` (the builder changed after its r8 driver
-# row — ADVICE r9) and re-verifies the r9 pinned-parent simhash/LSH
-# plan changes under the driver hash. In-round additions are funded by
-# the established pair-merge pattern (merge two queries ALREADY inside
-# this window into one result that certifies both operators —
-# precedent purchaser_error_overlap — netting +1 slot each; merging
-# across cohorts costs −2 and is never done).
+# round or the 2-round staleness contract breaks. The r10 window (dedup
+# sketches / ANN / text / sampling / ML / streaming twins) rotates OUT;
+# the 50 queries whose last driver row is r9 (stream-static / span /
+# line / semantic dedup + the ETL / lake layout / OLAP / join spine /
+# pipeline cohort) rotate IN. The rotation carries real freight again:
+# it certifies the two registered-query legs that landed AFTER their r9
+# driver rows — the ``dsir_top200`` leg of ``docs_domain_quota``
+# (operators/curation.py dsir_logratio, commit f989e0e) and the ``rrf``
+# leg of ``docs_hybrid_search`` (queries/similarity_queries.py, commit
+# 229f65f) — so those two go FIRST, exactly as r10 pinned the changed
+# PassJoin builder first. In-round additions are funded by the
+# established pair-merge pattern (merge two queries ALREADY inside this
+# window into one result that certifies both operators — precedent
+# purchaser_error_overlap — netting +1 slot each; merging across
+# cohorts costs −2 and is never done).
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- r10 window: the r8-green cohort rotates back in ---
-    "docs_fuzzy_match_pairs",  # FIRST: builder changed post-r8-row (PassJoin segments) — weakest evidence in the window
-    # tier 0: new this round, never sampled — funded by folding
-    # docs_simhash_md5_oracled into the band-candidates twin
-    # (→ docs_simhash_md5_surface, one fingerprint pass, both legs)
-    "embedding_semantic_dedup_vec",  # BLAS SemDeDup + normed-index incremental under the driver hash
+    # --- r11 window: the r9-green cohort rotates back in ---
+    "docs_domain_quota",  # FIRST: dsir_top200 leg landed post-r9-row (f989e0e) — weakest evidence
+    "docs_hybrid_search",  # SECOND: rrf leg landed post-r9-row (229f65f)
+    "docs_stream_static_dedup_batch",  # batch degradation of the stream-static anti-join dedup
+    "docs_shared_span_pairs",  # exact-substring span dedup (Lee et al. 2022 shape)
+    "docs_line_dedup",  # C4-style line-level boilerplate removal
+    "embedding_semantic_dedup",  # SemDeDup cluster-scoped pruning
+    "events_etl_clean_seeded",
+    "events_null_census",
+    "events_not_in_filter",
+    "events_dedup_keyed",
+    "events_csv_roundtrip",
+    "events_json_profile",
+    "events_count_by_type",
+    "event_value_stats",
+    "distinct_event_types",
+    "hourly_max_event_count",
+    "purchase_top_users",
+    "purchaser_error_overlap",
+    "users_distinct_exact_vs_approx",
+    "events_by_segment_salted_join",
+    "events_sliding_1h_30m",
+    "orders_lake_partitioned_scan",
+    "lineitem_zorder_box_scan",
+    "orders_priority_fill_rollup",  # = orders_count_by_priority + orders_filled_pct (one ROLLUP pass)
+    "orders_by_price_band",
+    "orders_quarter_pivot",
+    "orders_grouping_surface",  # + 'pctl' leg = former orders_price_quantiles (r9)
+    "orders_running_total",
+    "lineitem_rollup",  # + corr columns = former lineitem_correlations (r9)
+    "promo_revenue_pct",
+    "late_shipment_orders",
+    "shipping_priority_top10",
+    "returned_item_top_customers",
+    "top_revenue_orders",
+    "top10_part_types",
+    "supplier_nation_revenue",
+    "parts_never_ordered",
+    "segment_customers_with_orders",
+    "forecast_revenue_change",
+    "all_account_balances",
+    "nation_balance_window_surface",  # = customer_balance_quartiles + nation_balance_extremes (one window pass)
+    "asof_join_surface",
+    "docs_pipeline_end_to_end",
+    "docs_temperature_mix",
+    "docs_curriculum_order",
+    "docs_chunk_windows",
+    "embedding_near_dup_certification",
+    "embedding_ivf_topk_lake_seeded",
+    "ml_correlation_matrix",
+    "multimodal_pipeline_stats",
+    # ------------------------------------------------------------------
+    # r10 cohort (all green r10; rotates back in next round)
+    # ------------------------------------------------------------------
+    "docs_fuzzy_match_pairs",  # PassJoin segments builder — certified r10 (5.8× → 1.81× at sf1)
+    "embedding_semantic_dedup_vec",  # BLAS SemDeDup + normed-index incremental — certified r10
     "events_interval_join_batch",
     "docs_chunk_pack",
     "docs_exact_dedup",
@@ -113,59 +165,6 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "customer_balance_rank_in_nation",
     "events_hourly_tumbling",
     "user_session_counts",
-    # ------------------------------------------------------------------
-    # r9 cohort (all green r9; rotates back in next round)
-    # ------------------------------------------------------------------
-    "docs_stream_static_dedup_batch",  # batch degradation of the stream-static anti-join dedup
-    "docs_shared_span_pairs",  # exact-substring span dedup (Lee et al. 2022 shape)
-    "docs_line_dedup",  # C4-style line-level boilerplate removal
-    "embedding_semantic_dedup",  # SemDeDup cluster-scoped pruning
-    "events_etl_clean_seeded",
-    "events_null_census",
-    "events_not_in_filter",
-    "events_dedup_keyed",
-    "events_csv_roundtrip",
-    "events_json_profile",
-    "events_count_by_type",
-    "event_value_stats",
-    "distinct_event_types",
-    "hourly_max_event_count",
-    "purchase_top_users",
-    "purchaser_error_overlap",
-    "users_distinct_exact_vs_approx",
-    "events_by_segment_salted_join",
-    "events_sliding_1h_30m",
-    "orders_lake_partitioned_scan",
-    "lineitem_zorder_box_scan",
-    "orders_priority_fill_rollup",  # = orders_count_by_priority + orders_filled_pct (one ROLLUP pass)
-    "orders_by_price_band",
-    "orders_quarter_pivot",
-    "orders_grouping_surface",  # + 'pctl' leg = former orders_price_quantiles (r9)
-    "orders_running_total",
-    "lineitem_rollup",  # + corr columns = former lineitem_correlations (r9)
-    "promo_revenue_pct",
-    "late_shipment_orders",
-    "shipping_priority_top10",
-    "returned_item_top_customers",
-    "top_revenue_orders",
-    "top10_part_types",
-    "supplier_nation_revenue",
-    "parts_never_ordered",
-    "segment_customers_with_orders",
-    "forecast_revenue_change",
-    "all_account_balances",
-    "nation_balance_window_surface",  # = customer_balance_quartiles + nation_balance_extremes (one window pass)
-    "asof_join_surface",
-    "docs_pipeline_end_to_end",
-    "docs_domain_quota",
-    "docs_temperature_mix",
-    "docs_curriculum_order",
-    "docs_chunk_windows",
-    "docs_hybrid_search",
-    "embedding_near_dup_certification",
-    "embedding_ivf_topk_lake_seeded",
-    "ml_correlation_matrix",
-    "multimodal_pipeline_stats",
 )
 
 
