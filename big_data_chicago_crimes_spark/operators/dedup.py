@@ -711,6 +711,56 @@ def _bloom_positions(key: Column, num_bits: Column, num_hashes: int) -> Column:
     )
 
 
+def _probe_positions(probe: DataFrame, index: DataFrame, key_col: str) -> DataFrame:
+    """Per-key probe positions with the geometry read FROM the filter
+    frame: ``(key_col, pos)`` rows, ``num_hashes`` of each key, using
+    the index's carried ``num_bits``/``num_hashes`` constants. Probing
+    with a hash count different from the build's would let a true
+    member test an unset position and silently void the
+    no-false-negative contract (ADVICE r10) — deriving both constants
+    from the frame itself makes that mismatch unrepresentable. Plan
+    shape: the 1-row geometry aggregate broadcasts onto the probe, a
+    ``sequence``+``explode`` generates the hash indexes, and the salted
+    md5 position (identical strings to ``_bloom_positions``'s literal
+    ``'#j'`` salts) is plain whole-stage-codegen — no higher-order
+    lambdas on the batch-sized hot path."""
+    m = index.agg(
+        F.max("num_bits").alias("num_bits"),
+        F.max("num_hashes").alias("num_hashes"),
+    )
+    return (
+        probe.crossJoin(F.broadcast(m))
+        .select(
+            F.col(key_col),
+            "num_bits",
+            F.explode(
+                F.sequence(F.lit(0), F.col("num_hashes").cast("int") - F.lit(1))
+            ).alias("__j"),
+        )
+        .select(
+            F.col(key_col),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col(key_col).cast("string"),
+                                F.lit("#"),
+                                F.col("__j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("num_bits"),
+            ).alias("pos"),
+        )
+    )
+
+
 def bloom_index(
     keys: DataFrame,
     key_col: str = "fingerprint",
@@ -725,9 +775,12 @@ def bloom_index(
     HITS (true members plus a bounded false-positive fraction) pay the
     exact check. No false negatives, by construction.
 
-    Schema ``(pos bigint, num_bits bigint)``: at most
-    ``bits_per_key * |keys|`` distinct positions, with the modulus
-    carried as a constant column so probing reuses the exact geometry.
+    Schema ``(pos bigint, num_bits bigint, num_hashes int)``: at most
+    ``bits_per_key * |keys|`` distinct positions, with the modulus AND
+    the hash count carried as constant columns so probing reuses the
+    exact geometry — the flags functions read both from the frame, so a
+    probe can never run with a different ``num_hashes`` than the build
+    (a mismatch would produce silent false negatives; ADVICE r10).
     ``num_bits`` is computed as a 1-row aggregate cross-joined in — no
     driver-side action, and an SQL oracle replays it as a scalar
     subquery. The frame is bitmap-bounded (≤ num_bits rows of one
@@ -755,6 +808,7 @@ def bloom_index(
             "num_bits",
         )
         .distinct()
+        .withColumn("num_hashes", F.lit(num_hashes))
     )
 
 
@@ -762,23 +816,20 @@ def bloom_membership_flags(
     probe: DataFrame,
     index: DataFrame,
     key_col: str = "fingerprint",
-    num_hashes: int = 3,
 ) -> DataFrame:
-    """Flag each probe key with ``bloom_hit``: true iff ALL of its
-    ``num_hashes`` bit positions are set in ``index`` (a
-    ``bloom_index`` frame). Plan shape: the bitmap-bounded index
+    """Flag each probe key with ``bloom_hit``: true iff ALL of its bit
+    positions are set in ``index`` (a ``bloom_index`` frame). The probe
+    geometry — ``num_bits`` AND ``num_hashes`` — is read from the
+    frame's carried constants, never passed separately: a probe run
+    with more hashes than the build would test unset positions and
+    produce silent false negatives (ADVICE r10), so the mismatch is
+    made unrepresentable. Plan shape: the bitmap-bounded index
     broadcasts to a left join on the exploded probe positions, then one
     ``bool_and`` per key — partial-aggregated map-side, so the only
     shuffle is probe-key-sized. Contract: a key present in the indexed
     set is ALWAYS a hit (no false negatives — verified by
     test_dedup.py); a miss is definitely new."""
-    m = index.agg(F.max("num_bits").alias("num_bits"))
-    probed = probe.crossJoin(F.broadcast(m)).select(
-        F.col(key_col),
-        F.explode(
-            _bloom_positions(F.col(key_col), F.col("num_bits"), num_hashes)
-        ).alias("pos"),
-    )
+    probed = _probe_positions(probe, index, key_col)
     bits = index.select(F.col("pos").alias("__bpos"))
     return (
         probed.join(F.broadcast(bits), probed["pos"] == F.col("__bpos"), "left")
@@ -831,15 +882,18 @@ def incremental_dedup_with_bloom(
             num_hashes=num_hashes,
         )
     )
+    # The flags functions read num_bits AND num_hashes from the filter
+    # frame's constant columns — a prebuilt filter probed with a
+    # different hash count than its build would silently produce false
+    # negatives, so that knob is not exposed here (ADVICE r10); the
+    # ``num_hashes`` argument above applies only to the inline build.
     flags_fn = (
         bloom_membership_flags_packed
         if "word_id" in index.columns
         else bloom_membership_flags
     )
     flagged = batch_min.join(
-        flags_fn(
-            batch_min.select("fingerprint"), index, num_hashes=num_hashes
-        ),
+        flags_fn(batch_min.select("fingerprint"), index),
         "fingerprint",
     )
     misses = flagged.filter(~F.col("bloom_hit"))
@@ -857,7 +911,8 @@ def bloom_index_packed(
     num_hashes: int = 3,
 ) -> DataFrame:
     """``bloom_index`` packed 64 bits to the word: schema ``(word_id
-    bigint, word bigint, num_bits bigint)`` where bit ``pos & 63`` of
+    bigint, word bigint, num_bits bigint, num_hashes int)`` where bit
+    ``pos & 63`` of
     the word for ``pos >> 6`` is set iff ``pos`` is set. Exactly
     ``num_bits/8`` bytes of payload — the position-table form costs 8
     bytes per DISTINCT SET BIT (~64× more at production occupancy),
@@ -872,6 +927,7 @@ def bloom_index_packed(
         .agg(
             F.bit_or(F.expr("shiftleft(1L, cast(pos & 63 as int))")).alias("word"),
             F.max("num_bits").alias("num_bits"),
+            F.max("num_hashes").alias("num_hashes"),
         )
     )
 
@@ -880,34 +936,39 @@ def bloom_membership_flags_packed(
     probe: DataFrame,
     index: DataFrame,
     key_col: str = "fingerprint",
-    num_hashes: int = 3,
+    broadcast: bool = True,
 ) -> DataFrame:
     """``bloom_membership_flags`` over a PACKED index
     (``bloom_index_packed``): probe positions join on their word id —
     64× fewer index rows than the position-table join — and the lane
-    test is one shift-and-mask. Broadcast while the bitmap fits (it is
-    exactly num_bits/8 bytes); past broadcast size the same plan runs
-    as a shuffle join on word_id with nothing else changing."""
-    m = index.agg(F.max("num_bits").alias("num_bits"))
-    probed = (
-        probe.crossJoin(F.broadcast(m))
-        .select(
-            F.col(key_col),
-            F.explode(
-                _bloom_positions(F.col(key_col), F.col("num_bits"), num_hashes)
-            ).alias("pos"),
-        )
-        .select(key_col, "pos", F.shiftright("pos", 6).alias("word_id"))
+    test is one shift-and-mask. Geometry (``num_bits``/``num_hashes``)
+    is read from the frame's constants, same soundness argument as the
+    unpacked form (ADVICE r10).
+
+    ``broadcast``: the bitmap is exactly num_bits/8 bytes, computable
+    up front (bits_per_key × |keys| / 8), so the CALLER knows whether
+    it fits the broadcast budget — pass ``False`` past ~a few GiB and
+    the identical plan runs as a shuffle join on ``word_id`` (word_id
+    is uniform by construction — md5-derived positions — so the
+    shuffle is skew-free). The hint is not auto-gated because sizing
+    the frame data-dependently would need a driver-side action on the
+    hot path; a forced broadcast of an over-budget bitmap fails
+    loudly on Spark's broadcast limit rather than degrading (ADVICE
+    r10 corrected the docstring that claimed otherwise)."""
+    probed = _probe_positions(probe, index, key_col).select(
+        key_col, "pos", F.shiftright("pos", 6).alias("word_id")
     )
     words = index.select(
         F.col("word_id").alias("__wid"), F.col("word").alias("__w")
     )
+    if broadcast:
+        words = F.broadcast(words)
     hit = (
         F.col("__w").isNotNull()
         & (F.expr("(__w >> cast(pos & 63 as int)) & 1") == 1)
     )
     return (
-        probed.join(F.broadcast(words), probed["word_id"] == F.col("__wid"), "left")
+        probed.join(words, probed["word_id"] == F.col("__wid"), "left")
         .groupBy(key_col)
         .agg(F.bool_and(hit).alias("bloom_hit"))
     )

@@ -17,6 +17,7 @@ the two (row count + schema + order-insensitive value hash), so:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -176,8 +177,21 @@ def register(
     def deco(fn: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+
+        # Each top-level build is its own scratch-cache generation, so
+        # the cap's eviction-visibility warning distinguishes "one build
+        # overflowed the cap" (warn) from "steady-state FIFO turnover of
+        # prior builds' frames in a never-releasing session" (silent) —
+        # ADVICE r10, session.py:mark_build_boundary.
+        @functools.wraps(fn)
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from big_data_chicago_crimes_spark.session import mark_build_boundary
+
+            mark_build_boundary()
+            return fn(spark, sf_dir)
+
         REGISTRY[name] = Query(
-            name=name, build=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip()
+            name=name, build=build, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip()
         )
         return fn
 

@@ -149,13 +149,33 @@ _SCRATCH_CACHES: list = []
 # revisited rounds later).
 _SCRATCH_CACHE_CAP = 32
 # Build-boundary generation: release_scratch_caches() is the boundary
-# loop callers already mark. Evicting an entry registered in the
-# CURRENT generation means one build registered more than the cap and
-# is about to silently recompute the persist it just counted on
-# (ADVICE r9) — that case warns loudly; steady-state eviction of
-# prior-generation entries in never-releasing sessions stays silent
-# (it is the designed cap behavior).
+# loop callers already mark, and mark_build_boundary() (called by the
+# registry wrapper at the start of every top-level query build) bumps
+# it too — without the latter, sessions that never release would sit at
+# generation 0 forever, every entry would look "current", and the
+# overflow warning below would fire on every steady-state eviction,
+# the exact scenario the FIFO cap was added for (ADVICE r10). Evicting
+# an entry registered in the CURRENT generation means one build
+# registered more than the cap and is about to silently recompute the
+# persist it just counted on (ADVICE r9) — that case warns loudly;
+# eviction of prior-generation entries stays silent (designed cap
+# behavior).
 _SCRATCH_GEN = 0
+
+
+def mark_build_boundary() -> None:
+    """Mark the start of a top-level query build (cheap generation bump).
+
+    The registry's builder wrapper calls this before every registered
+    query build, so FIFO eviction of frames left behind by PRIOR builds
+    in never-releasing sessions is silent, while a single build that
+    overflows the cap still warns. Because eviction is FIFO and
+    generations are non-decreasing through the list, "evicted entry is
+    current-generation" is exactly "the current build registered more
+    than the cap".
+    """
+    global _SCRATCH_GEN
+    _SCRATCH_GEN += 1
 
 
 def scratch_persist(df):

@@ -62,12 +62,12 @@ packed12 = bloom_index_packed(corpus, bits_per_key=12).cache()
 packed12.count()
 t_build12 = time.time() - t0
 
-flags12 = bloom_membership_flags_packed(probe, packed12, num_hashes=3)
+flags12 = bloom_membership_flags_packed(probe, packed12)
 hits12 = flags12.filter("bloom_hit").count()
 
 packed16 = bloom_index_packed(corpus, bits_per_key=16).cache()
 packed16.count()
-hits16 = bloom_membership_flags_packed(probe, packed16, num_hashes=3).filter("bloom_hit").count()
+hits16 = bloom_membership_flags_packed(probe, packed16).filter("bloom_hit").count()
 
 def timed(fn, reps=3):
     walls = []

@@ -379,10 +379,13 @@ def test_bloom_packed_flags_equal_unpacked(spark):
         .alias("fingerprint")
     )
     for bpk, k in [(4, 3), (14, 7)]:
+        # geometry (num_bits AND num_hashes) travels in the filter frame
+        # itself — probing can't be run with a mismatched hash count
+        # (ADVICE r10)
         unpacked = {
             r.fingerprint: r.bloom_hit
             for r in bloom_membership_flags(
-                probe, bloom_index(keys, bits_per_key=bpk, num_hashes=k), num_hashes=k
+                probe, bloom_index(keys, bits_per_key=bpk, num_hashes=k)
             ).collect()
         }
         packed = {
@@ -390,7 +393,6 @@ def test_bloom_packed_flags_equal_unpacked(spark):
             for r in bloom_membership_flags_packed(
                 probe,
                 bloom_index_packed(keys, bits_per_key=bpk, num_hashes=k),
-                num_hashes=k,
             ).collect()
         }
         assert packed == unpacked, (bpk, k)
