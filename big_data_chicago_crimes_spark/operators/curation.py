@@ -412,8 +412,12 @@ def unigram_logprob(
     deterministic function of integers.
 
     Scale shape: one explode + one count shuffle fit the LM; scoring
-    re-joins tokens to counts. The corpus side of that join never
-    shuffles — the vocabulary is the broadcast side (Zipf-bounded, and
+    re-joins the pre-reduced distinct (doc, token) pairs — with their
+    multiplicity — to counts, so repetitive text probes the join once
+    per distinct pair, not once per token instance (A/B'd at the
+    100k-vocab Zipf realism fixture, see inline note). The corpus side
+    of that join never shuffles — the vocabulary is the broadcast side
+    (Zipf-bounded, and
     ``vocab_cap`` keeps it bounded even on typo-heavy web text: only the
     top-``cap`` tokens by (count, token) keep their counts, the tail
     scores as OOV with the same smoothed floor ``1/(N+V)``; N and V stay
@@ -421,13 +425,22 @@ def unigram_logprob(
     ``cap ≥ V`` — property-tested). The N+V totals ride in as a 1-row
     broadcast cross join, not a driver collect.
     """
-    # A/B'd (r10, sf0.1, interleaved): persisting the exploded token
-    # frame LOSES (1.84 vs 1.66 s — wide rows, cheap recompute), and a
-    # pre-reduced per-(doc, token) count formulation also loses at
-    # fixture scale (1.08 vs 0.93 s — the 40-token vocab leaves nothing
-    # to reduce) while staying output-identical. On repetitive web text
-    # the reduced form cuts scoring-join volume to distinct (doc, token)
-    # pairs — revisit if profiles show the join dominating at scale.
+    # Form A/B history: persisting the exploded token frame LOSES
+    # (r10: 1.84 vs 1.66 s — wide rows, cheap recompute). The scoring
+    # join runs on the PRE-REDUCED per-(doc, token) frame with a
+    # multiplicity column: at the r10 40-token fixture vocabulary that
+    # form lost (1.08 vs 0.93 s — nothing to reduce by construction),
+    # but re-taken at the 100k-vocab Zipf realism fixture (VERDICT r10
+    # #4, scripts/bench_lm_join_realism.py) with web-like repetition
+    # (1.28 tokens per distinct (doc, token) pair) it WINS at both
+    # sf0.1-scale and 10x (0.939 vs 0.994 s at 10x), and its advantage
+    # grows with document length and repetitiveness — the 100 TB
+    # direction. Scores are bit-identical at the 6dp contract (sum of
+    # k*log10(c+1) over distinct pairs = sum of log10(c+1) over
+    # instances; property-checked in the A/B at both scales, 0
+    # mismatches). NOTE the same A/B kept dsir_logratio per-token: its
+    # joins are already broadcast-side, so pre-reducing only adds a
+    # corpus-sized (doc, token) shuffle (2.42 vs 3.12 s at 10x).
     toks = spread_for_compute(df).select(
         id_col, F.explode(tokens(text_col)).alias("__tok")
     )
@@ -442,13 +455,16 @@ def unigram_logprob(
         vocab = vocab.orderBy(F.col("__c").desc(), F.col("__tok").asc()).limit(
             vocab_cap
         )
+    doc_tok = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__k"))
     scored = (
-        toks.join(F.broadcast(vocab), "__tok", "left")
+        doc_tok.join(F.broadcast(vocab), "__tok", "left")
         .groupBy(id_col)
         .agg(
             # OOV (capped-out) tokens contribute log10(0+1) = 0.
-            F.sum(F.log10(F.coalesce(F.col("__c"), F.lit(0)) + 1)).alias("__s"),
-            F.count(F.lit(1)).alias("__n"),
+            F.sum(
+                F.col("__k") * F.log10(F.coalesce(F.col("__c"), F.lit(0)) + 1)
+            ).alias("__s"),
+            F.sum("__k").alias("__n"),
         )
     )
     return scored.crossJoin(F.broadcast(totals)).select(
@@ -490,6 +506,12 @@ def dsir_logratio(
     dim-sized by definition); token counts via one shuffle each; both
     count frames broadcast into the scoring join, so the corpus never
     shuffles. Per-doc aggregation is the only corpus-sized shuffle.
+    The per-token join form is deliberate AND measured: at the
+    100k-vocab Zipf realism fixture (scripts/bench_lm_join_realism.py,
+    VERDICT r10 #4) pre-reducing to distinct (doc, token) pairs LOSES
+    here (3.12 vs 2.42 s at 10x) — unlike unigram_logprob, both joins
+    are already broadcast-side, so the pre-reduce only adds a
+    corpus-sized (doc, token) shuffle before the same per-doc one.
     """
     toks = spread_for_compute(df).select(
         id_col, F.explode(tokens(text_col)).alias("__tok")
