@@ -1314,20 +1314,35 @@ def _blocked_jaccard_pairs(
     id_col: str,
     threshold: float,
     max_block_rows: int | None,
-    prefix_filter: bool = False,
+    prefix_filter: bool | None = None,
+    prefix_min_rows: int = 600,
 ) -> DataFrame:
-    """Shared core for the blocked exact-Jaccard operators, with a
-    block-size guard: blocks up to ``max_block_rows`` get the exact
-    all-pairs self-join (quadratic WITHIN the block — fine when blocks
-    are bounded); oversized blocks are routed through MinHash-LSH
-    candidate generation followed by exact-Jaccard verification of only
-    the candidate pairs, so one hot block can't turn the plan quadratic.
-    The LSH leg trades a documented sliver of recall (pairs whose
-    signatures never band-collide) for bounded cost — the standard
-    verify-after-LSH shape at 100 TB. ``max_block_rows=None`` disables
-    the guard (pure all-pairs). ``prefix_filter=True`` swaps the
-    all-pairs leg for the LOSSLESS SSJoin/PPJoin prefix-filtered form —
-    right when the expected dup rate is low (see _prefix_filtered)."""
+    """Shared core for the blocked exact-Jaccard operators, with TWO
+    block-size gradations: blocks up to ``prefix_min_rows`` get the
+    exact all-pairs self-join (quadratic WITHIN the block — cheapest
+    when blocks are small); blocks between ``prefix_min_rows`` and
+    ``max_block_rows`` get the LOSSLESS SSJoin/PPJoin prefix-filtered
+    form (same exact answer, near-linear gram-shuffle cost — see
+    _prefix_filtered); blocks above ``max_block_rows`` are routed
+    through MinHash-LSH candidate generation followed by exact-Jaccard
+    verification of only the candidate pairs, so one hot block can't
+    turn the plan quadratic. The LSH leg trades a documented sliver of
+    recall (pairs whose signatures never band-collide) for bounded
+    cost — the standard verify-after-LSH shape at 100 TB.
+    ``max_block_rows=None`` disables the LSH guard.
+
+    ``prefix_filter``: ``None`` (default) = the size-driven dispatch
+    above; ``True``/``False`` force the prefix/all-pairs leg for every
+    non-LSH block. The ``prefix_min_rows`` crossover (on the
+    size-weighted mean block size, sum(n²)/sum(n)) is measured on the
+    organic corpus per block-size band, each band interleaved plain-vs-
+    prefix in one session (r11): blocks <=350 rows, all-pairs wins 4.75
+    vs 10.3 s (the ranking shuffles are pure overhead); 350-490 rows,
+    all-pairs still wins 6.67 vs 8.88 s; 860-1,120 rows, prefix wins
+    NINE-fold (62.0 vs 7.0 s) as the quadratic term takes over — with
+    the identical pair answer in every band. The crossover sits between
+    490 and 860; 600 splits it with margin on both sides. Both legs are
+    exact, so the dispatch never changes the answer, only the plan."""
     # Spread before the pair join: on a small single-row-group file the
     # self-join plans as BroadcastHashJoin with the (1-task) scan as the
     # streaming side — one core would compute EVERY pair. Spreading the
@@ -1343,9 +1358,11 @@ def _blocked_jaccard_pairs(
         items.alias("items"),
         F.col(text_col).alias("__text"),
     ).withColumn("__n", F.size(F.col("items")))
-    if max_block_rows is not None:
+    need_sizes = max_block_rows is not None or prefix_filter is None
+    if need_sizes:
         sizes = base.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__bn"))
         base = base.join(sizes, block_cols)
+    if max_block_rows is not None:
         small = base.filter(F.col("__bn") <= max_block_rows)
         big = base.filter(F.col("__bn") > max_block_rows)
     else:
@@ -1444,14 +1461,49 @@ def _blocked_jaccard_pairs(
         )
         return _verify(cands, side)
 
-    # Prefix filtering is opt-in: it wins when the dup rate is low (few
-    # candidates survive the rare-gram join), but on dup-heavy data the
-    # candidate set approaches all-pairs and the ranking shuffles are
-    # pure overhead (measured 4.5s -> 24.6s on the dup-heavy synthetic
-    # corpus at sf0.1). Threshold 0 always takes all-pairs — there is no
-    # prefix to filter on, and empty sets only pair meaningfully at t=0.
-    use_prefix = prefix_filter and threshold > 0
-    out = _prefix_filtered(small) if use_prefix else _all_pairs(small)
+    # Dispatch: at SMALL blocks the prefix form's ranking shuffles are
+    # pure overhead (r8 measured 4.5 -> 24.6 s on the dup-heavy sf0.1
+    # corpus; r11 band-measured 4.75 vs 10.3 s at <=350-row blocks),
+    # while at LARGE blocks the quadratic all-pairs term dominates and
+    # prefix wins even dup-heavy (r11: 62.0 vs 7.0 s at 860-1,120-row
+    # blocks, identical answer). ``prefix_filter=None`` picks per block
+    # by the measured crossover. Threshold 0 always takes all-pairs —
+    # there is no prefix to filter on, and empty sets only pair
+    # meaningfully at t=0.
+    if threshold <= 0:
+        out = _all_pairs(small)
+    elif prefix_filter is None:
+        # ONE GLOBAL route per call, decided DRIVER-SIDE from the
+        # block-size frame (one row per distinct block key — dim-sized
+        # by nature, the same bounded-collect class as the centroid
+        # dict and the layout stats; the scan under it is pruned to
+        # the block columns). The statistic is the size-weighted mean
+        # block size sum(n_i^2)/sum(n_i) over non-LSH blocks — the
+        # average number of in-block partners a row faces, i.e. the
+        # quadratic volume per row. Two finer designs were built and
+        # measured WORSE (r11, interleaved): (a) lazily unioning both
+        # legs makes the empty leg scan + tokenize the corpus just to
+        # find it has no rows (12.11 vs 7.01 s); (b) routing PER BLOCK
+        # splits the prefix leg's ranking shuffles, whose cost
+        # amortizes across blocks — per-block dispatch 9.38 s vs 5.09 s
+        # all-prefix on the organic sf1 mix, while the global rule
+        # picks the measured-best plan at both tiers (sf0.1 mean ~70
+        # -> all-pairs 1.27 s; sf1 mean ~640 -> prefix 5.09 s).
+        cap = float("inf") if max_block_rows is None else max_block_rows
+        bn_vals = [
+            r["__bn"] for r in sizes.select("__bn").collect() if r["__bn"] <= cap
+        ]
+        tot = sum(bn_vals)
+        mean_partners = (sum(c * c for c in bn_vals) / tot) if tot else 0.0
+        out = (
+            _prefix_filtered(small)
+            if mean_partners > prefix_min_rows
+            else _all_pairs(small)
+        )
+    elif prefix_filter:
+        out = _prefix_filtered(small)
+    else:
+        out = _all_pairs(small)
     if big is not None:
         cands = minhash_lsh_candidates(
             big.select(F.col(id_col), F.col("__text").alias("text")),
@@ -1469,14 +1521,18 @@ def token_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_block_rows: int | None = 20_000,
-    prefix_filter: bool = False,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard over pairs sharing a blocking key.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
-    Blocks larger than ``max_block_rows`` fall back to LSH-candidates +
-    exact verification (see _blocked_jaccard_pairs) so a hot block never
-    goes quadratic. ``prefix_filter`` opts the in-block leg into the
-    lossless SSJoin prefix-filtered form (wins on low-dup-rate corpora)."""
+    Per-block plan dispatch (all exact — the answer never depends on
+    the route): small blocks take the all-pairs self-join, blocks past
+    the measured crossover take the lossless SSJoin prefix-filtered
+    form, and blocks larger than ``max_block_rows`` fall back to
+    LSH-candidates + exact verification so a hot block never goes
+    quadratic. ``prefix_filter`` forces the prefix (True) or all-pairs
+    (False) leg for every non-LSH block; None = dispatch by block size
+    (see _blocked_jaccard_pairs)."""
     return _blocked_jaccard_pairs(
         df,
         block_cols,
@@ -1534,7 +1590,7 @@ def char_ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     max_block_rows: int | None = 20_000,
-    prefix_filter: bool = False,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """Character n-gram set Jaccard within a blocking key — the
     word-order-insensitive sibling of token_jaccard_pairs (robust to

