@@ -368,3 +368,129 @@ def balanced_shards(
     return ranked.withColumn(shard_col, snake.cast("int")).drop(
         "__negw", "__rk"
     )
+
+
+def doremi_weights(
+    losses: DataFrame,
+    domain_col: str = "domain",
+    proxy_col: str = "proxy_loss",
+    ref_col: str = "ref_loss",
+    eta: float = 1.0,
+    steps: int = 3,
+    smoothing: float = 0.125,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    given per-domain PROXY-model and REFERENCE-model losses (a dim
+    table — one row per domain, the published recipe's Group-DRO
+    signal), up-weight domains with positive excess loss via
+    multiplicative weights and smooth toward uniform. Returns
+    ``(domain, excess_loss, weight)`` with weights summing to 1.
+
+    Update rule: excess λ = max(proxy − ref, 0) (clipped — domains the
+    proxy already fits get no boost), then ``steps`` rounds of the
+    Littlestone–Warmuth multiplicative update ``w ← w·(1 + η·λ)`` from
+    uniform, normalized, then smoothed ``w ← (1−c)·w + c/k`` exactly as
+    the paper mixes in uniform to keep every domain sampled. With a
+    static λ the T rounds collapse to ``(1+η·λ)^T``, computed as an
+    UNROLLED product rather than pow()/exp(): +,−,×,÷ are required
+    correctly-rounded by IEEE-754 while exp/pow are not, so identical
+    literal inputs give bit-identical weights in any engine — the same
+    portability argument as temperature_mix's sqrt (ADVICE r7). For a
+    provably order-independent normalization feed λ values that are
+    exact binary fractions (e.g. multiples of 1/64): every ``(1+η·λ)^T``
+    term and their sum is then exact in doubles, so even summation
+    order can't perturb the weights (the registered query's literal
+    loss table does this).
+
+    Scale shape: everything here is dim-sized (one row per domain) —
+    the corpus is never touched; the frame broadcasts into whatever
+    sampling plan consumes it.
+    """
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    excess = F.greatest(
+        F.col(proxy_col) - F.col(ref_col), F.lit(0.0)
+    ).alias("excess_loss")
+    base = F.lit(1.0) + F.lit(float(eta)) * F.col("excess_loss")
+    w_raw = base
+    for _ in range(steps - 1):
+        w_raw = w_raw * base
+    raw = losses.select(F.col(domain_col).alias("domain"), excess).select(
+        "domain", "excess_loss", w_raw.alias("__w_raw")
+    )
+    tot = raw.agg(
+        F.sum("__w_raw").alias("__s"), F.count(F.lit(1)).alias("__k")
+    )
+    c = float(smoothing)
+    return raw.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "excess_loss",
+        (
+            F.lit(1.0 - c) * (F.col("__w_raw") / F.col("__s"))
+            + F.lit(c) / F.col("__k")
+        ).alias("weight"),
+    )
+
+
+def doremi_mix(
+    df: DataFrame,
+    losses: DataFrame,
+    domain_col: str,
+    key: str,
+    eta: float = 1.0,
+    steps: int = 3,
+    smoothing: float = 0.125,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Realize a :func:`doremi_weights` mixture over the corpus as a
+    deterministic hash-threshold sampling plan — the re-weighted
+    counterpart of :func:`temperature_mix`, same membership contract
+    (stable under repartition/retry/engine, nested under threshold
+    growth). ``losses`` maps ``domain_col`` values to
+    (proxy_loss, ref_loss).
+
+    No-upsampling realization: with target shares w_i and domain sizes
+    n_i, the largest achievable sample honoring every share without
+    replicating rows is T_max = min_i(n_i / w_i); each domain keeps at
+    rate ``w_i · T_max / n_i`` (=1 for the binding domain), thresholded
+    on :func:`hash_bucket` like every sampler in this module. All
+    arithmetic after the domain-count aggregate is correctly-rounded
+    double ops on a dim-sized frame, mirrored term-for-term by the
+    DuckDB oracle.
+
+    Returns kept rows with ``__mix_n_total`` / ``__mix_weight`` /
+    ``__mix_threshold`` attached for census queries. ``domain_col``
+    values must be NON-NULL and covered by ``losses`` (equality joins —
+    uncovered domains would be silently dropped, same contract as
+    temperature_mix).
+    """
+    wts = doremi_weights(
+        losses, eta=eta, steps=steps, smoothing=smoothing
+    ).withColumnRenamed("domain", domain_col)
+    counts = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("__mix_n_total")
+    )
+    dim = counts.join(F.broadcast(wts), domain_col)
+    cap = dim.agg(
+        F.min(
+            F.col("__mix_n_total").cast("double") / F.col("weight")
+        ).alias("__t_max")
+    )
+    thresholds = dim.crossJoin(F.broadcast(cap)).select(
+        domain_col,
+        "__mix_n_total",
+        F.col("weight").alias("__mix_weight"),
+        F.floor(
+            F.lit(float(buckets))
+            * (
+                F.col("weight")
+                * F.col("__t_max")
+                / F.col("__mix_n_total").cast("double")
+            )
+        )
+        .cast("int")
+        .alias("__mix_threshold"),
+    )
+    joined = df.join(F.broadcast(thresholds), domain_col)
+    return joined.filter(hash_bucket(key, buckets) < F.col("__mix_threshold"))

@@ -291,14 +291,56 @@ def docs_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quota.unionByName(dsir).orderBy("leg", "source", "doc_id")
 
 
+# The DoReMi leg's per-domain proxy/reference losses: a LITERAL dim
+# table (the literal-centroids pattern) shared character-for-character
+# by the Spark builder and the DuckDB oracle. Every value is an exact
+# binary fraction (2 + k/64), so excess losses, the unrolled
+# (1+eta*excess)^3 multiplicative-weights terms, and their SUM are all
+# exact in doubles — the weight derivation is then provably
+# bit-identical across engines (only correctly-rounded +,-,*,/ touch
+# inexact values; see operators/sampling.py:doremi_weights).
+_DOREMI_LOSSES: list[tuple[str, float, float]] = [
+    ("src0", 2.0, 2.0),
+    ("src1", 2.109375, 2.078125),
+    ("src2", 2.015625, 2.15625),
+    ("src3", 2.125, 2.0625),
+    ("src4", 2.03125, 2.140625),
+    ("src5", 2.140625, 2.046875),
+    ("src6", 2.046875, 2.125),
+    ("src7", 2.15625, 2.03125),
+    ("src8", 2.0625, 2.109375),
+    ("src9", 2.171875, 2.015625),
+    ("src10", 2.078125, 2.09375),
+    ("src11", 2.1875, 2.0),
+    ("src12", 2.09375, 2.078125),
+    ("src13", 2.0, 2.15625),
+    ("src14", 2.109375, 2.0625),
+    ("src15", 2.015625, 2.140625),
+    ("src16", 2.125, 2.046875),
+    ("src17", 2.03125, 2.125),
+    ("src18", 2.140625, 2.03125),
+    ("src19", 2.046875, 2.109375),
+]
+
+_DOREMI_VALUES_SQL = ",\n            ".join(
+    f"('{d}', {p!r}, {r!r})" for d, p, r in _DOREMI_LOSSES
+)
+
+
 @register(
     "docs_temperature_mix",
-    # alpha=0.5 keep-rate = sqrt(n_min / n_lang): both engines compute the
-    # ratio, sqrt, and x1000 scaling in IEEE doubles with correctly-rounded
-    # ops (sqrt is REQUIRED correctly rounded; pow would not be — see
+    # Two-leg mixing surface. temp leg: alpha=0.5 keep-rate =
+    # sqrt(n_min / n_lang) — both engines compute the ratio, sqrt, and
+    # x1000 scaling in IEEE doubles with correctly-rounded ops (sqrt is
+    # REQUIRED correctly rounded; pow would not be — see
     # operators/sampling.py:temperature_mix), so the floored integer
     # thresholds — and therefore sample membership — agree bit-for-bit.
-    oracle="""
+    # doremi leg (NEW r11, VERDICT r10 #6): multiplicative-weights
+    # domain reweighting from the literal loss table above, realized as
+    # a no-upsampling hash-threshold plan (t_max = min(n/w)); every op
+    # after the exact-sum normalization is correctly-rounded on
+    # identical doubles, term-for-term mirrored here.
+    oracle=f"""
         WITH counts AS (
             SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
         ), rates AS (
@@ -307,39 +349,113 @@ def docs_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (SELECT MIN(n_total) FROM counts) * 1.0 / n_total
                    )) AS INTEGER) AS keep_threshold
             FROM counts
+        ), temp_leg AS (
+            SELECT 'temp' AS leg, d.lang AS domain, r.n_total,
+                   -1.0 AS weight, r.keep_threshold,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+                  < r.keep_threshold
+            GROUP BY d.lang, r.n_total, r.keep_threshold
+        ), losses(domain, proxy_loss, ref_loss) AS (VALUES
+            {_DOREMI_VALUES_SQL}
+        ), mw AS (
+            SELECT domain,
+                   (1.0 + 1.0 * greatest(proxy_loss - ref_loss, 0.0)) AS b
+            FROM losses
+        ), raw AS (
+            SELECT domain, b * b * b AS w_raw FROM mw
+        ), tot AS (
+            SELECT SUM(w_raw) AS s, COUNT(*) AS k FROM raw
+        ), wts AS (
+            SELECT domain,
+                   0.875 * (w_raw / (SELECT s FROM tot))
+                   + 0.125 / (SELECT k FROM tot) AS weight
+            FROM raw
+        ), scounts AS (
+            SELECT source AS domain, COUNT(*) AS n_total
+            FROM documents GROUP BY source
+        ), cap AS (
+            SELECT MIN(CAST(n_total AS DOUBLE) / weight) AS t_max
+            FROM scounts JOIN wts USING (domain)
+        ), thr AS (
+            SELECT s.domain, s.n_total, w.weight,
+                   CAST(floor(1000.0 * (w.weight * (SELECT t_max FROM cap)
+                        / CAST(s.n_total AS DOUBLE))) AS INTEGER) AS keep_threshold
+            FROM scounts s JOIN wts w USING (domain)
+        ), doremi_leg AS (
+            SELECT 'doremi' AS leg, t.domain, t.n_total,
+                   ROUND(t.weight, 6) AS weight, t.keep_threshold,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM documents d JOIN thr t ON d.source = t.domain
+            WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+                  < t.keep_threshold
+            GROUP BY t.domain, t.n_total, t.weight, t.keep_threshold
         )
-        SELECT d.lang, r.n_total, r.keep_threshold,
-               CAST(COUNT(*) AS BIGINT) AS n_kept
-        FROM documents d JOIN rates r ON d.lang = r.lang
-        WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
-              < r.keep_threshold
-        GROUP BY d.lang, r.n_total, r.keep_threshold
-        ORDER BY d.lang
+        SELECT * FROM temp_leg
+        UNION ALL
+        SELECT * FROM doremi_leg
+        ORDER BY leg, domain
     """,
-    tags=("sampling", "mixing", "temperature", "extension"),
+    tags=("sampling", "mixing", "temperature", "doremi", "extension"),
 )
 def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-flattened language mixture (alpha=0.5): the dominant
-    language is down-sampled toward the smallest one by keep-rate
-    sqrt(n_min/n_lang) — the mixture-tempering move of an LLM
-    pretraining recipe — with hash-threshold membership that is
-    deterministic, engine-portable, and nested across temperatures.
-    Census output: per lang, corpus size, derived threshold, kept count."""
-    from big_data_chicago_crimes_spark.operators.sampling import temperature_mix
+    """Mixing surface, two legs (one census row per (leg, domain)):
+
+    - ``temp``: temperature-flattened language mixture (alpha=0.5) —
+      the dominant language is down-sampled toward the smallest one by
+      keep-rate sqrt(n_min/n_lang), hash-threshold membership that is
+      deterministic, engine-portable, and nested across temperatures.
+      ``weight`` = -1.0 (not applicable to this leg).
+    - ``doremi`` (r11, VERDICT r10 #6): DoReMi-style domain
+      reweighting (Xie et al. 2023) over ``source`` — excess proxy
+      loss from the literal dim table above drives a multiplicative-
+      weights update smoothed toward uniform
+      (operators/sampling.py:doremi_weights), realized as the largest
+      no-upsampling hash-threshold sample honoring the weights
+      (doremi_mix). ``weight`` = the derived mixture share, 6dp.
+    """
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        doremi_mix,
+        temperature_mix,
+    )
 
     t = load_tables(spark, sf_dir)
-    kept = temperature_mix(t.documents, "lang", "doc_id", alpha=0.5, buckets=1000)
-    return (
-        kept.groupBy("lang", "__mix_n_total", "__mix_threshold")
+    kept_t = temperature_mix(t.documents, "lang", "doc_id", alpha=0.5, buckets=1000)
+    temp_leg = (
+        kept_t.groupBy("lang", "__mix_n_total", "__mix_threshold")
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .select(
-            "lang",
+            F.lit("temp").alias("leg"),
+            F.col("lang").alias("domain"),
             F.col("__mix_n_total").alias("n_total"),
+            F.lit(-1.0).alias("weight"),
             F.col("__mix_threshold").alias("keep_threshold"),
             "n_kept",
         )
-        .orderBy("lang")
     )
+    losses = spark.createDataFrame(
+        _DOREMI_LOSSES, "domain string, proxy_loss double, ref_loss double"
+    )
+    kept_d = doremi_mix(
+        t.documents, losses, "source", "doc_id",
+        eta=1.0, steps=3, smoothing=0.125, buckets=1000,
+    )
+    doremi_leg = (
+        kept_d.groupBy(
+            "source", "__mix_n_total", "__mix_weight", "__mix_threshold"
+        )
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .select(
+            F.lit("doremi").alias("leg"),
+            F.col("source").alias("domain"),
+            F.col("__mix_n_total").alias("n_total"),
+            F.round(F.col("__mix_weight"), 6).alias("weight"),
+            F.col("__mix_threshold").alias("keep_threshold"),
+            "n_kept",
+        )
+    )
+    return temp_leg.unionByName(doremi_leg).orderBy("leg", "domain")
 
 
 @register(

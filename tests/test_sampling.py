@@ -286,3 +286,77 @@ def test_balanced_shards_balance_and_determinism(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_doremi_weights_hand_model_and_properties(spark):
+    """doremi_weights matches an independent python model of the
+    Littlestone-Warmuth update ((1+eta*excess)^steps, normalized,
+    uniform-smoothed), weights sum to 1, zero excess everywhere gives
+    the uniform mixture, and higher excess never gets a lower weight."""
+    from big_data_chicago_crimes_spark.operators.sampling import doremi_weights
+
+    losses = spark.createDataFrame(
+        [("a", 2.5, 2.0), ("b", 2.0, 2.0), ("c", 2.25, 2.5)],
+        "domain string, proxy_loss double, ref_loss double",
+    )
+    got = {
+        r.domain: (r.excess_loss, r.weight)
+        for r in doremi_weights(losses, eta=1.0, steps=3, smoothing=0.125).collect()
+    }
+    # python model, same op order
+    lam = {"a": 0.5, "b": 0.0, "c": 0.0}  # c's excess clips at 0
+    raw = {d: (1.0 + 1.0 * v) ** 3 for d, v in lam.items()}
+    s = raw["a"] + raw["b"] + raw["c"]
+    model = {d: 0.875 * (raw[d] / s) + 0.125 / 3 for d in raw}
+    for d in model:
+        assert got[d][0] == lam[d]
+        assert abs(got[d][1] - model[d]) < 1e-12, d
+    assert abs(sum(w for _, w in got.values()) - 1.0) < 1e-12
+    assert got["a"][1] > got["b"][1] == got["c"][1]
+
+    # all-zero excess -> uniform
+    flat = spark.createDataFrame(
+        [("a", 2.0, 2.0), ("b", 2.0, 2.5)],
+        "domain string, proxy_loss double, ref_loss double",
+    )
+    w = {r.domain: r.weight for r in doremi_weights(flat).collect()}
+    assert w["a"] == w["b"] == 0.5
+
+
+def test_doremi_mix_no_upsampling_and_determinism(spark):
+    """doremi_mix realizes the weights as the LARGEST sample that never
+    upsamples: the binding domain (min n/w) keeps ~everything, every
+    kept set is a subset of its domain, and membership is stable under
+    repartition (hash-threshold contract)."""
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        doremi_mix,
+        doremi_weights,
+    )
+
+    rows = [(i, "hot" if i < 200 else "cold") for i in range(1_200)]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    losses = spark.createDataFrame(
+        [("hot", 3.0, 2.0), ("cold", 2.0, 2.0)],
+        "domain string, proxy_loss double, ref_loss double",
+    )
+    kept = doremi_mix(df, losses, "domain", "id").collect()
+    w = {r.domain: r.weight for r in doremi_weights(losses).collect()}
+    # binding domain: hot has n=200 against the large weight -> its
+    # threshold is the full bucket range (kept whole)
+    t_max = min(200 / w["hot"], 1000 / w["cold"])
+    assert t_max == 200 / w["hot"]
+    hot_kept = sum(1 for r in kept if r.domain == "hot")
+    cold_kept = sum(1 for r in kept if r.domain == "cold")
+    assert hot_kept >= 195  # threshold 999/1000 leaves at most a sliver
+    # cold is sampled down toward w_cold * t_max rows
+    import math
+
+    cold_thr = math.floor(1000 * (w["cold"] * t_max / 1000))
+    assert 0 < cold_thr < 1000
+    assert abs(cold_kept - cold_thr) < 60  # hash-uniformity tolerance
+
+    again = {
+        (r.id, r.domain)
+        for r in doremi_mix(df.repartition(7), losses, "domain", "id").collect()
+    }
+    assert again == {(r.id, r.domain) for r in kept}
