@@ -54,26 +54,47 @@ def _csv_lake_path(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "events_csv_roundtrip",
+    # Two roundtrip legs over the same parquet truth: the oracle
+    # aggregate is computed once per fmt literal, so each leg's hash
+    # passes only if that format's write/read cycle was lossless.
     oracle="""
-        SELECT event_type,
-               CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-               ROUND(SUM(value), 6) AS sum_value,
-               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
-               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
-        FROM events GROUP BY event_type ORDER BY event_type
+        WITH agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+            FROM events GROUP BY event_type
+        ), fmts(fmt) AS (VALUES ('csv'), ('jsonl'))
+        SELECT f.fmt, a.* FROM agg a CROSS JOIN fmts f
+        ORDER BY f.fmt, a.event_type
     """,
-    tags=("etl", "csv", "reference:S1"),
+    tags=("etl", "csv", "jsonl", "reference:S1", "reference:S3"),
 )
 def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 CSV scan (Dataset.py:77) driven end-to-end: events → CSV file
-    (once per SF) → explicit-schema CSV read → aggregate. The oracle
-    aggregates the PARQUET table, so the hash passes only if every
+    """File-format roundtrip surface, one leg per interchange format
+    (fmt column), each leg: events → file (once per SF, probe-or-write)
+    → explicit-schema read → aggregate. The oracle aggregates the
+    PARQUET table per fmt literal, so a leg's hash passes only if every
     column — bigints, doubles, the JSON ``props`` string (embedded
-    quotes/commas), and the µs-precision timestamp — survives the CSV
-    cycle byte-exactly. Unlike the reference, the read declares its
-    schema (inferSchema=True is a second full scan at 100 TB)."""
-    from big_data_chicago_crimes_spark.sources.sinks import path_exists
+    quotes/commas), and the µs-precision timestamp — survives that
+    format's write/read cycle byte-exactly. Unlike the reference, both
+    reads declare their schema (inferSchema=True is a second full scan
+    at 100 TB).
+
+    - ``csv``: S1 CSV scan (Dataset.py:77) driven end-to-end.
+    - ``jsonl`` (r11, VERDICT r10 #7): the sinks.write_jsonl →
+      readers.read_json cycle — gzip JSONL, the interchange format
+      external training-data tooling consumes — now certified under
+      the driver gate instead of test-only.
+    """
+    from big_data_chicago_crimes_spark.sources.readers import read_json
+    from big_data_chicago_crimes_spark.sources.sinks import (
+        lake_root,
+        path_exists,
+        write_jsonl,
+    )
 
     path = _csv_lake_path(spark, sf_dir)
     if not path_exists(spark, path):
@@ -83,23 +104,35 @@ def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .options(header=True, timestampFormat=_CSV_TS_FMT, nullValue=_CSV_NULL)
             .csv(path)
         )
-    events = read_csv(
+    jsonl_path = f"{lake_root(spark, sf_dir)}/events_jsonl"
+    if not path_exists(spark, jsonl_path):
+        write_jsonl(load_tables(spark, sf_dir).events, jsonl_path)
+
+    def leg(events: DataFrame, fmt: str) -> DataFrame:
+        return (
+            events.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+                F.date_format(F.min("ts"), _CSV_TS_FMT).alias("min_ts"),
+                F.date_format(F.max("ts"), _CSV_TS_FMT).alias("max_ts"),
+            )
+            .select(F.lit(fmt).alias("fmt"), "*")
+        )
+
+    csv_events = read_csv(
         spark,
         path,
         EVENTS_SCHEMA,
         timestampFormat=_CSV_TS_FMT,
         nullValue=_CSV_NULL,
     )
+    jsonl_events = read_json(spark, jsonl_path, EVENTS_SCHEMA)
     return (
-        events.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-            F.date_format(F.min("ts"), _CSV_TS_FMT).alias("min_ts"),
-            F.date_format(F.max("ts"), _CSV_TS_FMT).alias("max_ts"),
-        )
-        .orderBy("event_type")
+        leg(csv_events, "csv")
+        .unionByName(leg(jsonl_events, "jsonl"))
+        .orderBy("fmt", "event_type")
     )
 
 

@@ -50,8 +50,26 @@ def read_csv(
     return spark.read.schema(schema).options(header=header, **options).csv(path)
 
 
-def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    return spark.read.schema(schema).json(path)
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """Explicit-schema JSONL read (inferSchema would be a second full
+    pass at scale). ``timestamp_format`` defaults to the µs-precision
+    ISO form ``sinks.write_jsonl`` emits — Spark's own default parses
+    only milliseconds, silently truncating the sink's sub-ms digits
+    (the lossiness the r11 driver-gated roundtrip leg caught)."""
+    if timestamp_format is None:
+        from big_data_chicago_crimes_spark.sources.sinks import _JSONL_TS_FMT
+
+        timestamp_format = _JSONL_TS_FMT
+    return (
+        spark.read.schema(schema)
+        .option("timestampFormat", timestamp_format)
+        .json(path)
+    )
 
 
 def literal_table(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:

@@ -37,12 +37,20 @@ def write_parquet(
     writer.parquet(path)
 
 
+# Spark's JSON writer DEFAULT timestampFormat carries milliseconds only
+# — a silently lossy sink for Spark's native µs timestamps (caught by
+# the driver-gated roundtrip leg in r11: 23:23:43.175093 came back as
+# .175000). Both sides of the cycle pin this µs ISO-8601 form instead.
+_JSONL_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     compression: str | None = "gzip",
+    timestamp_format: str = _JSONL_TS_FMT,
 ) -> None:
     """JSON-lines sink — the interchange format most external
     training-data tooling consumes/produces. One JSON object per line,
@@ -51,10 +59,12 @@ def write_jsonl(
     uncompressed. Read back with ``readers.read_json`` + the explicit
     schema — never inferSchema at scale (a full extra pass over the
     data; the reference's CSV inferSchema is the same trap, see
-    Dataset.py:59-100). Timestamps serialize as ISO-8601 strings;
-    read_json's explicit schema restores them — roundtrip pinned by
-    tests/test_io.py."""
-    writer = df.write.mode(mode)
+    Dataset.py:59-100). Timestamps serialize as µs-precision ISO-8601
+    (NOT Spark's ms-only default — see _JSONL_TS_FMT above);
+    read_json's explicit schema + matching format restores them —
+    roundtrip certified by the events_csv_roundtrip jsonl leg under
+    the driver gate and pinned by tests/test_io.py."""
+    writer = df.write.mode(mode).option("timestampFormat", timestamp_format)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if compression:

@@ -79,7 +79,10 @@ def test_lake_root_invalidates_on_source_regeneration(spark, tmp_path):
 
 def test_jsonl_roundtrip_preserves_values_and_timestamps(spark, tmp_path):
     """write_jsonl → read_json with the explicit schema is lossless,
-    including timestamp columns (ISO-8601 strings on disk) and nulls."""
+    including MICROSECOND-precision timestamps (Spark's JSON writer
+    default format is ms-only and silently truncated sub-ms digits —
+    caught by the r11 driver-gated roundtrip leg; the sink now pins a
+    µs ISO-8601 format on both sides) and nulls."""
     import datetime
 
     from pyspark.sql import types as T
@@ -96,8 +99,8 @@ def test_jsonl_roundtrip_preserves_values_and_timestamps(spark, tmp_path):
         ]
     )
     rows = [
-        (1, "alpha", 0.5, datetime.datetime(2024, 1, 2, 3, 4, 5)),
-        (2, None, -1.25, datetime.datetime(2024, 6, 7, 8, 9, 10)),
+        (1, "alpha", 0.5, datetime.datetime(2024, 1, 2, 3, 4, 5, 175093)),
+        (2, None, -1.25, datetime.datetime(2024, 6, 7, 8, 9, 10, 999999)),
         (3, "unicode ✓ and \"quotes\"", None, None),
     ]
     df = spark.createDataFrame(rows, schema)
