@@ -1360,7 +1360,14 @@ def _blocked_jaccard_pairs(
     ).withColumn("__n", F.size(F.col("items")))
     need_sizes = max_block_rows is not None or prefix_filter is None
     if need_sizes:
-        sizes = base.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__bn"))
+        # Counted from the RAW input, not from ``base``: base sits
+        # behind spread_for_compute's repartition + the items
+        # tokenization, so aggregating it shuffles wide arrays just to
+        # count rows — the raw groupBy is a column-pruned scan with
+        # map-side combine (same counts, same rows).
+        sizes = df.groupBy(*[F.col(c) for c in block_cols]).agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
         base = base.join(sizes, block_cols)
     if max_block_rows is not None:
         small = base.filter(F.col("__bn") <= max_block_rows)
