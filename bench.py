@@ -154,9 +154,13 @@ CERTIFICATION = [
 # Drift sentinel: cheap, stable, shuffle-light; timed between every
 # SENTINEL_EVERY headline queries. If the environment slows mid-run, the
 # sentinel series shows it — deltas on real queries then stop being
-# attributed to code.
+# attributed to code. Cadence tightened 10 → 5 in r11: a multi-minute
+# burst landed entirely between two samples and inflated one adjacent
+# query block 5-7× while the series looked clean
+# (BENCH_ATTRIBUTION_r11.md run 1); at every-5 a burst long enough to
+# distort a 3-pass median can no longer hide. Costs ~1 s per run.
 SENTINEL = "events_count_by_type"
-SENTINEL_EVERY = 10
+SENTINEL_EVERY = 5
 PASSES = 3
 
 

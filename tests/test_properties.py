@@ -341,3 +341,90 @@ def test_semantic_dedup_vectorized_property_equality(spark, vecs, k, zero_rows):
     release_scratch_caches()
     v = sorted(semantic_dedup_vectorized(df, cents, threshold=0.95).collect())
     assert h == v
+
+
+@SETTINGS
+@given(
+    losses=st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=8.0, allow_nan=False),
+            st.floats(min_value=0.0, max_value=8.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    eta=st.floats(min_value=0.1, max_value=2.0, allow_nan=False),
+    steps=st.integers(min_value=1, max_value=4),
+    smoothing=st.floats(min_value=0.0, max_value=0.5, allow_nan=False),
+)
+def test_doremi_weights_match_python_model(spark, losses, eta, steps, smoothing):
+    """doremi_weights must agree with an independent Python model of the
+    unrolled Littlestone-Warmuth update on arbitrary losses/eta/steps/
+    smoothing: weights sum to 1, clip at zero excess, and never rank a
+    higher-excess domain below a lower-excess one."""
+    from big_data_chicago_crimes_spark.operators.sampling import doremi_weights
+
+    rows = [(f"d{i}", p, r) for i, (p, r) in enumerate(losses)]
+    df = spark.createDataFrame(
+        rows, "domain string, proxy_loss double, ref_loss double"
+    )
+    got = {
+        r.domain: r.weight
+        for r in doremi_weights(
+            df, eta=eta, steps=steps, smoothing=smoothing
+        ).collect()
+    }
+    lam = {d: max(p - r, 0.0) for d, p, r in rows}
+    raw = {}
+    for d in lam:
+        b = 1.0 + eta * lam[d]
+        w = b
+        for _ in range(steps - 1):
+            w = w * b
+        raw[d] = w
+    s = sum(raw.values())
+    k = len(raw)
+    model = {d: (1.0 - smoothing) * (raw[d] / s) + smoothing / k for d in raw}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for d in model:
+        assert abs(got[d] - model[d]) < 1e-9, (d, got[d], model[d])
+    ranked = sorted(lam, key=lambda d: lam[d])
+    for lo, hi in zip(ranked, ranked[1:]):
+        assert got[lo] <= got[hi] + 1e-12
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 1),  # block
+            st.lists(
+                st.sampled_from("abcdefgh"), min_size=1, max_size=6
+            ),  # tokens
+        ),
+        min_size=2,
+        max_size=14,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_jaccard_routes_agree_on_arbitrary_corpora(spark, docs, threshold):
+    """The three _blocked_jaccard_pairs routes — forced all-pairs,
+    forced prefix-filtered, and the size-dispatched default — must emit
+    the IDENTICAL pair set on arbitrary generated corpora (duplicate
+    docs, single-token docs, cross-block shapes included): the dispatch
+    may only ever change the plan, never the answer."""
+    from big_data_chicago_crimes_spark.operators.dedup import token_jaccard_pairs
+
+    rows = [(i, b, " ".join(toks)) for i, (b, toks) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, blk int, text string")
+    outs = []
+    for pf in (False, True, None):
+        outs.append(
+            {
+                (r.id_a, r.id_b, r.jaccard)
+                for r in token_jaccard_pairs(
+                    df, ["blk"], threshold=threshold, prefix_filter=pf
+                ).collect()
+            }
+        )
+    assert outs[0] == outs[1] == outs[2]
