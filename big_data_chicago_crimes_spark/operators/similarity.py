@@ -903,3 +903,63 @@ def ivf_topk(
     probe_ids = sorted(range(len(centroids)), key=lambda i: dists[i])[:nprobe]
     candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SEMANTIC eval-set decontamination — the embedding-space
+    complement of :func:`~big_data_chicago_crimes_spark.operators.
+    curation.ngram_contamination`: a benchmark item that leaked into
+    the training corpus as a paraphrase shares no verbatim n-gram but
+    still sits at near-1 cosine to the corpus copy, so modern pipelines
+    check BOTH (e.g. the decontamination discussion in Brown et al.
+    2020 §C and its paraphrase-leakage follow-ups).
+
+    Returns one row per FLAGGED corpus vector:
+    ``(id_col, block_col, max_benchmark_cosine)`` where
+    ``max_benchmark_cosine`` (6dp, the module's rounding contract) is
+    the maximum cosine against any benchmark vector in the same block
+    and exceeds ``threshold``. Callers quarantine the flagged ids.
+
+    Scale shape, mirroring ngram_contamination: the BENCHMARK side is
+    dim-sized by nature (an eval set, not a corpus) — its vectors
+    broadcast WITH precomputed norms, so the corpus streams through a
+    broadcast hash join with no shuffle of corpus vectors; each pair
+    costs one dot product (both norms precomputed); the only shuffle is
+    the per-corpus-id max aggregate, partial-aggregated map-side. At
+    100 TB use an LSH bucket as ``block_col`` (hyperplane_lsh_buckets)
+    so candidates stay near-linear even against a large benchmark;
+    ``label`` blocking here matches the certification fixture.
+    """
+    from big_data_chicago_crimes_spark.operators.dedup import spread_for_compute
+
+    base_c = spread_for_compute(corpus).select(
+        F.col(id_col),
+        F.col(block_col).alias("__blk"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    base_b = benchmark.select(
+        F.col(block_col).alias("__blk"),
+        F.col(vec_col).alias("__bv"),
+        l2_norm(F.col(vec_col)).alias("__bn"),
+    )
+    cos = F.round(
+        cosine_similarity(
+            F.col("__v"), F.col("__bv"), norm_a=F.col("__n"), norm_b=F.col("__bn")
+        ),
+        6,
+    )
+    return (
+        base_c.join(F.broadcast(base_b), "__blk")
+        .select(F.col(id_col), F.col("__blk").alias(block_col), cos.alias("__cos"))
+        .groupBy(id_col, block_col)
+        .agg(F.max("__cos").alias("max_benchmark_cosine"))
+        .filter(F.col("max_benchmark_cosine") >= threshold)
+    )

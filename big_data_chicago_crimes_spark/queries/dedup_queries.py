@@ -665,7 +665,25 @@ def docs_sketch_seeded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding,
                    label
             FROM embeddings WHERE vec_id % 20 = 0
+        ), bench AS (
+            SELECT list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding,
+                   label
+            FROM embeddings WHERE vec_id % 10 = 0
+        ), flagged AS (
+            SELECT c.vec_id, c.label,
+                   MAX(ROUND(list_dot_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)) AS mbc
+            FROM embeddings c JOIN bench b ON c.label = b.label
+            GROUP BY c.vec_id, c.label
+            HAVING MAX(ROUND(list_dot_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)) >= 0.95
         )
+        SELECT 'contam_census' AS leg, CAST(label AS BIGINT) AS k1,
+               CAST(COUNT(*) AS BIGINT) AS k2, ROUND(AVG(mbc), 6) AS metric
+        FROM flagged GROUP BY label
+        UNION ALL
         SELECT 'organic_census' AS leg,
                CAST(COUNT(*) AS BIGINT) AS k1, CAST(-1 AS BIGINT) AS k2,
                CAST(-1.0 AS DOUBLE) AS metric
@@ -683,13 +701,25 @@ def docs_sketch_seeded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.95
         ORDER BY leg, k1, k2
     """,
-    tags=("dedup", "embedding", "extension"),
+    tags=("dedup", "embedding", "decontamination", "extension"),
 )
 def embedding_near_dup_certification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup (≥0.95, label-blocked) certified two
+    """Embedding-cosine near-dup (≥0.95, label-blocked) certified three
     ways in one result: an organic-census leg (the production input's
-    pair count, hash-certified even when 0) and a planted-twin leg
-    (every pair the seeded fixture must produce, at cosine 1.0)."""
+    pair count, hash-certified even when 0), a planted-twin leg (every
+    pair the seeded fixture must produce, at cosine 1.0), and — r11 —
+    a ``contam_census`` leg certifying SEMANTIC decontamination
+    (operators/similarity.py:embedding_contamination): a planted
+    "benchmark" of every 10th vector scaled ×2 (exact in float32;
+    cosine is scale-invariant, so each plant sits at cosine 1.0 to its
+    corpus source — a paraphrase-leak stand-in that n-gram
+    decontamination would also catch here, but whose MACHINERY is the
+    broadcast-benchmark cosine flag, not gram matching). Census per
+    label: flagged count + mean max-benchmark-cosine."""
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        embedding_contamination,
+    )
+
     t = load_tables(spark, sf_dir)
     emb = t.embeddings
     organic = (
@@ -716,7 +746,31 @@ def embedding_near_dup_certification(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("id_b").alias("k2"),
         F.col("cosine").alias("metric"),
     )
-    return organic.unionByName(seeded_pairs).orderBy("leg", "k1", "k2")
+    bench = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    contam = (
+        embedding_contamination(emb, bench, threshold=0.95)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.round(F.avg("max_benchmark_cosine"), 6).alias("__m"),
+        )
+        .select(
+            F.lit("contam_census").alias("leg"),
+            F.col("label").cast("bigint").alias("k1"),
+            F.col("__n").cast("bigint").alias("k2"),
+            F.col("__m").alias("metric"),
+        )
+    )
+    return (
+        contam.unionByName(organic)
+        .unionByName(seeded_pairs)
+        .orderBy("leg", "k1", "k2")
+    )
 
 
 @register(

@@ -684,3 +684,41 @@ def test_incremental_semantic_dedup_empty_edges(spark):
         for r in incremental_semantic_dedup(batch, empty_idx, cents).collect()
     )
     assert kept == [10]
+
+
+def test_embedding_contamination_flags_planted_leaks(spark):
+    """Semantic decontamination: a corpus vector at >=threshold cosine
+    to ANY same-block benchmark vector is flagged with its max cosine;
+    orthogonal vectors are not; cross-block similarity never flags
+    (blocking is a hard scope); scaled copies flag at exactly 1.0
+    (cosine is scale-invariant)."""
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        embedding_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),   # leaked: benchmark holds 2x this
+            (2, [0.0, 1.0, 0.0], 0),   # clean: orthogonal to benchmark
+            (3, [0.6, 0.8, 0.0], 0),   # cosine 0.6 to bench -> below 0.95
+            (4, [1.0, 0.0, 0.0], 1),   # same direction but block 1: bench
+                                       # for block 1 is orthogonal
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    bench = spark.createDataFrame(
+        [([2.0, 0.0, 0.0], 0), ([0.0, 0.0, 5.0], 1)],
+        "embedding array<float>, label int",
+    )
+    got = {
+        r.vec_id: (r.label, r.max_benchmark_cosine)
+        for r in embedding_contamination(corpus, bench, threshold=0.95).collect()
+    }
+    assert got == {1: (0, 1.0)}
+
+    # threshold is inclusive and respects the 6dp rounding contract
+    low = {
+        r.vec_id
+        for r in embedding_contamination(corpus, bench, threshold=0.6).collect()
+    }
+    assert low == {1, 3}
