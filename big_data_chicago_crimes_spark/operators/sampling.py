@@ -494,3 +494,117 @@ def doremi_mix(
     )
     joined = df.join(F.broadcast(thresholds), domain_col)
     return joined.filter(hash_bucket(key, buckets) < F.col("__mix_threshold"))
+
+
+def _ntile_of_rank_sql(rank: str, k: int) -> str:
+    """SQL for the exact tile of 1-based rank ``rank`` among ``__n``
+    rows under SQL ntile(k) semantics (first ``__n % k`` tiles hold
+    ``__n div k + 1`` rows); integer-only arithmetic. The else-branch
+    divisor ``q`` is only reached when q >= 1 (when q = 0 every rank
+    satisfies the first branch), so there is no division by zero."""
+    q = f"(__n div {k})"
+    rem = f"(__n % {k})"
+    return (
+        f"CASE WHEN {rank} <= {rem} * ({q} + 1) "
+        f"THEN ({rank} - 1) div ({q} + 1) + 1 "
+        f"ELSE {rem} + ({rank} - {rem} * ({q} + 1) - 1) div {q} + 1 END"
+    )
+
+
+def score_ntile(
+    df: DataFrame,
+    score_col: str,
+    k: int,
+    part_cols: list[str],
+    key: str,
+    ascending: bool = True,
+    coarse_buckets: int = 512,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Exact ``ntile(k)`` over ``(score_col, key)`` order within each
+    ``part_cols`` partition — WITHOUT funneling each partition through
+    one WindowExec sort (the same trap :func:`quota_sample` avoids):
+    a billion-document language must not become a single straggler
+    task just to learn which third of the quality distribution each
+    document sits in (the CCNet head/middle/tail selection, Wenzek et
+    al. 2020, is exactly this operator with k=3 on an LM score).
+
+    Identical output to ``ntile(k) OVER (PARTITION BY part ORDER BY
+    score [DESC], key)`` — the closed form of SQL ntile for 1-based
+    rank r of n rows with q = n div k, rem = n mod k (the first rem
+    tiles hold q+1 rows): ``r ≤ rem·(q+1) ? (r−1) div (q+1) + 1 :
+    rem + (r − rem·(q+1) − 1) div q + 1``. (The folklore shortcut
+    ``floor((r−1)k/n)+1`` is WRONG for k > n — it skips tile numbers —
+    which the property test caught on a 2-row/k=4 input; the exact
+    two-branch form is equality-tested against window ntile on
+    arbitrary inputs.) Plan shape:
+
+    1. coarse histogram: rows per (part, width_bucket(score)) — a
+       small aggregate (parts × ≤coarse_buckets+2 rows), map-side
+       partials; score→bucket is monotone, and equal scores share a
+       bucket, so bucket ranges partition the rank axis exactly;
+    2. running offsets over the HISTOGRAM (window over histogram rows,
+       never the data) give every bucket its global rank range
+       [before+1, cum] and the partition size n;
+    3. buckets whose whole rank range maps to ONE tile (all but
+       ≤ k−1 boundary buckets per partition) get their tile from the
+       histogram arithmetic — no sort anywhere;
+    4. only the boundary buckets — expected partition_size /
+       coarse_buckets rows each — are exactly ranked (row_number
+       within bucket by (score, key), a bucket-bounded window).
+
+    ``key`` must be row-unique (total order) and ``part_cols`` NON-NULL
+    (equality joins). Ties in ``score`` break by ``key`` ascending,
+    matching the oracle-form ORDER BY. Returns ``df`` plus ``tile_col``
+    (1-based int).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    s = F.col(score_col) if ascending else -F.col(score_col)
+    rng = df.agg(
+        F.min(s).alias("__lo"), F.max(s).alias("__hi")
+    )
+    keyed = df.crossJoin(F.broadcast(rng)).withColumn(
+        "__sb",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(1)).otherwise(
+            F.width_bucket(s, "__lo", "__hi", F.lit(coarse_buckets))
+        ),
+    )
+    hist = keyed.groupBy(*part_cols, "__sb").agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy(*part_cols).orderBy("__sb")
+    wn = Window.partitionBy(*part_cols)
+    cuts = (
+        hist.withColumn("__cum", F.sum("__cnt").over(w))
+        .withColumn("__before", F.col("__cum") - F.col("__cnt"))
+        .withColumn("__n", F.max("__cum").over(wn))
+        # first and last rank of the bucket land in the same tile ⇒
+        # every row in the bucket shares it (monotone tile-of-rank)
+        # exact SQL-ntile closed form in integer `div`/% (never `/`:
+        # double division of near-2^53 products can land a hair below
+        # an exact integer and truncate a tile boundary off by one)
+        .withColumn("__t_first", F.expr(_ntile_of_rank_sql("(__before + 1)", k)))
+        .withColumn("__t_last", F.expr(_ntile_of_rank_sql("__cum", k)))
+    )
+    joined = keyed.join(
+        F.broadcast(
+            cuts.select(
+                *part_cols, "__sb", "__before", "__n", "__t_first", "__t_last"
+            )
+        ),
+        [*part_cols, "__sb"],
+    )
+    interior = joined.filter(F.col("__t_first") == F.col("__t_last")).withColumn(
+        tile_col, F.col("__t_first").cast("int")
+    )
+    wb = Window.partitionBy(*part_cols, "__sb").orderBy(s, F.col(key))
+    boundary = (
+        joined.filter(F.col("__t_first") != F.col("__t_last"))
+        .withColumn("__r", F.col("__before") + F.row_number().over(wb))
+        .withColumn(tile_col, F.expr(_ntile_of_rank_sql("__r", k)).cast("int"))
+        .drop("__r")
+    )
+    return interior.unionByName(boundary).drop(
+        "__lo", "__hi", "__sb", "__before", "__n", "__t_first", "__t_last"
+    )

@@ -251,11 +251,27 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM scored) s
             JOIN documents doc ON s.doc_id = doc.doc_id
             WHERE s.rk <= 200
+        ), lm_doc AS (
+            SELECT t.doc_id,
+                   ROUND((SUM(LOG10(s.cs + 1))
+                          - COUNT(*) * LOG10((SELECT ns FROM tot)
+                                             + (SELECT v FROM tot)))
+                         / COUNT(*), 6) AS lm
+            FROM toks t JOIN vocab_src s USING (tok) GROUP BY t.doc_id
+        ), ccnet AS (
+            SELECT 'ccnet_head' AS leg, r.doc_id, d.source
+            FROM (SELECT l.doc_id,
+                         ntile(3) OVER (PARTITION BY d2.lang
+                                        ORDER BY l.lm DESC, l.doc_id) AS tile
+                  FROM lm_doc l JOIN documents d2 ON l.doc_id = d2.doc_id) r
+            JOIN documents d ON r.doc_id = d.doc_id
+            WHERE r.tile = 1
         )
         SELECT * FROM quota UNION ALL SELECT * FROM dsir
+        UNION ALL SELECT * FROM ccnet
         ORDER BY leg, source, doc_id
     """,
-    tags=("sampling", "quota", "mixing", "dsir", "extension"),
+    tags=("sampling", "quota", "mixing", "dsir", "ccnet", "extension"),
 )
 def docs_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two data-mixing selections, exact membership, tagged by ``leg``:
@@ -272,8 +288,21 @@ def docs_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
       the 200 docs whose token mix looks most like the in-domain
       target (source='src0') under the unigram-LM log-ratio, ties by
       doc_id. Top-k by score plans as TakeOrderedAndProject — no
-      global sort."""
-    from big_data_chicago_crimes_spark.operators.curation import dsir_logratio
+      global sort.
+    - ``ccnet_head`` (r11) — CCNet's head/middle/tail selection
+      (Wenzek et al. 2020): every document in the per-LANGUAGE top
+      tercile of unigram-LM quality, computed by
+      :func:`~big_data_chicago_crimes_spark.operators.sampling.score_ntile`
+      — exact ntile(3) semantics through the coarse-histogram +
+      boundary-bucket plan, so a billion-document language never
+      funnels through one WindowExec sort. Membership certification
+      pins every tercile assignment the plan makes (the oracle replays
+      it as a plain window ntile)."""
+    from big_data_chicago_crimes_spark.operators.curation import (
+        dsir_logratio,
+        unigram_logprob,
+    )
+    from big_data_chicago_crimes_spark.operators.sampling import score_ntile
 
     t = load_tables(spark, sf_dir)
     kept = quota_sample(t.documents, ["source"], n=10, key="doc_id")
@@ -288,7 +317,21 @@ def docs_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t.documents.select("doc_id", "source"), "doc_id")
         .select(F.lit("dsir_top200").alias("leg"), "doc_id", "source")
     )
-    return quota.unionByName(dsir).orderBy("leg", "source", "doc_id")
+    scored = unigram_logprob(t.documents).join(
+        t.documents.select("doc_id", "lang", "source"), "doc_id"
+    )
+    ccnet = (
+        score_ntile(
+            scored, "avg_logprob", 3, ["lang"], "doc_id", ascending=False
+        )
+        .filter(F.col("tile") == 1)
+        .select(F.lit("ccnet_head").alias("leg"), "doc_id", "source")
+    )
+    return (
+        quota.unionByName(dsir)
+        .unionByName(ccnet)
+        .orderBy("leg", "source", "doc_id")
+    )
 
 
 # The DoReMi leg's per-domain proxy/reference losses: a LITERAL dim

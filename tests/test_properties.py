@@ -428,3 +428,41 @@ def test_jaccard_routes_agree_on_arbitrary_corpora(spark, docs, threshold):
             }
         )
     assert outs[0] == outs[1] == outs[2]
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1),  # partition
+            st.integers(-5, 5),  # score (narrow range -> many ties)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+    ascending=st.booleans(),
+)
+def test_score_ntile_matches_window_ntile(spark, rows, k, ascending):
+    """score_ntile's histogram-bounded plan must emit EXACTLY the tiles
+    of ntile(k) OVER (PARTITION BY part ORDER BY score [DESC], key) on
+    arbitrary inputs — heavy ties, single-row partitions, k larger than
+    a partition, constant scores (degenerate one-bucket histogram)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.sampling import score_ntile
+
+    data = [(i, p, float(s)) for i, (p, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, part int, score double")
+    got = {
+        r.id: r.tile
+        for r in score_ntile(
+            df, "score", k, ["part"], "id", ascending=ascending,
+            coarse_buckets=4,  # tiny: force multi-bucket + boundary paths
+        ).collect()
+    }
+    order = [F.col("score").asc() if ascending else F.col("score").desc(), F.col("id")]
+    w = Window.partitionBy("part").orderBy(*order)
+    want = {r.id: r.t for r in df.withColumn("t", F.ntile(k).over(w)).collect()}
+    assert got == want
