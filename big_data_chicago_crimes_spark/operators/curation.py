@@ -433,11 +433,32 @@ def tfidf_cosine_pairs(
     )
 
 
+def fit_unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fit the corpus unigram LM once: ``(__tok, __c)`` token counts,
+    the frame :func:`unigram_logprob` (as ``lm``) and
+    :func:`dsir_logratio` (as ``source_lm``) accept instead of
+    refitting. The production shape for a multi-filter curation run —
+    LM-quality scoring, DSIR, and CCNet tercile selection all score
+    under the SAME corpus LM, so the corpus-sized explode + count
+    shuffle should run once and be persisted/materialized, not once
+    per filter (measured r11: the three-leg docs_domain_quota refit it
+    three times — zero ReusedExchange across legs, 44 scans of the
+    documents parquet — because each operator's private fit canonical-
+    izes differently; the shared frame collapses that)."""
+    return (
+        spread_for_compute(df)
+        .select(F.explode(tokens(text_col)).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     vocab_cap: int | None = None,
+    lm: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document average unigram log10-probability under an add-one
     smoothed LM fit on the corpus itself — the perplexity-style filter
@@ -486,7 +507,13 @@ def unigram_logprob(
     toks = spread_for_compute(df).select(
         id_col, F.explode(tokens(text_col)).alias("__tok")
     )
-    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    # ``lm``: a prebuilt fit_unigram_lm frame — pass it when several
+    # filters score under the same corpus LM so the fit runs once.
+    vocab = (
+        lm.select("__tok", "__c")
+        if lm is not None
+        else toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    )
     totals = vocab.agg(
         F.sum("__c").alias("__n_total"), F.count(F.lit(1)).alias("__v_size")
     )
@@ -527,6 +554,7 @@ def dsir_logratio(
     target: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    source_lm: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document importance score for Data Selection via Importance
     Resampling (DSIR, Xie et al. 2023): the length-normalized log-ratio
@@ -558,7 +586,13 @@ def dsir_logratio(
     toks = spread_for_compute(df).select(
         id_col, F.explode(tokens(text_col)).alias("__tok")
     )
-    vocab_src = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cs"))
+    # ``source_lm``: a prebuilt fit_unigram_lm frame over ``df`` —
+    # shares the corpus fit with unigram_logprob-based filters.
+    vocab_src = (
+        source_lm.select("__tok", F.col("__c").alias("__cs"))
+        if source_lm is not None
+        else toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cs"))
+    )
     vocab_tgt = (
         target.select(F.explode(tokens(text_col)).alias("__tok"))
         .groupBy("__tok")

@@ -300,24 +300,31 @@ def docs_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
       it as a plain window ntile)."""
     from big_data_chicago_crimes_spark.operators.curation import (
         dsir_logratio,
+        fit_unigram_lm,
         unigram_logprob,
     )
     from big_data_chicago_crimes_spark.operators.sampling import score_ntile
+    from big_data_chicago_crimes_spark.session import scratch_persist
 
     t = load_tables(spark, sf_dir)
     kept = quota_sample(t.documents, ["source"], n=10, key="doc_id")
     quota = kept.select(
         F.lit("quota").alias("leg"), "doc_id", "source"
     )
+    # ONE corpus LM fit shared by the dsir and ccnet legs (the
+    # production multi-filter shape — see curation.fit_unigram_lm;
+    # without it each leg refits: zero exchange reuse across legs,
+    # measured r11). Vocabulary-sized, scratch-persisted.
+    lm = scratch_persist(fit_unigram_lm(t.documents))
     target = t.documents.filter(F.col("source") == "src0")
     dsir = (
-        dsir_logratio(t.documents, target)
+        dsir_logratio(t.documents, target, source_lm=lm)
         .orderBy(F.col("dsir_score").desc(), "doc_id")
         .limit(200)
         .join(t.documents.select("doc_id", "source"), "doc_id")
         .select(F.lit("dsir_top200").alias("leg"), "doc_id", "source")
     )
-    scored = unigram_logprob(t.documents).join(
+    scored = unigram_logprob(t.documents, lm=lm).join(
         t.documents.select("doc_id", "lang", "source"), "doc_id"
     )
     ccnet = (
