@@ -252,3 +252,39 @@ def test_dsir_logratio_prefers_target_like_docs(spark):
         for r in dsir_logratio(docs, target).collect()
     }
     assert out[2] > out[3]
+
+
+def test_shared_lm_fit_matches_private_fits(spark):
+    """Passing a fit_unigram_lm frame to unigram_logprob / dsir_logratio
+    must be a pure execution change: scores identical to each
+    operator's private fit, including under vocab_cap."""
+    from big_data_chicago_crimes_spark.operators.curation import (
+        dsir_logratio,
+        fit_unigram_lm,
+        unigram_logprob,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog ate the cat food"),
+            (3, "quantum flux capacitors hum"),
+            (4, "the the the repeated stopword soup"),
+        ],
+    )
+    lm = fit_unigram_lm(docs)
+    for cap in (None, 3):
+        a = {r.doc_id: r.avg_logprob for r in unigram_logprob(docs, vocab_cap=cap).collect()}
+        b = {
+            r.doc_id: r.avg_logprob
+            for r in unigram_logprob(docs, vocab_cap=cap, lm=lm).collect()
+        }
+        assert a == b, cap
+    target = docs.filter("doc_id = 3")
+    da = {r.doc_id: r.dsir_score for r in dsir_logratio(docs, target).collect()}
+    db = {
+        r.doc_id: r.dsir_score
+        for r in dsir_logratio(docs, target, source_lm=lm).collect()
+    }
+    assert da == db
