@@ -202,8 +202,17 @@ def test_quota_sample_histogram_cached_and_windows_bounded(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert "BroadcastHashJoin" in plan
-    row_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]+),", plan)
-    assert row_specs and all("source" in s for s in row_specs), row_specs
+    # Every row_number window must be PARTITION-bounded: the quota
+    # leg's boundary rank by the group (source), and — since the r11
+    # ccnet_head leg — score_ntile's boundary rank by (lang, coarse
+    # score bucket __sb). An unpartitioned/global row_number anywhere
+    # is the single-straggler shape this test exists to forbid.
+    row_specs = re.findall(
+        r"row_number\(\) windowspecdefinition\(([^)]*?)\)", plan
+    )
+    assert row_specs, plan
+    for s in row_specs:
+        assert ("source" in s) or ("lang" in s and "__sb" in s), s
 
 
 def test_temperature_mix_thresholds_broadcast_no_data_shuffle(spark, sf_dir):
