@@ -44,27 +44,84 @@ REGISTRY: dict[str, Query] = {}
 # (VERDICT r4 #3); tests/test_registry.py derives the staleness contract from
 # the committed CORRECTNESS history, so a bad rotation fails CI.
 #
-# ROUND-11 WINDOW (the mechanical cohort rotation, VERDICT r10 #1): at 100
+# ROUND-12 WINDOW (the mechanical cohort rotation, VERDICT r11 #1): at 100
 # registered queries the two 50-query cohorts alternate windows every
-# round or the 2-round staleness contract breaks. The r10 window (dedup
-# sketches / ANN / text / sampling / ML / streaming twins) rotates OUT;
-# the 50 queries whose last driver row is r9 (stream-static / span /
-# line / semantic dedup + the ETL / lake layout / OLAP / join spine /
-# pipeline cohort) rotate IN. The rotation carries real freight again:
-# it certifies the two registered-query legs that landed AFTER their r9
-# driver rows — the ``dsir_top200`` leg of ``docs_domain_quota``
-# (operators/curation.py dsir_logratio, commit f989e0e) and the ``rrf``
-# leg of ``docs_hybrid_search`` (queries/similarity_queries.py, commit
-# 229f65f) — so those two go FIRST, exactly as r10 pinned the changed
-# PassJoin builder first. In-round additions are funded by the
-# established pair-merge pattern (merge two queries ALREADY inside this
-# window into one result that certifies both operators — precedent
+# round or the 2-round staleness contract breaks. The r11 window
+# (stream-static / span / line / semantic dedup + ETL / OLAP / join
+# spine / pipeline) rotates OUT; the r10-green cohort (dedup sketches /
+# ANN / text / sampling / ML / streaming twins) rotates IN. The
+# rotation again carries real freight: THREE of the returning cohort's
+# builders changed AFTER their r10 driver rows — ``docs_jaccard_pairs``
+# (all-pairs-vs-SSJoin-prefix route dispatch, operators/dedup.py
+# _blocked_jaccard_pairs), ``docs_quality_scores`` (pre-reduced
+# unigram-LM scoring join, operators/curation.py unigram_logprob), and
+# ``docs_dedup_components`` (frontier-pruned min-label propagation,
+# operators/curation.py connected_components). All three are claimed
+# output-identical (property tests + oracles), but the driver hash is
+# the contract — they go FIRST, exactly the r10 PassJoin / r11
+# dsir+rrf precedent. In-round additions are funded by the established
+# pair-merge pattern (merge two queries ALREADY inside this window into
+# one result that certifies both operators — precedent
 # purchaser_error_overlap — netting +1 slot each; merging across
 # cohorts costs −2 and is never done).
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- r11 window: the r9-green cohort rotates back in ---
-    "docs_domain_quota",  # FIRST: dsir_top200 leg landed post-r9-row (f989e0e) — weakest evidence
-    "docs_hybrid_search",  # SECOND: rrf leg landed post-r9-row (229f65f)
+    # --- r12 window: the r10-green cohort rotates back in ---
+    # Slots 1-3: builders changed post-r10-row (VERDICT r11 #1) — weakest evidence first.
+    "docs_jaccard_pairs",  # FIRST: route dispatch landed post-r10-row (dedup.py:1472)
+    "docs_quality_scores",  # SECOND: pre-reduced LM scoring join landed post-r10-row
+    "docs_dedup_components",  # THIRD: frontier-pruned propagation landed post-r10-row
+    "docs_fuzzy_match_pairs",
+    "embedding_semantic_dedup_vec",
+    "events_interval_join_batch",
+    "docs_chunk_pack",
+    "docs_exact_dedup",
+    "docs_char_ngram_jaccard",
+    "docs_minhash_lsh_candidates",
+    "docs_simhash_candidates",
+    "docs_sketch_seeded_recall",
+    "docs_incremental_dedup",
+    "docs_minhash_md5_oracled",
+    "docs_simhash_md5_surface",
+    "embedding_near_dups_lsh",
+    "embedding_near_dups_lsh_seeded",
+    "docs_ngram_contamination",
+    "docs_tfidf_similar_pairs",
+    "embedding_topk_surface",
+    "embedding_lsh_bucket_histogram",
+    "embedding_ann_lsh_topk_lake",
+    "embedding_ivf_topk_lake",
+    "docs_token_stats",
+    "docs_quality_by_source",
+    "docs_fingerprint_census",
+    "docs_lang_id",
+    "docs_bpe_token_stats",
+    "docs_repetition_stats",
+    "docs_rolling_hash",
+    "docs_rolling_hash_md5_oracled",
+    "docs_pii_scrub_stats",
+    "docs_pii_scrub_seeded",
+    "docs_sequence_packing",
+    "docs_sampling_census",
+    "docs_train_val_test_split",
+    "ml_classifier_auc_surface",
+    "embedding_batch_topk",
+    "ml_gbt_rmse",
+    "ml_kmeans_customer_clusters",
+    "revenue_by_nation",
+    "pricing_summary",
+    "orders_price_quantiles_approx",
+    "orders_year_range_filter",
+    "orders_by_season",
+    "orders_monthly_window_surface",
+    "best_order_per_customer",
+    "customer_balance_rank_in_nation",
+    "events_hourly_tumbling",
+    "user_session_counts",
+    # ------------------------------------------------------------------
+    # r11 cohort (all green r11; rotates back in next round)
+    # ------------------------------------------------------------------
+    "docs_domain_quota",  # dsir_top200 + ccnet_head legs certified r11
+    "docs_hybrid_search",  # rrf leg certified r11
     "docs_stream_static_dedup_batch",  # batch degradation of the stream-static anti-join dedup
     "docs_shared_span_pairs",  # exact-substring span dedup (Lee et al. 2022 shape)
     "docs_line_dedup",  # C4-style line-level boilerplate removal
@@ -113,59 +170,6 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "embedding_ivf_topk_lake_seeded",
     "ml_correlation_matrix",
     "multimodal_pipeline_stats",
-    # ------------------------------------------------------------------
-    # r10 cohort (all green r10; rotates back in next round)
-    # ------------------------------------------------------------------
-    "docs_fuzzy_match_pairs",  # PassJoin segments builder — certified r10 (5.8× → 1.81× at sf1)
-    "embedding_semantic_dedup_vec",  # BLAS SemDeDup + normed-index incremental — certified r10
-    "events_interval_join_batch",
-    "docs_chunk_pack",
-    "docs_exact_dedup",
-    "docs_jaccard_pairs",
-    "docs_char_ngram_jaccard",
-    "docs_minhash_lsh_candidates",
-    "docs_simhash_candidates",
-    "docs_sketch_seeded_recall",
-    "docs_incremental_dedup",
-    "docs_minhash_md5_oracled",
-    "docs_simhash_md5_surface",  # r10 merge: fingerprint + band legs in one result
-    "embedding_near_dups_lsh",
-    "embedding_near_dups_lsh_seeded",
-    "docs_dedup_components",
-    "docs_ngram_contamination",
-    "docs_tfidf_similar_pairs",
-    "embedding_topk_surface",
-    "embedding_lsh_bucket_histogram",
-    "embedding_ann_lsh_topk_lake",
-    "embedding_ivf_topk_lake",
-    "docs_token_stats",
-    "docs_quality_by_source",
-    "docs_fingerprint_census",
-    "docs_lang_id",
-    "docs_bpe_token_stats",
-    "docs_quality_scores",
-    "docs_repetition_stats",
-    "docs_rolling_hash",
-    "docs_rolling_hash_md5_oracled",
-    "docs_pii_scrub_stats",
-    "docs_pii_scrub_seeded",
-    "docs_sequence_packing",
-    "docs_sampling_census",
-    "docs_train_val_test_split",
-    "ml_classifier_auc_surface",
-    "embedding_batch_topk",
-    "ml_gbt_rmse",
-    "ml_kmeans_customer_clusters",
-    "revenue_by_nation",
-    "pricing_summary",
-    "orders_price_quantiles_approx",
-    "orders_year_range_filter",
-    "orders_by_season",
-    "orders_monthly_window_surface",
-    "best_order_per_customer",
-    "customer_balance_rank_in_nation",
-    "events_hourly_tumbling",
-    "user_session_counts",
 )
 
 
