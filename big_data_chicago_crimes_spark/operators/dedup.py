@@ -723,10 +723,21 @@ def _probe_positions(probe: DataFrame, index: DataFrame, key_col: str) -> DataFr
     ``sequence``+``explode`` generates the hash indexes, and the salted
     md5 position (identical strings to ``_bloom_positions``'s literal
     ``'#j'`` salts) is plain whole-stage-codegen — no higher-order
-    lambdas on the batch-sized hot path."""
+    lambdas on the batch-sized hot path.
+
+    EMPTY-filter guard (ADVICE r11): an empty ``index`` frame (cold
+    start — no corpus yet, or a prebuilt filter over zero keys) makes
+    both ``max`` aggregates NULL, ``sequence(0, NULL-1)`` NULL, and
+    ``explode`` would emit ZERO probe rows — the downstream flags
+    aggregate then returns an empty frame and an inner join on it
+    silently drops the whole batch. Coalescing the geometry to the
+    degenerate (num_bits=1, num_hashes=1) filter keeps one ``pos=0``
+    row per key; with no set bits every key resolves to
+    ``bloom_hit=false`` — exactly the 'a miss is definitely new'
+    contract an empty filter must produce."""
     m = index.agg(
-        F.max("num_bits").alias("num_bits"),
-        F.max("num_hashes").alias("num_hashes"),
+        F.coalesce(F.max("num_bits"), F.lit(1).cast("long")).alias("num_bits"),
+        F.coalesce(F.max("num_hashes"), F.lit(1)).alias("num_hashes"),
     )
     return (
         probe.crossJoin(F.broadcast(m))
@@ -1480,28 +1491,35 @@ def _blocked_jaccard_pairs(
     if threshold <= 0:
         out = _all_pairs(small)
     elif prefix_filter is None:
-        # ONE GLOBAL route per call, decided DRIVER-SIDE from the
-        # block-size frame (one row per distinct block key — dim-sized
-        # by nature, the same bounded-collect class as the centroid
-        # dict and the layout stats; the scan under it is pruned to
-        # the block columns). The statistic is the size-weighted mean
-        # block size sum(n_i^2)/sum(n_i) over non-LSH blocks — the
-        # average number of in-block partners a row faces, i.e. the
-        # quadratic volume per row. Two finer designs were built and
-        # measured WORSE (r11, interleaved): (a) lazily unioning both
-        # legs makes the empty leg scan + tokenize the corpus just to
-        # find it has no rows (12.11 vs 7.01 s); (b) routing PER BLOCK
-        # splits the prefix leg's ranking shuffles, whose cost
-        # amortizes across blocks — per-block dispatch 9.38 s vs 5.09 s
-        # all-prefix on the organic sf1 mix, while the global rule
-        # picks the measured-best plan at both tiers (sf0.1 mean ~70
-        # -> all-pairs 1.27 s; sf1 mean ~640 -> prefix 5.09 s).
-        cap = float("inf") if max_block_rows is None else max_block_rows
-        bn_vals = [
-            r["__bn"] for r in sizes.select("__bn").collect() if r["__bn"] <= cap
-        ]
-        tot = sum(bn_vals)
-        mean_partners = (sum(c * c for c in bn_vals) / tot) if tot else 0.0
+        # ONE GLOBAL route per call, decided DRIVER-SIDE from ONE
+        # aggregate row (VERDICT r11 #3: block keys at 100 TB can be
+        # LSH bands or domains — cardinality grows with the corpus, so
+        # collecting the per-block size frame is the one collect in the
+        # engine that is NOT dim-bounded; the statistic it feeds is a
+        # single scalar, so collect the scalar). The statistic is the
+        # size-weighted mean block size sum(n_i^2)/sum(n_i) over
+        # non-LSH blocks — the average number of in-block partners a
+        # row faces, i.e. the quadratic volume per row. Two finer
+        # designs were built and measured WORSE (r11, interleaved):
+        # (a) lazily unioning both legs makes the empty leg scan +
+        # tokenize the corpus just to find it has no rows (12.11 vs
+        # 7.01 s); (b) routing PER BLOCK splits the prefix leg's
+        # ranking shuffles, whose cost amortizes across blocks —
+        # per-block dispatch 9.38 s vs 5.09 s all-prefix on the
+        # organic sf1 mix, while the global rule picks the
+        # measured-best plan at both tiers (sf0.1 mean ~70 ->
+        # all-pairs 1.27 s; sf1 mean ~640 -> prefix 5.09 s).
+        in_cap = (
+            sizes
+            if max_block_rows is None
+            else sizes.filter(F.col("__bn") <= max_block_rows)
+        )
+        stat = in_cap.agg(
+            F.sum(F.col("__bn") * F.col("__bn")).alias("__sq"),
+            F.sum("__bn").alias("__tot"),
+        ).collect()[0]
+        tot = stat["__tot"] or 0
+        mean_partners = (stat["__sq"] / tot) if tot else 0.0
         out = (
             _prefix_filtered(small)
             if mean_partners > prefix_min_rows

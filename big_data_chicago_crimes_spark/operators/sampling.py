@@ -453,8 +453,14 @@ def doremi_mix(
     No-upsampling realization: with target shares w_i and domain sizes
     n_i, the largest achievable sample honoring every share without
     replicating rows is T_max = min_i(n_i / w_i); each domain keeps at
-    rate ``w_i · T_max / n_i`` (=1 for the binding domain), thresholded
-    on :func:`hash_bucket` like every sampler in this module. All
+    rate ``w_i · T_max / n_i``, thresholded on :func:`hash_bucket` like
+    every sampler in this module. The binding domain's rate is 1 in
+    real arithmetic, but ``floor(buckets · w·T_max/n)`` in rounded
+    double arithmetic can land at ``buckets − 1`` — i.e. the binding
+    domain keeps ~1, up to one bucket (1/``buckets``) of rounding
+    slack (ADVICE r11; the DuckDB oracle mirrors the same doubles
+    term-for-term, so both engines land the identical threshold —
+    clamping Spark-side alone would break the cross-engine contract). All
     arithmetic after the domain-count aggregate is correctly-rounded
     double ops on a dim-sized frame, mirrored term-for-term by the
     DuckDB oracle.
@@ -553,8 +559,12 @@ def score_ntile(
        coarse_buckets rows each — are exactly ranked (row_number
        within bucket by (score, key), a bucket-bounded window).
 
-    ``key`` must be row-unique (total order) and ``part_cols`` NON-NULL
-    (equality joins). Ties in ``score`` break by ``key`` ascending,
+    ``key`` must be row-unique (total order), and ``part_cols`` AND
+    ``score_col`` NON-NULL (equality joins; window ntile would rank a
+    NULL score NULLS-FIRST in Spark but NULLS-LAST in DuckDB, so there
+    is no portable semantics to promise — a NULL score raises at
+    execution rather than silently vanishing through the NULL-bucket
+    join, ADVICE r11). Ties in ``score`` break by ``key`` ascending,
     matching the oracle-form ORDER BY. Returns ``df`` plus ``tile_col``
     (1-based int).
     """
@@ -563,6 +573,17 @@ def score_ntile(
     from pyspark.sql import Window
 
     s = F.col(score_col) if ascending else -F.col(score_col)
+    # Loud NULL-score guard on the bucketing expression itself: a NULL
+    # would make __sb NULL and the equi-join below silently DROP the
+    # row (the window form would have tiled it — engines disagree on
+    # where). when/otherwise keeps the guard off the happy path.
+    s = F.when(
+        F.col(score_col).isNull(),
+        F.raise_error(
+            F.lit(f"score_ntile: NULL in score column {score_col!r} — "
+                  "filter or impute NULL scores before tiling")
+        ).cast("double"),
+    ).otherwise(s)
     rng = df.agg(
         F.min(s).alias("__lo"), F.max(s).alias("__hi")
     )

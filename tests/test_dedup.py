@@ -694,3 +694,97 @@ def test_line_level_dedup_delim_is_literal(spark):
         for r in line_level_dedup(df, min_docs=3, delim=".").collect()
     }
     assert got == {1: (3, 1, "b.c"), 2: (2, 1, "x"), 3: (2, 1, "y")}, got
+
+
+def test_bloom_empty_filter_cold_start(spark):
+    """ADVICE r11 (medium): an EMPTY filter — cold start with no corpus
+    yet, or a prebuilt filter over zero keys — must flag every probe
+    key as a miss ('a miss is definitely new'), never return an empty
+    flags frame that an inner join then uses to silently drop the whole
+    batch. Covers the inline build, both prebuilt forms, and the full
+    incremental operator."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        bloom_index,
+        bloom_index_packed,
+        bloom_membership_flags,
+        bloom_membership_flags_packed,
+        incremental_dedup_with_bloom,
+    )
+
+    empty_keys = spark.createDataFrame([], "fingerprint string")
+    probe = spark.range(5).select(
+        F.concat(F.lit("new-"), F.col("id")).alias("fingerprint")
+    )
+    for flags_fn, idx in (
+        (bloom_membership_flags, bloom_index(empty_keys)),
+        (bloom_membership_flags_packed, bloom_index_packed(empty_keys)),
+    ):
+        flags = {r.fingerprint: r.bloom_hit for r in flags_fn(probe, idx).collect()}
+        assert len(flags) == 5, "empty filter must still emit one flag per key"
+        assert not any(flags.values()), "empty filter can have no hits"
+
+    batch = spark.createDataFrame(
+        [(10, "first ever doc"), (11, "second ever doc")],
+        "doc_id long, text string",
+    )
+    # cold start: empty corpus, inline build
+    got = {
+        r.doc_id for r in incremental_dedup_with_bloom(batch, empty_keys).collect()
+    }
+    assert got == {10, 11}
+    # prebuilt empty filters (position + packed forms)
+    for prebuilt in (bloom_index(empty_keys), bloom_index_packed(empty_keys)):
+        got_pre = {
+            r.doc_id
+            for r in incremental_dedup_with_bloom(
+                batch, empty_keys, bloom=prebuilt
+            ).collect()
+        }
+        assert got_pre == {10, 11}
+
+
+def test_jaccard_dispatch_collect_is_one_row(spark, monkeypatch):
+    """VERDICT r11 #3: the prefix_filter=None auto-dispatch must decide
+    its route from a ONE-ROW aggregate collect (sum(n²), sum(n)) — with
+    high-cardinality blocking (LSH bands, domains) a per-block-size
+    collect is unbounded on the driver. Patch DataFrame.collect to
+    record result sizes during plan CONSTRUCTION and assert nothing
+    bigger than one row crosses to the driver; then pin the dispatched
+    answer to both forced legs."""
+    docs = [
+        (i, f"alpha beta gamma tok{i % 4}", "en", f"s{i % 7}") for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    )
+
+    # patch the CONCRETE class (pyspark 4's sql.DataFrame is an abstract
+    # facade; classic.DataFrame defines its own collect)
+    cls = type(df)
+    collected_sizes = []
+    real_collect = cls.collect
+
+    def spy_collect(self):
+        rows = real_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy_collect)
+    auto = token_jaccard_pairs(df, ["lang", "source"], threshold=0.5)
+    monkeypatch.setattr(cls, "collect", real_collect)
+
+    assert collected_sizes, "dispatch is expected to probe block stats"
+    assert max(collected_sizes) <= 1, (
+        f"dispatch collected {max(collected_sizes)} rows — must be scalar-only"
+    )
+    got = {(r.id_a, r.id_b, r.jaccard) for r in auto.collect()}
+    for forced in (True, False):
+        want = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in token_jaccard_pairs(
+                df, ["lang", "source"], threshold=0.5, prefix_filter=forced
+            ).collect()
+        }
+        assert got == want, f"dispatch answer differs from prefix_filter={forced}"

@@ -466,3 +466,24 @@ def test_score_ntile_matches_window_ntile(spark, rows, k, ascending):
     w = Window.partitionBy("part").orderBy(*order)
     want = {r.id: r.t for r in df.withColumn("t", F.ntile(k).over(w)).collect()}
     assert got == want
+
+
+def test_score_ntile_null_score_raises(spark):
+    """ADVICE r11: a NULL score must raise loudly, not vanish through
+    the NULL-bucket equi-join (window ntile would tile it — NULLS-FIRST
+    in Spark, NULLS-LAST in DuckDB, so there is no portable semantics
+    to silently pick). Non-null rows are unaffected."""
+    import pytest
+
+    from big_data_chicago_crimes_spark.operators.sampling import score_ntile
+
+    clean = spark.createDataFrame(
+        [(1, 0, 1.0), (2, 0, 2.0)], "id long, part int, score double"
+    )
+    assert {r.tile for r in score_ntile(clean, "score", 2, ["part"], "id").collect()} == {1, 2}
+
+    dirty = spark.createDataFrame(
+        [(1, 0, 1.0), (2, 0, None)], "id long, part int, score double"
+    )
+    with pytest.raises(Exception, match="NULL in score column"):
+        score_ntile(dirty, "score", 2, ["part"], "id").collect()
