@@ -247,7 +247,9 @@ def cross_validated_lr_auc(df: DataFrame, label_col: str, folds: int = 3) -> Dat
         evaluator=evaluator,
         numFolds=folds,
         seed=SEED,
-        parallelism=2,
+        # fold×param fits are independent — run them concurrently
+        # (each fit's jobs still parallelize across executor threads)
+        parallelism=4,
     )
     model = cv.fit(prepared)
     best = model.bestModel

@@ -139,6 +139,8 @@ def _auc_band_oracle(model: str) -> str:
     # embedding_batch_topk query (the purchaser_error_overlap
     # merge-funding pattern)
     oracle=f"""
+        {_auc_band_oracle("cross_validated_lr")}
+        UNION ALL
         {_auc_band_oracle("logistic_regression")}
         UNION ALL
         {_auc_band_oracle("one_hot_lr")}
@@ -155,15 +157,56 @@ def ml_classifier_auc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     The r10 ``one_hot_lr`` leg runs the M14 OneHotEncoder featurization
     (StringIndexer → OneHotEncoder → assembler, operators/ml.py
     ``one_hot_pipeline``) through the same LR + band certification, so
-    the encoder path is driver-gated rather than local-suite-only."""
-    from big_data_chicago_crimes_spark.operators.ml import one_hot_lr_predictions
+    the encoder path is driver-gated rather than local-suite-only.
+
+    The r12 ``cross_validated_lr`` leg closes M14's second half
+    (CrossValidator + ParamGridBuilder — sketched in comments at
+    Dataset.py:615-642 but never run there): a seeded 3-fold CV over
+    the LR regularization grid runs end-to-end on BOTH frames. Its
+    booleans re-interpret the shared schema for a tuner: ``valid`` =
+    cross-validated AUC in [0,1]; ``within_band`` = the near-random
+    frame's CV AUC inside the same sane-classifier band;
+    ``nondegenerate`` = the selected regParam is a member of the search
+    grid (the selection actually happened); ``learns_signal`` = the
+    separable frame's cross-validated AUC ≥ 0.85 (chance-level output
+    fails)."""
+    from big_data_chicago_crimes_spark.operators.ml import (
+        cross_validated_lr_auc,
+        one_hot_lr_predictions,
+    )
 
     lr = _certified_auc(
         spark, sf_dir, "logistic_regression", logistic_regression_predictions
     )
     ohe = _certified_auc(spark, sf_dir, "one_hot_lr", one_hot_lr_predictions)
     rf = _certified_auc(spark, sf_dir, "random_forest", random_forest_predictions)
-    return lr.unionByName(ohe).unionByName(rf).orderBy("model")
+
+    # folds=2 keeps the driver-gate cost at (2 folds × 2 params + 1
+    # refit) × 2 frames = 10 LR fits; still a genuine grid search with
+    # held-out folds (the local suite exercises the 3-fold default)
+    grid = (0.01, 0.1)
+    noise = cross_validated_lr_auc(
+        _orders_features(spark, sf_dir), "label", folds=2
+    ).head()
+    sep = cross_validated_lr_auc(
+        _separable_features(spark, sf_dir), "label", folds=2
+    ).head()
+    cv = spark.createDataFrame(
+        [
+            (
+                "cross_validated_lr",
+                "roc_auc",
+                0.0 <= float(noise["roc_auc"]) <= 1.0,
+                0.25 <= float(noise["roc_auc"]) <= 0.75,
+                float(noise["best_reg_param"]) in grid
+                and float(sep["best_reg_param"]) in grid,
+                float(sep["roc_auc"]) >= 0.85,
+            )
+        ],
+        "model string, metric string, valid boolean, within_band boolean, "
+        "nondegenerate boolean, learns_signal boolean",
+    )
+    return cv.unionByName(lr).unionByName(ohe).unionByName(rf).orderBy("model")
 
 
 @register(
