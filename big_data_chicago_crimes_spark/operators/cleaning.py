@@ -89,6 +89,24 @@ def add_season(df: DataFrame, month_col: str = "month") -> DataFrame:
     return df.withColumn("season", season(month_col))
 
 
+def drop_by_dtype(
+    df: DataFrame,
+    drop_types: tuple[str, ...] = ("string",),
+    also_drop: tuple[str, ...] = (),
+) -> DataFrame:
+    """P2 as the reference actually uses it — SCHEMA-driven column
+    drops (Dataset.py:118-122 drops fixed columns; the dtype-reflective
+    form is its feature-selection idiom, Dataset.py:563-580, where
+    encode/keep sets are derived from ``df.dtypes``): drop every column
+    whose Spark dtype is in ``drop_types``, plus the explicitly named
+    ``also_drop`` columns (id-like numerics that type reflection alone
+    cannot exclude). Purely a projection — Catalyst prunes the dropped
+    columns out of the scan, so at 100 TB this is the cheapest possible
+    operator: the bytes are never read."""
+    to_drop = [c for c, t in df.dtypes if t in drop_types]
+    return df.drop(*to_drop, *also_drop)
+
+
 def clean_crimes(raw: DataFrame) -> DataFrame:
     """The full reference ETL (Dataset.py:83-145) as one pipeline:
     dropna → dedup → regex clean → timestamp decomposition → leap-year +

@@ -92,3 +92,24 @@ def test_booleans_cast_independently(spark):
     df = spark.createDataFrame([(True, False)], "a boolean, b boolean")
     row = booleans_to_int(df, ["a", "b"]).collect()[0]
     assert (row.a, row.b) == (1, 0)
+
+
+def test_drop_by_dtype_reflective_and_pruned(spark):
+    """P2 schema-reflective drop: string columns go by dtype, named id
+    columns by also_drop; surviving schema is exactly the numeric
+    feature set, and the projection prunes the scan (ReadSchema in the
+    physical plan carries only surviving columns for a parquet source —
+    here we assert the logical projection)."""
+    from big_data_chicago_crimes_spark.operators.cleaning import drop_by_dtype
+
+    df = spark.createDataFrame(
+        [(1, "n", 2, 3.5, "m")],
+        "id bigint, name string, nat int, bal double, seg string",
+    )
+    out = drop_by_dtype(df, ("string",), also_drop=("id",))
+    assert out.columns == ["nat", "bal"]
+    # dtype set can name multiple types
+    out2 = drop_by_dtype(df, ("string", "bigint"))
+    assert out2.columns == ["nat", "bal"]
+    # dropping nothing is the identity projection
+    assert drop_by_dtype(df, ("decimal(10,2)",)).columns == df.columns
