@@ -55,7 +55,7 @@ HEADLINE = [
     "orders_monthly_window_surface",
     "purchase_top_users",
     "event_value_stats",
-    "orders_by_season",
+    "orders_temporal_bucket_surface",  # r12 merge: year_range + season legs
     # joins / TPC-H shapes
     "revenue_by_nation",
     "pricing_summary",
@@ -95,6 +95,7 @@ HEADLINE = [
     "docs_stream_static_dedup_batch",  # stream-static anti-join dedup, batch degradation (r9)
     "docs_shared_span_pairs",  # exact-substring span dedup, strided k-gram sampling (r9)
     "docs_line_dedup",  # C4-style line-level boilerplate removal (r9)
+    "docs_intra_dedup",  # intra-document line dedup, zero-shuffle scan path (r12)
     "docs_minhash_lsh_candidates",
     "docs_simhash_candidates",
     "docs_jaccard_pairs",

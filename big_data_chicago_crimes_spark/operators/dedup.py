@@ -652,6 +652,58 @@ def line_level_dedup(
     )
 
 
+def intra_doc_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """INTRA-document line dedup — the Gopher repetition rule /
+    C4-style within-page hygiene pass (Rae et al. 2021 §A1.1 filters
+    docs by duplicate-line fraction; C4 policy: a page's repeated
+    boilerplate lines are kept once): drop every repeated occurrence of
+    a line WITHIN one document, keeping the first occurrence in
+    original order, and rebuild the text. The missing granularity
+    between corpus-level line dedup (:func:`line_level_dedup` — needs
+    the cross-document line census) and span dedup: here each document
+    is independent, so the whole operator is per-row column arithmetic.
+
+    Plan: ZERO shuffles — ``split`` → ``array_distinct`` (documented
+    order-preserving: first occurrence wins) → ``array_join``, all
+    whole-stage-codegen scalar expressions. At 100 TB this runs at scan
+    speed with perfect data parallelism: no exchange, no census, no
+    join — the sharpest possible contrast to the corpus-level pass, and
+    the reason intra-doc dedup belongs FIRST in a cleaning pipeline
+    (it shrinks the text that every downstream shuffle pays for).
+
+    Adds to each row: ``n_lines`` (original line count), ``n_removed``
+    (repeated occurrences dropped), ``chars_removed`` (byte-length
+    delta of the rebuild, delimiters included), ``cleaned_text``.
+    Repeated EMPTY lines collapse to one like any other line (blank-run
+    collapse falls out of the same rule). ``text_col`` must be NON-NULL
+    (the census columns would go NULL, not raise); ``delim`` is a
+    LITERAL separator, regex-escaped before the split (ADVICE r9 —
+    same contract as :func:`line_level_dedup`)."""
+    import re as _re
+
+    # array_distinct appears three times below; whole-stage codegen's
+    # subexpression elimination evaluates it once per row
+    lines = F.split(F.col(text_col), _re.escape(delim))
+    return (
+        df.withColumn("__lines", lines)
+        .withColumn("cleaned_text", F.array_join(F.array_distinct("__lines"), delim))
+        .withColumn("n_lines", F.size("__lines").cast("int"))
+        .withColumn(
+            "n_removed",
+            (F.size("__lines") - F.size(F.array_distinct("__lines"))).cast("int"),
+        )
+        .withColumn(
+            "chars_removed",
+            (F.length(F.col(text_col)) - F.length("cleaned_text")).cast("int"),
+        )
+        .drop("__lines")
+    )
+
+
 def incremental_exact_dedup(
     new_df: DataFrame,
     corpus_fingerprints: DataFrame,

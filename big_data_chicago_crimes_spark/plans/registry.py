@@ -70,6 +70,7 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_jaccard_pairs",  # FIRST: route dispatch landed post-r10-row (dedup.py:1472)
     "docs_quality_scores",  # SECOND: pre-reduced LM scoring join landed post-r10-row
     "docs_dedup_components",  # THIRD: frontier-pruned propagation landed post-r10-row
+    "docs_intra_dedup",  # NEW r12: intra-document line dedup (VERDICT r11 #6) — never sampled
     "docs_fuzzy_match_pairs",
     "embedding_semantic_dedup_vec",
     "events_interval_join_batch",
@@ -110,8 +111,7 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "revenue_by_nation",
     "pricing_summary",
     "orders_price_quantiles_approx",
-    "orders_year_range_filter",
-    "orders_by_season",
+    "orders_temporal_bucket_surface",  # r12 merge: year_range + season legs — funds docs_intra_dedup
     "orders_monthly_window_surface",
     "best_order_per_customer",
     "customer_balance_rank_in_nation",

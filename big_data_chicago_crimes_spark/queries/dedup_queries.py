@@ -361,6 +361,99 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_intra_dedup",
+    # NEW r12 (VERDICT r11 #6): funded by merging orders_year_range_filter
+    # + orders_by_season into orders_temporal_bucket_surface. The missing
+    # dedup granularity — repeated lines WITHIN a document (the
+    # Gopher/C4 intra-doc rule); corpus-level exact/fuzzy/span/line all
+    # exist. Same lined-corpus derivation as docs_line_dedup (literal
+    # replace, identical in both engines) plus a planted duplicate: on
+    # every 3rd doc the same literal line is prepended AND appended, so
+    # removal recall is non-vacuous by construction, while organic
+    # repeated inter-token segments certify the keep-first path.
+    # cleaned_md5 pins every rebuilt document byte-for-byte; the oracle
+    # replays keep-first as p = MIN(p) OVER (doc, line).
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'click here to read more' || chr(10)
+                        ELSE '' END
+                   || replace(replace(text, ' join ', chr(10)), ' hash ', chr(10))
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN chr(10) || 'click here to read more'
+                           ELSE '' END AS text
+            FROM documents
+        ), pos AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(string_split(text, chr(10))))) AS p,
+                   string_split(text, chr(10)) AS ls
+            FROM corpus
+        ), ln AS (
+            SELECT doc_id, CAST(p AS INTEGER) AS p,
+                   ls[CAST(p AS INTEGER)] AS line
+            FROM pos
+        ), keepflag AS (
+            SELECT doc_id, p, line,
+                   p = MIN(p) OVER (PARTITION BY doc_id, line) AS keep
+            FROM ln
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS INTEGER) AS n_lines,
+                   CAST(COUNT(*) FILTER (WHERE NOT keep) AS INTEGER) AS n_removed,
+                   COALESCE(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY p), '') AS cleaned
+            FROM keepflag GROUP BY doc_id
+        )
+        SELECT a.doc_id, a.n_lines, a.n_removed,
+               CAST(len(c.text) - len(a.cleaned) AS INTEGER) AS chars_removed,
+               md5(a.cleaned) AS cleaned_md5
+        FROM agg a JOIN corpus c USING (doc_id)
+        ORDER BY a.doc_id
+    """,
+    tags=("dedup", "intra-doc", "extension"),
+)
+def docs_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document line dedup (Gopher/C4 within-page hygiene, Rae et
+    al. 2021 §A1.1): repeated occurrences of a line inside one document
+    are dropped, first occurrence kept in order, text rebuilt and
+    pinned by md5. operators/dedup.py:intra_doc_dedup — ZERO-shuffle
+    scalar expressions (split → order-preserving array_distinct →
+    array_join), the scan-speed pass that runs FIRST in a cleaning
+    pipeline because it shrinks what every downstream shuffle pays
+    for."""
+    from big_data_chicago_crimes_spark.operators.dedup import intra_doc_dedup
+
+    t = load_tables(spark, sf_dir)
+    nl = F.lit("\n")
+    planted = F.lit("click here to read more")
+    lined = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(planted, nl)
+            ).otherwise(F.lit("")),
+            F.replace(
+                F.replace(F.col("text"), F.lit(" join "), nl),
+                F.lit(" hash "),
+                nl,
+            ),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(nl, planted)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    res = intra_doc_dedup(lined)
+    return res.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        "chars_removed",
+        F.md5(F.col("cleaned_text")).alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
     "docs_stream_static_dedup_batch",
     # funded by the customer_balance_quartiles + nation_balance_extremes
     # merge (nation_balance_window_surface). Batch degradation of the

@@ -191,26 +191,67 @@ def events_not_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "orders_year_range_filter",
+    "orders_temporal_bucket_surface",
+    # r12 merge: the former orders_year_range_filter (P6 range + P7
+    # modulo predicates, r10-green) and orders_by_season (P14
+    # when/otherwise bucketing, r10-green) in ONE registry slot — the
+    # slot freed funds docs_intra_dedup (the purchaser_error_overlap
+    # merge-funding pattern). One scan: both legs derive from a single
+    # tiny (year, season) aggregate; the identical aggregate subplans
+    # under the union share their exchange (ReuseExchange), so orders
+    # is read once.
     oracle="""
-        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
-               COUNT(*) AS cnt
-        FROM orders
-        WHERE EXTRACT(year FROM o_orderdate) % 2 = 0
-          AND EXTRACT(year FROM o_orderdate) > 1995
-          AND EXTRACT(year FROM o_orderdate) < 2001
-        GROUP BY 1 ORDER BY year
+        WITH ym AS (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+                   CASE
+                     WHEN EXTRACT(month FROM o_orderdate) IN (12, 1, 2) THEN 'Winter'
+                     WHEN EXTRACT(month FROM o_orderdate) BETWEEN 3 AND 5 THEN 'Spring'
+                     WHEN EXTRACT(month FROM o_orderdate) BETWEEN 6 AND 8 THEN 'Summer'
+                     ELSE 'Autumn'
+                   END AS season,
+                   COUNT(*) AS cnt
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT 'season' AS leg, season AS bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM ym GROUP BY season
+        UNION ALL
+        SELECT 'year_range' AS leg, CAST(year AS VARCHAR) AS bucket,
+               CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM ym
+        WHERE year % 2 = 0 AND year > 1995 AND year < 2001
+        GROUP BY year
+        ORDER BY leg, bucket
     """,
-    tags=("filter", "reference:P6,P7"),
+    tags=("filter", "expr", "reference:P6,P7,P14", "merged"),
 )
-def orders_year_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leap-year modulo + AND-range predicate (Dataset.py:101,103)
-    transposed to the 1995-2001 order dates. Both predicates fold into
-    one scan filter."""
+def orders_temporal_bucket_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal bucketing surface: the season when/otherwise CASE
+    (Dataset.py:123-129) and the leap-year-modulo + AND-range predicate
+    (Dataset.py:101,103) certified in one result. Both legs aggregate
+    the SAME dim-sized (year, season) rollup — years × 4 rows — so the
+    orders scan happens once and each leg is a second-level aggregate
+    over a broadcast-sized frame."""
     t = load_tables(spark, sf_dir)
-    y = F.year("o_orderdate")
-    df = t.orders.filter((y % 2 == 0) & (y > 1995) & (y < 2001))
-    return count_by(df.withColumn("year", y), "year").orderBy("year")
+    ym = t.orders.groupBy(
+        F.year("o_orderdate").alias("year"),
+        season(F.month("o_orderdate")).alias("season"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    season_leg = ym.groupBy("season").agg(F.sum("cnt").alias("cnt")).select(
+        F.lit("season").alias("leg"), F.col("season").alias("bucket"), "cnt"
+    )
+    year_leg = (
+        ym.filter(
+            (F.col("year") % 2 == 0) & (F.col("year") > 1995) & (F.col("year") < 2001)
+        )
+        .groupBy("year")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(
+            F.lit("year_range").alias("leg"),
+            F.col("year").cast("string").alias("bucket"),
+            "cnt",
+        )
+    )
+    return season_leg.unionByName(year_leg).orderBy("leg", "bucket")
 
 
 @register(
@@ -264,28 +305,6 @@ def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """select(col).distinct() (Dataset.py:210)."""
     t = load_tables(spark, sf_dir)
     return distinct_values(t.events, "event_type").orderBy("event_type")
-
-
-@register(
-    "orders_by_season",
-    oracle="""
-        SELECT CASE
-                 WHEN EXTRACT(month FROM o_orderdate) IN (12, 1, 2) THEN 'Winter'
-                 WHEN EXTRACT(month FROM o_orderdate) BETWEEN 3 AND 5 THEN 'Spring'
-                 WHEN EXTRACT(month FROM o_orderdate) BETWEEN 6 AND 8 THEN 'Summer'
-                 ELSE 'Autumn'
-               END AS season,
-               COUNT(*) AS cnt
-        FROM orders GROUP BY 1 ORDER BY season
-    """,
-    tags=("expr", "reference:P14"),
-)
-def orders_by_season(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Season when/otherwise bucketing (Dataset.py:123-129) over order
-    dates — same disjunction-of-ranges CASE shape."""
-    t = load_tables(spark, sf_dir)
-    df = t.orders.withColumn("season", season(F.month("o_orderdate")))
-    return count_by(df, "season").orderBy("season")
 
 
 @register(

@@ -788,3 +788,33 @@ def test_jaccard_dispatch_collect_is_one_row(spark, monkeypatch):
             ).collect()
         }
         assert got == want, f"dispatch answer differs from prefix_filter={forced}"
+
+
+def test_intra_doc_dedup_keep_first_and_census(spark):
+    """Intra-document line dedup: repeated lines within a doc collapse
+    to their FIRST occurrence in original order; docs are independent
+    (a line repeated across docs is untouched); censuses are exact."""
+    from big_data_chicago_crimes_spark.operators.dedup import intra_doc_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb"),   # a,b repeat -> keep first
+            (2, "a\na\na"),          # collapses to one line
+            (3, "x\ny"),             # nothing repeats
+            (4, "p\n\n\nq"),         # repeated blank lines collapse
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_lines, r.n_removed, r.chars_removed)
+        for r in intra_doc_dedup(df).collect()
+    }
+    assert got[1] == ("a\nb\nc", 5, 2, 4)
+    assert got[2] == ("a", 3, 2, 4)
+    assert got[3] == ("x\ny", 2, 0, 0)
+    assert got[4] == ("p\n\nq", 4, 1, 1)
+
+    # literal (non-regex) delimiter contract: '.' must not per-char split
+    dotted = spark.createDataFrame([(1, "a.b.a")], "doc_id long, text string")
+    row = intra_doc_dedup(dotted, delim=".").collect()[0]
+    assert (row.cleaned_text, row.n_removed) == ("a.b", 1)
