@@ -573,25 +573,34 @@ def score_ntile(
     from pyspark.sql import Window
 
     s = F.col(score_col) if ascending else -F.col(score_col)
-    # Loud NULL-score guard on the bucketing expression itself: a NULL
-    # would make __sb NULL and the equi-join below silently DROP the
-    # row (the window form would have tiled it — engines disagree on
-    # where). when/otherwise keeps the guard off the happy path.
-    s = F.when(
-        F.col(score_col).isNull(),
-        F.raise_error(
-            F.lit(f"score_ntile: NULL in score column {score_col!r} — "
-                  "filter or impute NULL scores before tiling")
-        ).cast("double"),
-    ).otherwise(s)
+    # min/max skip NULLs, so the range probe runs on the RAW score —
+    # the loud NULL guard lives only in the __sb expression below,
+    # which every row must pass through before any join can drop it
+    # (measured: wrapping s itself put the guard inside the full-scan
+    # min/max aggregate and the boundary sort for ~20% extra cost).
     rng = df.agg(
         F.min(s).alias("__lo"), F.max(s).alias("__hi")
     )
+    # First branch: a NULL score raises at execution. Without it, a
+    # NULL makes __sb NULL and the equi-join below silently DROPS the
+    # row, while window ntile would have tiled it — NULLS-FIRST in
+    # Spark but NULLS-LAST in DuckDB, so there is no portable
+    # semantics to silently pick (ADVICE r11). The branch order
+    # matters: the degenerate all-equal branch must not shadow the
+    # guard.
     keyed = df.crossJoin(F.broadcast(rng)).withColumn(
         "__sb",
-        F.when(F.col("__hi") == F.col("__lo"), F.lit(1)).otherwise(
-            F.width_bucket(s, "__lo", "__hi", F.lit(coarse_buckets))
-        ),
+        F.when(
+            F.col(score_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"score_ntile: NULL in score column {score_col!r} — "
+                    "filter or impute NULL scores before tiling"
+                )
+            ).cast("long"),
+        )
+        .when(F.col("__hi") == F.col("__lo"), F.lit(1))
+        .otherwise(F.width_bucket(s, "__lo", "__hi", F.lit(coarse_buckets))),
     )
     hist = keyed.groupBy(*part_cols, "__sb").agg(F.count(F.lit(1)).alias("__cnt"))
     w = Window.partitionBy(*part_cols).orderBy("__sb")
