@@ -304,18 +304,27 @@ def docs_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_logprob,
     )
     from big_data_chicago_crimes_spark.operators.sampling import score_ntile
-    from big_data_chicago_crimes_spark.session import scratch_persist
 
     t = load_tables(spark, sf_dir)
     kept = quota_sample(t.documents, ["source"], n=10, key="doc_id")
     quota = kept.select(
         F.lit("quota").alias("leg"), "doc_id", "source"
     )
-    # ONE corpus LM fit shared by the dsir and ccnet legs (the
-    # production multi-filter shape — see curation.fit_unigram_lm;
-    # without it each leg refits: zero exchange reuse across legs,
-    # measured r11). Vocabulary-sized, scratch-persisted.
-    lm = scratch_persist(fit_unigram_lm(t.documents))
+    # ONE corpus LM fit shared by the dsir and ccnet legs. NOT
+    # scratch-persisted (r12 re-stamp of the r11 decision, VERDICT r11
+    # #7): the three-arm interleaved A/B (persist / shared-no-persist /
+    # private fits; sentinel-clean, rows identical) measured the persist
+    # FILL costing more than the duplicated fit subplans at both tiers —
+    # sf0.1 4.68 vs 3.46 vs 3.57 s, sf1 8.66 vs 5.98 vs 5.76 s. Spark
+    # does not ReuseExchange the duplicated fit here (42 documents
+    # scans either way), but the fit's corpus-sized explode+count is
+    # cheap relative to materializing the vocab frame at fixture scale.
+    # The asymptotic story flips: extra fits are corpus-linear, persist
+    # fill is vocab-sized (~√N by Heaps' law) — so when the filters run
+    # as separate actions, or the corpus dwarfs the vocabulary (the
+    # 100 TB regime), persist/materialize the fit once
+    # (curation.fit_unigram_lm's docstring keeps that contract).
+    lm = fit_unigram_lm(t.documents)
     target = t.documents.filter(F.col("source") == "src0")
     dsir = (
         dsir_logratio(t.documents, target, source_lm=lm)
