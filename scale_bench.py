@@ -54,6 +54,9 @@ SUITE = {
         "docs_stream_static_dedup_batch",
         "docs_shared_span_pairs",
         "docs_line_dedup",
+        # r12: intra-document line dedup — zero-shuffle scalar pass;
+        # its ratio should track the documents scan (~1x per replica)
+        "docs_intra_dedup",
         "docs_minhash_lsh_candidates",
         "docs_simhash_candidates",
         "docs_jaccard_pairs",
