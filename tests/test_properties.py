@@ -487,3 +487,71 @@ def test_score_ntile_null_score_raises(spark):
     )
     with pytest.raises(Exception, match="NULL in score column"):
         score_ntile(dirty, "score", 2, ["part"], "id").collect()
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="ab c", min_size=0, max_size=6),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_intra_doc_dedup_matches_window_reference(spark, docs):
+    """The zero-shuffle split→array_distinct→array_join plan must emit
+    EXACTLY the keep-first semantics of the exploded window reference
+    (min(pos) per (doc, line), rebuild ordered by pos) — the same
+    formulation the DuckDB oracle replays. Arbitrary line content
+    including empties, repeated blanks, whole-doc repeats."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.dedup import intra_doc_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_lines, r.n_removed, r.chars_removed)
+        for r in intra_doc_dedup(df).collect()
+    }
+
+    ln = df.select(
+        "doc_id",
+        F.length("text").alias("orig_len"),
+        F.posexplode(F.split("text", "\n")).alias("p", "line"),
+    )
+    w = Window.partitionBy("doc_id", "line")
+    flagged = ln.withColumn("keep", F.col("p") == F.min("p").over(w))
+    ref = (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("p", "line"))
+                        )
+                    ),
+                    lambda x: x.getField("line"),
+                ),
+                "\n",
+            ).alias("cleaned"),
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.sum((~F.col("keep")).cast("int")).cast("int").alias("n_removed"),
+            F.max("orig_len").alias("orig_len"),
+        )
+    )
+    want = {
+        r.doc_id: (
+            r.cleaned,
+            r.n_lines,
+            r.n_removed,
+            int(r.orig_len - len(r.cleaned)),
+        )
+        for r in ref.collect()
+    }
+    assert got == want
