@@ -196,10 +196,13 @@ def events_not_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # modulo predicates, r10-green) and orders_by_season (P14
     # when/otherwise bucketing, r10-green) in ONE registry slot — the
     # slot freed funds docs_intra_dedup (the purchaser_error_overlap
-    # merge-funding pattern). One scan: both legs derive from a single
-    # tiny (year, season) aggregate; the identical aggregate subplans
-    # under the union share their exchange (ReuseExchange), so orders
-    # is read once.
+    # merge-funding pattern). ONE scan via GROUPING SETS ((season),
+    # (year)): a union of two aggregates over the same parent does NOT
+    # get ReuseExchange (verified on the executed plan — 2 scans, 0
+    # reuse; the same non-reuse the shared-LM-fit A/B measured), so the
+    # single-pass form is explicit, not assumed. The year-range
+    # predicate filters GROUP KEYS, so it commutes with the aggregation
+    # and applies post-agg on the year grouping's rows.
     oracle="""
         WITH ym AS (
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
@@ -227,31 +230,46 @@ def events_not_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_temporal_bucket_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal bucketing surface: the season when/otherwise CASE
     (Dataset.py:123-129) and the leap-year-modulo + AND-range predicate
-    (Dataset.py:101,103) certified in one result. Both legs aggregate
-    the SAME dim-sized (year, season) rollup — years × 4 rows — so the
-    orders scan happens once and each leg is a second-level aggregate
-    over a broadcast-sized frame."""
+    (Dataset.py:101,103) certified in one result. ONE orders scan, one
+    shuffle: GROUPING SETS ((season), (year)) computes both groupings
+    in a single aggregate pass (the expand duplicates each input row
+    once per set, map-side); each leg then filters its grouping's rows
+    — year/season are never NULL organically, so null-ness identifies
+    the set — and the year-range predicate applies post-agg (it
+    filters group keys, which commutes with aggregation)."""
     t = load_tables(spark, sf_dir)
-    ym = t.orders.groupBy(
-        F.year("o_orderdate").alias("year"),
-        season(F.month("o_orderdate")).alias("season"),
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    season_leg = ym.groupBy("season").agg(F.sum("cnt").alias("cnt")).select(
-        F.lit("season").alias("leg"), F.col("season").alias("bucket"), "cnt"
-    )
-    year_leg = (
-        ym.filter(
-            (F.col("year") % 2 == 0) & (F.col("year") > 1995) & (F.col("year") < 2001)
+    gs = (
+        t.orders.select(
+            F.year("o_orderdate").alias("year"),
+            season(F.month("o_orderdate")).alias("season"),
         )
-        .groupBy("year")
-        .agg(F.sum("cnt").alias("cnt"))
+        .groupingSets([["season"], ["year"]], "year", "season")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # no union: a union of two filters of gs would duplicate the whole
+    # aggregate subplan (no ReuseExchange) — one when() projection
+    # keeps the plan consumed exactly once
+    is_season = F.col("year").isNull()
+    return (
+        gs.filter(
+            is_season
+            | (
+                (F.col("year") % 2 == 0)
+                & (F.col("year") > 1995)
+                & (F.col("year") < 2001)
+            )
+        )
         .select(
-            F.lit("year_range").alias("leg"),
-            F.col("year").cast("string").alias("bucket"),
+            F.when(is_season, F.lit("season"))
+            .otherwise(F.lit("year_range"))
+            .alias("leg"),
+            F.when(is_season, F.col("season"))
+            .otherwise(F.col("year").cast("string"))
+            .alias("bucket"),
             "cnt",
         )
+        .orderBy("leg", "bucket")
     )
-    return season_leg.unionByName(year_leg).orderBy("leg", "bucket")
 
 
 @register(
