@@ -183,46 +183,99 @@ _ARGMAX_CASE = (
 
 @register(
     "docs_lang_id",
+    # r12 leg extension (zero slot cost, in-window): the lang × SCRIPT
+    # gate — CCNet (Wenzek et al. 2020) and every multilingual pipeline
+    # filter on (language, script) jointly, since a langid vote means
+    # nothing on text written in an unexpected charset. The fixture is
+    # all-Latin, so the query derives a corpus where every 7th doc has
+    # its 12 highest-frequency letters transliterated to Greek (vowels
+    # alone leave consonants in the majority and the script never
+    # flips; 'etaoinshrdlu' covers ~80% of English letter mass; Spark
+    # translate == DuckDB translate, verified bit-identical): those
+    # docs lose their marker tokens (→ 'und' votes) AND flip to
+    # greek-dominant — the planted gate the census certifies. Script dominance compares INTEGER char
+    # counts (no float thresholds to diverge cross-engine).
     oracle=f"""
-        WITH scores AS (SELECT {_SCORE_EXPRS} FROM documents)
-        SELECT {_ARGMAX_CASE} AS predicted_lang, COUNT(*) AS n_docs
-        FROM scores GROUP BY 1 ORDER BY predicted_lang
+        WITH corpus AS (
+            SELECT CASE WHEN doc_id % 7 = 0
+                        THEN translate(text, 'etaoinshrdlu', 'εταοινσηρδλυ')
+                        ELSE text END AS text
+            FROM documents
+        ), scores AS (
+            SELECT {_SCORE_EXPRS},
+                   len(regexp_extract_all(text, '[α-ω]')) AS g,
+                   len(regexp_extract_all(lower(text), '[a-z]')) AS l
+            FROM corpus
+        )
+        SELECT {_ARGMAX_CASE} AS predicted_lang,
+               CASE WHEN g > l THEN 'greek'
+                    WHEN l > 0 THEN 'latin'
+                    ELSE 'und' END AS dominant_script,
+               COUNT(*) AS n_docs
+        FROM scores GROUP BY 1, 2
+        ORDER BY predicted_lang, dominant_script
     """,
-    tags=("text", "langid", "extension"),
+    tags=("text", "langid", "script", "extension"),
 )
 def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (marker-token voting, the word-level case of
-    n-gram profiling): predicted language distribution. Argmax ties break
-    to the alphabetically-first language on both sides.
+    n-gram profiling) × dominant-script detection: the (language,
+    script) census a CCNet-style gate filters on. Argmax ties break
+    to the alphabetically-first language on both sides; script
+    dominance is an integer char-count comparison (greek vs latin
+    codepoint classes), so the planted Greek-transliterated docs flip
+    both dimensions at once.
 
     Shape: explode tokens → per-language codegen'd IN-list conditional
-    sums → one hash agg per doc → argmax CASE. The per-row higher-order
-    form (functions.text.lang_id_scores) evaluates its lambdas
-    interpreted, once per language per token — ~4× slower at sf0.1; the
-    explode+agg form stays in whole-stage codegen end to end."""
+    sums → one hash agg per doc → argmax CASE. The script counts ride
+    the same pass: Generate evaluates child columns once per input row
+    and replicates them, so the two regexp_count columns are computed
+    per DOCUMENT, not per token. The per-row higher-order form
+    (functions.text.lang_id_scores) evaluates its lambdas interpreted,
+    once per language per token — ~4× slower at sf0.1; the explode+agg
+    form stays in whole-stage codegen end to end."""
     from big_data_chicago_crimes_spark.functions.text import tokens
     from big_data_chicago_crimes_spark.operators.dedup import spread_for_compute
 
     t = load_tables(spark, sf_dir)
+    corpus = t.documents.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.translate("text", "etaoinshrdlu", "εταοινσηρδλυ"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
     low = F.lower(F.col("tok"))
-    scores = spread_for_compute(t.documents).select(
-        "doc_id", F.explode(tokens("text")).alias("tok")
+    scores = spread_for_compute(corpus).select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[α-ω]")).alias("__g"),
+        F.regexp_count(F.lower("text"), F.lit("[a-z]")).alias("__l"),
+        F.explode(tokens("text")).alias("tok"),
     ).groupBy("doc_id").agg(
         *[
             F.sum(low.isin(LANG_MARKERS[lg]).cast("int")).alias(f"s_{lg}")
             for lg in sorted(LANG_MARKERS)
-        ]
+        ],
+        F.max("__g").alias("__g"),
+        F.max("__l").alias("__l"),
     )
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
     pred = F.when(best == 0, F.lit("und"))
     for lg in langs:
         pred = pred.when(F.col(f"s_{lg}") == best, F.lit(lg))
+    script = (
+        F.when(F.col("__g") > F.col("__l"), F.lit("greek"))
+        .when(F.col("__l") > 0, F.lit("latin"))
+        .otherwise(F.lit("und"))
+    )
     return (
-        scores.select(pred.alias("predicted_lang"))
-        .groupBy("predicted_lang")
+        scores.select(pred.alias("predicted_lang"), script.alias("dominant_script"))
+        .groupBy("predicted_lang", "dominant_script")
         .agg(F.count("*").alias("n_docs"))
-        .orderBy("predicted_lang")
+        .orderBy("predicted_lang", "dominant_script")
     )
 
 
