@@ -324,6 +324,13 @@ def docs_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as separate actions, or the corpus dwarfs the vocabulary (the
     # 100 TB regime), persist/materialize the fit once
     # (curation.fit_unigram_lm's docstring keeps that contract).
+    # Also A/B'd and LOST (r12): scratch-persisting the ``scored``
+    # frame below (score_ntile references its input 3× — range probe +
+    # interior + boundary — multiplying the scoring subplan to 42
+    # documents scans in the executed plan) reads 5.08 vs 3.73 s at
+    # sf0.1 and 7.02 vs 5.97 s at sf1, rows identical: recomputing the
+    # column-pruned scoring subplan is cheaper than one corpus-sized
+    # cache fill at these tiers. Same 100 TB caveat as the fit.
     lm = fit_unigram_lm(t.documents)
     target = t.documents.filter(F.col("source") == "src0")
     dsir = (
