@@ -282,3 +282,30 @@ def test_interval_join_is_single_key_shuffle_with_range_residual(spark, sf_dir):
     plan = formatted_plan(spark, sf_dir, "events_interval_join_batch")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_intra_doc_dedup_query_is_zero_shuffle(spark, sf_dir):
+    """docs_intra_dedup's load-bearing scale claim: the whole dedup pass
+    is scalar expressions — the ONLY exchange in the plan belongs to the
+    final presentation orderBy, never the dedup itself."""
+    plan = formatted_plan(spark, sf_dir, "docs_intra_dedup")
+    # formatted plans list each node twice (tree + details): count the
+    # tree entries ("Node (" form) only
+    # one range-partitioning exchange for the orderBy; nothing else
+    assert plan.count("Exchange (") <= 1, plan
+    assert "HashAggregate (" not in plan  # no census/groupBy anywhere
+    assert "Join (" not in plan
+
+
+def test_temporal_bucket_surface_single_scan(spark, sf_dir):
+    """The merged temporal query's one-scan contract: GROUPING SETS
+    consumed once — a union of two aggregates over the same parent
+    would duplicate the subplan (2 scans, no ReuseExchange; measured
+    r12)."""
+    import re
+
+    plan = formatted_plan(spark, sf_dir, "orders_temporal_bucket_surface")
+    # tree entries are "Scan parquet  (N)" (note double space)
+    assert len(re.findall(r"Scan parquet\s+\(", plan)) == 1, plan
+    assert "Expand (" in plan  # grouping sets, not a union of groupBys
+    assert "Union (" not in plan
