@@ -96,8 +96,7 @@ HEADLINE = [
     "docs_shared_span_pairs",  # exact-substring span dedup, strided k-gram sampling (r9)
     "docs_line_dedup",  # C4-style line-level boilerplate removal (r9)
     "docs_intra_dedup",  # intra-document line dedup, zero-shuffle scan path (r12)
-    "docs_minhash_lsh_candidates",
-    "docs_simhash_candidates",
+    "docs_sketch_candidates_surface",  # r12 merge: minhash_lsh + simhash legs
     "docs_jaccard_pairs",
     "docs_fuzzy_match_pairs",  # length-banded Levenshtein pairs (r8)
     "embedding_near_dups_lsh",  # data-sized LSH blocking (scale path)

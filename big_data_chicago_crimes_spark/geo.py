@@ -100,6 +100,31 @@ def write_geojson(fc: dict, path: str) -> None:
         json.dump(fc, f)
 
 
+def load_districts_csv(path: str) -> list[tuple[int, str]]:
+    """S6 — the driver-side district dim CSV read (the reference loads
+    its 25-row district boundary file with pandas, Dataset.py:40-43;
+    this is the dependency-free equivalent). Columns: ``DIST_NUM``,
+    ``the_geom`` (WKT). Driver-side BY DESIGN (SURVEY §7.4): a 25-row
+    presentation dimension never justifies a distributed scan."""
+    import csv
+
+    rows: list[tuple[int, str]] = []
+    with open(path, newline="") as f:
+        for rec in csv.DictReader(f):
+            rows.append((int(rec["DIST_NUM"]), rec["the_geom"]))
+    return rows
+
+
+def write_districts_csv(districts: list[tuple[int, str]], path: str) -> None:
+    """Inverse of :func:`load_districts_csv` (fixture/export helper)."""
+    import csv
+
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["DIST_NUM", "the_geom"])
+        w.writerows(districts)
+
+
 def _feature_rings(geom: dict) -> list[list[list[float]]]:
     """All outer+inner rings of a Polygon/MultiPolygon geometry."""
     if geom["type"] == "Polygon":

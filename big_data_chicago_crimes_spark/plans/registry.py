@@ -77,8 +77,8 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_chunk_pack",
     "docs_exact_dedup",
     "docs_char_ngram_jaccard",
-    "docs_minhash_lsh_candidates",
-    "docs_simhash_candidates",
+    "docs_sketch_candidates_surface",  # r12 merge: minhash_lsh + simhash candidates — funds geo_district_surface
+    "geo_district_surface",  # NEW r12: S6/S7/S8 geo dim + sinks under the driver gate — never sampled
     "docs_sketch_seeded_recall",
     "docs_incremental_dedup",
     "docs_minhash_md5_oracled",

@@ -5,6 +5,7 @@ from big_data_chicago_crimes_spark.queries import (  # noqa: F401
     curation_queries,
     dedup_queries,
     etl_queries,
+    geo_queries,
     join_queries,
     layout_queries,
     ml_queries,

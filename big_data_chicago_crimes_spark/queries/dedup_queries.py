@@ -124,34 +124,33 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "docs_minhash_lsh_candidates",
-    # xxhash64 family — not SQL-expressible. Certified transitively:
-    # tests/test_dedup.py::test_minhash_family_invariance_vs_md5_twin proves
-    # set-equality with docs_minhash_md5_oracled, which IS hash-oracled.
+    "docs_sketch_candidates_surface",
+    # r12 merge: the former docs_minhash_lsh_candidates and
+    # docs_simhash_candidates (both xxhash64-family rows-only entries —
+    # their md5 twins docs_minhash_md5_oracled / docs_simhash_md5_surface
+    # carry the DuckDB oracles, and the local suite proves family
+    # invariance: test_minhash_family_invariance_vs_md5_twin,
+    # test_simhash_pigeonhole_completeness) in ONE registry slot. The
+    # freed slot funds geo_district_surface (S6/S7/S8 driver rows) —
+    # the purchaser_error_overlap merge-funding pattern; merging two
+    # rows-only entries loses no oracle.
     oracle=None,
-    tags=("dedup", "minhash", "lsh", "extension"),
+    tags=("dedup", "minhash", "simhash", "lsh", "extension", "merged"),
 )
-def docs_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32 hashes)+LSH(8 bands) candidate near-dup pairs over
-    3-word shingles. The only shuffle is the band-signature self-join."""
+def docs_sketch_candidates_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sketch-family candidate generators in one surface:
+    'minhash_lsh' = MinHash(32 hashes)+LSH(8 bands) candidate near-dup
+    pairs over 3-word shingles (the only shuffle is the band-signature
+    self-join); 'simhash_band' = SimHash(64-bit) banded candidates
+    (4×16-bit bands ⇒ catches all pairs within Hamming distance 3)."""
     t = load_tables(spark, sf_dir)
-    return minhash_lsh_candidates(t.documents).orderBy("id_a", "id_b")
-
-
-@register(
-    "docs_simhash_candidates",
-    # xxhash64-based 64-bit fingerprint — rows-only check. The band logic
-    # is certified at 32 bits by docs_simhash_md5_surface (band leg);
-    # tests/test_dedup.py::test_simhash_pigeonhole_completeness proves the
-    # 64-bit path complete for Hamming<=3 exhaustively at sf0.001.
-    oracle=None,
-    tags=("dedup", "simhash", "extension"),
-)
-def docs_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) banded candidates (4×16-bit bands ⇒ catches all
-    pairs within Hamming distance 3)."""
-    t = load_tables(spark, sf_dir)
-    return simhash_candidates(t.documents).orderBy("id_a", "id_b")
+    mh = minhash_lsh_candidates(t.documents).select(
+        F.lit("minhash_lsh").alias("leg"), "id_a", "id_b"
+    )
+    sh = simhash_candidates(t.documents).select(
+        F.lit("simhash_band").alias("leg"), "id_a", "id_b"
+    )
+    return mh.unionByName(sh).orderBy("leg", "id_a", "id_b")
 
 
 @register(

@@ -57,8 +57,7 @@ SUITE = {
         # r12: intra-document line dedup — zero-shuffle scalar pass;
         # its ratio should track the documents scan (~1x per replica)
         "docs_intra_dedup",
-        "docs_minhash_lsh_candidates",
-        "docs_simhash_candidates",
+        "docs_sketch_candidates_surface",  # r12 merge: minhash_lsh + simhash legs
         "docs_jaccard_pairs",
         "docs_fuzzy_match_pairs",
         "embedding_near_dups_lsh",

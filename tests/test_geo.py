@@ -95,3 +95,18 @@ def test_crime_map_flow_end_to_end(spark, tmp_path):
     assert html_doc.count("<path") == 4
     for d, c in assignments.items():
         assert f"District {d} — cluster {c}" in html_doc
+
+
+def test_districts_csv_roundtrip(tmp_path):
+    """S6: the driver-side dim-CSV read — write/read roundtrip preserves
+    district numbers and WKT verbatim (the reference's pandas read of
+    the 25-row district file)."""
+    from big_data_chicago_crimes_spark.geo import (
+        load_districts_csv,
+        write_districts_csv,
+    )
+
+    districts = [(1, POLY), (2, MULTI), (15, POLY)]
+    path = str(tmp_path / "districts.csv")
+    write_districts_csv(districts, path)
+    assert load_districts_csv(path) == districts
