@@ -44,85 +44,37 @@ REGISTRY: dict[str, Query] = {}
 # (VERDICT r4 #3); tests/test_registry.py derives the staleness contract from
 # the committed CORRECTNESS history, so a bad rotation fails CI.
 #
-# ROUND-12 WINDOW (the mechanical cohort rotation, VERDICT r11 #1): at 100
+# ROUND-13 WINDOW (the mechanical cohort rotation, VERDICT r12 #1): at 100
 # registered queries the two 50-query cohorts alternate windows every
-# round or the 2-round staleness contract breaks. The r11 window
-# (stream-static / span / line / semantic dedup + ETL / OLAP / join
-# spine / pipeline) rotates OUT; the r10-green cohort (dedup sketches /
-# ANN / text / sampling / ML / streaming twins) rotates IN. The
-# rotation again carries real freight: THREE of the returning cohort's
-# builders changed AFTER their r10 driver rows — ``docs_jaccard_pairs``
-# (all-pairs-vs-SSJoin-prefix route dispatch, operators/dedup.py
-# _blocked_jaccard_pairs), ``docs_quality_scores`` (pre-reduced
-# unigram-LM scoring join, operators/curation.py unigram_logprob), and
-# ``docs_dedup_components`` (frontier-pruned min-label propagation,
-# operators/curation.py connected_components). All three are claimed
-# output-identical (property tests + oracles), but the driver hash is
-# the contract — they go FIRST, exactly the r10 PassJoin / r11
-# dsir+rrf precedent. In-round additions are funded by the established
-# pair-merge pattern (merge two queries ALREADY inside this window into
-# one result that certifies both operators — precedent
-# purchaser_error_overlap — netting +1 slot each; merging across
-# cohorts costs −2 and is never done).
+# round or the 2-round staleness contract breaks. The r12 window (dedup
+# sketches / ANN / text / sampling / ML / streaming twins / geo) rotates
+# OUT; the r11-green cohort (stream-static / span / line / semantic
+# dedup + ETL / OLAP / join spine / pipeline) rotates IN. The rotation
+# carries real freight — TWO of the returning cohort's certified paths
+# changed AFTER their r11 driver rows, so they go FIRST (the
+# r10 PassJoin / r11 dsir+rrf / r12 jaccard+quality+components
+# precedent):
+# - ``docs_stream_static_dedup_batch``: the shared bloom probe path it
+#   certifies (operators/dedup.py bloom_prefilter) was rewritten by the
+#   empty-bloom batch-drop fix (3222853) — a cold-start bloom frame is
+#   now coalesced to the degenerate (1,1) filter instead of silently
+#   nulling the geometry and dropping whole probe batches. The r11
+#   driver hash predates the fix.
+# - ``docs_domain_quota``: the shared LM fit lost its scratch-persist
+#   (three-arm interleaved A/B reversal, VERDICT r12) and its ccnet leg
+#   now routes through the NULL-guarded ``score_ntile`` — both claimed
+#   output-identical for this data, but the driver hash is the contract.
+# In-round additions are funded by the established pair-merge pattern
+# (merge two queries ALREADY inside this window into one result that
+# certifies both operators — precedent purchaser_error_overlap —
+# netting +1 slot each; merging across cohorts costs −2 and is never
+# done).
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- r12 window: the r10-green cohort rotates back in ---
-    # Slots 1-3: builders changed post-r10-row (VERDICT r11 #1) — weakest evidence first.
-    "docs_jaccard_pairs",  # FIRST: route dispatch landed post-r10-row (dedup.py:1472)
-    "docs_quality_scores",  # SECOND: pre-reduced LM scoring join landed post-r10-row
-    "docs_dedup_components",  # THIRD: frontier-pruned propagation landed post-r10-row
-    "docs_intra_dedup",  # NEW r12: intra-document line dedup (VERDICT r11 #6) — never sampled
-    "docs_fuzzy_match_pairs",
-    "embedding_semantic_dedup_vec",
-    "events_interval_join_batch",
-    "docs_chunk_pack",
-    "docs_exact_dedup",
-    "docs_char_ngram_jaccard",
-    "docs_sketch_candidates_surface",  # r12 merge: minhash_lsh + simhash candidates — funds geo_district_surface
-    "geo_district_surface",  # NEW r12: S6/S7/S8 geo dim + sinks under the driver gate — never sampled
-    "docs_sketch_seeded_recall",
-    "docs_incremental_dedup",
-    "docs_minhash_md5_oracled",
-    "docs_simhash_md5_surface",
-    "embedding_near_dups_lsh",
-    "embedding_near_dups_lsh_seeded",
-    "docs_ngram_contamination",
-    "docs_tfidf_similar_pairs",
-    "embedding_topk_surface",
-    "embedding_lsh_bucket_histogram",
-    "embedding_ann_lsh_topk_lake",
-    "embedding_ivf_topk_lake",
-    "docs_token_stats",
-    "docs_quality_by_source",
-    "docs_fingerprint_census",
-    "docs_lang_id",
-    "docs_bpe_token_stats",
-    "docs_repetition_stats",
-    "docs_rolling_hash",
-    "docs_rolling_hash_md5_oracled",
-    "docs_pii_scrub_stats",
-    "docs_pii_scrub_seeded",
-    "docs_sequence_packing",
-    "docs_sampling_census",
-    "docs_train_val_test_split",
-    "ml_classifier_auc_surface",
-    "embedding_batch_topk",
-    "ml_gbt_rmse",
-    "ml_kmeans_customer_clusters",
-    "revenue_by_nation",
-    "pricing_summary",
-    "orders_price_quantiles_approx",
-    "orders_temporal_bucket_surface",  # r12 merge: year_range + season legs — funds docs_intra_dedup
-    "orders_monthly_window_surface",
-    "best_order_per_customer",
-    "customer_balance_rank_in_nation",
-    "events_hourly_tumbling",
-    "user_session_counts",
-    # ------------------------------------------------------------------
-    # r11 cohort (all green r11; rotates back in next round)
-    # ------------------------------------------------------------------
-    "docs_domain_quota",  # dsir_top200 + ccnet_head legs certified r11
+    # --- r13 window: the r11-green cohort rotates back in ---
+    # Slots 1-2: certified paths changed post-r11-row — weakest evidence first.
+    "docs_stream_static_dedup_batch",  # FIRST: bloom probe path rewritten post-r11-row (empty-filter fix)
+    "docs_domain_quota",  # SECOND: persist reversal + NULL-guarded score_ntile post-r11-row
     "docs_hybrid_search",  # rrf leg certified r11
-    "docs_stream_static_dedup_batch",  # batch degradation of the stream-static anti-join dedup
     "docs_shared_span_pairs",  # exact-substring span dedup (Lee et al. 2022 shape)
     "docs_line_dedup",  # C4-style line-level boilerplate removal
     "embedding_semantic_dedup",  # SemDeDup cluster-scoped pruning
@@ -170,6 +122,60 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "embedding_ivf_topk_lake_seeded",
     "ml_correlation_matrix",
     "multimodal_pipeline_stats",
+    # ------------------------------------------------------------------
+    # r12 cohort (all green r12; rotates back in next round). NOTE for
+    # the r14 rotation: any builder below changed in r13 goes FIRST.
+    # ------------------------------------------------------------------
+    "docs_jaccard_pairs",
+    "docs_quality_scores",  # pre-reduced LM scoring join (r12-certified)
+    "docs_dedup_components",  # frontier-pruned propagation (r12-certified)
+    "docs_intra_dedup",  # intra-document line dedup (r12-certified)
+    "docs_fuzzy_match_pairs",
+    "embedding_semantic_dedup_vec",
+    "events_interval_join_batch",
+    "docs_chunk_pack",
+    "docs_exact_dedup",
+    "docs_char_ngram_jaccard",
+    "docs_sketch_candidates_surface",  # r12 merge: minhash_lsh + simhash candidates — funds geo_district_surface
+    "geo_district_surface",  # S6/S7/S8 geo dim + sinks (r12-certified)
+    "docs_sketch_seeded_recall",
+    "docs_incremental_dedup",
+    "docs_minhash_md5_oracled",
+    "docs_simhash_md5_surface",
+    "embedding_near_dups_lsh",
+    "embedding_near_dups_lsh_seeded",
+    "docs_ngram_contamination",
+    "docs_tfidf_similar_pairs",
+    "embedding_topk_surface",
+    "embedding_lsh_bucket_histogram",
+    "embedding_ann_lsh_topk_lake",
+    "embedding_ivf_topk_lake",
+    "docs_token_stats",
+    "docs_quality_by_source",
+    "docs_fingerprint_census",
+    "docs_lang_id",
+    "docs_bpe_token_stats",
+    "docs_repetition_stats",
+    "docs_rolling_hash",
+    "docs_rolling_hash_md5_oracled",
+    "docs_pii_scrub_stats",
+    "docs_pii_scrub_seeded",
+    "docs_sequence_packing",
+    "docs_sampling_census",
+    "docs_train_val_test_split",
+    "ml_classifier_auc_surface",
+    "embedding_batch_topk",
+    "ml_gbt_rmse",
+    "ml_kmeans_customer_clusters",
+    "revenue_by_nation",
+    "pricing_summary",
+    "orders_price_quantiles_approx",
+    "orders_temporal_bucket_surface",  # r12 merge: year_range + season legs — funds docs_intra_dedup
+    "orders_monthly_window_surface",
+    "best_order_per_customer",
+    "customer_balance_rank_in_nation",
+    "events_hourly_tumbling",
+    "user_session_counts",
 )
 
 
