@@ -676,8 +676,9 @@ def intra_doc_dedup(
     (it shrinks the text that every downstream shuffle pays for).
 
     Adds to each row: ``n_lines`` (original line count), ``n_removed``
-    (repeated occurrences dropped), ``chars_removed`` (byte-length
-    delta of the rebuild, delimiters included), ``cleaned_text``.
+    (repeated occurrences dropped), ``chars_removed`` (character-length
+    delta of the rebuild — ``F.length`` counts characters, not bytes —
+    delimiters included), ``cleaned_text``.
     Repeated EMPTY lines collapse to one like any other line (blank-run
     collapse falls out of the same rule). ``text_col`` must be NON-NULL
     (the census columns would go NULL, not raise); ``delim`` is a

@@ -229,6 +229,11 @@ def one_hot_lr_predictions(df: DataFrame, label_col: str) -> DataFrame:
     return model.transform(test)
 
 
+# The CV regParam grid, exported so the certification query's membership
+# check and the operator can never drift apart (ADVICE r12).
+CV_REG_PARAM_GRID: tuple[float, ...] = (0.01, 0.1)
+
+
 def cross_validated_lr_auc(df: DataFrame, label_col: str, folds: int = 3) -> DataFrame:
     """CrossValidator + ParamGridBuilder (M14: imported and sketched in
     comments at Dataset.py:615-642 but never run) — a working 3-fold CV
@@ -237,7 +242,7 @@ def cross_validated_lr_auc(df: DataFrame, label_col: str, folds: int = 3) -> Dat
 
     prepared, _ = feature_pipeline(df, label_col)
     lr = LogisticRegression(featuresCol="features", labelCol=label_col, maxIter=20)
-    grid = ParamGridBuilder().addGrid(lr.regParam, [0.01, 0.1]).build()
+    grid = ParamGridBuilder().addGrid(lr.regParam, list(CV_REG_PARAM_GRID)).build()
     evaluator = BinaryClassificationEvaluator(
         labelCol=label_col, metricName="areaUnderROC"
     )

@@ -96,10 +96,12 @@ def geo_district_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         fc = districts_to_geojson(loaded, clusters)
         geo_path = os.path.join(tmp, "districts.geojson")
         write_geojson(fc, geo_path)  # S7
-        fc_back = json.load(open(geo_path))
+        with open(geo_path) as f:
+            fc_back = json.load(f)
 
         html_path = write_html_map(fc_back, os.path.join(tmp, "map.html"))  # S8
-        html_doc = open(html_path).read()
+        with open(html_path) as f:
+            html_doc = f.read()
     finally:
         import shutil
 

@@ -184,7 +184,9 @@ def ml_classifier_auc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     # folds=2 keeps the driver-gate cost at (2 folds × 2 params + 1
     # refit) × 2 frames = 10 LR fits; still a genuine grid search with
     # held-out folds (the local suite exercises the 3-fold default)
-    grid = (0.01, 0.1)
+    from big_data_chicago_crimes_spark.operators.ml import CV_REG_PARAM_GRID
+
+    grid = CV_REG_PARAM_GRID
     noise = cross_validated_lr_auc(
         _orders_features(spark, sf_dir), "label", folds=2
     ).head()

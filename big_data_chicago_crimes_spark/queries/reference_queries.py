@@ -234,8 +234,8 @@ def orders_temporal_bucket_surface(spark: SparkSession, sf_dir: str) -> DataFram
     shuffle: GROUPING SETS ((season), (year)) computes both groupings
     in a single aggregate pass (the expand duplicates each input row
     once per set, map-side); each leg then filters its grouping's rows
-    — year/season are never NULL organically, so null-ness identifies
-    the set — and the year-range predicate applies post-agg (it
+    — ``grouping('year')`` tags the set structurally, robust to NULL
+    group keys — and the year-range predicate applies post-agg (it
     filters group keys, which commutes with aggregation)."""
     t = load_tables(spark, sf_dir)
     gs = (
@@ -244,12 +244,16 @@ def orders_temporal_bucket_surface(spark: SparkSession, sf_dir: str) -> DataFram
             season(F.month("o_orderdate")).alias("season"),
         )
         .groupingSets([["season"], ["year"]], "year", "season")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        # grouping('year') tags the set STRUCTURALLY (1 = year rolled
+        # up, i.e. the (season) set) — ADVICE r12: discriminating by
+        # year IS NULL was data-dependent (an organically NULL
+        # o_orderdate would land its (year)-set row in the season leg)
+        .agg(F.count(F.lit(1)).alias("cnt"), F.grouping("year").alias("__gy"))
     )
     # no union: a union of two filters of gs would duplicate the whole
     # aggregate subplan (no ReuseExchange) — one when() projection
     # keeps the plan consumed exactly once
-    is_season = F.col("year").isNull()
+    is_season = F.col("__gy") == 1
     return (
         gs.filter(
             is_season

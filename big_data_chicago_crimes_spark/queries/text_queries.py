@@ -265,10 +265,15 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.translate(F.lower("text"), "abcdefghijklmnopqrstuvwxyz", "")
             )
         ).alias("__l"),
-        F.explode(tokens("text")).alias("tok"),
+        # explode_OUTER: a zero-token document must survive as an 'und'
+        # vote like it does in the oracle (ADVICE r12 — inner explode
+        # silently dropped it; the NULL token row's sums coalesce to 0)
+        F.explode_outer(tokens("text")).alias("tok"),
     ).groupBy("doc_id").agg(
         *[
-            F.sum(low.isin(LANG_MARKERS[lg]).cast("int")).alias(f"s_{lg}")
+            F.coalesce(
+                F.sum(low.isin(LANG_MARKERS[lg]).cast("int")), F.lit(0)
+            ).alias(f"s_{lg}")
             for lg in sorted(LANG_MARKERS)
         ],
         F.max("__g").alias("__g"),

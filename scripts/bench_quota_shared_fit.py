@@ -2,8 +2,11 @@
 per-leg fits (VERDICT r11 #7 — re-stamp the cost anchor's load-bearing
 decision with an interleaved measurement; the r11 number was isolated).
 
-A-arm = the SHIPPED builder (one ``fit_unigram_lm`` scratch-persisted,
-both LM legs score under it). B-arm = the same three legs with each LM
+A-arm = the SHIPPED builder (one shared ``fit_unigram_lm``, NOT
+persisted — the r12 three-arm interleaved A/B measured the scratch
+persist's fill costing more than the duplicated fit subplans at both
+tiers and the persist was removed; this script now re-stamps shared
+NO-persist vs private fits). B-arm = the same three legs with each LM
 consumer refitting internally (``lm=None`` / ``source_lm=None``) — the
 shape the shared fit replaced. Arms alternate per pass so environment
 drift hits both equally; a sentinel run brackets the series.

@@ -206,3 +206,42 @@ def test_chunk_spans_emits_token_slices(spark):
         0: " ".join(toks[0:32]),
         1: " ".join(toks[24:40]),
     }
+
+
+def test_lang_id_zero_token_doc_survives_as_und(spark, tmp_path):
+    """ADVICE r12: the (language, script) census explodes tokens(text);
+    an inner explode dropped token-less documents that the DuckDB
+    oracle keeps as ('und', script) rows. The builder now uses
+    explode_outer with coalesced marker sums — a whitespace-only doc
+    (zero tokens, zero letters) must survive as ('und', 'und')."""
+    import duckdb
+
+    from big_data_chicago_crimes_spark.plans.registry import all_queries
+
+    q = all_queries()["docs_lang_id"]
+    docs = spark.createDataFrame(
+        [
+            # doc_id 1: avoids the %7 transliteration branch; no tokens
+            (1, "   ", "en", "src0", 3),
+            (2, "the quick brown fox with some of the usual markers", "en", "src0", 50),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.predicted_lang, r.dominant_script): r.n_docs
+        for r in q.build(spark, str(tmp_path)).collect()
+    }
+    assert got.get(("und", "und")) == 1, got  # the zero-token doc survives
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        (lang, script): n
+        for lang, script, n in con.execute(q.oracle).fetchall()
+    }
+    assert got == oracle
