@@ -870,7 +870,13 @@ def embedding_near_dup_certification(spark: SparkSession, sf_dir: str) -> DataFr
     # Hyperplane signatures are seeded-NumPy literals — not SQL-
     # expressible → rows-only check. Value-level certification comes from
     # embedding_near_dups_lsh_seeded (full oracle, planted twins) and
-    # tests/test_similarity.py recall pins.
+    # tests/test_similarity.py recall pins. r13 (VERDICT r12 #3): the
+    # near-dup leg is organically EMPTY (max organic cosine ≈0.51 — that
+    # emptiness IS the claim), which made a bare rows-only row vacuous:
+    # 0 rows every round certifies nothing. The surface now unions the
+    # top-50 LSH candidate pairs by exact cosine, organically NONZERO at
+    # every SF, so a builder that silently returned an empty frame can
+    # no longer look identical to a healthy one.
     oracle=None,
     tags=("dedup", "embedding", "lsh", "extension"),
 )
@@ -879,13 +885,37 @@ def embedding_near_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALE path for pair near-dup (BENCH_SCALE showed the label-blocked
     variant going 24.6× for 10× data: constant blocking cardinality ⇒
     quadratic pairs; LSH buckets sized to the data keep candidates
-    ~linear)."""
+    ~linear). Two legs from ONE candidate materialization:
+
+    - ``near_dup`` — exact-cosine pairs ≥0.95 (organically empty: the
+      corpus has no near-duplicate embeddings, and the seeded twin
+      query proves the path finds planted ones);
+    - ``top_candidate`` — the 50 highest-cosine candidate pairs BELOW
+      the threshold, deterministic tie-break (cosine desc, id_a, id_b):
+      the nonzero assertion surface. Plans as TakeOrderedAndProject —
+      no global sort.
+
+    The candidate frame (bare id pairs + exact cosine, ~linear in n by
+    bucket sizing) is scratch-persisted so the signature join + exact
+    verify — the operator's expensive stages — run once, not once per
+    leg."""
     from big_data_chicago_crimes_spark.operators.similarity import lsh_near_dup_pairs
+    from big_data_chicago_crimes_spark.session import scratch_persist
 
     t = load_tables(spark, sf_dir)
-    return lsh_near_dup_pairs(t.embeddings, dim=64, threshold=0.95).orderBy(
-        "id_a", "id_b"
+    cands = scratch_persist(
+        lsh_near_dup_pairs(t.embeddings, dim=64, threshold=-1.0)
     )
+    near = cands.filter(F.col("cosine") >= 0.95).select(
+        F.lit("near_dup").alias("leg"), "id_a", "id_b", "cosine"
+    )
+    top = (
+        cands.filter(F.col("cosine") < 0.95)
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+        .limit(50)
+        .select(F.lit("top_candidate").alias("leg"), "id_a", "id_b", "cosine")
+    )
+    return near.unionByName(top).orderBy("leg", "id_a", "id_b")
 
 
 _SEEDED_COS = """ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /

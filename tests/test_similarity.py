@@ -722,3 +722,20 @@ def test_embedding_contamination_flags_planted_leaks(spark):
         for r in embedding_contamination(corpus, bench, threshold=0.6).collect()
     }
     assert low == {1, 3}
+
+
+def test_near_dups_lsh_surface_organically_nonzero(spark, sf_dir):
+    """VERDICT r12 #3: the rows-only near-dup row returned 0 rows every
+    round (organically no near-dups — which certifies nothing). The
+    surface now unions a top-candidate leg that must be NONZERO on
+    organic data, so an unconditionally-empty builder can't pass."""
+    from big_data_chicago_crimes_spark.plans.registry import all_queries
+
+    rows = all_queries()["embedding_near_dups_lsh"].build(spark, sf_dir).collect()
+    legs = {}
+    for r in rows:
+        legs[r.leg] = legs.get(r.leg, 0) + 1
+    assert legs.get("top_candidate", 0) == 50, legs
+    # organic corpus has no ≥0.95 pairs; the planted-twin seeded query
+    # (full oracle) proves the path FINDS them when they exist
+    assert legs.get("near_dup", 0) == 0, legs
