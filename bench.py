@@ -54,7 +54,7 @@ HEADLINE = [
     "orders_quarter_pivot",
     "orders_monthly_window_surface",
     "purchase_top_users",
-    "event_value_stats",
+    "events_type_stats_census",
     "orders_temporal_bucket_surface",  # r12 merge: year_range + season legs
     # joins / TPC-H shapes
     "revenue_by_nation",
@@ -110,6 +110,7 @@ HEADLINE = [
     "docs_sampling_census",
     "docs_train_val_test_split",
     "docs_domain_quota",  # histogram-bounded per-domain quota cap
+    "docs_stratified_sample",  # exact per-stratum fractional draw (r13)
     "docs_temperature_mix",  # sqrt-rate mixture flattening
     "docs_chunk_windows",  # sliding token-window fan-out
     "docs_curriculum_order",  # histogram-offset global ordering

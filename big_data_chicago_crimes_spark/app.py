@@ -44,6 +44,7 @@ from big_data_chicago_crimes_spark.operators.aggregates import (
     count_by,
     count_then_max,
     distinct_values,
+    grouped_stats,
     pivot_counts,
     ratio_of,
     top_k,
@@ -122,10 +123,14 @@ class CrimesAnalytics:
     def district_centroids(self) -> DataFrame:
         """Per-(district, type) count + mean coordinates — the map-layer
         input (Dataset.py:272-276)."""
-        return self.df.groupBy("District", "Primary Type").agg(
-            F.count("*").alias("cnt"),
-            F.avg("Latitude").alias("avg_lat"),
-            F.avg("Longitude").alias("avg_lon"),
+        return grouped_stats(
+            self.df,
+            ["District", "Primary Type"],
+            {
+                "cnt": F.count("*"),
+                "avg_lat": F.avg("Latitude"),
+                "avg_lon": F.avg("Longitude"),
+            },
         )
 
     def season_pivot(self) -> DataFrame:

@@ -87,6 +87,73 @@ def hash_split(
     return df.withColumn(split_col, expr.otherwise(F.lit(list(splits)[-1])))
 
 
+def _bounded_group_head(
+    df: DataFrame,
+    group_cols: list[str],
+    key: str,
+    buckets: int,
+    cache_cutoffs: bool,
+    with_quota,
+) -> DataFrame:
+    """Shared engine of ``quota_sample`` and ``stratified_exact_sample``:
+    keep the first ``__k`` rows of each group in (hash bucket, row hash,
+    key) lexicographic order, where ``with_quota`` maps the per-(group,
+    bucket) histogram frame to itself plus a ``__k`` quota column
+    (constant within each group — a literal for the fixed-count cap, a
+    ``floor(fraction × group total)`` for the exact stratified draw).
+
+    The histogram-cutoff plan (see ``quota_sample``'s docstring for the
+    full rationale) bounds the exact-rank window to the single boundary
+    bucket — ~1/``buckets`` of the hottest group — instead of funnelling
+    every row of a group through one WindowExec task. A group whose
+    quota is 0 has no bucket with ``__before < __k`` and is dropped by
+    the inner cutoff join, which is the correct degenerate keep-nothing."""
+    b = hash_bucket(F.col(key), buckets).alias("__qb")
+    keyed = df.withColumn("__qb", b)
+    hist = keyed.groupBy(*group_cols, "__qb").agg(F.count(F.lit(1)).alias("__cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("__qb")
+    cuts = (
+        with_quota(hist)
+        .withColumn("__cum", F.sum("__cnt").over(w))
+        .withColumn("__before", F.col("__cum") - F.col("__cnt"))
+        # cutoff bucket = first bucket whose running sum reaches the quota
+        .filter(F.col("__before") < F.col("__k"))
+        .groupBy(*group_cols)
+        .agg(
+            F.max("__qb").alias("__cut"),
+            # residual quota inside the cutoff bucket (__k is constant
+            # within the group; __before is maximal at the cutoff bucket)
+            (F.max("__k") - F.max("__before")).alias("__resid"),
+        )
+    )
+    # Both output legs (below-cutoff keep-all; boundary exact-rank) join
+    # against `cuts`. Without caching, Spark plans the histogram subtree
+    # TWICE — two extra scans of the fact table for a groups-sized frame.
+    # Persisting collapses that to one histogram pass shared via
+    # InMemoryRelation (verified in the physical plan); the entry is
+    # registered with the session scratch-cache so loop callers
+    # (bench.py) release it after each materialization instead of
+    # accumulating entries until LRU eviction (see ``cache_cutoffs``).
+    if cache_cutoffs:
+        from big_data_chicago_crimes_spark.session import scratch_persist
+
+        cuts = scratch_persist(cuts)
+    joined = keyed.join(cuts, group_cols, "inner")
+    below = joined.filter(F.col("__qb") < F.col("__cut"))
+    # boundary bucket: exact rank by (row hash, key) — a total order
+    order_h = F.md5(F.col(key).cast("string"))
+    wb = Window.partitionBy(*group_cols).orderBy(order_h, F.col(key))
+    boundary = (
+        joined.filter(F.col("__qb") == F.col("__cut"))
+        .withColumn("__rk", F.row_number().over(wb))
+        .filter(F.col("__rk") <= F.col("__resid"))
+        .drop("__rk")
+    )
+    return below.unionByName(boundary).drop("__qb", "__cut", "__resid")
+
+
 def quota_sample(
     df: DataFrame,
     group_cols: list[str],
@@ -133,48 +200,14 @@ def quota_sample(
     via ``session.release_scratch_caches()`` — prefer that lifecycle
     over False wherever the single-histogram plan matters.
     """
-    b = hash_bucket(F.col(key), buckets).alias("__qb")
-    keyed = df.withColumn("__qb", b)
-    hist = keyed.groupBy(*group_cols, "__qb").agg(F.count(F.lit(1)).alias("__cnt"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*group_cols).orderBy("__qb")
-    cuts = (
-        hist.withColumn("__cum", F.sum("__cnt").over(w))
-        .withColumn("__before", F.col("__cum") - F.col("__cnt"))
-        # cutoff bucket = first bucket whose running sum reaches n
-        .filter(F.col("__before") < n)
-        .groupBy(*group_cols)
-        .agg(
-            F.max("__qb").alias("__cut"),
-            # residual quota inside the cutoff bucket
-            (F.lit(n) - F.max("__before")).alias("__resid"),
-        )
+    return _bounded_group_head(
+        df,
+        group_cols,
+        key,
+        buckets,
+        cache_cutoffs,
+        with_quota=lambda hist: hist.withColumn("__k", F.lit(n)),
     )
-    # Both output legs (below-cutoff keep-all; boundary exact-rank) join
-    # against `cuts`. Without caching, Spark plans the histogram subtree
-    # TWICE — two extra scans of the fact table for a groups-sized frame.
-    # Persisting collapses that to one histogram pass shared via
-    # InMemoryRelation (verified in the physical plan); the entry is
-    # registered with the session scratch-cache so loop callers
-    # (bench.py) release it after each materialization instead of
-    # accumulating entries until LRU eviction (see ``cache_cutoffs``).
-    if cache_cutoffs:
-        from big_data_chicago_crimes_spark.session import scratch_persist
-
-        cuts = scratch_persist(cuts)
-    joined = keyed.join(cuts, group_cols, "inner")
-    below = joined.filter(F.col("__qb") < F.col("__cut"))
-    # boundary bucket: exact rank by (row hash, key) — a total order
-    order_h = F.md5(F.col(key).cast("string"))
-    wb = Window.partitionBy(*group_cols).orderBy(order_h, F.col(key))
-    boundary = (
-        joined.filter(F.col("__qb") == F.col("__cut"))
-        .withColumn("__rk", F.row_number().over(wb))
-        .filter(F.col("__rk") <= F.col("__resid"))
-        .drop("__rk")
-    )
-    return below.unionByName(boundary).drop("__qb", "__cut", "__resid")
 
 
 def stratified_hash_sample(
@@ -213,6 +246,71 @@ def stratified_hash_sample(
     default_keep = F.lit(int(round(default_fraction * buckets)))
     cut = default_keep if cut is None else cut.otherwise(default_keep)
     return df.filter(bucket < cut)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key: str,
+    default_fraction: float = 0.0,
+    buckets: int = 4096,
+    cache_cutoffs: bool = True,
+) -> DataFrame:
+    """EXACT stratified draw: stratum ``s`` keeps exactly
+    ``floor(f_s × n_s)`` rows (``n_s`` = stratum size), selected in
+    (hash bucket, row hash, key) content-hash order — the count-exact
+    member of the sampling family. ``stratified_hash_sample`` is
+    rate-bound but bucket-granular (a stratum's kept count wanders by
+    up to its per-bucket mass); Spark's own ``DataFrame.sampleBy`` is
+    per-row Bernoulli (the kept COUNT is a random variable, and the
+    draw changes under repartition/retry); ``quota_sample`` is exact
+    but count-bound (a fixed cap, blind to stratum size). A rebalancing
+    recipe stated as "keep exactly half of the English corpus and a
+    tenth of everything else" is this operator.
+
+    Determinism contract (same as ``quota_sample``): membership is a
+    pure function of row content, stable under repartition, retry,
+    engine change — the DuckDB oracle replays it as a plain
+    ``row_number`` window — and MONOTONE per stratum: raising ``f_s``
+    only adds rows. Strata absent from ``fractions`` keep
+    ``default_fraction``.
+
+    Scale shape: the per-stratum total comes from the SAME (stratum,
+    bucket) histogram the cutoff derivation already builds (a window
+    sum over the groups × ≤``buckets`` frame — never a second scan of
+    the data), then the histogram-cutoff plan ranks only the single
+    boundary bucket, so no stratum ever funnels through one WindowExec
+    task. ``strata_col`` values must be NON-NULL and ``key`` row-unique
+    (the ``quota_sample`` contract). ``floor(f × n)`` is an IEEE-754
+    double product in both engines — identical, hence portable."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {name!r} not in [0, 1]: {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction not in [0, 1]: {default_fraction}")
+
+    frac_col = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        lit = F.lit(float(frac))
+        frac_col = F.when(cond, lit) if frac_col is None else frac_col.when(cond, lit)
+    default_lit = F.lit(float(default_fraction))
+    frac_col = default_lit if frac_col is None else frac_col.otherwise(default_lit)
+
+    from pyspark.sql import Window
+
+    per_stratum_total = F.sum("__cnt").over(Window.partitionBy(strata_col))
+    return _bounded_group_head(
+        df,
+        [strata_col],
+        key,
+        buckets,
+        cache_cutoffs,
+        with_quota=lambda hist: hist.withColumn(
+            "__k", F.floor(frac_col * per_stratum_total)
+        ),
+    )
 
 
 def temperature_mix(

@@ -74,6 +74,7 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # Slots 1-2: certified paths changed post-r11-row — weakest evidence first.
     "docs_stream_static_dedup_batch",  # FIRST: bloom probe path rewritten post-r11-row (empty-filter fix)
     "docs_domain_quota",  # SECOND: persist reversal + NULL-guarded score_ntile post-r11-row
+    "docs_stratified_sample",  # NEW r13: exact per-stratum fractional draw (VERDICT r12 #6) — never sampled
     "docs_hybrid_search",  # rrf leg certified r11
     "docs_shared_span_pairs",  # exact-substring span dedup (Lee et al. 2022 shape)
     "docs_line_dedup",  # C4-style line-level boilerplate removal
@@ -85,8 +86,7 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "events_csv_roundtrip",
     "events_json_profile",
     "events_count_by_type",
-    "event_value_stats",
-    "distinct_event_types",
+    "events_type_stats_census",  # r13 merge: event_value_stats + distinct_event_types (one ROLLUP pass) — funds docs_stratified_sample
     "hourly_max_event_count",
     "purchase_top_users",
     "purchaser_error_overlap",

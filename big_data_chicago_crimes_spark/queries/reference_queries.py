@@ -14,7 +14,6 @@ from big_data_chicago_crimes_spark.functions.temporal import quarter_name, seaso
 from big_data_chicago_crimes_spark.operators.aggregates import (
     count_by,
     count_then_max,
-    distinct_values,
     pivot_counts,
     top_k,
 )
@@ -319,42 +318,58 @@ def events_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "distinct_event_types",
-    oracle="SELECT DISTINCT event_type FROM events ORDER BY event_type",
-    tags=("agg", "reference:A8"),
-)
-def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """select(col).distinct() (Dataset.py:210)."""
-    t = load_tables(spark, sf_dir)
-    return distinct_values(t.events, "event_type").orderBy("event_type")
-
-
-@register(
-    "event_value_stats",
+    "events_type_stats_census",
+    # r13 merge: the former event_value_stats (A5 multi-expression
+    # aggregate, r11-green) and distinct_event_types (A8 distinct,
+    # r11-green) in ONE registry slot — the freed slot funds
+    # docs_stratified_sample (the purchaser_error_overlap /
+    # orders_priority_fill_rollup merge-funding pattern). ONE scan, one
+    # ROLLUP aggregate: the per-type rows carry the A5 stats, the
+    # rolled-up row carries the SAME stats globally plus the exact
+    # distinct-type count (A8). grouping() tags the set structurally
+    # (the ADVICE-r12 rule — never discriminate by key null-ness).
     oracle="""
-        SELECT event_type,
+        SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'all'
+                    ELSE 'by_type' END AS leg,
+               COALESCE(event_type, 'ALL') AS event_type,
                COUNT(*) AS cnt,
                ROUND(AVG(value), 6) AS avg_value,
                ROUND(MIN(value), 6) AS min_value,
-               ROUND(MAX(value), 6) AS max_value
-        FROM events GROUP BY event_type ORDER BY event_type
+               ROUND(MAX(value), 6) AS max_value,
+               COUNT(DISTINCT event_type) AS n_types
+        FROM events GROUP BY ROLLUP(event_type)
+        ORDER BY leg, event_type
     """,
-    tags=("agg", "reference:A5"),
+    tags=("agg", "reference:A5,A8", "merged"),
 )
-def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_type_stats_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-expression aggregate (A5 — the reference's per-district
-    centroid agg, Dataset.py:272-276): count + avg/min/max in one
-    hash aggregate."""
-    from big_data_chicago_crimes_spark.operators.aggregates import grouped_stats
-
+    centroid agg, Dataset.py:272-276) and exact distinct (A8,
+    Dataset.py:210) in one ROLLUP pass: per-type count + avg/min/max
+    rows, plus the grand-total row whose ``n_types`` IS the former
+    ``select(col).distinct()`` count. One scan, one aggregate (the
+    distinct-count's expand rides the same exchange); per-type rows
+    report their trivially-1 distinct count so no column is ever NULL."""
     t = load_tables(spark, sf_dir)
-    return grouped_stats(
-        t.events,
-        ["event_type"],
-        {
-            "cnt": F.count("*"),
-            "avg_value": F.round(F.avg("value"), 6),
-            "min_value": F.round(F.min("value"), 6),
-            "max_value": F.round(F.max("value"), 6),
-        },
-    ).orderBy("event_type")
+    gs = t.events.rollup("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.grouping("event_type").alias("__g"),
+    )
+    return (
+        gs.select(
+            F.when(F.col("__g") == 1, F.lit("all"))
+            .otherwise(F.lit("by_type"))
+            .alias("leg"),
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "cnt",
+            "avg_value",
+            "min_value",
+            "max_value",
+            "n_types",
+        )
+        .orderBy("leg", "event_type")
+    )

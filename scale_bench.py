@@ -96,6 +96,7 @@ SUITE = {
     # the four-stage end-to-end pipeline certification
     "mixing": [
         "docs_domain_quota",  # r10: + dsir_top200 leg (two LM fits + broadcast score)
+        "docs_stratified_sample",  # r13: exact per-stratum fractional draw
         "docs_temperature_mix",
         "docs_curriculum_order",
         # r10: split census + balanced-shards leg (histogram-rank + snake)

@@ -360,3 +360,94 @@ def test_doremi_mix_no_upsampling_and_determinism(spark):
         for r in doremi_mix(df.repartition(7), losses, "domain", "id").collect()
     }
     assert again == {(r.id, r.domain) for r in kept}
+
+
+def test_stratified_exact_sample_counts_and_model_agreement(spark):
+    """stratified_exact_sample keeps exactly floor(f_s * n_s) rows per
+    stratum, and membership equals the independent naive-window model
+    (rank by (bucket, md5, key) within stratum) — the same total order
+    the DuckDB oracle replays."""
+    import math
+
+    from pyspark.sql import Window
+
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        hash_bucket,
+        stratified_exact_sample,
+    )
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fr = {"en": 0.5, "de": 0.25}
+    out = stratified_exact_sample(
+        df, "lang", fr, key="doc_id", default_fraction=0.125
+    )
+    got = {(r.lang, r.doc_id) for r in out.collect()}
+    sizes: dict[str, int] = {}
+    for lang, _ in got:
+        sizes[lang] = sizes.get(lang, 0) + 1
+    n = {lang: 300 for lang in ("en", "de", "fr")}
+    assert sizes == {
+        lang: math.floor(fr.get(lang, 0.125) * n[lang]) for lang in n
+    }
+
+    frac = (
+        F.when(F.col("lang") == "en", 0.5)
+        .when(F.col("lang") == "de", 0.25)
+        .otherwise(0.125)
+    )
+    w = Window.partitionBy("lang").orderBy(
+        "__b", F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    naive = (
+        df.withColumn("__b", hash_bucket(F.col("doc_id"), 4096))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("lang")))
+        .filter(F.col("rk") <= F.floor(frac * F.col("n")))
+    )
+    assert got == {(r.lang, r.doc_id) for r in naive.collect()}
+
+
+def test_stratified_exact_sample_deterministic_monotone_and_edges(spark):
+    """Membership survives repartitioning; raising a stratum's fraction
+    only ADDS rows; f=0 keeps nothing, f=1 keeps everything."""
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    rows = [(i, ["en", "de"][i % 2]) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = {
+        r.doc_id
+        for r in stratified_exact_sample(df, "lang", {"en": 0.25}, "doc_id").collect()
+    }
+    b = {
+        r.doc_id
+        for r in stratified_exact_sample(
+            df.repartition(11), "lang", {"en": 0.25}, "doc_id"
+        ).collect()
+    }
+    assert a == b and len(a) == 75  # floor(0.25 * 300); de default 0 → dropped
+    bigger = {
+        r.doc_id
+        for r in stratified_exact_sample(df, "lang", {"en": 0.5}, "doc_id").collect()
+    }
+    assert a < bigger and len(bigger) == 150
+    everything = stratified_exact_sample(
+        df, "lang", {"en": 1.0}, "doc_id", default_fraction=1.0
+    )
+    assert everything.count() == 600
+
+
+def test_stratified_exact_sample_rejects_bad_fractions(spark):
+    import pytest as _pytest
+
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with _pytest.raises(ValueError, match="not in \\[0, 1\\]"):
+        stratified_exact_sample(df, "lang", {"en": 1.5}, "doc_id")
+    with _pytest.raises(ValueError, match="default_fraction"):
+        stratified_exact_sample(df, "lang", {}, "doc_id", default_fraction=-0.1)
