@@ -123,9 +123,24 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "ml_correlation_matrix",
     "multimodal_pipeline_stats",
     # ------------------------------------------------------------------
-    # r12 cohort (all green r12; rotates back in next round). NOTE for
-    # the r14 rotation: any builder below changed in r13 goes FIRST.
+    # r12 cohort (rotates back in for r14). Builders CHANGED in r13 go
+    # first — they are the returning cohort's weakest evidence:
+    # - embedding_near_dups_lsh: output restructured (near_dup +
+    #   top_candidate legs — the nonzero assertion surface, VERDICT r12 #3)
+    # - docs_lang_id: explode_outer + coalesced sums (zero-token docs
+    #   survive as 'und'; output-identical on this fixture)
+    # - orders_temporal_bucket_surface: grouping()-tagged sets (ADVICE
+    #   r12; output-identical)
+    # - ml_classifier_auc_surface: CV grid imported from operators/ml
+    #   (behavior-identical)
+    # - geo_district_surface: context-managed file reads (behavior-
+    #   identical)
     # ------------------------------------------------------------------
+    "embedding_near_dups_lsh",
+    "docs_lang_id",
+    "orders_temporal_bucket_surface",  # r12 merge: year_range + season legs
+    "ml_classifier_auc_surface",
+    "geo_district_surface",  # S6/S7/S8 geo dim + sinks
     "docs_jaccard_pairs",
     "docs_quality_scores",  # pre-reduced LM scoring join (r12-certified)
     "docs_dedup_components",  # frontier-pruned propagation (r12-certified)
@@ -136,13 +151,11 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_chunk_pack",
     "docs_exact_dedup",
     "docs_char_ngram_jaccard",
-    "docs_sketch_candidates_surface",  # r12 merge: minhash_lsh + simhash candidates — funds geo_district_surface
-    "geo_district_surface",  # S6/S7/S8 geo dim + sinks (r12-certified)
+    "docs_sketch_candidates_surface",  # r12 merge: minhash_lsh + simhash candidates
     "docs_sketch_seeded_recall",
     "docs_incremental_dedup",
     "docs_minhash_md5_oracled",
     "docs_simhash_md5_surface",
-    "embedding_near_dups_lsh",
     "embedding_near_dups_lsh_seeded",
     "docs_ngram_contamination",
     "docs_tfidf_similar_pairs",
@@ -153,7 +166,6 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_token_stats",
     "docs_quality_by_source",
     "docs_fingerprint_census",
-    "docs_lang_id",
     "docs_bpe_token_stats",
     "docs_repetition_stats",
     "docs_rolling_hash",
@@ -163,14 +175,12 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_sequence_packing",
     "docs_sampling_census",
     "docs_train_val_test_split",
-    "ml_classifier_auc_surface",
     "embedding_batch_topk",
     "ml_gbt_rmse",
     "ml_kmeans_customer_clusters",
     "revenue_by_nation",
     "pricing_summary",
     "orders_price_quantiles_approx",
-    "orders_temporal_bucket_surface",  # r12 merge: year_range + season legs — funds docs_intra_dedup
     "orders_monthly_window_surface",
     "best_order_per_customer",
     "customer_balance_rank_in_nation",
