@@ -94,13 +94,18 @@ def _bounded_group_head(
     buckets: int,
     cache_cutoffs: bool,
     with_quota,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Shared engine of ``quota_sample`` and ``stratified_exact_sample``:
-    keep the first ``__k`` rows of each group in (hash bucket, row hash,
-    key) lexicographic order, where ``with_quota`` maps the per-(group,
-    bucket) histogram frame to itself plus a ``__k`` quota column
-    (constant within each group — a literal for the fixed-count cap, a
-    ``floor(fraction × group total)`` for the exact stratified draw).
+    """Shared engine of ``quota_sample``, ``stratified_exact_sample``,
+    and ``weighted_quota_sample``: keep the maximal prefix of each group
+    in (hash bucket, row hash, key) lexicographic order whose MASS stays
+    within the group's quota ``__k``, where ``with_quota`` maps the
+    per-(group, bucket) histogram frame to itself plus the ``__k``
+    column (constant within each group — a literal for the fixed-count
+    cap, ``floor(fraction × group total)`` for the exact stratified
+    draw, a weight budget for the token-budget cap). Mass is row count
+    when ``weight_col`` is None, else the sum of that column (per-row
+    non-negative weights).
 
     The histogram-cutoff plan (see ``quota_sample``'s docstring for the
     full rationale) bounds the exact-rank window to the single boundary
@@ -110,7 +115,8 @@ def _bounded_group_head(
     the inner cutoff join, which is the correct degenerate keep-nothing."""
     b = hash_bucket(F.col(key), buckets).alias("__qb")
     keyed = df.withColumn("__qb", b)
-    hist = keyed.groupBy(*group_cols, "__qb").agg(F.count(F.lit(1)).alias("__cnt"))
+    mass = F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
+    hist = keyed.groupBy(*group_cols, "__qb").agg(mass.alias("__cnt"))
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy("__qb")
@@ -142,12 +148,22 @@ def _bounded_group_head(
         cuts = scratch_persist(cuts)
     joined = keyed.join(cuts, group_cols, "inner")
     below = joined.filter(F.col("__qb") < F.col("__cut"))
-    # boundary bucket: exact rank by (row hash, key) — a total order
+    # boundary bucket: exact rank by (row hash, key) — a total order.
+    # Count mass fills by row_number; weighted mass fills by the running
+    # weight sum in the same order (weights ≥ 0 ⇒ the running sum is
+    # monotone, so "≤ residual" selects a PREFIX — once the budget is
+    # exceeded it stays exceeded).
     order_h = F.md5(F.col(key).cast("string"))
     wb = Window.partitionBy(*group_cols).orderBy(order_h, F.col(key))
+    if weight_col is None:
+        fill = F.row_number().over(wb)
+    else:
+        fill = F.sum(F.col(weight_col)).over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
     boundary = (
         joined.filter(F.col("__qb") == F.col("__cut"))
-        .withColumn("__rk", F.row_number().over(wb))
+        .withColumn("__rk", fill)
         .filter(F.col("__rk") <= F.col("__resid"))
         .drop("__rk")
     )
@@ -310,6 +326,50 @@ def stratified_exact_sample(
         with_quota=lambda hist: hist.withColumn(
             "__k", F.floor(frac_col * per_stratum_total)
         ),
+    )
+
+
+def weighted_quota_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    budget: int | float,
+    weight_col: str,
+    key: str,
+    buckets: int = 4096,
+    cache_cutoffs: bool = True,
+) -> DataFrame:
+    """Keep rows per group until a WEIGHT budget is exhausted — the
+    token-budget cap of a data-mixing recipe ("no language may
+    contribute more than N tokens"), where ``quota_sample`` caps
+    document COUNTS. Training-data budgets are stated in tokens, not
+    documents, so this is the granularity a mixture spec actually uses.
+
+    Semantics: the kept set is the maximal PREFIX of the group in
+    (hash bucket, row hash, key) content-hash order whose cumulative
+    ``weight_col`` stays ≤ ``budget`` (weights must be non-negative —
+    the running sum is then monotone, so exceeded-stays-exceeded and
+    the prefix is well-defined; rows are never split). Deterministic
+    under repartition/retry/engine change, unbiased (hash order is
+    content-random, so the kept mix is not size-biased), and MONOTONE:
+    raising the budget only adds rows. The DuckDB oracle replays it as
+    a plain running-sum window.
+
+    Scale shape: identical to ``quota_sample`` — the per-(group,
+    bucket) histogram sums weights instead of counting rows, buckets
+    below the cutoff are kept outright, and only the boundary bucket
+    computes an exact running weight (~1/``buckets`` of the hottest
+    group). Same contracts: ``key`` row-unique, ``group_cols``
+    NON-NULL."""
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    return _bounded_group_head(
+        df,
+        group_cols,
+        key,
+        buckets,
+        cache_cutoffs,
+        with_quota=lambda hist: hist.withColumn("__k", F.lit(budget)),
+        weight_col=weight_col,
     )
 
 

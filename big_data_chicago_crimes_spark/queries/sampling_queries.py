@@ -592,55 +592,86 @@ def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass) — the in-window pair-merge pattern. EXACT MEMBERSHIP
     # certification: the kept (doc_id, lang) rows themselves, so the
     # driver hash pins every selection the histogram-cutoff plan makes.
-    # The oracle replays the kept set under the same total order the
-    # plan implements — rank by (md5 hash-bucket, md5, doc_id) within
-    # lang, keep rank ≤ floor(fraction × stratum size); floor of the
-    # fraction×count double product is IEEE-754-identical cross-engine.
+    # The oracle replays both kept sets under the same total order the
+    # plans implement — (md5 hash-bucket, md5, doc_id) within lang:
+    # doc_frac keeps rank ≤ floor(fraction × stratum size) (floor of
+    # the fraction×count double product is IEEE-754-identical
+    # cross-engine); token_budget keeps the maximal prefix whose
+    # running whitespace-token sum stays ≤ 2000 (the blank-text guard
+    # mirrors functions.text.token_count — regexp_split of '' is ['']
+    # in DuckDB, see oracle-portability notes).
     oracle="""
-        WITH ranked AS (
+        WITH ordered AS (
             SELECT doc_id, lang,
-                   row_number() OVER (
-                       PARTITION BY lang
-                       ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4096,
-                                md5(CAST(doc_id AS VARCHAR)),
-                                doc_id
-                   ) AS rk,
-                   COUNT(*) OVER (PARTITION BY lang) AS n_g
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4096 AS b,
+                   md5(CAST(doc_id AS VARCHAR)) AS h,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS w
             FROM documents
+        ), ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang ORDER BY b, h, doc_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY lang) AS n_g,
+                   SUM(w) OVER (PARTITION BY lang ORDER BY b, h, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cw
+            FROM ordered
         )
-        SELECT doc_id, lang FROM ranked
+        SELECT 'doc_frac' AS leg, doc_id, lang FROM ranked
         WHERE rk <= FLOOR(CASE lang WHEN 'en' THEN 0.5
                                     WHEN 'zh' THEN 0.75
                                     ELSE 0.25 END * n_g)
-        ORDER BY lang, doc_id
+        UNION ALL
+        SELECT 'token_budget' AS leg, doc_id, lang FROM ranked
+        WHERE cw <= 2000
+        ORDER BY leg, lang, doc_id
     """,
-    tags=("sampling", "stratified", "exact", "extension"),
+    tags=("sampling", "stratified", "exact", "weighted", "extension"),
 )
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact stratified rebalancing of a multilingual corpus: keep
-    exactly half of the dominant language (en), three quarters of zh,
-    and a quarter of everything else — ``floor(f × n)`` rows per
-    stratum, membership a pure content-hash function (deterministic
-    under repartition/retry/engine change, monotone per stratum as
-    fractions are tuned).
+    """Two exact corpus-rebalancing selections, tagged by ``leg``:
 
-    Scale shape (:func:`~big_data_chicago_crimes_spark.operators.sampling.stratified_exact_sample`):
-    ONE (lang, hash-bucket) histogram — the per-stratum totals are a
-    window over that groups × ≤4096 frame, never a second data scan —
-    then buckets below the per-stratum cutoff are kept outright and
-    only the boundary bucket is exactly ranked, so a billion-document
-    language never funnels through one WindowExec task (the
-    ``quota_sample`` plan, generalized to size-proportional quotas)."""
+    - ``doc_frac`` — exact stratified draw: keep exactly half of the
+      dominant language (en), three quarters of zh, and a quarter of
+      everything else — ``floor(f × n)`` rows per stratum
+      (:func:`~big_data_chicago_crimes_spark.operators.sampling.stratified_exact_sample`).
+    - ``token_budget`` (r13 leg) — the budget stated the way a mixture
+      spec actually states it: at most 2000 whitespace TOKENS per
+      language, the maximal content-hash-order prefix whose running
+      token sum fits
+      (:func:`~big_data_chicago_crimes_spark.operators.sampling.weighted_quota_sample`).
+
+    Both memberships are pure content-hash functions — deterministic
+    under repartition/retry/engine change, monotone as the fraction or
+    budget is tuned — and EXACT MEMBERSHIP certified: the driver hash
+    pins every selected row of both legs.
+
+    Scale shape: each leg is the ``quota_sample`` histogram-cutoff plan
+    (ONE (lang, hash-bucket) histogram — summing counts for the
+    fractional draw, token weights for the budget — then keep-all below
+    the cutoff and an exact rank/running-sum over the single boundary
+    bucket), so a billion-document language never funnels through one
+    WindowExec task."""
+    from big_data_chicago_crimes_spark.functions.text import token_count
     from big_data_chicago_crimes_spark.operators.sampling import (
         stratified_exact_sample,
+        weighted_quota_sample,
     )
 
     t = load_tables(spark, sf_dir)
-    kept = stratified_exact_sample(
+    frac = stratified_exact_sample(
         t.documents,
         "lang",
         {"en": 0.5, "zh": 0.75},
         key="doc_id",
         default_fraction=0.25,
-    )
-    return kept.select("doc_id", "lang").orderBy("lang", "doc_id")
+    ).select(F.lit("doc_frac").alias("leg"), "doc_id", "lang")
+    budget = weighted_quota_sample(
+        t.documents.withColumn("__w", token_count(F.col("text"))),
+        ["lang"],
+        2000,
+        "__w",
+        key="doc_id",
+    ).select(F.lit("token_budget").alias("leg"), "doc_id", "lang")
+    return frac.unionByName(budget).orderBy("leg", "lang", "doc_id")

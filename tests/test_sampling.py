@@ -451,3 +451,68 @@ def test_stratified_exact_sample_rejects_bad_fractions(spark):
         stratified_exact_sample(df, "lang", {"en": 1.5}, "doc_id")
     with _pytest.raises(ValueError, match="default_fraction"):
         stratified_exact_sample(df, "lang", {}, "doc_id", default_fraction=-0.1)
+
+
+def test_weighted_quota_sample_prefix_model_and_budget(spark):
+    """weighted_quota_sample keeps the maximal content-hash-order prefix
+    whose running weight fits the budget — membership equals the naive
+    running-sum window model, kept weight never exceeds the budget, and
+    the draw is repartition-stable and budget-monotone."""
+    from pyspark.sql import Window
+
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        hash_bucket,
+        weighted_quota_sample,
+    )
+
+    rows = [(i, ["en", "de"][i % 2], (i * 7) % 13 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    out = weighted_quota_sample(df, ["lang"], 300, "w", key="doc_id")
+    got = {(r.lang, r.doc_id) for r in out.collect()}
+
+    w = Window.partitionBy("lang").orderBy(
+        "__b", F.md5(F.col("doc_id").cast("string")), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = (
+        df.withColumn("__b", hash_bucket(F.col("doc_id"), 4096))
+        .withColumn("cw", F.sum("w").over(w))
+        .filter(F.col("cw") <= 300)
+    )
+    assert got == {(r.lang, r.doc_id) for r in naive.collect()}
+    for r in out.groupBy("lang").agg(F.sum("w").alias("tw")).collect():
+        assert r.tw <= 300
+
+    again = {
+        (r.lang, r.doc_id)
+        for r in weighted_quota_sample(
+            df.repartition(17), ["lang"], 300, "w", "doc_id"
+        ).collect()
+    }
+    assert again == got
+    smaller = {
+        (r.lang, r.doc_id)
+        for r in weighted_quota_sample(df, ["lang"], 150, "w", "doc_id").collect()
+    }
+    assert smaller < got  # monotone in budget
+
+
+def test_weighted_quota_sample_edges(spark):
+    """budget=0 keeps nothing; a budget covering the whole group keeps
+    everything; a first-in-order row heavier than the budget blocks its
+    group (prefix semantics — rows are never split); negative budget
+    raises."""
+    import pytest as _pytest
+
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        weighted_quota_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "g", 5), (2, "g", 5), (3, "g", 5)], "doc_id long, lang string, w long"
+    )
+    assert weighted_quota_sample(df, ["lang"], 0, "w", "doc_id").count() == 0
+    assert weighted_quota_sample(df, ["lang"], 100, "w", "doc_id").count() == 3
+    # every row weighs 5 > budget 4: the prefix is empty regardless of order
+    assert weighted_quota_sample(df, ["lang"], 4, "w", "doc_id").count() == 0
+    with _pytest.raises(ValueError, match="non-negative"):
+        weighted_quota_sample(df, ["lang"], -1, "w", "doc_id")
