@@ -70,7 +70,6 @@ HEADLINE = [
     "orders_running_total",
     "customer_balance_rank_in_nation",
     "nation_balance_window_surface",  # merged quartiles+extremes window pass (r9)
-    "forecast_revenue_change",
     # time windows (streaming batch twins)
     "events_hourly_tumbling",
     "events_sliding_1h_30m",
@@ -111,6 +110,8 @@ HEADLINE = [
     "docs_train_val_test_split",
     "docs_domain_quota",  # histogram-bounded per-domain quota cap
     "docs_stratified_sample",  # exact per-stratum fractional draw (r13)
+    "docs_heavy_hitters_cms",  # count-min sketch vs exact top-15 (r13)
+    "docs_bigram_perplexity",  # interpolated-bigram LM scoring (r13)
     "docs_temperature_mix",  # sqrt-rate mixture flattening
     "docs_chunk_windows",  # sliding token-window fan-out
     "docs_curriculum_order",  # histogram-offset global ordering
@@ -121,9 +122,9 @@ HEADLINE = [
     "orders_grouping_surface",  # merged cube+grouping-sets+pctl surface (r7/r9)
     "users_distinct_exact_vs_approx",  # merged exact+HLL surface (r7 continuation)
     "orders_price_quantiles_approx",
-    "promo_revenue_pct",
+    "revenue_metric_surface",  # r13 merge: promo_revenue_pct + forecast_revenue_change
     "late_shipment_orders",
-    "parts_never_ordered",
+    "part_catalog_surface",  # r13 merge: parts_never_ordered + top10_part_types
     "all_account_balances",
     "asof_join_surface",  # merged as-of surface (r7 continuation)
     "orders_by_price_band",

@@ -549,6 +549,136 @@ def unigram_logprob(
     )
 
 
+def bigram_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-instance adjacent token pairs ``(id_col, *carry_cols, __w1,
+    __w2)`` — order-preserving, extracted entirely inside the row (two
+    array slices zipped, then one explode): zero windows, zero shuffles,
+    whole-stage-codegen scalar expressions. Documents with fewer than
+    two tokens yield no pairs (empty zip → explode drops the row).
+    Blank-token guard mirrors the family convention (trim+split yields
+    [''] on blank text; the filter removes it on both engines)."""
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    n_pairs = F.greatest(F.size("__t") - 1, F.lit(0))
+    return (
+        spread_for_compute(df)
+        .select(id_col, *carry_cols, toks.alias("__t"))
+        .select(
+            id_col,
+            *carry_cols,
+            F.slice(F.col("__t"), F.lit(1), n_pairs).alias("__a"),
+            F.slice(F.col("__t"), F.lit(2), n_pairs).alias("__b"),
+        )
+        .select(id_col, *carry_cols, F.explode(F.arrays_zip("__a", "__b")).alias("__p"))
+        .select(
+            id_col,
+            *carry_cols,
+            F.col("__p.__a").alias("__w1"),
+            F.col("__p.__b").alias("__w2"),
+        )
+    )
+
+
+def fit_bigram_lm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fit the corpus bigram table once: ``(__w1, __w2, __c2)`` counts
+    over adjacent-pair instances. One shuffle, keyed by the bigram; the
+    context marginal ``c1(w1) = Σ_w2 c2(w1, w2)`` is derived from this
+    frame downstream (a second, vocabulary-bounded aggregate), so the
+    corpus-sized pair stream is counted exactly once."""
+    return (
+        bigram_pairs(df, text_col, id_col)
+        .groupBy("__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__c2"))
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+    lam: float = 0.75,
+    lm2: DataFrame | None = None,
+    lm1: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document average interpolated-bigram log10-probability —
+    the n-gram upgrade of :func:`unigram_logprob`'s CCNet-style
+    perplexity filter (Wenzek et al. 2020 score with a 5-gram KenLM;
+    the bigram-with-unigram-backoff form here is the largest n whose
+    oracle stays exactly SQL-replayable):
+
+    ``p(w2|w1) = λ·c2(w1,w2)/c1(w1) + (1−λ)·(cu(w2)+1)/(N+V)``
+
+    with corpus bigram counts ``c2``, context marginals ``c1``, add-one
+    smoothed unigram backoff (``cu``/``N``/``V`` as in
+    :func:`unigram_logprob`), and the document score
+    ``ROUND(avg over pair instances of log10 p, 6)``. Documents with
+    fewer than two tokens have no pair instances and drop out (they
+    carry no bigram evidence either way — callers union them back with
+    a sentinel if the pipeline must keep them). λ defaults to 0.75 so
+    both λ and 1−λ are exact binary doubles — the oracle's decimal
+    literals and Python's float arithmetic then agree bit-for-bit.
+
+    Scale shape: the pair stream is extracted in-row (zero shuffles),
+    counted once into the bigram table, and scoring re-joins the
+    pre-reduced distinct ``(doc, w1, w2)`` pairs with multiplicity —
+    the same pre-reduced form the unigram scorer A/B'd in at the Zipf
+    realism fixture. The context marginal and unigram backoff sides are
+    vocabulary-bounded and broadcast; the bigram-table join is left to
+    AQE (bigram vocabulary grows ~N^0.8 on open web text — forcing a
+    broadcast there would be the 100 TB mistake). Unseen contexts or
+    bigrams (scoring a frame the LM was not fit on) back off to the
+    smoothed unigram floor via 0-coalesced left joins."""
+    one_minus = 1.0 - lam
+    c2 = lm2 if lm2 is not None else fit_bigram_lm(df, text_col, id_col)
+    c1 = c2.groupBy("__w1").agg(F.sum("__c2").alias("__c1"))
+    uni = (
+        lm1.select("__tok", "__c")
+        if lm1 is not None
+        else (
+            spread_for_compute(df)
+            .select(F.explode(F.filter(tokens(text_col), lambda x: x != "")).alias("__tok"))
+            .groupBy("__tok")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+    )
+    totals = uni.agg(
+        F.sum("__c").alias("__n_total"), F.count(F.lit(1)).alias("__v_size")
+    )
+    doc_bi = (
+        bigram_pairs(df, text_col, id_col, carry_cols)
+        .groupBy(id_col, *carry_cols, "__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__k"))
+    )
+    backoff = F.lit(one_minus) * (F.coalesce(F.col("__c"), F.lit(0)) + 1) / (
+        F.col("__n_total") + F.col("__v_size")
+    )
+    seen = (
+        F.lit(lam)
+        * F.coalesce(F.col("__c2"), F.lit(0))
+        / F.coalesce(F.col("__c1"), F.lit(1))
+    )
+    term = F.log10(seen + backoff)
+    return (
+        doc_bi.join(c2, ["__w1", "__w2"], "left")
+        .join(F.broadcast(c1), "__w1", "left")
+        .join(F.broadcast(uni.withColumnRenamed("__tok", "__w2")), "__w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col, *carry_cols)
+        .agg(
+            F.round(
+                F.sum(F.col("__k") * term) / F.sum("__k"), 6
+            ).alias("bigram_lp")
+        )
+    )
+
+
 def dsir_logratio(
     df: DataFrame,
     target: DataFrame,

@@ -75,6 +75,8 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_stream_static_dedup_batch",  # FIRST: bloom probe path rewritten post-r11-row (empty-filter fix)
     "docs_domain_quota",  # SECOND: persist reversal + NULL-guarded score_ntile post-r11-row
     "docs_stratified_sample",  # NEW r13: exact per-stratum fractional draw (VERDICT r12 #6) — never sampled
+    "docs_heavy_hitters_cms",  # NEW r13: count-min sketch estimates vs exact top-15 — never sampled
+    "docs_bigram_perplexity",  # NEW r13: interpolated-bigram LM scoring (CCNet upgrade) — never sampled
     "docs_hybrid_search",  # rrf leg certified r11
     "docs_shared_span_pairs",  # exact-substring span dedup (Lee et al. 2022 shape)
     "docs_line_dedup",  # C4-style line-level boilerplate removal
@@ -101,16 +103,14 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "orders_grouping_surface",  # + 'pctl' leg = former orders_price_quantiles (r9)
     "orders_running_total",
     "lineitem_rollup",  # + corr columns = former lineitem_correlations (r9)
-    "promo_revenue_pct",
+    "revenue_metric_surface",  # r13 merge: promo_revenue_pct + forecast_revenue_change (Q14 + Q6 legs) — funds docs_heavy_hitters_cms
     "late_shipment_orders",
     "shipping_priority_top10",
     "returned_item_top_customers",
     "top_revenue_orders",
-    "top10_part_types",
     "supplier_nation_revenue",
-    "parts_never_ordered",
+    "part_catalog_surface",  # r13 merge: parts_never_ordered + top10_part_types (anti-join + top-k legs) — funds docs_bigram_perplexity
     "segment_customers_with_orders",
-    "forecast_revenue_change",
     "all_account_balances",
     "nation_balance_window_surface",  # = customer_balance_quartiles + nation_balance_extremes (one window pass)
     "asof_join_surface",

@@ -208,3 +208,104 @@ def docs_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8,
         max_df_fraction=1.0,
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "docs_bigram_perplexity",
+    # λ = 0.75 so λ and 1−λ are exact binary doubles on both engines;
+    # every arithmetic step below is written with the same literal
+    # association order as the Spark expression (left-to-right
+    # multiply-then-divide) so the 6dp round sees bit-identical doubles.
+    # Funded by the top10_part_types + parts_never_ordered merge
+    # (part_catalog_surface).
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        bi AS (
+            SELECT doc_id, source, toks[i] AS w1, toks[i + 1] AS w2
+            FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS r(i)
+        ),
+        uni AS (
+            SELECT token AS w, COUNT(*) AS cu
+            FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token
+        ),
+        tot AS (SELECT SUM(cu) AS n_total, COUNT(*) AS v_size FROM uni),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+        c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+        docbi AS (
+            SELECT doc_id, source, w1, w2, COUNT(*) AS k
+            FROM bi GROUP BY doc_id, source, w1, w2
+        ),
+        doc_scores AS (
+            SELECT d.doc_id, d.source,
+                   ROUND(SUM(d.k * log10(
+                           0.75 * CAST(p2.c2 AS DOUBLE) / CAST(p1.c1 AS DOUBLE)
+                           + 0.25 * (CAST(u.cu AS DOUBLE) + 1)
+                             / CAST(tt.n_total + tt.v_size AS DOUBLE)))
+                         / SUM(d.k), 6) AS lp
+            FROM docbi d
+            JOIN c2 p2 ON p2.w1 = d.w1 AND p2.w2 = d.w2
+            JOIN c1 p1 ON p1.w1 = d.w1
+            JOIN uni u ON u.w = d.w2
+            CROSS JOIN tot tt
+            GROUP BY d.doc_id, d.source
+        )
+        SELECT 'source' AS leg, source AS key,
+               COUNT(*) AS n_docs, ROUND(AVG(lp), 6) AS lp
+        FROM doc_scores GROUP BY source
+        UNION ALL
+        SELECT 'tail5' AS leg, CAST(doc_id AS VARCHAR) AS key,
+               CAST(NULL AS BIGINT) AS n_docs, lp
+        FROM (SELECT doc_id, lp FROM doc_scores ORDER BY lp, doc_id LIMIT 5)
+        ORDER BY leg, key
+    """,
+    tags=("curation", "lm", "perplexity", "extension"),
+)
+def docs_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM document scoring
+    (operators/curation.py:bigram_logprob) — the n-gram upgrade of the
+    CCNet-style unigram perplexity filter: ``p(w2|w1) = λ·c2/c1 +
+    (1−λ)·smoothed-unigram``, doc score = avg log10 p over adjacent-pair
+    instances.
+
+    Two legs in one slot: 'source' = per-source doc count + mean score
+    (the corpus-health dashboard view); 'tail5' = the five
+    lowest-scoring documents (score asc, doc_id tie-break) — the actual
+    filter tail a curation run would drop, pinning PER-DOCUMENT scores
+    under the driver hash, not just their aggregate.
+
+    Plan: pair extraction is in-row (slice+zip+explode, zero shuffles);
+    the bigram table is one count shuffle; scoring joins the pre-reduced
+    (doc, w1, w2, multiplicity) frame — context marginal and unigram
+    backoff broadcast, bigram join AQE-decided (see the operator
+    docstring for the web-scale rationale)."""
+    from big_data_chicago_crimes_spark.operators.curation import bigram_logprob
+
+    t = load_tables(spark, sf_dir)
+    scored = bigram_logprob(
+        t.documents, "text", "doc_id", carry_cols=("source",), lam=0.75
+    )
+    src = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("bigram_lp"), 6).alias("lp"),
+    ).select(
+        F.lit("source").alias("leg"),
+        F.col("source").alias("key"),
+        "n_docs",
+        "lp",
+    )
+    tail = (
+        scored.orderBy(F.col("bigram_lp").asc(), F.col("doc_id").asc())
+        .limit(5)
+        .select(
+            F.lit("tail5").alias("leg"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.lit(None).cast("bigint").alias("n_docs"),
+            F.col("bigram_lp").alias("lp"),
+        )
+    )
+    return src.unionByName(tail).orderBy("leg", "key")

@@ -191,21 +191,56 @@ def segment_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "parts_never_ordered",
+    "part_catalog_surface",
+    # merges the former top10_part_types (reference O4 top-k,
+    # Dataset.py:477's top-10-locations shape) and parts_never_ordered
+    # (LEFT ANTI / NOT EXISTS) registrations (both r11-green, both
+    # part-catalog scans) into one leg-labeled surface: the
+    # TakeOrderedAndProject top-k and the anti join both still execute
+    # and hash-certify in a single registry slot (the
+    # purchaser_error_overlap precedent). The slot freed funds
+    # docs_bigram_perplexity.
     oracle="""
-        SELECT p_brand, COUNT(*) AS n_parts
-        FROM part
-        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
-        GROUP BY p_brand ORDER BY p_brand
+        SELECT 'never_ordered_brand' AS leg, p_brand AS key, n_parts AS cnt
+        FROM (
+            SELECT p_brand, COUNT(*) AS n_parts
+            FROM part
+            WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+            GROUP BY p_brand
+        )
+        UNION ALL
+        SELECT 'top_type' AS leg, p_type AS key, cnt
+        FROM (
+            SELECT p_type, COUNT(*) AS cnt
+            FROM part GROUP BY p_type
+            ORDER BY cnt DESC, p_type LIMIT 10
+        )
+        ORDER BY leg, key
     """,
-    tags=("join", "anti"),
+    tags=("join", "anti", "topk", "reference:O4"),
 )
-def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (NOT EXISTS): parts absent from lineitem, by brand."""
+def part_catalog_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'never_ordered_brand' leg — LEFT ANTI join (NOT EXISTS): parts
+    absent from lineitem, counted by brand. 'top_type' leg — top-10 part
+    types (Dataset.py:477's top-10-locations shape) via
+    aggregates.top_k: orderBy+limit → TakeOrderedAndProject with a
+    p_type tie-break for deterministic hashing."""
+    from big_data_chicago_crimes_spark.operators.aggregates import top_k
+
     t = load_tables(spark, sf_dir)
     never = anti_join(t.part, t.lineitem.select("l_partkey"),
                       t.part.p_partkey == F.col("l_partkey"))
-    return never.groupBy("p_brand").agg(F.count("*").alias("n_parts")).orderBy("p_brand")
+    never_leg = never.groupBy("p_brand").agg(F.count("*").alias("cnt")).select(
+        F.lit("never_ordered_brand").alias("leg"),
+        F.col("p_brand").alias("key"),
+        "cnt",
+    )
+    top_leg = top_k(t.part, ["p_type"], 10).select(
+        F.lit("top_type").alias("leg"),
+        F.col("p_type").alias("key"),
+        F.col("cnt"),
+    )
+    return never_leg.unionByName(top_leg).orderBy("leg", "key")
 
 
 @register(

@@ -352,72 +352,80 @@ def orders_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "forecast_revenue_change",
+    "revenue_metric_surface",
+    # merges the former forecast_revenue_change (TPC-H Q6 shape) and
+    # promo_revenue_pct (TPC-H Q14 shape) registrations (both r11-green,
+    # both single-row global aggregates over a pushdown-filtered lineitem
+    # scan) into one leg-labeled surface: the Q6 pushdown probe and the
+    # Q14 join+ratio aggregate both still execute and hash-certify in a
+    # single registry slot (the purchaser_error_overlap precedent; one
+    # action schedules both legs' stages concurrently). The slot freed
+    # funds docs_heavy_hitters_cms.
     oracle="""
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_increase,
+        SELECT 'q14_promo_pct' AS leg,
+               ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 6) AS value,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-04-01'
+        UNION ALL
+        SELECT 'q6_forecast' AS leg,
+               ROUND(SUM(l_extendedprice * l_discount), 2) AS value,
                COUNT(*) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
           AND l_shipdate <  TIMESTAMP '1999-01-01'
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 25
+        ORDER BY leg
     """,
-    tags=("agg", "tpch:q6"),
+    tags=("agg", "join", "tpch:q6", "tpch:q14"),
 )
-def forecast_revenue_change(spark, sf_dir):
-    """TPC-H Q6 shape: the pure scan-side aggregate — every predicate
-    (date band, discount band, quantity cap) pushes to the parquet scan,
-    no join, no groupBy shuffle (single global aggregate with map-side
-    partials). The canonical 'is pushdown working' probe."""
+def revenue_metric_surface(spark, sf_dir):
+    """Two single-row revenue metrics in one surface.
+
+    'q6_forecast' leg — TPC-H Q6 shape: the pure scan-side aggregate;
+    every predicate (date band, discount band, quantity cap) pushes to
+    the parquet scan, no join, no groupBy shuffle (single global
+    aggregate with map-side partials). The canonical 'is pushdown
+    working' probe.
+
+    'q14_promo_pct' leg — TPC-H Q14 shape: promo-type revenue share over
+    one quarter. The date filter pushes to the lineitem scan; part joins
+    on partkey (AQE decides broadcast vs shuffle — part scales with the
+    catalog, not with facts, so no unconditional hint); one global ratio
+    aggregate."""
 
     from big_data_chicago_crimes_spark.sources.readers import load_tables
 
     t = load_tables(spark, sf_dir)
-    li = t.lineitem.filter(
+    q6 = t.lineitem.filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 25)
-    )
-    return li.agg(
+    ).agg(
         F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue_increase"
+            "value"
         ),
         F.count(F.lit(1)).alias("n_items"),
-    )
+    ).select(F.lit("q6_forecast").alias("leg"), "value", "n_items")
 
-
-@register(
-    "promo_revenue_pct",
-    oracle="""
-        SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                     / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
-          AND l_shipdate <  TIMESTAMP '1998-04-01'
-    """,
-    tags=("join", "agg", "tpch:q14"),
-)
-def promo_revenue_pct(spark, sf_dir):
-    """TPC-H Q14 shape: promo-type revenue share over one quarter. The
-    date filter pushes to the lineitem scan; part joins on partkey (AQE
-    decides broadcast vs shuffle — part scales with the catalog, not
-    with facts, so no unconditional hint); one global ratio aggregate."""
-
-    from big_data_chicago_crimes_spark.sources.readers import load_tables
-
-    t = load_tables(spark, sf_dir)
     li = t.lineitem.filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
     ).select("l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
     joined = li.join(t.part.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey"))
     promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(0.0))
-    return joined.agg(
-        F.round(100.0 * promo / F.sum("rev"), 6).alias("promo_pct")
-    )
+    q14 = joined.agg(
+        F.round(100.0 * promo / F.sum("rev"), 6).alias("value"),
+        F.count(F.lit(1)).alias("n_items"),
+    ).select(F.lit("q14_promo_pct").alias("leg"), "value", "n_items")
+
+    return q14.unionByName(q6).orderBy("leg")
 
 
 @register(

@@ -136,21 +136,11 @@ def orders_quarter_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by tests/test_app.py).
 
 
-@register(
-    "top10_part_types",
-    oracle="""
-        SELECT p_type, COUNT(*) AS cnt
-        FROM part GROUP BY p_type
-        ORDER BY cnt DESC, p_type LIMIT 10
-    """,
-    tags=("topk", "reference:O4"),
-)
-def top10_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 crime locations (Dataset.py:477) → top-10 part types.
-    orderBy+limit → TakeOrderedAndProject; p_type tie-break for
-    deterministic hashing."""
-    t = load_tables(spark, sf_dir)
-    return top_k(t.part, ["p_type"], 10)
+# top10_part_types (reference:O4, Dataset.py:477's top-10-locations
+# shape) merged into part_catalog_surface in join_queries.py — the
+# identical top_k leg rides the part scan the anti-join leg already
+# pays for. The ``aggregates.top_k`` operator itself stays certified by
+# shipping_priority_top10 / top_revenue_orders / purchase_top_users.
 
 
 @register(

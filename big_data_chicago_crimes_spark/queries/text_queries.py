@@ -1107,3 +1107,89 @@ def docs_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_docs", "total_tokens", "n_bins", "max_bin_tokens")
         .orderBy("lang")
     )
+
+
+@register(
+    "docs_heavy_hitters_cms",
+    # The sketch is deliberately undersized for the certification fixture
+    # (depth 4 × width 16 vs 31 distinct tokens) so bucket collisions —
+    # the thing the min-over-rows estimate exists to survive — occur
+    # organically and the hash pins REAL overestimates, not a sketch so
+    # wide it degenerates to exact counting. Production sizing is
+    # width ≈ 2/ε (e.g. 2^20 for ε ≈ 2e-6 of corpus mass); the plan shape
+    # is identical at any width. Funded by the forecast_revenue_change +
+    # promo_revenue_pct merge (revenue_metric_surface).
+    oracle="""
+        WITH toks AS (
+            SELECT token FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                FROM documents
+            ) WHERE token <> ''
+        ),
+        rows_r AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        sketch AS (
+            SELECT r,
+                   ('0x' || substring(md5('cms' || CAST(r AS VARCHAR) || '|' || token),
+                                      1, 8))::BIGINT % 16 AS bucket,
+                   COUNT(*) AS c
+            FROM toks CROSS JOIN rows_r
+            GROUP BY 1, 2
+        ),
+        top15 AS (
+            SELECT token, COUNT(*) AS exact_cnt
+            FROM toks GROUP BY token
+            ORDER BY exact_cnt DESC, token LIMIT 15
+        )
+        SELECT t.token, t.exact_cnt, MIN(COALESCE(s.c, 0)) AS cms_cnt,
+               MIN(COALESCE(s.c, 0)) >= t.exact_cnt AS never_undercounts
+        FROM top15 t
+        CROSS JOIN rows_r rr
+        LEFT JOIN sketch s
+          ON s.r = rr.r
+         AND s.bucket = ('0x' || substring(md5('cms' || CAST(rr.r AS VARCHAR)
+                                               || '|' || t.token), 1, 8))::BIGINT % 16
+        GROUP BY t.token, t.exact_cnt
+        ORDER BY exact_cnt DESC, token
+    """,
+    tags=("text", "sketch", "cms", "extension"),
+)
+def docs_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation vs exact counts for the
+    corpus's top-15 tokens (operators/sketches.py — Cormode &
+    Muthukrishnan 2005).
+
+    Plan: ONE token pass builds the sketch (explode → d-cell fan-out →
+    bounded ≤ depth×width hash aggregate whose map-side partials are the
+    per-partition sketches and whose exchange is the cell-wise sketch
+    merge); the exact top-15 (the baseline the sketch replaces at scale)
+    rides a second token pass through
+    count-shuffle → TakeOrderedAndProject; estimation probes the
+    BROADCAST sketch, so no third corpus pass exists. The certified
+    ``never_undercounts`` column pins the CMS one-sided-error guarantee
+    under the driver hash, and ``cms_cnt`` itself pins the exact
+    md5-bucket geometry DuckDB replays."""
+    from big_data_chicago_crimes_spark.functions.text import tokens
+    from big_data_chicago_crimes_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t.documents.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    sketch = cms_build(toks, "token", depth=4, width=16)
+    top15 = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+        .limit(15)
+    )
+    est = cms_estimate(sketch, top15, "token", depth=4, width=16)
+    return est.select(
+        "token",
+        "exact_cnt",
+        "cms_cnt",
+        (F.col("cms_cnt") >= F.col("exact_cnt")).alias("never_undercounts"),
+    ).orderBy(F.col("exact_cnt").desc(), F.col("token").asc())

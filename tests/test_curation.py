@@ -288,3 +288,73 @@ def test_shared_lm_fit_matches_private_fits(spark):
         for r in dsir_logratio(docs, target, source_lm=lm).collect()
     }
     assert da == db
+
+
+def test_bigram_pairs_order_and_short_docs(spark):
+    """Adjacent pairs come out in document order; docs with <2 tokens
+    (including blank text, whose trim+split yields ['']) emit none."""
+    from big_data_chicago_crimes_spark.operators.curation import bigram_pairs
+
+    docs = _docs(spark, [(1, "a b c"), (2, "solo"), (3, "  ")])
+    rows = sorted(
+        (r["doc_id"], r["__w1"], r["__w2"])
+        for r in bigram_pairs(docs).collect()
+    )
+    assert rows == [(1, "a", "b"), (1, "b", "c")]
+
+
+def test_bigram_logprob_matches_hand_computation(spark):
+    """Tiny corpus computable by hand: corpus = doc1 'a a b' + doc2
+    'a b' → cu(a)=3, cu(b)=2, N=5, V=2; c2(a,a)=1, c2(a,b)=2, c1(a)=3;
+    p(a|a) = .75·1/3 + .25·4/7, p(b|a) = .75·2/3 + .25·3/7."""
+    import math
+
+    from big_data_chicago_crimes_spark.operators.curation import bigram_logprob
+
+    docs = _docs(spark, [(1, "a a b"), (2, "a b")])
+    out = {r["doc_id"]: r["bigram_lp"] for r in bigram_logprob(docs).collect()}
+    p_aa = 0.75 * 1 / 3 + 0.25 * (3 + 1) / (5 + 2)
+    p_ab = 0.75 * 2 / 3 + 0.25 * (2 + 1) / (5 + 2)
+    assert out[1] == round((math.log10(p_aa) + math.log10(p_ab)) / 2, 6)
+    assert out[2] == round(math.log10(p_ab), 6)
+
+
+def test_bigram_logprob_short_docs_drop_out(spark):
+    """Documents with <2 tokens carry no bigram evidence and drop out."""
+    from big_data_chicago_crimes_spark.operators.curation import bigram_logprob
+
+    docs = _docs(spark, [(1, "a b"), (2, "solo"), (3, "")])
+    assert [r["doc_id"] for r in bigram_logprob(docs).collect()] == [1]
+
+
+def test_bigram_logprob_unseen_backs_off_to_unigram_floor(spark):
+    """Scoring a frame under an LM fit elsewhere: an entirely-unseen
+    bigram gets the smoothed unigram floor (1−λ)·1/(N+V) — the seen
+    term coalesces to 0, never to NULL (which would kill the doc)."""
+    import math
+
+    from big_data_chicago_crimes_spark.operators.curation import (
+        bigram_logprob,
+        fit_bigram_lm,
+        fit_unigram_lm,
+    )
+
+    corpus = _docs(spark, [(1, "a b")])
+    lm2 = fit_bigram_lm(corpus)
+    lm1 = fit_unigram_lm(corpus)  # cu(a)=1, cu(b)=1 → N=2, V=2
+    new = _docs(spark, [(9, "z z")])
+    out = bigram_logprob(new, lm2=lm2, lm1=lm1).collect()
+    assert len(out) == 1
+    floor = 0.25 * (0 + 1) / (2 + 2)
+    assert out[0]["bigram_lp"] == round(math.log10(floor), 6)
+
+
+def test_bigram_logprob_carry_cols_ride_the_groupby(spark):
+    from big_data_chicago_crimes_spark.operators.curation import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a", "web"), (2, "b a", "books")],
+        "doc_id long, text string, source string",
+    )
+    rows = bigram_logprob(docs, carry_cols=("source",)).collect()
+    assert {(r["doc_id"], r["source"]) for r in rows} == {(1, "web"), (2, "books")}

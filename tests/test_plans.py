@@ -40,7 +40,7 @@ def test_range_filter_pushed_to_scan(spark, sf_dir):
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
-    plan = formatted_plan(spark, sf_dir, "top10_part_types")
+    plan = formatted_plan(spark, sf_dir, "purchase_top_users")
     assert "TakeOrderedAndProject" in plan
     # no global Sort node outside the top-k operator
     assert plan.count("Sort (") == 0 or "TakeOrderedAndProject" in plan

@@ -1,0 +1,76 @@
+"""Count-min sketch operator tests: the one-sided error guarantee,
+boundedness of the sketch state, exactness in the collision-free
+regime, and the cell-wise mergeability the 100 TB story rests on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_chicago_crimes_spark.operators.sketches import cms_build, cms_estimate
+
+
+def _items(spark, tokens):
+    return spark.createDataFrame([(t,) for t in tokens], "token string")
+
+
+def test_cms_never_undercounts_under_heavy_collisions(spark):
+    """width=4 over 20 distinct tokens forces collisions; every
+    estimate must still be >= the true count (the CMS guarantee)."""
+    toks = [f"tok{i % 20}" for i in range(200)] + ["rare"]
+    df = _items(spark, toks)
+    exact = df.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(cms_build(df, "token", depth=3, width=4), exact,
+                       "token", depth=3, width=4)
+    bad = est.filter(F.col("cms_cnt") < F.col("exact")).count()
+    assert bad == 0
+
+
+def test_cms_exact_when_wide(spark):
+    """A sketch much wider than the vocabulary has no collisions (for
+    this deterministic token set) — estimates equal exact counts."""
+    toks = ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]
+    df = _items(spark, toks)
+    exact = df.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(cms_build(df, "token", depth=4, width=4096), exact,
+                       "token", depth=4, width=4096)
+    rows = est.collect()
+    assert all(r["cms_cnt"] == r["exact"] for r in rows)
+
+
+def test_cms_state_is_bounded_by_depth_times_width(spark):
+    df = _items(spark, [f"t{i}" for i in range(500)])
+    sketch = cms_build(df, "token", depth=4, width=8)
+    assert sketch.count() <= 4 * 8
+    # every instance lands in exactly one bucket per row
+    per_row = sketch.groupBy("row").agg(F.sum("c").alias("n")).collect()
+    assert {r["n"] for r in per_row} == {500}
+
+
+def test_cms_merges_cell_wise_across_splits(spark):
+    """sketch(full) == cell-wise sum of sketch(split1) + sketch(split2):
+    the property that lets per-partition sketches combine — the groupBy
+    in cms_build IS this merge."""
+    a = _items(spark, [f"x{i % 7}" for i in range(50)])
+    b = _items(spark, [f"x{i % 5}" for i in range(30)])
+    full = cms_build(a.unionByName(b), "token", depth=3, width=8)
+    merged = (
+        cms_build(a, "token", depth=3, width=8)
+        .unionByName(cms_build(b, "token", depth=3, width=8))
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    diff = full.join(merged, ["row", "bucket"], "full").filter(
+        (F.coalesce(full["c"], F.lit(0)) != F.coalesce(merged["c"], F.lit(0)))
+    )
+    assert diff.count() == 0
+
+
+def test_cms_unseen_item_estimates_zero_when_buckets_untouched(spark):
+    """A probe for an item whose buckets were never written coalesces
+    to 0 — the degenerate-miss contract (a sketch built on SOME data
+    can still answer 'never seen' for colliding-free probes)."""
+    df = _items(spark, ["only"])
+    sketch = cms_build(df, "token", depth=4, width=4096)
+    probe = _items(spark, ["definitely-absent-token"])
+    out = cms_estimate(sketch, probe, "token", depth=4, width=4096).collect()
+    assert out[0]["cms_cnt"] == 0
