@@ -636,6 +636,21 @@ def bigram_logprob(
     bigrams (scoring a frame the LM was not fit on) back off to the
     smoothed unigram floor via 0-coalesced left joins."""
     one_minus = 1.0 - lam
+    doc_bi = (
+        bigram_pairs(df, text_col, id_col, carry_cols)
+        .groupBy(id_col, *carry_cols, "__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__k"))
+    )
+    # Form A/B (scripts/bench_bigram_persist.py, sf0.1 interleaved
+    # min-of-4): (a) deriving c2 by re-aggregating doc_bi "to save a
+    # scan" LOSES (2.43 vs 1.97 s) — doc_bi's shuffle is keyed
+    # (doc, w1, w2) and moves the per-doc pair frame, which is far
+    # wider than the bigram-vocabulary partials the independent fit
+    # shuffles, and the shared subplan is paid per consumer; (b)
+    # scratch-persisting the scored frame for the two query legs also
+    # LOSES (2.15 vs 1.97 s) — the fill costs more than the recompute
+    # (the standing narrow-frame persist result). Independent fit, no
+    # persist.
     c2 = lm2 if lm2 is not None else fit_bigram_lm(df, text_col, id_col)
     c1 = c2.groupBy("__w1").agg(F.sum("__c2").alias("__c1"))
     uni = (
@@ -650,11 +665,6 @@ def bigram_logprob(
     )
     totals = uni.agg(
         F.sum("__c").alias("__n_total"), F.count(F.lit(1)).alias("__v_size")
-    )
-    doc_bi = (
-        bigram_pairs(df, text_col, id_col, carry_cols)
-        .groupBy(id_col, *carry_cols, "__w1", "__w2")
-        .agg(F.count(F.lit(1)).alias("__k"))
     )
     backoff = F.lit(one_minus) * (F.coalesce(F.col("__c"), F.lit(0)) + 1) / (
         F.col("__n_total") + F.col("__v_size")

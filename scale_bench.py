@@ -78,6 +78,14 @@ SUITE = {
     "text": [
         "docs_token_stats",
         "docs_bpe_token_stats",
+        # r13: count-min sketch — the bounded-state aggregate; its ratio
+        # should track the token-stream scan (sketch state is d×w cells
+        # at ANY corpus size), plus the exact-top-15 baseline shuffle
+        "docs_heavy_hitters_cms",
+        # r13: bigram-LM scoring — in-row pair extraction (zero-shuffle)
+        # + one bigram-count shuffle + pre-reduced scoring join; the
+        # scale term to watch is the AQE-decided bigram-table join
+        "docs_bigram_perplexity",
         "docs_repetition_stats",
         # r10: carries the new unigram-LM leg — the interesting scale
         # term is the LM fit (vocab count shuffle) + broadcast re-join
