@@ -963,3 +963,120 @@ def embedding_contamination(
         .agg(F.max("__cos").alias("max_benchmark_cosine"))
         .filter(F.col("max_benchmark_cosine") >= threshold)
     )
+
+
+def pq_codebook(m: int, k: int, dim: int) -> list[list[list[float]]]:
+    """Seeded literal product-quantization codebook: ``m`` subspaces ×
+    ``k`` sub-centroids × ``dim/m`` floats (the `literal_centroids`
+    determinism contract — a FIXED codebook both the Spark plan and an
+    external SQL oracle can bake in as literals; trained codebooks come
+    from :func:`pq_train`)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.RandomState(_LSH_SEED + 2)
+    sub = dim // m
+    return [
+        [[float(x) for x in row] for row in rng.randn(k, sub)] for _ in range(m)
+    ]
+
+
+def pq_train(
+    df: DataFrame, m: int, k: int, vec_col: str = "embedding"
+) -> list[list[list[float]]]:
+    """Train the codebook: one seeded KMeans per subspace over the
+    sliced sub-vectors (Jégou, Douze & Schmid, "Product quantization
+    for nearest neighbor search", TPAMI 2011). ``m`` sequential MLlib
+    fits, each distributed; the returned codebook is driver-sized
+    (m·k·dim/m floats — index metadata, like ``ivf_index``'s centroid
+    list)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    book = []
+    for s in range(m):
+        sliced = df.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), s * sub + 1, sub).cast("array<double>")
+            ).alias("__sv")
+        )
+        model = KMeans(k=k, seed=_LSH_SEED + s, featuresCol="__sv").fit(sliced)
+        book.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return book
+
+
+def pq_encode(
+    df: DataFrame, codebook: list[list[list[float]]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add ``pq_codes`` (array<int>, length m): per subspace, the id of
+    the nearest sub-centroid (rounded-L2 ranking with cid tie-break —
+    the ``nearest_centroid_cells`` portability contract, applied to the
+    subspace slice). This is the compression step: a dim-float vector
+    becomes m small ints (64 floats → 8 codes = 32× smaller), and it is
+    the ONLY pass that touches the raw vectors — every ADC probe after
+    it reads codes alone. All codegen scalar expressions; zero shuffle."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    codes = F.array(
+        *[
+            nearest_centroid_cells(
+                F.slice(F.col(vec_col), s * sub + 1, sub), codebook[s], 1
+            )[0].cast("int")
+            for s in range(m)
+        ]
+    )
+    return df.withColumn("pq_codes", codes)
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebook: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: score every encoded vector against
+    ``query`` as ``Σ_s ‖q_s − codebook[s][code_s]‖²`` — the query stays
+    UNquantized (asymmetric), the corpus is probed through its codes.
+
+    The m×k partial-distance table is computed driver-side in Python
+    (it depends only on the literal query and codebook — index metadata,
+    not data) and baked into the plan as literal arrays; the per-row
+    score is an in-row O(m) fold (element_at into the literal table by
+    code), so the probe plan is scan(codes) → project → 
+    TakeOrderedAndProject: zero shuffles, zero joins, never touches the
+    raw vectors. ``adc_dist`` is rounded to 6dp with an id tie-break
+    (the cross-engine ranking contract)."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    if len(query) != m * sub:
+        raise ValueError(f"query dim {len(query)} != {m * sub}")
+    table = [
+        [
+            sum(
+                (query[s * sub + j] - codebook[s][c][j]) ** 2 for j in range(sub)
+            )
+            for c in range(len(codebook[s]))
+        ]
+        for s in range(m)
+    ]
+    lit_table = F.array(
+        *[F.array(*[F.lit(float(d)) for d in row]) for row in table]
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(lit_table, s),
+            F.element_at(F.col("pq_codes"), s) + 1,
+        ),
+    )
+    return (
+        encoded.select(id_col, F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

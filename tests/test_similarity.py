@@ -739,3 +739,105 @@ def test_near_dups_lsh_surface_organically_nonzero(spark, sf_dir):
     # organic corpus has no ≥0.95 pairs; the planted-twin seeded query
     # (full oracle) proves the path FINDS them when they exist
     assert legs.get("near_dup", 0) == 0, legs
+
+
+def test_pq_encode_codes_bounded_and_deterministic(spark, sf_dir):
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    book = pq_codebook(m=8, k=16, dim=64)
+    codes1 = {r["vec_id"]: r["pq_codes"] for r in pq_encode(emb, book).collect()}
+    codes2 = {r["vec_id"]: r["pq_codes"] for r in pq_encode(emb, book).collect()}
+    assert codes1 == codes2
+    for c in codes1.values():
+        assert len(c) == 8
+        assert all(0 <= x < 16 for x in c)
+
+
+def test_pq_adc_exact_duplicate_ranks_first(spark, sf_dir):
+    """An exact copy of the query vector quantizes to the query's own
+    codes, so its ADC distance is the per-subspace minimum — it MUST
+    rank top-1 (the planted-duplicate contract the other ANN paths
+    test)."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    planted = spark.createDataFrame(
+        [(999_999, [float(x) for x in q], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    book = pq_codebook(m=8, k=16, dim=64)
+    encoded = pq_encode(emb.unionByName(planted), book)
+    n = encoded.count()
+    scores = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq_adc_topk(encoded, book, [float(x) for x in q], k=n).collect()
+    }
+    # ADC(q, v=q) is the per-subspace minimum, so the original row 7 and
+    # the planted copy must BOTH sit at the global minimum (other
+    # vectors may tie — quantization is lossy — but none may beat it)
+    assert scores[7] == min(scores.values())
+    assert scores[999_999] == scores[7]
+
+
+def test_pq_adc_equals_hand_computed_table_lookup(spark):
+    """ADC(q, v) must equal the hand-computed Σ_s ‖q_s − cb[s][code_s]‖²
+    (rounded 6dp) for a tiny literal corpus."""
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    book = pq_codebook(m=2, k=4, dim=4)
+    vecs = [(1, [0.5, -0.25, 1.0, 0.0]), (2, [-1.0, 2.0, 0.25, -0.5])]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs], "vec_id long, embedding array<float>"
+    )
+    q = [0.1, 0.2, -0.3, 0.4]
+    encoded = pq_encode(df, book)
+    codes = {r["vec_id"]: r["pq_codes"] for r in encoded.collect()}
+    out = {r["vec_id"]: r["adc_dist"] for r in pq_adc_topk(encoded, book, q, k=2).collect()}
+    for vid, _ in vecs:
+        expect = sum(
+            sum((q[s * 2 + j] - book[s][codes[vid][s]][j]) ** 2 for j in range(2))
+            for s in range(2)
+        )
+        assert out[vid] == round(expect, 6)
+
+
+def test_pq_train_beats_random_codebook_on_quantization_error(spark, sf_dir):
+    """The trained codebook's mean reconstruction error must beat the
+    seeded random one on the vectors it was trained on (the reason
+    pq_train exists)."""
+    import numpy as np
+
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    rand_book = pq_codebook(m=4, k=8, dim=64)
+    trained = pq_train(emb, m=4, k=8)
+
+    def mean_err(book):
+        rows = pq_encode(emb, book).select("embedding", "pq_codes").collect()
+        errs = []
+        for r in rows:
+            v = np.array(r["embedding"], dtype=float)
+            rec = np.concatenate([np.array(book[s][r["pq_codes"][s]]) for s in range(4)])
+            errs.append(float(((v - rec) ** 2).sum()))
+        return sum(errs) / len(errs)
+
+    assert mean_err(trained) < mean_err(rand_book)
