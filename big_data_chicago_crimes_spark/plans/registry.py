@@ -135,6 +135,9 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     #   (behavior-identical)
     # - geo_district_surface: context-managed file reads (behavior-
     #   identical)
+    # r14 slot plan: a PQ/ADC query (operators landed r13 —
+    # similarity.pq_encode/pq_adc_topk, literal codebook so the oracle
+    # can replay it) funded by an r14-cohort pair merge.
     # ------------------------------------------------------------------
     "embedding_near_dups_lsh",
     "docs_lang_id",
