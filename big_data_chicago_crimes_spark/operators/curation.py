@@ -635,6 +635,17 @@ def bigram_logprob(
     broadcast there would be the 100 TB mistake). Unseen contexts or
     bigrams (scoring a frame the LM was not fit on) back off to the
     smoothed unigram floor via 0-coalesced left joins."""
+    if (lm2 is None) != (lm1 is None):
+        # A half-provided model silently mixes two corpora in one
+        # probability (bigram table from the training corpus, unigram
+        # backoff refit on the scoring frame, or vice versa) — neither
+        # corpus's perplexity. Loud beats wrong (the score_ntile NULL-
+        # guard convention).
+        raise ValueError(
+            "bigram_logprob: pass BOTH lm2 (fit_bigram_lm) and lm1 "
+            "(fit_unigram_lm) from the same training corpus, or neither "
+            "(self-fit)"
+        )
     one_minus = 1.0 - lam
     doc_bi = (
         bigram_pairs(df, text_col, id_col, carry_cols)

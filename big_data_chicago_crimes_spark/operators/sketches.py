@@ -90,8 +90,22 @@ def cms_estimate(
     was never seen). ``depth``/``width`` must match the build.
 
     The sketch side is broadcast (≤ depth × width rows by construction)
-    so estimation never shuffles the item side.
+    so estimation never shuffles the item side. The sketch's columns are
+    renamed to reserved ``__cms_*`` names before the join so an items
+    frame carrying ``row``/``bucket``/``c`` columns of its own cannot
+    collide (the probe struct uses ``__cms_cell`` for the same reason).
     """
+    reserved = {"__cms_cell", "__cms_row", "__cms_bucket", "__cms_c", "cms_cnt"}
+    clash = reserved & set(items.columns)
+    if clash:
+        raise ValueError(f"cms_estimate: items columns collide: {sorted(clash)}")
+    probe = F.broadcast(
+        sketch.select(
+            F.col("row").alias("__cms_row"),
+            F.col("bucket").alias("__cms_bucket"),
+            F.col("c").alias("__cms_c"),
+        )
+    )
     cells = F.array(
         *[
             F.struct(
@@ -101,12 +115,12 @@ def cms_estimate(
             for r in range(depth)
         ]
     )
-    probed = items.select(*items.columns, F.explode(cells).alias("__cell")).join(
-        F.broadcast(sketch),
-        (F.col("__cell.row") == sketch["row"])
-        & (F.col("__cell.bucket") == sketch["bucket"]),
+    probed = items.select(*items.columns, F.explode(cells).alias("__cms_cell")).join(
+        probe,
+        (F.col("__cms_cell.row") == F.col("__cms_row"))
+        & (F.col("__cms_cell.bucket") == F.col("__cms_bucket")),
         "left",
     )
     return probed.groupBy(*items.columns).agg(
-        F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_cnt")
+        F.min(F.coalesce(F.col("__cms_c"), F.lit(0))).alias("cms_cnt")
     )

@@ -289,6 +289,14 @@ def docs_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = bigram_logprob(
         t.documents, "text", "doc_id", carry_cols=("source",), lam=0.75
     )
+    return bigram_perplexity_legs(scored)
+
+
+def bigram_perplexity_legs(scored: DataFrame) -> DataFrame:
+    """The query's two legs over a bigram_logprob frame — shared with
+    scripts/bench_bigram_persist.py so the persist A/B always measures
+    the SHIPPED leg shape (a drifted copy would silently stale the
+    no-persist verdict recorded in operators/curation.py)."""
     src = scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("bigram_lp"), 6).alias("lp"),

@@ -20,31 +20,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
-
 from big_data_chicago_crimes_spark.operators.curation import bigram_logprob
 from big_data_chicago_crimes_spark.session import get_spark, scratch_persist
 from big_data_chicago_crimes_spark.sources.readers import load_tables
 
 
 def _legs(scored):
-    src = scored.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("bigram_lp"), 6).alias("lp"),
-    ).select(
-        F.lit("source").alias("leg"), F.col("source").alias("key"), "n_docs", "lp"
+    # the SHIPPED leg shape — imported, not copied, so the A/B verdict
+    # can never drift from what the query actually runs
+    from big_data_chicago_crimes_spark.queries.curation_queries import (
+        bigram_perplexity_legs,
     )
-    tail = (
-        scored.orderBy(F.col("bigram_lp").asc(), F.col("doc_id").asc())
-        .limit(5)
-        .select(
-            F.lit("tail5").alias("leg"),
-            F.col("doc_id").cast("string").alias("key"),
-            F.lit(None).cast("bigint").alias("n_docs"),
-            F.col("bigram_lp").alias("lp"),
-        )
-    )
-    return src.unionByName(tail).orderBy("leg", "key")
+
+    return bigram_perplexity_legs(scored)
 
 
 def run_arm(spark, sf_dir, persist):

@@ -358,3 +358,20 @@ def test_bigram_logprob_carry_cols_ride_the_groupby(spark):
     )
     rows = bigram_logprob(docs, carry_cols=("source",)).collect()
     assert {(r["doc_id"], r["source"]) for r in rows} == {(1, "web"), (2, "books")}
+
+
+def test_bigram_logprob_half_provided_model_raises(spark):
+    """lm2 without lm1 (or vice versa) would silently mix two corpora in
+    one probability model — must raise loudly."""
+    from big_data_chicago_crimes_spark.operators.curation import (
+        bigram_logprob,
+        fit_bigram_lm,
+        fit_unigram_lm,
+    )
+
+    corpus = _docs(spark, [(1, "a b")])
+    new = _docs(spark, [(9, "a b")])
+    with pytest.raises(ValueError, match="BOTH lm2"):
+        bigram_logprob(new, lm2=fit_bigram_lm(corpus))
+    with pytest.raises(ValueError, match="BOTH lm2"):
+        bigram_logprob(new, lm1=fit_unigram_lm(corpus))

@@ -841,3 +841,11 @@ def test_pq_train_beats_random_codebook_on_quantization_error(spark, sf_dir):
         return sum(errs) / len(errs)
 
     assert mean_err(trained) < mean_err(rand_book)
+
+
+def test_pq_train_empty_frame_raises(spark):
+    from big_data_chicago_crimes_spark.operators.similarity import pq_train
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(empty, m=2, k=2)

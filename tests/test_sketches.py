@@ -74,3 +74,26 @@ def test_cms_unseen_item_estimates_zero_when_buckets_untouched(spark):
     probe = _items(spark, ["definitely-absent-token"])
     out = cms_estimate(sketch, probe, "token", depth=4, width=4096).collect()
     assert out[0]["cms_cnt"] == 0
+
+
+def test_cms_estimate_survives_items_column_named_c(spark):
+    """The broadcast sketch's internal columns must not collide with
+    caller columns named row/bucket/c."""
+    df = _items(spark, ["a", "a", "b"])
+    sketch = cms_build(df, "token", depth=2, width=8)
+    items = df.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    out = {
+        r["token"]: (r["c"], r["cms_cnt"])
+        for r in cms_estimate(sketch, items, "token", depth=2, width=8).collect()
+    }
+    assert out["a"] == (2, 2) and out["b"] == (1, 1)
+
+
+def test_cms_estimate_reserved_output_name_raises(spark):
+    import pytest
+
+    df = _items(spark, ["a"])
+    sketch = cms_build(df, "token", depth=2, width=8)
+    items = df.withColumn("cms_cnt", F.lit(0))
+    with pytest.raises(ValueError, match="collide"):
+        cms_estimate(sketch, items, "token", depth=2, width=8)
