@@ -245,34 +245,41 @@ def ann_topk(
 
 
 def _salted_topk(
-    scored: DataFrame, query_id_col: str, id_col: str, k: int, salts: int = 64
+    scored: DataFrame,
+    query_id_col: str,
+    id_col: str,
+    k: int,
+    salts: int = 64,
+    order_col: str = "cosine",
+    ascending: bool = False,
 ) -> DataFrame:
-    """Two-phase per-query top-k over (query_id, id, cosine) candidates —
-    the ONE ranking contract behind both batch ANN families (LSH and
-    IVF), so tie-breaks and task-size behavior can never diverge. A
+    """Two-phase per-query top-k over (query_id, id, score) candidates —
+    the ONE ranking contract behind the batch ANN families (LSH, IVF,
+    and PQ/ADC via ``order_col``/``ascending``), so tie-breaks and
+    task-size behavior can never diverge. A
     single per-query window would funnel EVERY probed candidate of a
     query through one task; phase 1 takes a local top-k per (query,
     salt) — each window partition sees ~candidates/salts rows — and
     phase 2 ranks the ≤ salts×k survivors per query. Global top-k =
     top-k of the union of local top-ks, so the result is identical to
     the single-window form (and to the SQL oracles); only the task-size
-    distribution changes. Ranked by rounded cosine with id tie-break."""
+    distribution changes. Ranked by the rounded score (cosine desc by
+    default; distances pass ascending=True) with id tie-break."""
     from pyspark.sql import Window
 
+    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     salted = scored.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts))
     )
     w_local = Window.partitionBy(query_id_col, "__salt").orderBy(
-        F.col("cosine").desc(), F.col(id_col)
+        order, F.col(id_col)
     )
     survivors = (
         salted.withColumn("__lrk", F.row_number().over(w_local))
         .filter(F.col("__lrk") <= k)
         .drop("__salt", "__lrk")
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col)
-    )
+    w = Window.partitionBy(query_id_col).orderBy(order, F.col(id_col))
     return (
         survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -1082,4 +1089,75 @@ def pq_adc_topk(
         encoded.select(id_col, F.round(adc, 6).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def pq_adc_batch_topk(
+    encoded: DataFrame,
+    codebook: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """MANY queries answered in ONE codes scan — the batch shape of
+    :func:`pq_adc_topk` (queries arrive as driver-side ``(query_id,
+    vector)`` pairs, the ``_query_vec`` convention — a retrieval batch
+    is dim-bounded index metadata, not data). All per-query m×k partial-
+    distance tables are baked into the plan as ONE literal 3-D array;
+    each corpus row evaluates every query's ADC in-row (O(nq·m) table
+    lookups, no joins, raw vectors never read) and the per-query top-k
+    rides the shared ``_salted_topk`` contract (ascending distance) —
+    so the result per query is IDENTICAL to the single-query operator's
+    (property-tested). Output: (query_id, id, adc_dist, rank ≤ k)."""
+    if not queries:
+        raise ValueError("pq_adc_batch_topk: empty query batch")
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    tables = []
+    for qid, q in queries:
+        if len(q) != m * sub:
+            raise ValueError(f"query {qid}: dim {len(q)} != {m * sub}")
+        tables.append(
+            [
+                [
+                    sum(
+                        (q[s * sub + j] - codebook[s][c][j]) ** 2
+                        for j in range(sub)
+                    )
+                    for c in range(len(codebook[s]))
+                ]
+                for s in range(m)
+            ]
+        )
+    lit_tables = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(d)) for d in row]) for row in t])
+            for t in tables
+        ]
+    )
+    lit_qids = F.array(*[F.lit(int(qid)) for qid, _ in queries])
+
+    def adc_for(qi: Column) -> Column:
+        qt = F.element_at(lit_tables, qi)
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(m)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at(qt, s), F.element_at(F.col("pq_codes"), s) + 1
+            ),
+        )
+
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.lit(len(queries))),
+        lambda qi: F.struct(
+            F.element_at(lit_qids, qi).alias("query_id"),
+            F.round(adc_for(qi), 6).alias("adc_dist"),
+        ),
+    )
+    scored = encoded.select(
+        F.col(id_col), F.explode(pairs).alias("__p")
+    ).select(id_col, F.col("__p.query_id").alias("query_id"), F.col("__p.adc_dist").alias("adc_dist"))
+    return _salted_topk(
+        scored, "query_id", id_col, k, order_col="adc_dist", ascending=True
     )

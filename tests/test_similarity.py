@@ -849,3 +849,38 @@ def test_pq_train_empty_frame_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         pq_train(empty, m=2, k=2)
+
+
+def test_pq_adc_batch_matches_single_query_path(spark, sf_dir):
+    """Per query, the one-scan batch form must equal the single-query
+    operator exactly (same literal tables, same rounded-distance +
+    id tie-break contract through the salted top-k)."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        pq_adc_batch_topk,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    book = pq_codebook(m=8, k=16, dim=64)
+    encoded = pq_encode(emb, book)
+    qs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([0, 7, 13])).collect()
+    }
+    batch = pq_adc_batch_topk(
+        encoded, book, [(qid, v) for qid, v in sorted(qs.items())], k=5
+    ).collect()
+    for qid, v in qs.items():
+        single = [
+            (r["vec_id"], r["adc_dist"])
+            for r in pq_adc_topk(encoded, book, v, k=5).collect()
+        ]
+        got = sorted(
+            [(r["vec_id"], r["adc_dist"]) for r in batch if r["query_id"] == qid],
+            key=lambda x: (x[1], x[0]),
+        )
+        assert got == single, f"query {qid}: batch != single"
