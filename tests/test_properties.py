@@ -555,3 +555,95 @@ def test_intra_doc_dedup_matches_window_reference(spark, docs):
         for r in ref.collect()
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    toks=st.lists(
+        st.sampled_from([f"t{i}" for i in range(12)]), min_size=1, max_size=80
+    ),
+    width=st.sampled_from([2, 4, 16]),
+)
+def test_cms_estimate_matches_counter_reference(spark, toks, width):
+    """For EVERY distinct token of an arbitrary stream, the CMS estimate
+    must equal the min over rows of that token's bucket counter computed
+    by an independent Python reference (hashlib md5, same salt scheme) —
+    and therefore never undercount."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    depth = 3
+
+    def bucket(r, tok):
+        h = hashlib.md5(f"cms{r}|{tok}".encode()).hexdigest()[:8]
+        return int(h, 16) % width
+
+    cells = Counter((r, bucket(r, t)) for t in toks for r in range(depth))
+    want = {
+        t: min(cells[(r, bucket(r, t))] for r in range(depth))
+        for t in set(toks)
+    }
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    sketch = cms_build(df, "token", depth=depth, width=width)
+    items = df.select("token").distinct()
+    got = {
+        r["token"]: r["cms_cnt"]
+        for r in cms_estimate(sketch, items, "token", depth=depth, width=width).collect()
+    }
+    assert got == want
+    exact = Counter(toks)
+    assert all(got[t] >= exact[t] for t in exact)
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bigram_logprob_matches_python_reference(spark, docs):
+    """Doc scores under the interpolated bigram LM must equal an
+    independent Python implementation of the documented formula on
+    arbitrary corpora (short docs dropping out)."""
+    import math
+    from collections import Counter
+
+    from big_data_chicago_crimes_spark.operators.curation import bigram_logprob
+
+    lam = 0.75
+    uni = Counter(t for d in docs for t in d)
+    n_total, v_size = sum(uni.values()), len(uni)
+    c2 = Counter((d[i], d[i + 1]) for d in docs for i in range(len(d) - 1))
+    c1 = Counter()
+    for (w1, _), c in c2.items():
+        c1[w1] += c
+    want = {}
+    for i, d in enumerate(docs):
+        pairs = [(d[j], d[j + 1]) for j in range(len(d) - 1)]
+        if not pairs:
+            continue
+        total = sum(
+            math.log10(
+                lam * c2[p] / c1[p[0]]
+                + (1.0 - lam) * (uni[p[1]] + 1) / (n_total + v_size)
+            )
+            for p in pairs
+        )
+        want[i] = round(total / len(pairs), 6)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["bigram_lp"] for r in bigram_logprob(df).collect()}
+    assert got == want
