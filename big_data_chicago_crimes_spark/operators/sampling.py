@@ -36,8 +36,17 @@ def hash_sample(
     """Keep rows whose hash bucket falls below ``fraction`` of the bucket
     space: a deterministic ~fraction sample, stable under repartition,
     retry, engine change, and corpus growth. Pure scan-side filter —
-    no shuffle, pushdown-friendly."""
+    no shuffle, pushdown-friendly. Degenerate rounding raises (the
+    hash_split convention): a positive fraction that rounds to 0 of
+    ``buckets`` would silently return an empty sample."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     keep = int(round(fraction * buckets))
+    if fraction > 0.0 and keep < 1:
+        raise ValueError(
+            f"fraction {fraction} rounds to 0 of {buckets} buckets — raise "
+            "`buckets` for fractions this small"
+        )
     return df.filter(hash_bucket(key, buckets) < keep)
 
 
@@ -65,9 +74,11 @@ def hash_split(
     widths = {name: int(round(frac * buckets)) for name, frac in splits.items()}
     empty = [name for name, w in widths.items() if w < 1]
     if empty:
+        positive = [v for v in splits.values() if v > 0]
+        hint = f" (e.g. {max(1, int(1 / min(positive)))}+)" if positive else ""
         raise ValueError(
-            f"splits {empty} round to 0 of {buckets} buckets — raise `buckets` "
-            f"(e.g. {max(1, int(1 / min(splits.values())))}+) for fractions this small"
+            f"splits {empty} round to 0 of {buckets} buckets — raise "
+            f"`buckets`{hint} for fractions this small"
         )
     if sum(widths.values()) != buckets:
         raise ValueError(
@@ -83,8 +94,21 @@ def hash_split(
         cond = (bucket >= lo) & (bucket < hi)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
         lo = hi
-    # widths proved to cover [0, buckets) exactly; otherwise is unreachable
-    return df.withColumn(split_col, expr.otherwise(F.lit(list(splits)[-1])))
+    # widths proved to cover [0, buckets) exactly, so for NON-NULL keys
+    # the otherwise branch is unreachable; a NULL key makes every range
+    # condition NULL (treated as false) and would previously fall into
+    # the LAST split silently, biasing it — raise loudly instead
+    return df.withColumn(
+        split_col,
+        expr.otherwise(
+            F.raise_error(
+                F.lit(
+                    f"hash_split: NULL in key column {key!r} — split "
+                    "assignment needs a non-null key; filter or impute first"
+                )
+            ).cast("string")
+        ),
+    )
 
 
 def _bounded_group_head(
@@ -216,6 +240,11 @@ def quota_sample(
     via ``session.release_scratch_caches()`` — prefer that lifecycle
     over False wherever the single-histogram plan matters.
     """
+    if n < 0:
+        # mirror weighted_quota_sample's budget guard: a negative quota
+        # (a sign bug upstream) would silently empty every group through
+        # the cutoff join instead of erroring
+        raise ValueError(f"quota must be non-negative, got {n}")
     return _bounded_group_head(
         df,
         group_cols,
@@ -245,7 +274,7 @@ def stratified_hash_sample(
     stratum's fraction only adds or removes rows, never swaps one kept
     row for another (sample membership is nested across fractions).
     Scan-side filter; no shuffle."""
-    for name, frac in fractions.items():
+    for name, frac in {**fractions, "<default>": default_fraction}.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for stratum {name!r} not in [0, 1]: {frac}")
         if 0.0 < frac and int(round(frac * buckets)) < 1:
@@ -425,11 +454,30 @@ def temperature_mix(
         rate = F.sqrt(ratio)  # correctly rounded ⇒ cross-engine exact
     else:
         rate = F.pow(ratio, F.lit(1.0 - alpha))
+    floored = F.floor(F.lit(float(buckets)) * rate).cast("int")
     thresholds = (
         counts.crossJoin(F.broadcast(nmin))
         .withColumn(
             "__mix_threshold",
-            F.floor(F.lit(float(buckets)) * rate).cast("int"),
+            # a domain whose keep-rate rounds BELOW bucket resolution
+            # would be dropped entirely where the temperature formula
+            # intends a small sample — raise loudly (the hash_split
+            # rounds-to-0 convention; evaluates on the dim-sized frame)
+            F.when(
+                floored < 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "temperature_mix: keep-rate for domain "
+                        ),
+                        F.col(domain_col).cast("string"),
+                        F.lit(
+                            f" rounds to 0 of {buckets} buckets — raise "
+                            "`buckets` for skews this extreme"
+                        ),
+                    )
+                ).cast("int"),
+            ).otherwise(floored),
         )
         .drop("__mix_n_min")
     )
@@ -468,10 +516,24 @@ def global_hash_order(
        ``group_size / buckets`` rows regardless of data size — and
        ``global_rank = offset + within-bucket rank``.
 
-    ``key`` must be row-unique (ties would make the order non-total).
+    ``key`` must be row-unique (ties would make the order non-total),
+    and ``key``/``stage_cols`` values NON-NULL — the offsets join is
+    plain equality, so a NULL would silently drop the row from a
+    row-preserving operator; the guard below raises instead.
     """
     stage_cols = list(stage_cols or [])
-    b = hash_bucket(F.col(key), buckets).alias("__ob")
+    null_cond = F.col(key).isNull()
+    for c in stage_cols:
+        null_cond = null_cond | F.col(c).isNull()
+    b = F.when(
+        null_cond,
+        F.raise_error(
+            F.lit(
+                f"global_hash_order: NULL in key {key!r} or stage columns "
+                f"{stage_cols!r} — the rank join would silently drop the row"
+            )
+        ).cast("int"),
+    ).otherwise(hash_bucket(F.col(key), buckets))
     keyed = df.withColumn("__ob", b)
     hist = keyed.groupBy(*stage_cols, "__ob").agg(F.count(F.lit(1)).alias("__cnt"))
     from pyspark.sql import Window
@@ -499,6 +561,7 @@ def balanced_shards(
     n_shards: int,
     key: str = "doc_id",
     shard_col: str = "shard",
+    banded_weights: bool = False,
 ) -> DataFrame:
     """Assign every row to one of ``n_shards`` so per-shard total
     ``weight`` (e.g. token count) is balanced — the training-shard
@@ -513,10 +576,28 @@ def balanced_shards(
     repartition, retry, engine change) and APPEND-monotone in rank
     construction like the rest of this module. Scale shape: the global
     rank is :func:`global_hash_order`'s two-level histogram plan keyed
-    by (negated weight, hash bucket) — no global-sort funnel; the snake
-    arithmetic is per-row codegen.
+    by (negated weight, hash bucket) — the snake arithmetic is per-row
+    codegen, and the histogram stays tiny ONLY while the weight column
+    is low-cardinality (token counts are: distinct values ≤ max sequence
+    length). The default exact form therefore requires a LOW-CARDINALITY
+    weight; for high-cardinality weights (raw byte sizes, float scores)
+    pass ``banded_weights=True`` to rank by the weight's eighth-power-of-
+    two band (±~9% of the value) instead — the histogram stays ≤ ~512 ×
+    buckets rows regardless of data. The trade is balance tightness:
+    rows within a band order by content hash, so each band splits
+    hash-randomly (a ~√(rows/shard) × band-jitter random walk, measured
+    low-single-digit-percent spread on uniform weights) while the
+    heavy-vs-light pairing ACROSS bands — where LPT earns its keep on
+    heavy-tailed weights — is preserved.
     """
-    keyed = df.withColumn("__negw", -weight.cast("long"))
+    if banded_weights:
+        # heaviest band first: the band index grows with w, so negate
+        stage = -F.floor(
+            F.lit(8.0) * F.log2(weight.cast("double") + 1.0)
+        ).cast("long")
+    else:
+        stage = -weight.cast("long")
+    keyed = df.withColumn("__negw", stage)
     ranked = global_hash_order(
         keyed, key, stage_cols=["__negw"], rank_col="__rk"
     )
@@ -641,19 +722,36 @@ def doremi_mix(
             F.col("__mix_n_total").cast("double") / F.col("weight")
         ).alias("__t_max")
     )
+    floored = F.floor(
+        F.lit(float(buckets))
+        * (
+            F.col("weight")
+            * F.col("__t_max")
+            / F.col("__mix_n_total").cast("double")
+        )
+    ).cast("int")
     thresholds = dim.crossJoin(F.broadcast(cap)).select(
         domain_col,
         "__mix_n_total",
         F.col("weight").alias("__mix_weight"),
-        F.floor(
-            F.lit(float(buckets))
-            * (
-                F.col("weight")
-                * F.col("__t_max")
-                / F.col("__mix_n_total").cast("double")
-            )
+        # doremi_weights' smoothing promises every domain stays sampled;
+        # a rate below bucket resolution would silently break that —
+        # raise loudly instead (dim-sized frame, same convention as
+        # temperature_mix)
+        F.when(
+            floored < 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("doremi_mix: sample rate for domain "),
+                    F.col(domain_col).cast("string"),
+                    F.lit(
+                        f" rounds to 0 of {buckets} buckets — raise "
+                        "`buckets` for weights this small"
+                    ),
+                )
+            ).cast("int"),
         )
-        .cast("int")
+        .otherwise(floored)
         .alias("__mix_threshold"),
     )
     joined = df.join(F.broadcast(thresholds), domain_col)
@@ -749,11 +847,14 @@ def score_ntile(
     keyed = df.crossJoin(F.broadcast(rng)).withColumn(
         "__sb",
         F.when(
-            F.col(score_col).isNull(),
+            F.col(score_col).isNull() | F.isnan(s.cast("double")),
+            # NaN is as silent a killer as NULL and nastier: one NaN
+            # score makes max() = NaN, width_bucket then returns NULL
+            # for EVERY row and the equi-join drops the whole dataset
             F.raise_error(
                 F.lit(
-                    f"score_ntile: NULL in score column {score_col!r} — "
-                    "filter or impute NULL scores before tiling"
+                    f"score_ntile: NULL/NaN in score column {score_col!r} — "
+                    "filter or impute before tiling"
                 )
             ).cast("long"),
         )

@@ -138,6 +138,13 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # r14 slot plan: a PQ/ADC query (operators landed r13 —
     # similarity.pq_encode/pq_adc_topk, literal codebook so the oracle
     # can replay it) funded by an r14-cohort pair merge.
+    # r13 session-2 builder changes to returning r14-cohort queries
+    # (review-driven guards in operators/sampling.py, claimed output-
+    # identical for non-degenerate data — pin EARLY in the r14 window,
+    # the rotation discipline): docs_train_val_test_split
+    # (hash_split NULL-key raise branch + global_hash_order NULL guard
+    # on its shards leg), embedding_batch_topk (_salted_topk gained
+    # order_col/ascending params, cosine path behavior-identical).
     # ------------------------------------------------------------------
     "embedding_near_dups_lsh",
     "docs_lang_id",

@@ -516,3 +516,105 @@ def test_weighted_quota_sample_edges(spark):
     assert weighted_quota_sample(df, ["lang"], 4, "w", "doc_id").count() == 0
     with _pytest.raises(ValueError, match="non-negative"):
         weighted_quota_sample(df, ["lang"], -1, "w", "doc_id")
+
+
+def test_hash_sample_rejects_degenerate_fractions(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    with pytest.raises(ValueError, match="rounds to 0"):
+        hash_sample(df, "k", fraction=0.004)
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        hash_sample(df, "k", fraction=1.5)
+    assert hash_sample(df, "k", fraction=0.0).count() == 0  # exact 0 is honest
+
+
+def test_hash_split_null_key_raises_instead_of_biasing_last_split(spark):
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    out = hash_split(df, "k", {"train": 0.8, "test": 0.2})
+    with pytest.raises(Exception, match="NULL in key"):
+        out.collect()
+
+
+def test_hash_split_zero_fraction_gets_clear_error(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="rounds? to 0"):
+        hash_split(df, "k", {"train": 1.0, "test": 0.0})
+
+
+def test_quota_sample_rejects_negative_quota(spark):
+    from big_data_chicago_crimes_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, g string")
+    with pytest.raises(ValueError, match="non-negative"):
+        quota_sample(df, ["g"], n=-5, key="doc_id")
+
+
+def test_stratified_hash_sample_validates_default_fraction(spark):
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="rounds to 0"):
+        stratified_hash_sample(df, "doc_id", "lang", {"en": 0.5},
+                               default_fraction=0.004)
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        stratified_hash_sample(df, "doc_id", "lang", {"en": 0.5},
+                               default_fraction=1.5)
+
+
+def test_temperature_mix_subresolution_domain_raises_not_drops(spark):
+    """A domain whose keep-rate rounds below 1/buckets must raise, not
+    silently delete the domain from the mixture."""
+    from big_data_chicago_crimes_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(20000)] + [(99999, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    # rate(big) = sqrt(1/20000) ~= 7.07e-3 -> floor(100 * rate) = 0
+    out = temperature_mix(df, "domain", "doc_id", alpha=0.5, buckets=100)
+    with pytest.raises(Exception, match="rounds to 0"):
+        out.collect()
+    # and the same config succeeds at sufficient bucket resolution
+    ok = temperature_mix(df, "domain", "doc_id", alpha=0.5, buckets=100_000)
+    assert ok.filter(F.col("domain") == "big").count() > 0
+
+
+def test_score_ntile_nan_raises_instead_of_dropping_everything(spark):
+    from big_data_chicago_crimes_spark.operators.sampling import score_ntile
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, float("nan")), (3, 0.7)], "doc_id long, score double"
+    )
+    with pytest.raises(Exception, match="NULL/NaN"):
+        score_ntile(df, "score", k=3, part_cols=[], key="doc_id").collect()
+
+
+def test_global_hash_order_null_key_or_stage_raises(spark):
+    from big_data_chicago_crimes_spark.operators.sampling import global_hash_order
+
+    df = spark.createDataFrame([(1, "s"), (None, "s")], "k long, st string")
+    with pytest.raises(Exception, match="NULL in key"):
+        global_hash_order(df, "k", stage_cols=["st"]).collect()
+    df2 = spark.createDataFrame([(1, "s"), (2, None)], "k long, st string")
+    with pytest.raises(Exception, match="NULL in key"):
+        global_hash_order(df2, "k", stage_cols=["st"]).collect()
+
+
+def test_balanced_shards_banded_weights_still_balance(spark):
+    """The high-cardinality scale path: eighth-power banding must keep
+    relative shard imbalance in the documented low-single-digit-percent
+    range on a uniform mix (the banding worst case — within-band order
+    is hash-random) and stay deterministic."""
+    from big_data_chicago_crimes_spark.operators.sampling import balanced_shards
+
+    rows = [(i, float(17 + (i * 37) % 400) + i * 1e-6) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = balanced_shards(df, F.col("w"), n_shards=4, banded_weights=True)
+    totals = {
+        r["shard"]: r["tw"]
+        for r in out.groupBy("shard").agg(F.sum("w").alias("tw")).collect()
+    }
+    assert len(totals) == 4
+    mean = sum(totals.values()) / 4
+    assert (max(totals.values()) - min(totals.values())) / mean < 0.10
+    again = balanced_shards(df, F.col("w"), n_shards=4, banded_weights=True)
+    assert out.collect() == again.collect()
