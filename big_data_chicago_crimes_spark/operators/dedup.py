@@ -107,6 +107,34 @@ def exact_dedup(
 _FUZZY_SIG_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
 
 
+
+def _fuzzy_char_histogram(text: Column) -> Column:
+    """(a-z, 0-9) character-count histogram of lower(text) — the L1
+    prefilter signature BOTH fuzzy constructions verify with. They are
+    contract-bound to stay output-identical (tests pin equality), so
+    the formula lives exactly once; widening the alphabet or changing
+    the bound happens here for both."""
+    lowered = F.lower(text)
+    return F.array(
+        *[
+            (
+                F.length(lowered)
+                - F.length(F.replace(lowered, F.lit(c), F.lit("")))
+            ).cast("int")
+            for c in _FUZZY_SIG_CHARS
+        ]
+    )
+
+
+def _sig_l1(a: Column, b: Column) -> Column:
+    """L1 distance of two _fuzzy_char_histogram arrays (HOF form — the
+    unrolled 36-term tree measured 1.7x slower, see the verify note)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
 def fuzzy_match_pairs(
     df: DataFrame,
     block_cols: list[str],
@@ -155,16 +183,7 @@ def fuzzy_match_pairs(
             "(length-band adjacency covers |len diff| <= max_dist only then; "
             "adding exactly band_width to a length shifts its band by one)"
         )
-    lowered = F.lower(F.col(text_col))
-    sig = F.array(
-        *[
-            (
-                F.length(lowered)
-                - F.length(F.replace(lowered, F.lit(c), F.lit("")))
-            ).cast("int")
-            for c in _FUZZY_SIG_CHARS
-        ]
-    )
+    sig = _fuzzy_char_histogram(F.col(text_col))
     base = df.select(
         *block_cols,
         F.col(id_col).alias("__id"),
@@ -213,13 +232,7 @@ def fuzzy_match_pairs(
         # 20 s vs 11.6 s — same pathology as the hyperplane signature's
         # codegen-budget blowout, just at smaller scale), so the tight
         # interpreted per-array loop wins again
-        l1 = F.aggregate(
-            F.zip_with(
-                F.col("a.__sig"), F.col("b.__sig"), lambda x, y: F.abs(x - y)
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
+        l1 = _sig_l1(F.col("a.__sig"), F.col("b.__sig"))
         d = F.levenshtein(F.col("a.__t"), F.col("b.__t"), max_dist)
         return (
             cand.filter(l1 <= 2 * max_dist)
@@ -402,8 +415,16 @@ def fuzzy_match_pairs_segments(
     # signatures are ~30× fewer text scans). Same L1 + thresholded-
     # Levenshtein verify as the banded form — prefilters and scoping
     # prune only, so the two constructions stay output-identical.
-    lhs = base.select(F.col("__id").alias("__ida"), F.col("__t").alias("__ta"))
-    rhs = base.select(F.col("__id").alias("__idb"), F.col("__t").alias("__tb"))
+    lhs = base.select(
+        F.col("__id").alias("__ida"),
+        F.col("__t").alias("__ta"),
+        *[F.col(c).alias(f"__blk_a{i}") for i, c in enumerate(block_cols)],
+    )
+    rhs = base.select(
+        F.col("__id").alias("__idb"),
+        F.col("__t").alias("__tb"),
+        *[F.col(c).alias(f"__blk_b{i}") for i, c in enumerate(block_cols)],
+    )
     # The candidate side is explicitly broadcast: it is PAIRS-sized
     # (candidates track true matches — the PassJoin property), and the
     # static planner can't see that through the 24M-row segment join's
@@ -414,27 +435,22 @@ def fuzzy_match_pairs_segments(
     # density is the problem to fix first; dropping the hint degrades
     # to the shuffled join, nothing breaks.
     cand = F.broadcast(cand_ids).join(lhs, "__ida").join(rhs, "__idb")
-
-    def pair_sig(col: str) -> Column:
-        lowered = F.lower(F.col(col))
-        return F.array(
-            *[
-                (
-                    F.length(lowered)
-                    - F.length(F.replace(lowered, F.lit(c), F.lit("")))
-                ).cast("int")
-                for c in _FUZZY_SIG_CHARS
-            ]
+    # re-check block equality (null-safe — NULL block keys hash
+    # consistently and form a block of their own): a cross-block
+    # xxhash64 collision on the (block, len, i, segment) key would
+    # otherwise surface a pair the within-a-block contract forbids —
+    # the Levenshtein verify never looks at block columns, so it
+    # cannot kill that candidate class (~2^-64 per pair, but the
+    # banded form and the SQL oracle are exactly block-scoped)
+    for i in range(len(block_cols)):
+        cand = cand.filter(
+            F.col(f"__blk_a{i}").eqNullSafe(F.col(f"__blk_b{i}"))
         )
 
-    cand = cand.withColumn("__siga", pair_sig("__ta")).withColumn(
-        "__sigb", pair_sig("__tb")
-    )
-    l1 = F.aggregate(
-        F.zip_with(F.col("__siga"), F.col("__sigb"), lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    cand = cand.withColumn(
+        "__siga", _fuzzy_char_histogram(F.col("__ta"))
+    ).withColumn("__sigb", _fuzzy_char_histogram(F.col("__tb")))
+    l1 = _sig_l1(F.col("__siga"), F.col("__sigb"))
     d = F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
     return (
         cand.filter(l1 <= 2 * max_dist)
@@ -602,7 +618,10 @@ def line_level_dedup(
     strings and let AQE size the exchange; both keep the same plan
     shape. Returns (id, n_lines, n_removed, cleaned_text) for every
     input document (docs whose every line is boilerplate come back with
-    cleaned_text = '').
+    cleaned_text = ''; NULL-text docs come back as (id, 0, 0, NULL) —
+    posexplode of a NULL split would otherwise silently DELETE them,
+    and folding them to '' instead would contaminate the empty-line
+    census entry other documents legitimately share).
 
     ``delim`` is a LITERAL separator (regex-escaped before the split —
     ``F.split`` treats its pattern as a Java regex, so a caller passing
@@ -611,8 +630,14 @@ def line_level_dedup(
     """
     import re as _re
 
+    null_docs = df.filter(F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.lit(0).cast("int").alias("n_lines"),
+        F.lit(0).cast("int").alias("n_removed"),
+        F.lit(None).cast("string").alias("cleaned_text"),
+    )
     lines = spread_for_compute(
-        df.select(
+        df.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col).alias("__id"),
             F.posexplode(F.split(F.col(text_col), _re.escape(delim))).alias(
                 "__p", "__line"
@@ -649,6 +674,7 @@ def line_level_dedup(
             ).alias("cleaned_text"),
         )
         .withColumnRenamed("__id", id_col)
+        .unionByName(null_docs)
     )
 
 
@@ -937,6 +963,13 @@ def incremental_dedup_with_bloom(
         doc_fingerprint(text_col).alias("fingerprint"), F.col(id_col)
     )
     batch_min = keyed.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    # NULL-text docs fingerprint to NULL: the groupBy above dedups them
+    # against each other (NULLs are one group, matching the exact
+    # operator), but the bloom-flags equi-join below would silently
+    # DROP the survivor (NULL never equals NULL in a join) where the
+    # exact operator keeps it — route it straight to the fresh set
+    null_fp = batch_min.filter(F.col("fingerprint").isNull())
+    batch_min = batch_min.filter(F.col("fingerprint").isNotNull())
     index = (
         bloom
         if bloom is not None
@@ -964,7 +997,11 @@ def incremental_dedup_with_bloom(
     fresh_hits = flagged.filter(F.col("bloom_hit")).join(
         corpus_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
     )
-    fresh = misses.select(id_col).unionByName(fresh_hits.select(id_col))
+    fresh = (
+        misses.select(id_col)
+        .unionByName(fresh_hits.select(id_col))
+        .unionByName(null_fp.select(id_col))
+    )
     return new_df.join(fresh, id_col, "left_semi")
 
 
@@ -1084,6 +1121,11 @@ def minhash_signature_table(
     # each — one py4j round trip) rather than nested Column calls: the
     # Column-by-Column build costs ~0.4 s of py4j chatter per call for
     # 32 hashes, comparable to the sf0.1 execution itself.
+    if hash_family not in ("md5", "xxhash64"):
+        # a typo'd family would silently fall into the xxhash64 branch —
+        # an md5-oracled fixture would then compare DuckDB md5 replays
+        # against xxhash64 signatures and mismatch confusingly downstream
+        raise ValueError(f"unknown hash_family {hash_family!r} (md5|xxhash64)")
     if hash_family == "md5":
         # md5 hex strings, min = lexicographic — a valid min-wise family
         # that DuckDB can reproduce exactly (oracle-checkable), ~3× the
@@ -1121,6 +1163,15 @@ def minhash_lsh_candidates(
     num_hashes/bands). Shuffle key is (band, band-signature-hash):
     uniformly distributed, so no skew at scale; true duplicates collide
     with probability 1-(1-s^r)^b for Jaccard similarity s."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands:
+        # non-divisible configs would silently band only the first
+        # bands*(num_hashes//bands) hashes (lower recall than asked
+        # for); bands > num_hashes would emit an empty concat_ws and
+        # die with a raw SQL parse error
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, "
+            f"num_hashes={num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     # NOTE: no persist here, deliberately — A/B at sf0.1 measured the
     # band self-join's signature aggregate already exchange-reused
@@ -1202,6 +1253,8 @@ def simhash_table(
     puts hex digit j at shift 4j, so digit-value bit i%4 lands exactly
     at physical bit i) — one string reverse per chunk, then both
     families share the lookup-spread aggregation path."""
+    if hash_family not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_family {hash_family!r} (md5|xxhash64)")
     tok = spread_for_compute(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )
@@ -1312,6 +1365,16 @@ def simhash_band_candidates(
     on ≥1 band is a candidate."""
     from big_data_chicago_crimes_spark.session import scratch_persist
 
+    if band_bits < 1 or band_bits > bits or bits % band_bits:
+        # non-divisible configs would silently ignore the top
+        # bits % band_bits fingerprint bits, breaking the documented
+        # Hamming-distance < bits/band_bits recall guarantee; band_bits
+        # > bits would explode an empty array and die with an opaque
+        # VOID-field AnalysisException
+        raise ValueError(
+            f"band_bits must divide bits (got band_bits={band_bits}, "
+            f"bits={bits})"
+        )
     # Same replayed-parent shape as the minhash band join: both sides of
     # the self-join replay the caller's fingerprint computation unless
     # the (id, simhash) table — two columns, corpus-sized — is pinned.

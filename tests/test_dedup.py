@@ -818,3 +818,77 @@ def test_intra_doc_dedup_keep_first_and_census(spark):
     dotted = spark.createDataFrame([(1, "a.b.a")], "doc_id long, text string")
     row = intra_doc_dedup(dotted, delim=".").collect()[0]
     assert (row.cleaned_text, row.n_removed) == ("a.b", 1)
+
+
+def test_incremental_bloom_keeps_null_text_docs_like_exact(spark):
+    """A NULL-text batch doc fingerprints to NULL; the bloom path must
+    keep the same survivors as the exact operator (the NULL fingerprint
+    previously vanished through the flags equi-join)."""
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        incremental_dedup_with_bloom,
+        incremental_exact_dedup,
+    )
+    from big_data_chicago_crimes_spark.functions.text import doc_fingerprint
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(100, "old news")], "doc_id long, text string"
+    ).select(doc_fingerprint("text").alias("fingerprint"))
+    batch = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, None), (4, "gamma delta")],
+        "doc_id long, text string",
+    )
+    exact = {r["doc_id"] for r in incremental_exact_dedup(batch, corpus).collect()}
+    bloom = {
+        r["doc_id"]
+        for r in incremental_dedup_with_bloom(batch, corpus).collect()
+    }
+    assert bloom == exact
+    assert 3 in bloom
+
+
+def test_line_level_dedup_preserves_null_text_docs(spark):
+    from big_data_chicago_crimes_spark.operators.dedup import line_level_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, None), (3, "a\nc")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in line_level_dedup(df, min_docs=2).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["n_lines"] == 0
+    assert rows[2]["cleaned_text"] is None
+
+
+def test_minhash_lsh_rejects_non_divisible_bands(spark):
+    from big_data_chicago_crimes_spark.operators.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_candidates(df, num_hashes=10, bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_candidates(df, num_hashes=8, bands=16)
+
+
+def test_simhash_bands_reject_non_divisible_band_bits(spark):
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        simhash_band_candidates,
+    )
+
+    sh = spark.createDataFrame([(1, 5), (2, 5)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="divide"):
+        simhash_band_candidates(sh, band_bits=24)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_band_candidates(sh, band_bits=128)
+
+
+def test_hash_family_typo_raises(spark):
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        minhash_signature_table,
+        simhash_table,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="hash_family"):
+        minhash_signature_table(df, hash_family="xxHash")
+    with pytest.raises(ValueError, match="hash_family"):
+        simhash_table(df, hash_family="sha1")
