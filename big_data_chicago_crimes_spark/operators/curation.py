@@ -52,7 +52,15 @@ def ngram_contamination(
     single shuffle on ``id_col``. n=8 keeps false positives negligible
     (an 8-word verbatim overlap is essentially never coincidence).
     """
-    grams = F.explode(F.array_distinct(word_shingles(text_col, n))).alias("g")
+    # NULL text folds to '' BEFORE shingling: word_shingles(NULL) yields
+    # a single NULL gram, which never equi-joins — while the DuckDB
+    # oracle's concat_ws folds NULL list elements to the '' gram, which
+    # DOES match a blank benchmark row. Folding here keeps the two
+    # engines bit-identical for any data, not just NULL-free fixtures.
+    text = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")
+    )
+    grams = F.explode(F.array_distinct(word_shingles(text, n))).alias("g")
     bench_grams = benchmark.select(grams).distinct()
     corpus_grams = spread_for_compute(corpus).select(F.col(id_col), grams)
     hit = F.when(F.col("__bg").isNotNull(), 1).otherwise(0)
@@ -386,7 +394,12 @@ def tfidf_cosine_pairs(
     (pairs only form within a block), so candidate generation shuffles
     on (block, token) — uniform dim-bounded keys.
     """
-    tok = F.explode(tokens(text_col)).alias("tok")
+    # blank pseudo-tokens are not text: two whitespace-only documents
+    # previously formed a cosine=1.0 "near-dup" pair through the ''
+    # token (and '' entered df/idf/norms for every blank doc) — the
+    # _nonblank_tokens convention drops them; blank/NULL docs then have
+    # no index entries and form no pairs (mirrored in the SQL oracle)
+    tok = F.explode(_nonblank_tokens(text_col)).alias("tok")
     base = spread_for_compute(df).select(
         F.col(id_col), *[F.col(c) for c in block_cols], tok
     )
@@ -433,6 +446,16 @@ def tfidf_cosine_pairs(
     )
 
 
+def _nonblank_tokens(text_col: str) -> Column:
+    """The LM family's unified token stream: whitespace tokens with the
+    blank pseudo-token removed (trim+split of blank text yields [''],
+    which is not a token — token_count and the DuckDB oracles agree).
+    Every LM fit and every LM scorer in this module tokenizes through
+    THIS expression, so a shared fit_unigram_lm frame is always an
+    exact drop-in for an operator's self-fit."""
+    return F.filter(tokens(text_col), lambda x: x != "")
+
+
 def fit_unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Fit the corpus unigram LM once: ``(__tok, __c)`` token counts,
     the frame :func:`unigram_logprob` (as ``lm``) and
@@ -444,10 +467,13 @@ def fit_unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     per filter (measured r11: the three-leg docs_domain_quota refit it
     three times — zero ReusedExchange across legs, 44 scans of the
     documents parquet — because each operator's private fit canonical-
-    izes differently; the shared frame collapses that)."""
+    izes differently; the shared frame collapses that). Tokenizes via
+    ``_nonblank_tokens`` — blank text contributes ZERO tokens, the
+    convention every scorer in this module shares, so this frame is an
+    exact drop-in for any of their self-fits."""
     return (
         spread_for_compute(df)
-        .select(F.explode(tokens(text_col)).alias("__tok"))
+        .select(F.explode(_nonblank_tokens(text_col)).alias("__tok"))
         .groupBy("__tok")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
@@ -504,8 +530,12 @@ def unigram_logprob(
     # mismatches). NOTE the same A/B kept dsir_logratio per-token: its
     # joins are already broadcast-side, so pre-reducing only adds a
     # corpus-sized (doc, token) shuffle (2.42 vs 3.12 s at 10x).
+    # _nonblank_tokens: blank/NULL text explodes to zero rows, so such
+    # documents carry no token evidence and DROP OUT of the result —
+    # callers union them back with a sentinel if the pipeline must keep
+    # them (the bigram_logprob short-doc contract).
     toks = spread_for_compute(df).select(
-        id_col, F.explode(tokens(text_col)).alias("__tok")
+        id_col, F.explode(_nonblank_tokens(text_col)).alias("__tok")
     )
     # ``lm``: a prebuilt fit_unigram_lm frame — pass it when several
     # filters score under the same corpus LM so the fit runs once.
@@ -562,7 +592,7 @@ def bigram_pairs(
     two tokens yield no pairs (empty zip → explode drops the row).
     Blank-token guard mirrors the family convention (trim+split yields
     [''] on blank text; the filter removes it on both engines)."""
-    toks = F.filter(tokens(text_col), lambda x: x != "")
+    toks = _nonblank_tokens(text_col)
     n_pairs = F.greatest(F.size("__t") - 1, F.lit(0))
     return (
         spread_for_compute(df)
@@ -635,6 +665,12 @@ def bigram_logprob(
     broadcast there would be the 100 TB mistake). Unseen contexts or
     bigrams (scoring a frame the LM was not fit on) back off to the
     smoothed unigram floor via 0-coalesced left joins."""
+    if not 0.0 <= lam < 1.0:
+        # lam = 1 zeroes the backoff, so ANY unseen bigram evaluates
+        # log10(0) (an ANSI runtime error deep in the aggregation, or a
+        # silently NULL-poisoned average with ANSI off); lam outside
+        # [0, 1] puts a negative inside the log
+        raise ValueError(f"lam must be in [0, 1), got {lam}")
     if (lm2 is None) != (lm1 is None):
         # A half-provided model silently mixes two corpora in one
         # probability (bigram table from the training corpus, unigram
@@ -664,15 +700,13 @@ def bigram_logprob(
     # persist.
     c2 = lm2 if lm2 is not None else fit_bigram_lm(df, text_col, id_col)
     c1 = c2.groupBy("__w1").agg(F.sum("__c2").alias("__c1"))
+    # the self-fit backoff IS fit_unigram_lm — one tokenization
+    # convention (_nonblank_tokens), so a shared lm1 frame can never
+    # diverge from the self-fit on the same corpus
     uni = (
         lm1.select("__tok", "__c")
         if lm1 is not None
-        else (
-            spread_for_compute(df)
-            .select(F.explode(F.filter(tokens(text_col), lambda x: x != "")).alias("__tok"))
-            .groupBy("__tok")
-            .agg(F.count(F.lit(1)).alias("__c"))
-        )
+        else fit_unigram_lm(df, text_col)
     )
     totals = uni.agg(
         F.sum("__c").alias("__n_total"), F.count(F.lit(1)).alias("__v_size")
@@ -734,8 +768,9 @@ def dsir_logratio(
     are already broadcast-side, so the pre-reduce only adds a
     corpus-sized (doc, token) shuffle before the same per-doc one.
     """
+    # _nonblank_tokens + drop-out contract: see unigram_logprob.
     toks = spread_for_compute(df).select(
-        id_col, F.explode(tokens(text_col)).alias("__tok")
+        id_col, F.explode(_nonblank_tokens(text_col)).alias("__tok")
     )
     # ``source_lm``: a prebuilt fit_unigram_lm frame over ``df`` —
     # shares the corpus fit with unigram_logprob-based filters.
@@ -745,7 +780,7 @@ def dsir_logratio(
         else toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cs"))
     )
     vocab_tgt = (
-        target.select(F.explode(tokens(text_col)).alias("__tok"))
+        target.select(F.explode(_nonblank_tokens(text_col)).alias("__tok"))
         .groupBy("__tok")
         .agg(F.count(F.lit(1)).alias("__ct"))
     )
@@ -755,13 +790,19 @@ def dsir_logratio(
         vocab_tgt.agg(F.sum("__ct").alias("__nt"))
     )
     scored = (
-        toks.join(F.broadcast(vocab_src), "__tok")
+        # LEFT join + 0-coalesce on the SOURCE side too: a provided
+        # source_lm fit elsewhere (or capped) would otherwise silently
+        # DELETE its OOV tokens from both the numerator and __n — an
+        # off-domain doc would rank like an in-domain one. OOV gets the
+        # same add-one smoothed floor the target side already uses
+        # (self-fit unaffected: every token is in its own vocabulary).
+        toks.join(F.broadcast(vocab_src), "__tok", "left")
         .join(F.broadcast(vocab_tgt), "__tok", "left")
         .groupBy(id_col)
         .agg(
             F.sum(
                 F.log10(F.coalesce(F.col("__ct"), F.lit(0)) + 1)
-                - F.log10(F.col("__cs") + 1)
+                - F.log10(F.coalesce(F.col("__cs"), F.lit(0)) + 1)
             ).alias("__d"),
             F.count(F.lit(1)).alias("__n"),
         )

@@ -166,9 +166,11 @@ def docs_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cap is the fan-out bound (see tfidf_cosine_pairs).
     oracle="""
         WITH tok AS (
-            SELECT doc_id, lang, source,
-                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-            FROM documents
+            SELECT doc_id, lang, source, tok FROM (
+                SELECT doc_id, lang, source,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
         ), tf AS (
             SELECT doc_id, lang, source, tok, COUNT(*) AS tf
             FROM tok GROUP BY ALL

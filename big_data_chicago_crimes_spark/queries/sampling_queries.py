@@ -217,9 +217,11 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), quota AS (
             SELECT 'quota' AS leg, doc_id, source FROM ranked WHERE rk <= 10
         ), toks AS (
-            SELECT doc_id,
-                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-            FROM documents
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
         ), vocab_src AS (
             SELECT tok, COUNT(*) AS cs FROM toks GROUP BY tok
         ), vocab_tgt AS (

@@ -345,9 +345,11 @@ def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(*) AS n_docs
             FROM q GROUP BY bucket
         ), toks AS (
-            SELECT doc_id,
-                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-            FROM documents
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
         ), vocab AS (
             SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
         ), tot AS (

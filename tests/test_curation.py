@@ -375,3 +375,118 @@ def test_bigram_logprob_half_provided_model_raises(spark):
         bigram_logprob(new, lm2=fit_bigram_lm(corpus))
     with pytest.raises(ValueError, match="BOTH lm2"):
         bigram_logprob(new, lm1=fit_unigram_lm(corpus))
+
+
+def test_shared_unigram_fit_is_exact_dropin_for_self_fits(spark):
+    """One tokenization convention (blank text = zero tokens): a shared
+    fit_unigram_lm frame must reproduce BOTH scorers' self-fit results
+    bit-for-bit, even on corpora with blank documents — the drift that
+    previously made lm1=fit_unigram_lm a score-changing drop-in for
+    bigram_logprob."""
+    from big_data_chicago_crimes_spark.operators.curation import (
+        bigram_logprob,
+        fit_bigram_lm,
+        fit_unigram_lm,
+        unigram_logprob,
+    )
+
+    docs = _docs(spark, [(1, "a b a"), (2, "b a"), (3, "   ")])
+    lm = fit_unigram_lm(docs)
+    uni_self = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(docs).collect()}
+    uni_shared = {
+        r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(docs, lm=lm).collect()
+    }
+    assert uni_self == uni_shared
+    bi_self = {r["doc_id"]: r["bigram_lp"] for r in bigram_logprob(docs).collect()}
+    bi_shared = {
+        r["doc_id"]: r["bigram_lp"]
+        for r in bigram_logprob(docs, lm2=fit_bigram_lm(docs), lm1=lm).collect()
+    }
+    assert bi_self == bi_shared
+
+
+def test_unigram_and_dsir_drop_blank_docs_not_score_phantom_token(spark):
+    """Blank/NULL text yields zero tokens (the token_count convention):
+    such docs drop out of LM scoring instead of being scored on the ''
+    pseudo-token."""
+    from big_data_chicago_crimes_spark.operators.curation import (
+        dsir_logratio,
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "   ")], "doc_id long, text string"
+    )
+    assert {r["doc_id"] for r in unigram_logprob(docs).collect()} == {1}
+    target = _docs(spark, [(9, "a")])
+    assert {r["doc_id"] for r in dsir_logratio(docs, target).collect()} == {1}
+
+
+def test_dsir_oov_under_provided_lm_gets_floor_not_deleted(spark):
+    """A provided source_lm that lacks a document's token must not
+    silently delete that token from the score — it gets the add-one
+    floor, so an off-domain doc scores measurably differently from an
+    in-domain one."""
+    from big_data_chicago_crimes_spark.operators.curation import (
+        dsir_logratio,
+        fit_unigram_lm,
+    )
+
+    import math
+
+    lm = fit_unigram_lm(_docs(spark, [(100, "a b")]))  # cs: a=1, b=1; ns=2
+    docs = _docs(spark, [(2, "a zzz")])
+    target = _docs(spark, [(9, "a a b")])  # ct: a=2, b=1; nt=3
+    out = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_logratio(docs, target, source_lm=lm).collect()
+    }
+    # zzz is source-OOV: both engines' smoothed floors contribute
+    # log10(0+1) = 0 to the numerator, and the token COUNTS in n (the
+    # old inner join deleted it: n=1 and score = term_a - const)
+    v = 2
+    term_a = math.log10(2 + 1) - math.log10(1 + 1)
+    const = math.log10(3 + v) - math.log10(2 + v)
+    assert out[2] == round((term_a - 2 * const) / 2, 6)
+
+
+def test_ngram_contamination_null_text_folds_to_blank_gram(spark):
+    """NULL corpus text folds to the '' gram (the DuckDB oracle's
+    concat_ws semantics) so a blank benchmark row matches it on both
+    engines instead of only in the oracle."""
+    from big_data_chicago_crimes_spark.operators.curation import (
+        ngram_contamination,
+    )
+
+    corpus = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    row = ngram_contamination(corpus, bench, n=4).collect()[0]
+    assert (row["n_ngrams"], row["n_contaminated"]) == (1, 1)
+
+
+def test_tfidf_blank_docs_form_no_pairs(spark):
+    """Two whitespace-only docs must NOT pair at cosine 1.0 through the
+    '' pseudo-token."""
+    from big_data_chicago_crimes_spark.operators.curation import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "  ", "b"), (2, " ", "b"), (3, "a b", "b"), (4, "a b", "b")],
+        "doc_id long, text string, blk string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in tfidf_cosine_pairs(docs, ["blk"], threshold=0.3).collect()
+    }
+    assert pairs == {(3, 4)}
+
+
+def test_bigram_logprob_validates_lam(spark):
+    from big_data_chicago_crimes_spark.operators.curation import bigram_logprob
+
+    docs = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="lam"):
+        bigram_logprob(docs, lam=1.0)
+    with pytest.raises(ValueError, match="lam"):
+        bigram_logprob(docs, lam=-0.1)

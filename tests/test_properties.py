@@ -485,7 +485,7 @@ def test_score_ntile_null_score_raises(spark):
     dirty = spark.createDataFrame(
         [(1, 0, 1.0), (2, 0, None)], "id long, part int, score double"
     )
-    with pytest.raises(Exception, match="NULL in score column"):
+    with pytest.raises(Exception, match="NULL/NaN in score column"):
         score_ntile(dirty, "score", 2, ["part"], "id").collect()
 
 
