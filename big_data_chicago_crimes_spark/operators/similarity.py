@@ -38,6 +38,78 @@ def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> np.ndarray:
     return rng.randn((table + 1) * n_planes, dim)[table * n_planes :]
 
 
+def _spark_round6(a: "np.ndarray") -> "np.ndarray":
+    """Vectorized 6dp rounding with Spark-EXACT boundary behavior.
+    Spark's round() is HALF_UP on the shortest decimal repr
+    (BigDecimal.valueOf) while np.round is half-to-even on the true
+    binary value — they disagree exactly when x·1e6 sits at (or within
+    an ulp of) a half-integer (e.g. 0.1234565 → Spark 0.123457, numpy
+    0.123456). The vectorized kernels rank/threshold on these values
+    under a pinned bit-for-bit equality with the expression paths, so
+    boundary-suspicious elements are re-rounded through Python decimal
+    on repr(x) (the same shortest repr Java uses); everything else
+    keeps the fast np.round."""
+    out = np.round(a, 6)
+    scaled = a * 1e6
+    frac = np.abs(scaled - np.floor(scaled) - 0.5)
+    sus = np.argwhere(frac < 1e-6)
+    if len(sus):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        for idx in map(tuple, sus):
+            out[idx] = float(
+                Decimal(repr(float(a[idx]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    return out
+
+
+def _vectors_matrix(pdf, vec_col: str, dim: int | None = None) -> "np.ndarray":
+    """Dense (n, dim) float64 matrix from an Arrow batch column, with a
+    LOUD contract: NULL or ragged embeddings raise a clear ValueError
+    instead of an opaque numpy shape/matmul error mid-job. ``dim`` is
+    checked explicitly because a ragged ROW can land alone in its own
+    Arrow batch, where the batch itself is perfectly homogeneous. (The
+    expression-form siblings tolerate such rows — NULL folds through
+    null arithmetic — so on messy data the two paths would otherwise
+    silently diverge: filter or repair embeddings before the vectorized
+    path.)"""
+    vals = list(pdf[vec_col])
+    if any(v is None for v in vals):
+        raise ValueError(
+            f"vectorized kernel: NULL in {vec_col!r} — filter or repair "
+            "embeddings before the vectorized path"
+        )
+    try:
+        out = np.array(vals, dtype=np.float64)
+    except ValueError as exc:
+        raise ValueError(
+            f"vectorized kernel: ragged {vec_col!r} arrays — all embeddings "
+            "must share one dimension"
+        ) from exc
+    if out.ndim != 2 or (dim is not None and out.size and out.shape[1] != dim):
+        raise ValueError(
+            f"vectorized kernel: ragged {vec_col!r} arrays — expected "
+            f"dimension {dim}, got shape {out.shape}"
+        )
+    return out
+
+
+def _lit_double_matrix_sql(rows) -> str:
+    """array(array(<double literals>)…) as ONE SQL string — literals
+    round-trip via repr exactly (the sig_sql convention); building the
+    same tree Column-by-Column costs one py4j round trip PER LITERAL
+    (~7 s per ~3.6k literals, see sig_sql's note)."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float] | Column,
@@ -236,8 +308,21 @@ def ann_topk(
     Probing H=1 over 8 planes scans 9/256 of the data in expectation."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes)
-    dots = planes @ np.asarray(query_vec, dtype=float)
-    q_bucket = int(sum((1 << i) for i, d in enumerate(dots) if d > 0))
+    # the query signature replays Spark's SEQUENTIAL zip_with/aggregate
+    # fold (plain left-to-right additions), NOT a BLAS dot: pairwise
+    # summation can flip the sign of a near-zero plane dot, putting the
+    # query in a different bucket than an EXACT corpus copy of it got
+    # from hyperplane_lsh_buckets — which would break the module's
+    # exact-duplicate recall guarantee at multiprobe_hamming=0
+    def _fold_dot(plane) -> float:
+        acc = 0.0
+        for x, pl in zip(query_vec, plane):
+            acc += float(x) * float(pl)
+        return acc
+
+    q_bucket = int(
+        sum((1 << i) for i, plane in enumerate(planes) if _fold_dot(plane) > 0)
+    )
     probes = {q_bucket ^ m for m in _hamming_masks(n_planes, multiprobe_hamming)}
     bucketed = hyperplane_lsh_buckets(df, dim, n_planes, vec_col)
     candidates = bucketed.filter(F.col("bucket").isin(sorted(probes)))
@@ -304,8 +389,6 @@ def _probe_scored_candidates(
     lake), exact rounded cosine per candidate. Returns
     (query_id_col, id_col, cosine) — top-k and threshold consumers
     diverge only above this."""
-    from big_data_chicago_crimes_spark.functions.vectors import cosine_similarity
-
     if bucketed and "bucket" not in corpus.columns:
         raise ValueError(f"{op}(bucketed=True): corpus has no 'bucket' column")
     masks = _hamming_masks(n_planes, multiprobe_hamming)
@@ -617,9 +700,9 @@ def assign_to_centroids_vectorized(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            V = _vectors_matrix(pdf, vec_col, dim=C.shape[1])
             vn = (V * V).sum(axis=1)
-            d = np.round(vn[:, None] + cn[None, :] - 2.0 * (V @ C.T), 6)
+            d = _spark_round6(vn[:, None] + cn[None, :] - 2.0 * (V @ C.T))
             out = pdf.copy()
             out["centroid_id"] = d.argmin(axis=1).astype("int32")
             yield out
@@ -659,12 +742,12 @@ def semantic_dedup_vectorized(
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids_s = ids[order]
-        V = np.array(list(pdf[vec_col]), dtype=np.float64)[order]
+        V = _vectors_matrix(pdf, vec_col, dim=len(centroids[0]))[order]
         nrm = np.sqrt((V * V).sum(axis=1))
         nz = nrm > 0
         Vn = np.zeros_like(V)
         Vn[nz] = V[nz] / nrm[nz, None]
-        S = np.round(Vn @ Vn.T, 6)
+        S = _spark_round6(Vn @ Vn.T)
         hits = np.triu(S >= th, k=1)
         keep = ~hits.any(axis=0)
         return pd.DataFrame(
@@ -696,6 +779,9 @@ def semantic_survivor_index(
     opt-in. At scale, write this frame partitioned by ``centroid_id``
     (the same layout the IVF lake uses) so batch probes prune
     partitions; the norm column rides along in the same files."""
+    # a corpus already carrying centroid_id (the IVF-lake layout this
+    # docstring recommends) would make the unqualified select ambiguous
+    corpus = corpus.drop("centroid_id")
     return corpus.join(kept.select(id_col, "centroid_id"), id_col).select(
         id_col,
         vec_col,
@@ -867,8 +953,6 @@ def batch_ivf_topk(
 
     Output: (query_id, id, cosine, rank ≤ k), ranked by rounded cosine
     with id tie-break."""
-    from big_data_chicago_crimes_spark.functions.vectors import cosine_similarity
-
     cells = nearest_centroid_cells(F.col(vec_col), centroids, nprobe)
     probes = (
         queries.select(
@@ -906,8 +990,12 @@ def ivf_topk(
     exact cosine re-rank inside them. With centroid_id as a partition
     column this is a partition-pruned scan of ~nprobe/k of the data."""
     q = np.asarray(query_vec, dtype=float)
-    dists = [float(np.linalg.norm(np.asarray(c) - q)) for c in centroids]
-    probe_ids = sorted(range(len(centroids)), key=lambda i: dists[i])[:nprobe]
+    # rank cells by the SAME rounded-squared-L2 + cid tie-break contract
+    # nearest_centroid_cells / batch_ivf_topk use — raw norms would let
+    # a < 5e-7 distance gap probe a different cell than the batch path
+    # (tests pin single == batch per query)
+    d2 = _spark_round6(((np.asarray(centroids, dtype=float) - q) ** 2).sum(axis=1))
+    probe_ids = sorted(range(len(centroids)), key=lambda i: (d2[i], i))[:nprobe]
     candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
 
@@ -1073,9 +1161,10 @@ def pq_adc_topk(
         ]
         for s in range(m)
     ]
-    lit_table = F.array(
-        *[F.array(*[F.lit(float(d)) for d in row]) for row in table]
-    )
+    # ONE SQL string for the m×k literal table (the sig_sql convention)
+    # — Column-by-Column construction costs a py4j round trip per
+    # literal and dominates driver time at production k
+    lit_table = F.expr(_lit_double_matrix_sql(table))
     adc = F.aggregate(
         F.sequence(F.lit(1), F.lit(m)),
         F.lit(0.0),
@@ -1111,6 +1200,11 @@ def pq_adc_batch_topk(
     (property-tested). Output: (query_id, id, adc_dist, rank ≤ k)."""
     if not queries:
         raise ValueError("pq_adc_batch_topk: empty query batch")
+    qids = [qid for qid, _ in queries]
+    if len(set(qids)) != len(qids):
+        # two tables under one query_id would rank their interleaved
+        # candidates in ONE window — mixed ids under ranks 1..k, no error
+        raise ValueError(f"pq_adc_batch_topk: duplicate query ids {qids}")
     m = len(codebook)
     sub = len(codebook[0][0])
     tables = []
@@ -1129,13 +1223,18 @@ def pq_adc_batch_topk(
                 for s in range(m)
             ]
         )
-    lit_tables = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(d)) for d in row]) for row in t])
-            for t in tables
-        ]
+    # nq × m × k literals as ONE SQL string (the sig_sql convention): a
+    # 100-query × 8×256 batch is ~205k literals — Column-by-Column
+    # construction would spend minutes of driver py4j time before the
+    # one codes scan even starts
+    lit_tables = F.expr(
+        "array("
+        + ",".join(_lit_double_matrix_sql(t) for t in tables)
+        + ")"
     )
-    lit_qids = F.array(*[F.lit(int(qid)) for qid, _ in queries])
+    lit_qids = F.expr(
+        "array(" + ",".join(str(int(qid)) for qid, _ in queries) + ")"
+    )
 
     def adc_for(qi: Column) -> Column:
         qt = F.element_at(lit_tables, qi)

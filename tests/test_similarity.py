@@ -884,3 +884,83 @@ def test_pq_adc_batch_matches_single_query_path(spark, sf_dir):
             key=lambda x: (x[1], x[0]),
         )
         assert got == single, f"query {qid}: batch != single"
+
+
+def test_spark_round6_matches_spark_at_half_boundary(spark):
+    """np.round is half-to-even on the binary value; Spark round() is
+    HALF_UP on the shortest decimal repr — _spark_round6 must match
+    Spark exactly on the boundary case both kernels rank with."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.similarity import _spark_round6
+
+    xs = [0.1234565, -0.1234565, 1.0000005, 0.123456, 2.5e-7]
+    got = _spark_round6(np.array(xs))
+    want = [
+        r["r"]
+        for r in spark.createDataFrame([(x,) for x in xs], "x double")
+        .select(F.round("x", 6).alias("r"))
+        .collect()
+    ]
+    assert list(got) == want
+    # and numpy alone would NOT have matched (the reason the helper exists)
+    assert list(np.round(np.array(xs), 6)) != want
+
+
+def test_vectorized_paths_raise_clearly_on_null_or_ragged(spark):
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        assign_to_centroids_vectorized,
+        literal_centroids,
+    )
+
+    cents = literal_centroids(2, 4)
+    with_null = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="NULL in 'embedding'"):
+        assign_to_centroids_vectorized(with_null, cents).collect()
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="ragged"):
+        assign_to_centroids_vectorized(ragged, cents).collect()
+
+
+def test_pq_adc_batch_rejects_duplicate_query_ids(spark):
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        pq_adc_batch_topk,
+        pq_codebook,
+    )
+
+    book = pq_codebook(m=2, k=4, dim=4)
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0], [0, 0])],
+        "vec_id long, embedding array<float>, pq_codes array<int>",
+    )
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        pq_adc_batch_topk(df, book, [(7, [0.0] * 4), (7, [1.0] * 4)], k=1)
+
+
+def test_survivor_index_accepts_pre_assigned_corpus(spark):
+    """Rebuilding the survivor index from a corpus that already carries
+    centroid_id (the IVF-lake layout the docstring recommends) must not
+    die on an ambiguous column reference."""
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        assign_to_centroids,
+        literal_centroids,
+        semantic_dedup,
+        semantic_survivor_index,
+    )
+
+    cents = literal_centroids(2, 4)
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pre_assigned = assign_to_centroids(corpus, cents)
+    kept = semantic_dedup(corpus, cents)
+    idx = semantic_survivor_index(pre_assigned, kept)
+    assert set(idx.columns) == {"vec_id", "embedding", "norm", "centroid_id"}
+    assert idx.count() == kept.count()
