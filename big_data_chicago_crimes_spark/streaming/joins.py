@@ -164,6 +164,8 @@ def ingest_process_batch(
         doc_fingerprint,
         incremental_exact_dedup,
     )
+    from pyspark.errors import AnalysisException
+
     from big_data_chicago_crimes_spark.sources.sinks import path_exists
 
     spark = batch_df.sparkSession
@@ -177,11 +179,33 @@ def ingest_process_batch(
         # return False for an already-written batch and let the replay
         # path double-append accepted rows (ADVICE r9). Merging unions
         # the schemas; pre-batch_id rows read as NULL and never match.
-        df = spark.read.option("mergeSchema", "true").parquet(path)
+        try:
+            df = spark.read.option("mergeSchema", "true").parquet(path)
+        except AnalysisException:
+            # the directory exists but holds no committed parquet files
+            # (a crash during the very first write's job commit leaves
+            # only _temporary/): no committed files means no batch —
+            # treating the unreadable dir as "done" or crashing here
+            # would wedge every replay of that micro-batch
+            return False
         if "batch_id" not in df.columns:
             return False
         return bool(df.filter(F.col("batch_id") == batch_id).head(1))
 
+    def _index_rows(frame: DataFrame) -> DataFrame:
+        # the ONE index row shape, shared by the normal path and the
+        # crash-recovery branch so the two can never silently diverge
+        return frame.select(
+            doc_fingerprint(text_col).alias("fingerprint"),
+            F.lit(batch_id).alias("batch_id"),
+        )
+
+    # NOTE the replay probe costs two mergeSchema footer scans per
+    # micro-batch, growing with table size (O(N²) footer reads over a
+    # run). A production deployment amortizes it with a committed-batch
+    # marker (e.g. partition the appends by batch_id and probe directory
+    # existence, falling back to this row probe only when the marker is
+    # ambiguous); the row probe stays the correctness ground truth.
     acc_done = _has_batch(accepted_path)
     idx_done = _has_batch(index_path)
     if acc_done and idx_done:
@@ -191,11 +215,14 @@ def ingest_process_batch(
         # the rows the first attempt accepted (re-running the dedup
         # against the partial index would re-accept nothing — the
         # fingerprints must come from what was actually written)
-        spark.read.parquet(accepted_path).filter(
-            F.col("batch_id") == batch_id
-        ).select(
-            doc_fingerprint(text_col).alias("fingerprint"),
-            F.lit(batch_id).alias("batch_id"),
+        # mergeSchema here too: this read filters on batch_id, so the
+        # same legacy-footer sampling hazard _has_batch guards against
+        # applies (an old file without the column would raise
+        # UNRESOLVED_COLUMN on every replay and wedge the stream)
+        _index_rows(
+            spark.read.option("mergeSchema", "true")
+            .parquet(accepted_path)
+            .filter(F.col("batch_id") == batch_id)
         ).write.mode("append").parquet(index_path)
         return
 
@@ -214,9 +241,6 @@ def ingest_process_batch(
         # append from the accepted rows — crash-ordering chosen
         # deliberately
         accepted.write.mode("append").parquet(accepted_path)
-        accepted.select(
-            doc_fingerprint(text_col).alias("fingerprint"),
-            F.col("batch_id"),
-        ).write.mode("append").parquet(index_path)
+        _index_rows(accepted).write.mode("append").parquet(index_path)
     finally:
         accepted.unpersist()

@@ -17,24 +17,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timestamp"
-STATE_SCHEMA = "n_events long, total_value double"
+# last_ts rides the state as epoch MICROseconds (a long — GroupState
+# tuples don't carry pandas Timestamps): without it, a micro-batch made
+# only of LATE events would emit a REGRESSED "last-seen" timestamp (that
+# batch's max, not the running max) while the counters stayed correct.
+STATE_SCHEMA = "n_events long, total_value double, last_ts_us long"
 
 
 def _update_user_profile(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Fold each micro-batch into the running (count, sum) state and emit
-    the refreshed profile row. Pure pandas per Arrow batch — no per-row
-    Python in the hot path."""
+    """Fold each micro-batch into the running (count, sum, max-ts) state
+    and emit the refreshed profile row. Pure pandas per Arrow batch — no
+    per-row Python in the hot path."""
     (user_id,) = key
-    n_events, total_value = state.get if state.exists else (0, 0.0)
-    last_ts = None
+    n_events, total_value, last_ts_us = (
+        state.get if state.exists else (0, 0.0, None)
+    )
+    last_ts = pd.Timestamp(last_ts_us, unit="us") if last_ts_us is not None else None
     for pdf in batches:
         n_events += len(pdf)
         total_value += float(pdf["value"].sum())
         batch_max = pdf["ts"].max()
         last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
-    state.update((n_events, total_value))
+    state.update(
+        (
+            n_events,
+            total_value,
+            int(last_ts.value // 1000) if last_ts is not None else None,
+        )
+    )
     yield pd.DataFrame(
         {
             "user_id": [user_id],

@@ -110,18 +110,26 @@ def streaming_dedup(
     state is bounded by (key arrival rate × watermark) instead of
     growing forever like a plain streaming ``dropDuplicates``. In batch
     mode the same call degrades to deterministic keyed dedup."""
-    keys = keys or ["event_id"]
+    keys = keys if keys is not None else ["event_id"]
+    if not keys:
+        # an explicitly-empty key list (e.g. a dynamically-built config)
+        # previously fell into the event_id default silently, dropping
+        # distinct rows that happen to share an event_id
+        raise ValueError("streaming_dedup: keys must be non-empty")
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion against the memory sink
     and return the result as a batch DataFrame. Deterministic: blocks on
-    processAllAvailable, then stops the query."""
+    processAllAvailable, then stops the query. Default mode 'append' is
+    valid for every operator this package exposes (joins, dedup,
+    projections, watermarked aggregations); the old 'complete' default
+    raised at start() for any non-aggregate caller relying on it."""
     q = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")

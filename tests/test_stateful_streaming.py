@@ -47,3 +47,36 @@ def test_stateful_profile_matches_batch(spark, sf_dir):
     for uid, (n, tv) in want.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - tv) < 0.05  # per-batch rounding drift
+
+
+def test_late_only_microbatch_does_not_regress_last_ts(spark, tmp_path):
+    """A micro-batch consisting only of LATE events must not pull the
+    emitted last-seen timestamp backwards — the running max rides the
+    state (as epoch micros), not just the current batch."""
+    import pandas as pd
+
+    from big_data_chicago_crimes_spark.streaming.stateful import (
+        _update_user_profile,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    b1 = pd.DataFrame({"ts": [pd.Timestamp("2024-01-01 12:00:00")], "value": [1.0]})
+    out1 = list(_update_user_profile((1,), iter([b1]), st))[0]
+    b2 = pd.DataFrame({"ts": [pd.Timestamp("2024-01-01 11:00:00")], "value": [2.0]})
+    out2 = list(_update_user_profile((1,), iter([b2]), st))[0]
+    assert out1["last_ts"].iloc[0] == pd.Timestamp("2024-01-01 12:00:00")
+    assert out2["last_ts"].iloc[0] == pd.Timestamp("2024-01-01 12:00:00")
+    assert out2["n_events"].iloc[0] == 2

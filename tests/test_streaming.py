@@ -492,3 +492,31 @@ def test_ingest_replay_sees_batch_id_despite_legacy_files(spark, tmp_path):
     ingest_process_batch(batch, 7, accepted, index)  # replay: must no-op
     acc = spark.read.option("mergeSchema", "true").parquet(accepted)
     assert acc.filter(F.col("doc_id") == 100).count() == 1  # no double-append
+
+
+def test_streaming_dedup_rejects_empty_key_list(spark):
+    import pytest
+
+    from big_data_chicago_crimes_spark.streaming.windows import streaming_dedup
+
+    df = spark.createDataFrame([(1,)], "event_id long")
+    with pytest.raises(ValueError, match="non-empty"):
+        streaming_dedup(df, keys=[])
+
+
+def test_ingest_recovers_from_empty_uncommitted_directory(spark, tmp_path):
+    """A crash during the very first write's job commit leaves the
+    directory existing with no committed parquet files — the replay
+    probe must treat that as 'no batch written', not wedge the stream
+    with an unable-to-infer-schema error."""
+    import os
+
+    from big_data_chicago_crimes_spark.streaming.joins import ingest_process_batch
+
+    accepted = str(tmp_path / "accepted")
+    index = str(tmp_path / "index")
+    os.makedirs(accepted)  # exists, holds zero committed files
+    batch = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    ingest_process_batch(batch, 0, accepted, index)
+    got = spark.read.parquet(accepted)
+    assert got.count() == 1
