@@ -19,7 +19,7 @@ from big_data_chicago_crimes_spark.operators.similarity import (
 from big_data_chicago_crimes_spark.plans.registry import register
 from big_data_chicago_crimes_spark.sources.readers import load_tables
 
-_EMB_DIM = 64
+from big_data_chicago_crimes_spark.schemas import EMB_DIM as _EMB_DIM
 _QUERY_VEC_ID = 0  # deterministic probe: the first vector in the table
 
 

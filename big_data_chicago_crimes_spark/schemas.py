@@ -139,6 +139,11 @@ DOCUMENTS_SCHEMA = _st(
     ]
 )
 
+# the embeddings table's vector dimension — ONE source of truth (a
+# drifted copy would let zip_with pad the shorter side with nulls and
+# silently degrade LSH signatures, with lake and probe disagreeing)
+EMB_DIM = 64
+
 EMBEDDINGS_SCHEMA = _st(
     [
         ("vec_id", T.LongType()),

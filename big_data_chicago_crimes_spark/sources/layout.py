@@ -26,9 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_chicago_crimes_spark.operators.similarity import hyperplane_lsh_buckets
+from big_data_chicago_crimes_spark.schemas import EMB_DIM
 from big_data_chicago_crimes_spark.sources.readers import load_tables
-
-EMB_DIM = 64
 
 
 def materialize_lake(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]:
@@ -88,6 +87,15 @@ def zorder_key(
     participating column at once — multi-dimensional predicates then
     skip row groups, the public OPTIMIZE ZORDER technique (Morton 1966).
     Pure codegen arithmetic; returns (df + __z, "__z")."""
+    if bits * len(cols) > 63:
+        # Spark's shiftleft masks the shift amount mod 64 (Java long
+        # semantics): bit positions past 63 would silently WRAP onto low
+        # bits and collide, producing a key that no longer preserves
+        # locality with no error anywhere
+        raise ValueError(
+            f"zorder_key: bits({bits}) x cols({len(cols)}) > 63 — reduce "
+            "bits or columns (the interleaved key must fit one bigint)"
+        )
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"lo_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"hi_{i}") for i, c in enumerate(cols)],
@@ -96,6 +104,13 @@ def zorder_key(
     scaled = []
     for i, c in enumerate(cols):
         lo, hi = stats[f"lo_{i}"], stats[f"hi_{i}"]
+        if lo is None or hi is None:
+            # empty frame or an all-null column: no span to scale into —
+            # an opaque NoneType subtraction would crash the driver
+            raise ValueError(
+                f"zorder_key: column {c!r} has no non-null values "
+                "(empty frame or all-null) — nothing to Z-order on"
+            )
         span = (hi - lo) or 1.0
         scaled.append(
             f"least({(1 << bits) - 1}, cast((cast({c} as double) - {lo!r}D) "

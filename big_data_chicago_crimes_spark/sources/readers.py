@@ -144,7 +144,10 @@ def adaptive_read_schema(path: str, declared: T.StructType) -> T.StructType:
     declared logical types."""
     import pyarrow as pa
 
-    key = _schema_cache_key(path)
+    # the declared schema is part of the key: two callers reading the
+    # same file with different declared schemas (a projection, other
+    # types) must not share one adapted result
+    key = (_schema_cache_key(path), declared.simpleString())
     if key in _READ_SCHEMA_CACHE:
         return _READ_SCHEMA_CACHE[key]
 
@@ -182,9 +185,14 @@ def normalize_temporals(df: DataFrame, declared: T.StructType) -> DataFrame:
     """Convert every column that ``declared`` types as TimestampType from
     its LOADED dtype back to TimestampType:
 
-    - LongType → epoch nanoseconds; convert with exact integer division
-      (``DIV`` stays in bigint — double division loses precision above
-      2^53 ns).
+    - LongType → epoch integer whose UNIT is decided per row by
+      magnitude: |v| ≥ 10^17 is nanoseconds (any date after 1973 in ns
+      exceeds it; in µs that magnitude is the year 5138), else
+      microseconds — so an untyped-INT64-micros generation cannot be
+      shrunk 1000× into January 1970 (the round-4 regression class this
+      reader exists to prevent; the ns path was previously ASSUMED).
+      Conversion uses exact integer division (``DIV`` stays in bigint —
+      double division loses precision above 2^53 ns).
     - TimestampNTZType → reinterpret as session-tz timestamp (session tz
       is pinned to UTC in session.py, so this is a wall-clock no-op and
       matches DuckDB's naive reading of the same file).
@@ -199,7 +207,11 @@ def normalize_temporals(df: DataFrame, declared: T.StructType) -> DataFrame:
         loaded = out.schema[f.name].dataType
         if isinstance(loaded, T.LongType):
             out = out.withColumn(
-                f.name, F.timestamp_micros(F.expr(f"{f.name} DIV 1000"))
+                f.name,
+                F.when(
+                    F.abs(F.col(f.name)) >= F.lit(10**17),
+                    F.timestamp_micros(F.expr(f"{f.name} DIV 1000")),
+                ).otherwise(F.timestamp_micros(F.col(f.name))),
             )
         elif isinstance(loaded, (T.TimestampNTZType, T.DateType)):
             out = out.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
@@ -256,7 +268,13 @@ class Tables(Mapping):
     def __getattr__(self, name: str) -> DataFrame:
         if name.startswith("_"):
             raise AttributeError(name)
-        return self[name]
+        try:
+            return self[name]
+        except KeyError as exc:
+            # __getattr__ must signal absence with AttributeError or
+            # hasattr()/getattr(obj, n, default) crash instead of
+            # falling through
+            raise AttributeError(str(exc)) from exc
 
     def __iter__(self):
         return iter(TABLE_NAMES)

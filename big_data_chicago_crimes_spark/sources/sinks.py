@@ -124,18 +124,43 @@ def compact_parquet(
     n_target = max(1, math.ceil(total / target_file_bytes))
     if n_before <= n_target:
         return n_before, n_before
-    tmp = path.rstrip("/") + "_compacting"
-    spark.read.parquet(path).repartition(n_target).write.mode("overwrite").parquet(tmp)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     p_old = jvm.org.apache.hadoop.fs.Path(path)
+    # REFUSE hive-partitioned inputs: read+flat-rewrite would hydrate
+    # the partition columns into data columns and destroy the layout
+    # (every partition-pruned probe then scans the whole table, with no
+    # error anywhere). Per-partition compaction is the correct job shape
+    # for partitioned tables — run this on each leaf directory.
+    for st in fs.listStatus(p_old):
+        if st.isDirectory() and "=" in st.getPath().getName():
+            raise ValueError(
+                f"compact_parquet: {path} is hive-partitioned "
+                f"({st.getPath().getName()}) — compact each leaf "
+                "partition directory instead; a flat rewrite would "
+                "silently destroy the partition layout"
+            )
+    tmp = path.rstrip("/") + "_compacting"
+    spark.read.parquet(path).repartition(n_target).write.mode("overwrite").parquet(tmp)
     p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
     p_backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_backup")
     if fs.exists(p_backup):  # leftover from an interrupted earlier swap
         fs.delete(p_backup, True)
-    fs.rename(p_old, p_backup)
-    fs.rename(p_tmp, p_old)
+
+    def _rename(src, dst, step: str) -> None:
+        # Hadoop rename signals failure with a FALSE return, not an
+        # exception — an unchecked swap step followed by the backup
+        # delete would destroy the only durable copy
+        if not fs.rename(src, dst):
+            raise RuntimeError(
+                f"compact_parquet: rename {step} failed ({src} -> {dst}); "
+                "data is intact — canonical/backup/_compacting hold the "
+                "full copy, resolve manually before re-running"
+            )
+
+    _rename(p_old, p_backup, "old->backup")
+    _rename(p_tmp, p_old, "tmp->canonical")
     fs.delete(p_backup, True)
     n_after, _ = _dir_stats(spark, path)
     return n_before, n_after
@@ -157,8 +182,19 @@ def lake_root(spark: SparkSession, sf_dir: str) -> str:
 
     base = spark.conf.get("spark.bdcc.lakeDir", "spark-warehouse/lake")
     sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    # recursive max mtime: a table stored as a DIRECTORY dataset
+    # (name.parquet/part-*) regenerated by overwriting part files in
+    # place does not touch the parent entry's mtime — the same
+    # invalidation hole readers._schema_cache_key documents; walk the
+    # tree so nested rewrites re-stamp the generation too
+    def _mtimes(d):
+        for e in os.scandir(d):
+            yield e.stat().st_mtime
+            if e.is_dir():
+                yield from _mtimes(e.path)
+
     try:
-        stamp = int(max(e.stat().st_mtime for e in os.scandir(sf_dir)))
+        stamp = int(max(_mtimes(sf_dir)))
     except (OSError, ValueError):  # non-local path or empty dir: no stamp
         return f"{base}/{sf_name}"
     return f"{base}/{sf_name}-g{stamp}"
@@ -177,6 +213,10 @@ def cached(
     (rather than returning the built plan) mirrors the reference's
     behavior and gives downstream queries a clean scan with pushdown.
     """
-    if not path_exists(spark, path):
+    # the probe requires the _SUCCESS marker, not the bare directory: a
+    # build killed mid-write leaves the directory existing with partial
+    # part files, and a bare-existence probe would skip build() forever
+    # and silently serve incomplete data
+    if not path_exists(spark, path.rstrip("/") + "/_SUCCESS"):
         write_parquet(build(), path, partition_by=partition_by)
     return spark.read.parquet(path)

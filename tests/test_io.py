@@ -3,6 +3,11 @@ of the reference's 12 probe blocks) and partitioned writes."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
 from big_data_chicago_crimes_spark.sources.sinks import cached, path_exists, write_parquet
 
 
@@ -125,3 +130,59 @@ def test_jsonl_partitioned_write_layout(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(path) if d.startswith("part=")
     ) == ["part=a", "part=b"]
+
+
+def test_cached_rebuilds_over_partial_write(spark, tmp_path):
+    """A directory left by a killed build (exists, no _SUCCESS marker)
+    must be rebuilt, not served as if complete."""
+    from big_data_chicago_crimes_spark.sources.sinks import cached
+
+    path = str(tmp_path / "partial")
+    os.makedirs(path)  # exists, but never finished writing
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3)
+
+    out = cached(spark, path, build)
+    assert calls == [1]
+    assert out.count() == 3
+    # a COMPLETE cache (marker present) is served without rebuilding
+    out2 = cached(spark, path, build)
+    assert calls == [1]
+    assert out2.count() == 3
+
+
+def test_compact_refuses_partitioned_directory(spark, tmp_path):
+    from big_data_chicago_crimes_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "parted")
+    spark.range(100).withColumn("p", F.col("id") % 4).repartition(20).write.partitionBy(
+        "p"
+    ).parquet(path)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, path)  # default 128MB target -> 1 file, forces the rewrite path
+
+
+def test_tables_hasattr_protocol(spark, sf_dir):
+    from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    assert not hasattr(t, "no_such_table")
+    assert getattr(t, "no_such_table", None) is None
+
+
+def test_normalize_temporals_unit_by_magnitude(spark):
+    """An untyped INT64 timestamp column is converted by magnitude:
+    epoch-micros values must not be shrunk 1000x into 1970."""
+    from pyspark.sql import types as T
+
+    from big_data_chicago_crimes_spark.sources.readers import normalize_temporals
+
+    us_2024 = 1_704_067_200_000_000       # 2024-01-01 in micros
+    ns_2024 = us_2024 * 1000              # same instant in nanos
+    df = spark.createDataFrame([(us_2024,), (ns_2024,)], "ts long")
+    declared = T.StructType([T.StructField("ts", T.TimestampType())])
+    out = [r["ts"].year for r in normalize_temporals(df, declared).collect()]
+    assert out == [2024, 2024]

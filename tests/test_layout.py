@@ -222,3 +222,19 @@ def test_partitioned_orders_scan_reads_only_selected_directory(spark, sf_dir):
     enc = _PRIORITY.replace(" ", "%20")
     assert all(f"o_orderpriority={enc}" in f for f in read), sorted(read)[:3]
     assert len(read) < len(all_files)
+
+
+def test_zorder_key_guards(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.sources.layout import zorder_key
+
+    df = spark.range(10).select(
+        *[F.col("id").alias(f"c{i}") for i in range(6)]
+    )
+    with pytest.raises(ValueError, match="> 63"):
+        zorder_key(df, [f"c{i}" for i in range(6)], bits=12)
+    empty = spark.createDataFrame([], "a long, b long")
+    with pytest.raises(ValueError, match="no non-null"):
+        zorder_key(empty, ["a", "b"], bits=8)
