@@ -29,7 +29,11 @@ STOPWORDS_EN = [
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization: array<string> of non-empty tokens."""
+    """Whitespace tokenization of trim(text) as array<string>. NOTE:
+    BLANK text yields [''] (split of an empty string — one empty
+    pseudo-token), and NULL text yields NULL; callers that need the
+    zero-tokens-for-blank convention filter the '' element
+    (curation._nonblank_tokens) or guard like token_count does."""
     c = F.col(text) if isinstance(text, str) else text
     return F.split(F.trim(c), r"\s+")
 
@@ -65,10 +69,17 @@ def punct_ratio(text: Column | str) -> Column:
 def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
     """Fraction of whitespace tokens that are stopwords (quality signal:
     natural prose has a stable stopword rate; keyword soup does not)."""
+    c = F.col(text) if isinstance(text, str) else text
     sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
-    toks = tokens(text)
+    toks = tokens(c)
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
-    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(n_sw / F.size(toks))
+    # blank guard on the TEXT, not size(toks)==0: split never returns an
+    # empty array (blank text yields [''], size 1), so the old size
+    # guard was dead code — blank reached 0.0 only because '' is not a
+    # stopword. Same value, now deliberate.
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0.0)).otherwise(
+        n_sw / F.size(toks)
+    )
 
 
 def quality_score(text: Column | str) -> Column:
@@ -105,15 +116,27 @@ def lang_id_scores(text: Column | str) -> Column:
         ]
     )
     best = F.array_sort(entries)[0]
-    return F.when(best["neg"] == 0, F.lit("und")).otherwise(best["lang"])
+    # NULL text makes every score NULL (ANSI size(null) = null), so
+    # best['neg'] == 0 evaluates NULL, the when() falls through, and the
+    # tie-break's first language ('de') would be confidently returned —
+    # classify NULL/zero-evidence text as 'und' instead
+    return F.when(
+        (best["neg"] == 0) | best["neg"].isNull(), F.lit("und")
+    ).otherwise(best["lang"])
+
+
+def casefold_ws_normalize(text: Column | str) -> Column:
+    """Casefolded, whitespace-collapsed text — the ONE normalization
+    doc_fingerprint and char_ngrams share (dedup.py documents that the
+    simhash/fingerprint agreement depends on them staying in sync)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
 def doc_fingerprint(text: Column | str) -> Column:
     """Content fingerprint: md5 of the casefolded, whitespace-normalized
     text. Stable across formatting-only differences; the exact-dedup key."""
-    c = F.col(text) if isinstance(text, str) else text
-    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
-    return F.md5(normalized)
+    return F.md5(casefold_ws_normalize(text))
 
 
 def rolling_hash(
@@ -147,7 +170,11 @@ def rolling_hash(
             % F.lit(base * 1000)
         )
     else:
-        tok_val = lambda t: F.abs(F.xxhash64(t)) % F.lit(base * 1000)
+        # pmod, not abs()%: abs(Long.MIN_VALUE) is unrepresentable and
+        # raises ARITHMETIC_OVERFLOW under ANSI for the 2^-64-probability
+        # token whose xxhash64 is exactly -2^63 — pmod is total on the
+        # full long range with the same [0, base*1000) output
+        tok_val = lambda t: F.pmod(F.xxhash64(t), F.lit(base * 1000))
     toks = tokens(text)
     return F.aggregate(
         toks,
@@ -180,14 +207,18 @@ def redact_pii(text: Column | str) -> Column:
 
 def pii_counts(text: Column | str) -> Column:
     """Struct of per-category PII hit counts (emails, phones, ips) — the
-    audit metric next to redact_pii."""
+    audit metric next to redact_pii. Each category counts on the text
+    with PRIOR categories already redacted, mirroring redact_pii's
+    sequential application: independent counts on the raw text would
+    report a phone inside an email address (e.g.
+    '555-123-4567@example.com') that the chained redaction never
+    touches — the audit would disagree with the scrub it audits."""
     c = F.col(text) if isinstance(text, str) else text
     fields = []
     for (pattern, sentinel) in _PII_PATTERNS:
         name = sentinel.strip("<>").lower() + "s"
-        fields.append(
-            F.regexp_count(c, F.lit(pattern)).alias(name)
-        )
+        fields.append(F.regexp_count(c, F.lit(pattern)).alias(name))
+        c = F.regexp_replace(c, pattern, sentinel)
     return F.struct(*fields)
 
 
@@ -203,9 +234,10 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
 
 
 def char_ngrams(text: Column | str, n: int = 5) -> Column:
-    """Character n-grams of the normalized text as array<string>."""
-    c = F.col(text) if isinstance(text, str) else text
-    s = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    """Character n-grams of the normalized text as array<string>
+    (normalization shared with doc_fingerprint via
+    casefold_ws_normalize — see its note)."""
+    s = casefold_ws_normalize(text)
     length = F.length(s)
     idx = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(1)))
     return F.when(length < n, F.array(s)).otherwise(
@@ -236,6 +268,14 @@ def chunk_spans(
     """
     if stride <= 0 or max_len <= 0 or stride > max_len:
         raise ValueError(f"need 0 < stride <= max_len, got {stride}/{max_len}")
+    reserved = {"__t", "__toks", "chunk_idx", "chunk_start", "chunk_len",
+                "chunk_text"}
+    clash = reserved & set(df.columns)
+    if clash:
+        # withColumn would silently OVERWRITE a caller's column of the
+        # same name and the trailing drops would delete it (e.g.
+        # re-chunking an already-chunked table)
+        raise ValueError(f"chunk_spans: input columns collide: {sorted(clash)}")
     t = token_count(text_col)
     n_chunks = (
         F.lit(1) + F.ceil(F.greatest(t - max_len, F.lit(0)) / F.lit(stride))
@@ -319,6 +359,11 @@ def assign_pack_bins_from_counts(
     can never diverge between their oracles. Window partitions by the
     group, so packing parallelizes across groups; only the per-group
     running sum is sequential, inherent to contiguous packing."""
+    if capacity <= 0:
+        # 0 would double-divide to Infinity and die in an ANSI cast
+        # overflow deep inside the job; negative silently yields
+        # negative bin ids — raise upfront like chunk_spans does
+        raise ValueError(f"capacity must be positive, got {capacity}")
     from pyspark.sql import Window
 
     w = (

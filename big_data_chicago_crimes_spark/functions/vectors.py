@@ -31,7 +31,14 @@ def _c(col: Column | str) -> Column:
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
-    """Σ aᵢ·bᵢ via zip_with + aggregate (double precision)."""
+    """Σ aᵢ·bᵢ via zip_with + aggregate (double precision).
+
+    NOTE length-mismatched inputs return NULL, not an error: zip_with
+    pads the shorter array with nulls and the fold propagates them —
+    mismatched rows then silently drop out of any sim-threshold filter.
+    Validate dimensions upstream when corruption is possible (the
+    vectorized kernels' _vectors_matrix guard is the loud variant).
+    """
     prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 

@@ -245,3 +245,60 @@ def test_lang_id_zero_token_doc_survives_as_und(spark, tmp_path):
         for lang, script, n in con.execute(q.oracle).fetchall()
     }
     assert got == oracle
+
+
+def test_lang_id_null_text_is_und_not_first_language(spark):
+    from big_data_chicago_crimes_spark.functions.text import lang_id_scores
+
+    df = spark.createDataFrame([(None,), ("the of and to in",)], "text string")
+    out = [r["lang"] for r in df.select(lang_id_scores("text").alias("lang")).collect()]
+    assert out == ["und", "en"]
+
+
+def test_pii_counts_agree_with_sequential_redaction_on_overlap(spark):
+    """A phone embedded in an email address is consumed by the email
+    redaction; the audit counts must not report it as a phone too."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame([("contact 555-123-4567@example.com",)], "text string")
+    row = df.select(
+        pii_counts("text").alias("pc"), redact_pii("text").alias("r")
+    ).collect()[0]
+    assert row["pc"]["emails"] == 1
+    assert row["pc"]["phones"] == 0  # consumed by the email redaction
+    assert "<PHONE>" not in row["r"] and "<EMAIL>" in row["r"]
+
+
+def test_rolling_hash_total_on_min_long_token(spark):
+    """pmod keeps the xxhash64 family total even for the token class
+    whose hash could be Long.MIN_VALUE (abs() would ANSI-overflow);
+    values stay in [0, mod)."""
+    from big_data_chicago_crimes_spark.functions.text import rolling_hash
+
+    df = spark.createDataFrame(
+        [("alpha beta gamma " * 50,), ("x",)], "text string"
+    )
+    out = [r["rh"] for r in df.select(rolling_hash("text").alias("rh")).collect()]
+    assert all(0 <= v < 2**57 - 13 for v in out)
+
+
+def test_chunk_spans_rejects_colliding_input_columns(spark):
+    import pytest
+
+    from big_data_chicago_crimes_spark.functions.text import chunk_spans
+
+    df = spark.createDataFrame([(1, "a b c", 9)], "doc_id long, text string, chunk_idx int")
+    with pytest.raises(ValueError, match="collide"):
+        chunk_spans(df)
+
+
+def test_pack_bins_rejects_nonpositive_capacity(spark):
+    import pytest
+
+    from big_data_chicago_crimes_spark.functions.text import assign_pack_bins_from_counts
+
+    df = spark.createDataFrame([("a", 5, 1)], "g string, n int, k int")
+    with pytest.raises(ValueError, match="capacity"):
+        assign_pack_bins_from_counts(df, "g", "n", ["k"], capacity=0)
