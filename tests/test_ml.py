@@ -136,3 +136,72 @@ def test_one_hot_pipeline(spark, sf_dir):
     prepared, cols = one_hot_pipeline(orders, "o_totalprice")
     assert "features" in prepared.columns
     assert any(c.endswith("_oh") for c in cols)
+
+
+def test_correlation_pairwise_nulls_and_constant_column(spark):
+    """Pairwise null deletion (SQL corr semantics, what the DuckDB
+    oracle computes) and NULL — not NaN — for a zero-variance column;
+    an all-null frame must not crash."""
+    from big_data_chicago_crimes_spark.operators.ml import (
+        pearson_correlation_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0, None), (2.0, 4.0, 5.0, 1.0), (3.0, None, 5.0, 2.0),
+         (4.0, 8.0, 5.0, 3.0)],
+        "a double, b double, const double, holey double",
+    )
+    out = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in pearson_correlation_matrix(df, ["a", "b", "const", "holey"]).collect()
+    }
+    assert out[("a", "b")] == 1.0           # pairwise: b's null row dropped for (a,b) only
+    assert out[("a", "holey")] == 1.0       # holey's null row dropped for this pair only
+    assert out[("a", "const")] is None      # zero variance -> NULL, not NaN
+    empty = spark.createDataFrame([], "a double, b double")
+    rows = pearson_correlation_matrix(empty, ["a", "b"]).collect()
+    assert all(r["corr"] is None for r in rows)  # total on empty input
+
+
+def test_heldout_featurization_fits_on_train_only(spark):
+    """The featurization must be fit on the train split only: moving a
+    test-split row's numeric value by 1000x must not change the train
+    rows' scaled features (full-frame fitting would shift the scaler's
+    std for everyone — the leak)."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.ml import (
+        SEED,
+        _split_and_featurize,
+    )
+
+    base = spark.range(60).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("double").alias("label"),
+        (F.col("id") * 1.0).alias("x"),
+    )
+    train1, _ = _split_and_featurize(base, "label", [0.8, 0.2])
+    # find a row that lands in TEST and perturb it by 1000x
+    train_ids = {r["id"] for r in train1.select("id").collect()}
+    test_id = next(i for i in range(60) if i not in train_ids)
+    perturbed = base.withColumn(
+        "x", F.when(F.col("id") == test_id, F.col("x") * 1000.0).otherwise(F.col("x"))
+    )
+    train2, _ = _split_and_featurize(perturbed, "label", [0.8, 0.2])
+    f1 = {r["id"]: r["features"].toArray().tolist() for r in train1.collect()}
+    f2 = {r["id"]: r["features"].toArray().tolist() for r in train2.collect()}
+    assert f1 == f2
+
+
+def test_kmeans_assign_tolerates_nulls_and_features_column(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.ml import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(1, 1.0, "f"), (2, None, "f"), (3, 100.0, "f"), (4, 101.0, "f")],
+        "id long, x double, features string",
+    )
+    out = kmeans_assign(df, ["x"], k=2)
+    assert out.count() == 3  # the null row dropped, loudly documented
+    assert "features" in out.columns  # caller's column survives
