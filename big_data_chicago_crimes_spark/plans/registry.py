@@ -44,113 +44,57 @@ REGISTRY: dict[str, Query] = {}
 # (VERDICT r4 #3); tests/test_registry.py derives the staleness contract from
 # the committed CORRECTNESS history, so a bad rotation fails CI.
 #
-# ROUND-13 WINDOW (the mechanical cohort rotation, VERDICT r12 #1): at 100
+# ROUND-14 WINDOW (the mechanical cohort rotation, VERDICT r12 #1): at 100
 # registered queries the two 50-query cohorts alternate windows every
-# round or the 2-round staleness contract breaks. The r12 window (dedup
-# sketches / ANN / text / sampling / ML / streaming twins / geo) rotates
-# OUT; the r11-green cohort (stream-static / span / line / semantic
-# dedup + ETL / OLAP / join spine / pipeline) rotates IN. The rotation
-# carries real freight — TWO of the returning cohort's certified paths
-# changed AFTER their r11 driver rows, so they go FIRST (the
-# r10 PassJoin / r11 dsir+rrf / r12 jaccard+quality+components
-# precedent):
-# - ``docs_stream_static_dedup_batch``: the shared bloom probe path it
-#   certifies (operators/dedup.py bloom_prefilter) was rewritten by the
-#   empty-bloom batch-drop fix (3222853) — a cold-start bloom frame is
-#   now coalesced to the degenerate (1,1) filter instead of silently
-#   nulling the geometry and dropping whole probe batches. The r11
-#   driver hash predates the fix.
-# - ``docs_domain_quota``: the shared LM fit lost its scratch-persist
-#   (three-arm interleaved A/B reversal, VERDICT r12) and its ccnet leg
-#   now routes through the NULL-guarded ``score_ntile`` — both claimed
-#   output-identical for this data, but the driver hash is the contract.
+# round or the 2-round staleness contract breaks. The r13 window (the
+# r11 cohort: stream-static / span / line / semantic dedup + ETL / OLAP
+# / join spine / pipeline — 50/50 hash-green in CORRECTNESS_r13) rotates
+# OUT; the r12 cohort (dedup sketches / ANN / text / sampling / ML /
+# streaming twins / geo) rotates IN. The rotation carries the round's
+# heaviest freight (VERDICT r13 #1): commit 144065b removed the
+# train/test leak from EVERY held-out ML runner AFTER the r12 rows were
+# stamped — featurization (indexer/scaler) now fits on the train split
+# only, and CrossValidator carries featurization inside its estimator so
+# each fold re-fits. The affected rows certify the OLD fit boundary, so
+# they go FIRST (the bloom-slot-1 precedent from r13, executed green):
+# - ``ml_classifier_auc_surface`` (AUC + CV + onehot legs) and
+#   ``ml_gbt_rmse``: every held-out metric they emit is recomputed on
+#   the leak-fixed path. If an AUC/RMSE band breaks, the band was
+#   calibrated on leaked metrics — re-derive it from truly-held-out
+#   numbers, do not re-widen to fit the leaked ones (VERDICT r13 #8).
+# - ``docs_train_val_test_split``: hash_split gained a NULL-key raise
+#   branch + global_hash_order NULL guard on its shards leg (r13
+#   session-2 review sweep, claimed output-identical).
+# - ``embedding_batch_topk``: _salted_topk gained order_col/ascending
+#   params for the PQ/ADC batch form (cosine path behavior-identical).
+# - ``embedding_near_dups_lsh``: output restructured in r13 (near_dup +
+#   top_candidate legs — the nonzero assertion surface, VERDICT r12 #3);
+#   its r12 row predates the restructure entirely.
+# - ``docs_lang_id`` (explode_outer zero-token survival),
+#   ``orders_temporal_bucket_surface`` (grouping()-tagged sets),
+#   ``geo_district_surface`` (context-managed reads): r13 builder
+#   changes claimed output-identical — the driver hash is the contract.
+# - ``docs_fingerprint_census``: the one unadjudicated >1.5× bench entry
+#   (VERDICT r13 wrong #3, suspect: NULL-fingerprint hardening c80ddf1)
+#   — early slot so the re-measure and the re-certification land together.
 # In-round additions are funded by the established pair-merge pattern
 # (merge two queries ALREADY inside this window into one result that
 # certifies both operators — precedent purchaser_error_overlap —
 # netting +1 slot each; merging across cohorts costs −2 and is never
 # done).
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- r13 window: the r11-green cohort rotates back in ---
-    # Slots 1-2: certified paths changed post-r11-row — weakest evidence first.
-    "docs_stream_static_dedup_batch",  # FIRST: bloom probe path rewritten post-r11-row (empty-filter fix)
-    "docs_domain_quota",  # SECOND: persist reversal + NULL-guarded score_ntile post-r11-row
-    "docs_stratified_sample",  # NEW r13: exact per-stratum fractional draw (VERDICT r12 #6) — never sampled
-    "docs_heavy_hitters_cms",  # NEW r13: count-min sketch estimates vs exact top-15 — never sampled
-    "docs_bigram_perplexity",  # NEW r13: interpolated-bigram LM scoring (CCNet upgrade) — never sampled
-    "docs_hybrid_search",  # rrf leg certified r11
-    "docs_shared_span_pairs",  # exact-substring span dedup (Lee et al. 2022 shape)
-    "docs_line_dedup",  # C4-style line-level boilerplate removal
-    "embedding_semantic_dedup",  # SemDeDup cluster-scoped pruning
-    "events_etl_clean_seeded",
-    "events_null_census",
-    "events_not_in_filter",
-    "events_dedup_keyed",
-    "events_csv_roundtrip",
-    "events_json_profile",
-    "events_count_by_type",
-    "events_type_stats_census",  # r13 merge: event_value_stats + distinct_event_types (one ROLLUP pass) — funds docs_stratified_sample
-    "hourly_max_event_count",
-    "purchase_top_users",
-    "purchaser_error_overlap",
-    "users_distinct_exact_vs_approx",
-    "events_by_segment_salted_join",
-    "events_sliding_1h_30m",
-    "orders_lake_partitioned_scan",
-    "lineitem_zorder_box_scan",
-    "orders_priority_fill_rollup",  # = orders_count_by_priority + orders_filled_pct (one ROLLUP pass)
-    "orders_by_price_band",
-    "orders_quarter_pivot",
-    "orders_grouping_surface",  # + 'pctl' leg = former orders_price_quantiles (r9)
-    "orders_running_total",
-    "lineitem_rollup",  # + corr columns = former lineitem_correlations (r9)
-    "revenue_metric_surface",  # r13 merge: promo_revenue_pct + forecast_revenue_change (Q14 + Q6 legs) — funds docs_heavy_hitters_cms
-    "late_shipment_orders",
-    "shipping_priority_top10",
-    "returned_item_top_customers",
-    "top_revenue_orders",
-    "supplier_nation_revenue",
-    "part_catalog_surface",  # r13 merge: parts_never_ordered + top10_part_types (anti-join + top-k legs) — funds docs_bigram_perplexity
-    "segment_customers_with_orders",
-    "all_account_balances",
-    "nation_balance_window_surface",  # = customer_balance_quartiles + nation_balance_extremes (one window pass)
-    "asof_join_surface",
-    "docs_pipeline_end_to_end",
-    "docs_temperature_mix",
-    "docs_curriculum_order",
-    "docs_chunk_windows",
-    "embedding_near_dup_certification",
-    "embedding_ivf_topk_lake_seeded",
-    "ml_correlation_matrix",
-    "multimodal_pipeline_stats",
-    # ------------------------------------------------------------------
-    # r12 cohort (rotates back in for r14). Builders CHANGED in r13 go
-    # first — they are the returning cohort's weakest evidence:
-    # - embedding_near_dups_lsh: output restructured (near_dup +
-    #   top_candidate legs — the nonzero assertion surface, VERDICT r12 #3)
-    # - docs_lang_id: explode_outer + coalesced sums (zero-token docs
-    #   survive as 'und'; output-identical on this fixture)
-    # - orders_temporal_bucket_surface: grouping()-tagged sets (ADVICE
-    #   r12; output-identical)
-    # - ml_classifier_auc_surface: CV grid imported from operators/ml
-    #   (behavior-identical)
-    # - geo_district_surface: context-managed file reads (behavior-
-    #   identical)
-    # r14 slot plan: a PQ/ADC query (operators landed r13 —
-    # similarity.pq_encode/pq_adc_topk, literal codebook so the oracle
-    # can replay it) funded by an r14-cohort pair merge.
-    # r13 session-2 builder changes to returning r14-cohort queries
-    # (review-driven guards in operators/sampling.py, claimed output-
-    # identical for non-degenerate data — pin EARLY in the r14 window,
-    # the rotation discipline): docs_train_val_test_split
-    # (hash_split NULL-key raise branch + global_hash_order NULL guard
-    # on its shards leg), embedding_batch_topk (_salted_topk gained
-    # order_col/ascending params, cosine path behavior-identical).
-    # ------------------------------------------------------------------
-    "embedding_near_dups_lsh",
-    "docs_lang_id",
-    "orders_temporal_bucket_surface",  # r12 merge: year_range + season legs
-    "ml_classifier_auc_surface",
-    "geo_district_surface",  # S6/S7/S8 geo dim + sinks
+    # --- r14 window: the r12 cohort rotates back in ---
+    # Slots 1-2: the leak-fixed ML runners (144065b) — weakest evidence first.
+    "ml_classifier_auc_surface",  # FIRST: held-out fit boundary rewritten post-r12-row (leak fix)
+    "ml_gbt_rmse",  # SECOND: same leak fix, regression runner
+    "docs_train_val_test_split",  # hash_split NULL-key guards post-r12-row
+    "embedding_batch_topk",  # _salted_topk signature change post-r12-row
+    "embedding_near_dups_lsh",  # output restructured r13 (nonzero top-candidate leg)
+    "docs_lang_id",  # explode_outer + coalesced sums post-r12-row
+    "orders_temporal_bucket_surface",  # r12 merge: year_range + season legs; grouping()-tagged r13
+    "geo_district_surface",  # S6/S7/S8 geo dim + sinks; context-managed reads r13
+    "docs_fingerprint_census",  # NULL-fingerprint hardening (c80ddf1) + bench re-measure
+    "ml_kmeans_customer_clusters",
     "docs_jaccard_pairs",
     "docs_quality_scores",  # pre-reduced LM scoring join (r12-certified)
     "docs_dedup_components",  # frontier-pruned propagation (r12-certified)
@@ -175,7 +119,6 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "embedding_ivf_topk_lake",
     "docs_token_stats",
     "docs_quality_by_source",
-    "docs_fingerprint_census",
     "docs_bpe_token_stats",
     "docs_repetition_stats",
     "docs_rolling_hash",
@@ -184,10 +127,6 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_pii_scrub_seeded",
     "docs_sequence_packing",
     "docs_sampling_census",
-    "docs_train_val_test_split",
-    "embedding_batch_topk",
-    "ml_gbt_rmse",
-    "ml_kmeans_customer_clusters",
     "revenue_by_nation",
     "pricing_summary",
     "orders_price_quantiles_approx",
@@ -196,6 +135,61 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "customer_balance_rank_in_nation",
     "events_hourly_tumbling",
     "user_session_counts",
+    # ------------------------------------------------------------------
+    # r13 cohort (the r11-green queries; rotates back in for r15).
+    # Order preserved from the r13 window, changed-builders-first rule
+    # to be re-applied at the r15 rotation.
+    # ------------------------------------------------------------------
+    "docs_stream_static_dedup_batch",  # r13 slot 1: bloom probe path re-certified green
+    "docs_domain_quota",  # r13 slot 2: persist reversal re-certified green
+    "docs_stratified_sample",  # NEW r13, certified green
+    "docs_heavy_hitters_cms",  # NEW r13, certified green
+    "docs_bigram_perplexity",  # NEW r13, certified green
+    "docs_hybrid_search",
+    "docs_shared_span_pairs",  # exact-substring span dedup (Lee et al. 2022 shape)
+    "docs_line_dedup",  # C4-style line-level boilerplate removal
+    "embedding_semantic_dedup",  # SemDeDup cluster-scoped pruning
+    "events_etl_clean_seeded",
+    "events_null_census",
+    "events_not_in_filter",
+    "events_dedup_keyed",
+    "events_csv_roundtrip",
+    "events_json_profile",
+    "events_count_by_type",
+    "events_type_stats_census",  # r13 merge: event_value_stats + distinct_event_types
+    "hourly_max_event_count",
+    "purchase_top_users",
+    "purchaser_error_overlap",
+    "users_distinct_exact_vs_approx",
+    "events_by_segment_salted_join",
+    "events_sliding_1h_30m",
+    "orders_lake_partitioned_scan",
+    "lineitem_zorder_box_scan",
+    "orders_priority_fill_rollup",  # = orders_count_by_priority + orders_filled_pct
+    "orders_by_price_band",
+    "orders_quarter_pivot",
+    "orders_grouping_surface",  # + 'pctl' leg = former orders_price_quantiles (r9)
+    "orders_running_total",
+    "lineitem_rollup",  # + corr columns = former lineitem_correlations (r9)
+    "revenue_metric_surface",  # r13 merge: promo_revenue_pct + forecast_revenue_change
+    "late_shipment_orders",
+    "shipping_priority_top10",
+    "returned_item_top_customers",
+    "top_revenue_orders",
+    "supplier_nation_revenue",
+    "part_catalog_surface",  # r13 merge: parts_never_ordered + top10_part_types
+    "segment_customers_with_orders",
+    "all_account_balances",
+    "nation_balance_window_surface",  # = customer_balance_quartiles + nation_balance_extremes
+    "asof_join_surface",
+    "docs_pipeline_end_to_end",
+    "docs_temperature_mix",
+    "docs_curriculum_order",
+    "docs_chunk_windows",
+    "embedding_near_dup_certification",
+    "embedding_ivf_topk_lake_seeded",
+    "ml_correlation_matrix",
+    "multimodal_pipeline_stats",
 )
 
 
