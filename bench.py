@@ -85,7 +85,7 @@ HEADLINE = [
     # text suite (quality/fingerprint extensions)
     "docs_quality_scores",
     "docs_repetition_stats",
-    "docs_pii_scrub_stats",
+    "docs_pii_scrub_surface",  # r14 merge: organic + seeded legs
     "docs_sequence_packing",
     "docs_chunk_pack",  # chunk -> pack-the-chunks composition (r8)
     # dedup / similarity (xxhash64 / LSH / blocked scale paths)
@@ -135,8 +135,7 @@ HEADLINE = [
 # above. Never deployed at scale; timed at the correctness SF.
 CERTIFICATION = [
     "docs_rolling_hash_md5_oracled",
-    "docs_minhash_md5_oracled",
-    "docs_simhash_md5_surface",  # r10 merge: fingerprint + band legs, one fingerprint pass
+    "docs_sketch_md5_surface",  # r14 merge: minhash_md5 + simhash fingerprint/band legs
     "docs_char_ngram_jaccard",  # exact in-block verify; scale path = LSH+verify
     # label-blocked quadratic baseline: demoted from HEADLINE in r7
     # (VERDICT r6 #3) — it exists as the correctness baseline for the LSH
@@ -147,7 +146,6 @@ CERTIFICATION = [
     "embedding_semantic_dedup_vec",  # same membership, BLAS forms + normed survivor index (r10)
     "embedding_near_dups_lsh_seeded",
     "docs_sketch_seeded_recall",
-    "docs_pii_scrub_seeded",
     "embedding_ivf_topk_lake_seeded",
     "events_etl_clean_seeded",
 ]

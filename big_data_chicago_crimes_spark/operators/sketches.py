@@ -1,4 +1,4 @@
-"""Mergeable frequency sketches.
+"""Mergeable sketches: count-min (frequency) and HyperLogLog (distinct).
 
 Count-min sketch (Cormode & Muthukrishnan, "An improved data stream
 summary: the count-min sketch and its applications", J. Algorithms
@@ -7,6 +7,21 @@ summary: the count-min sketch and its applications", J. Algorithms
 never undercount (every occurrence of ``x`` lands in exactly one
 bucket per row) and overcount only by hash collisions, bounded by
 ``2N/width`` with probability ``1 - 2^-depth``.
+
+HyperLogLog (Flajolet, Fusy, Gandouet & Meunier, "HyperLogLog: the
+analysis of a near-optimal cardinality estimation algorithm", AofA
+2007): ``m = 2^p`` registers, each holding the max rank (position of
+the leading 1-bit) of the hash suffixes routed to it;
+``estimate = α_m · m² / Σ_j 2^{-M_j}`` with linear counting below
+``2.5m``. Relative error ≈ 1.04/√m (~3.2% at p=10). The distinct-
+counting sibling of the CMS: constant ``m``-register state per group
+regardless of cardinality, map-side partials are per-partition
+sketches, the exchange is the register-wise MAX merge — where exact
+COUNT(DISTINCT key) shuffles every distinct key, the HLL shuffles at
+most ``m`` cells per group per partition, and sketches built on
+disjoint splits merge losslessly (max is associative), so per-split /
+per-day sketch tables can be stored and re-aggregated without
+re-reading data.
 
 Why this exists at 100 TB: exact per-token frequency is a shuffle keyed
 by the full vocabulary (web-scale: billions of distinct tokens, heavy
@@ -94,11 +109,21 @@ def cms_estimate(
     renamed to reserved ``__cms_*`` names before the join so an items
     frame carrying ``row``/``bucket``/``c`` columns of its own cannot
     collide (the probe struct uses ``__cms_cell`` for the same reason).
+
+    Output cardinality is DISTINCT ``items`` rows by construction
+    (``dropDuplicates`` before the probe): the estimate is a property of
+    the item VALUE, so duplicate probe rows would collapse in the final
+    groupBy anyway — deduplicating first makes the documented
+    "each distinct value" semantics explicit instead of a silent
+    cardinality change for callers probing a non-distinct frame
+    (ADVICE r13), and shrinks the probe-side explode. Callers needing
+    per-row estimates should join the result back on the item columns.
     """
     reserved = {"__cms_cell", "__cms_row", "__cms_bucket", "__cms_c", "cms_cnt"}
     clash = reserved & set(items.columns)
     if clash:
         raise ValueError(f"cms_estimate: items columns collide: {sorted(clash)}")
+    items = items.dropDuplicates()
     probe = F.broadcast(
         sketch.select(
             F.col("row").alias("__cms_row"),
@@ -124,3 +149,153 @@ def cms_estimate(
     return probed.groupBy(*items.columns).agg(
         F.min(F.coalesce(F.col("__cms_c"), F.lit(0))).alias("cms_cnt")
     )
+
+
+# --- HyperLogLog ---------------------------------------------------------
+#
+# Hashing follows the CMS convention: md5-derived (first 12 hex chars →
+# a 48-bit non-negative bigint) so a DuckDB oracle replays registers
+# bit-for-bit. The low ``p`` bits route to a register; the remaining
+# ``q = 48 - p`` bits supply the rank ρ = (leading zeros of the q-bit
+# suffix) + 1 ∈ [1, q+1], computed EXACTLY from the bit length of the
+# suffix (length of its base-2 string — no floating-point log anywhere
+# in the sketch state). The estimator's Σ 2^{-M_j} is likewise kept in
+# INTEGER arithmetic as z_int = Σ_j 2^{K - M_j} with K = q+1 (absent
+# registers contribute 2^K), so the sketch state is bit-exact across
+# engines; floats enter only in the final α·m²·2^K / z_int division
+# (and the linear-counting ln), both rounded at 6dp.
+
+HLL_P = 10  # m = 1024 registers → ~3.2% relative error
+_HLL_HEX = 12  # 48-bit hash: 12 hex chars keep the bigint positive
+
+
+def _hll_q(p: int) -> int:
+    return 4 * _HLL_HEX - p
+
+
+def hll_build(
+    df: DataFrame, item_col: str, group_cols: list[str], p: int = HLL_P
+) -> DataFrame:
+    """Per-group HLL sketch from one pass over ``df``: ``(*group_cols,
+    idx, m_rho)`` with at most ``2^p`` rows per group. One codegen'd md5
+    per item (no explode — unlike the CMS each item touches exactly one
+    register); the groupBy's map-side MAX partials ARE the per-partition
+    sketches and its exchange IS the register-wise merge, so the shuffle
+    moves ≤ m cells per group per partition no matter how many distinct
+    items the group holds."""
+    m = 1 << p
+    q = _hll_q(p)
+    h = F.conv(F.substring(F.md5(F.col(item_col)), 1, _HLL_HEX), 16, 10).cast(
+        "bigint"
+    )
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(q + 1)).otherwise(
+        F.lit(q + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, (h % m).alias("idx"), rho.alias("rho"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Lossless union of two sketch tables built with the same ``p``:
+    register-wise MAX. Because max is associative and commutative, a
+    merge of sketches over disjoint splits equals the sketch built
+    directly over the union — per-split sketch tables can be stored and
+    re-merged without re-reading data (certified by the 'merged' leg of
+    docs_domain_distinct_hll: merge-of-halves vs the oracle's direct
+    global sketch under one driver hash)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("m_rho").alias("m_rho"))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame, group_cols: list[str], p: int = HLL_P
+) -> DataFrame:
+    """Cardinality estimate per group: adds ``n_regs`` (touched
+    registers), ``z_int`` (the integer harmonic-sum state Σ_j 2^{K-M_j},
+    bigint — bit-exact across engines) and ``hll_est`` (α_m·m²·2^K /
+    z_int, or linear counting m·ln(m/V) when the raw estimate is below
+    2.5m and empty registers remain; rounded 6dp). The α·m²·2^K
+    numerator is ONE Python-computed double literal so the Spark plan
+    and any SQL oracle share the identical constant rather than each
+    re-deriving it in a different evaluation order."""
+    m = 1 << p
+    q = _hll_q(p)
+    k_max = q + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    numer = alpha * m * m * float(1 << k_max)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({k_max} - m_rho AS INT))")
+        ).alias("__z_present"),
+    )
+    z_int = (
+        F.col("__z_present")
+        + (F.lit(m) - F.col("n_regs")) * F.lit(1 << k_max).cast("bigint")
+    ).alias("z_int")
+    v = (F.lit(m) - F.col("n_regs")).cast("double")
+    raw = F.lit(numer) / F.col("z_int").cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_regs") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return (
+        agg.select(*group_cols, "n_regs", z_int, "__z_present")
+        .select(
+            *group_cols, "n_regs", "z_int", F.round(est, 6).alias("hll_est")
+        )
+    )
+
+
+def hll_oracle_sql(
+    group_expr: str, item_expr: str, source_sql: str, p: int = HLL_P
+) -> str:
+    """The DuckDB replay of build→estimate over ``source_sql`` (a
+    relation exposing ``group_expr`` and ``item_expr``): identical
+    md5-derived routing, bit-length ranks, integer z state, and the
+    SAME Python-interpolated α·m²·2^K constant the Spark plan bakes in.
+    Lives next to the operators so query modules certifying HLL surfaces
+    share one replay definition."""
+    m = 1 << p
+    q = _hll_q(p)
+    k_max = q + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    numer = alpha * m * m * float(1 << k_max)
+    return f"""
+        SELECT grp, n_regs, z_int,
+               ROUND(CASE WHEN {numer!r} / CAST(z_int AS DOUBLE) <= {2.5 * m!r}
+                          AND n_regs < {m}
+                          THEN {float(m)!r} * ln({float(m)!r} /
+                               CAST({m} - n_regs AS DOUBLE))
+                          ELSE {numer!r} / CAST(z_int AS DOUBLE)
+                     END, 6) AS hll_est
+        FROM (
+            SELECT grp, COUNT(*) AS n_regs,
+                   -- DuckDB SUM(BIGINT) widens to HUGEINT; the state fits
+                   -- comfortably in 63 bits (≤ m·2^K = 2^{p + k_max})
+                   CAST(SUM(CAST(1 AS BIGINT) << ({k_max} - m_rho))
+                        + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {k_max})
+                        AS BIGINT) AS z_int
+            FROM (
+                SELECT grp, idx, MAX(rho) AS m_rho FROM (
+                    SELECT {group_expr} AS grp,
+                           hv % {m} AS idx,
+                           CASE WHEN hv // {m} = 0 THEN {k_max}
+                                ELSE {k_max} - length(bin(hv // {m}))
+                           END AS rho
+                    FROM (
+                        SELECT *, ('0x' || substring(md5({item_expr}), 1,
+                                   {_HLL_HEX}))::BIGINT AS hv
+                        FROM ({source_sql})
+                    )
+                ) GROUP BY grp, idx
+            ) GROUP BY grp
+        )
+    """

@@ -108,8 +108,8 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_sketch_candidates_surface",  # r12 merge: minhash_lsh + simhash candidates
     "docs_sketch_seeded_recall",
     "docs_incremental_dedup",
-    "docs_minhash_md5_oracled",
-    "docs_simhash_md5_surface",
+    "docs_sketch_md5_surface",  # r14 merge: minhash_md5 + simhash_md5 legs — funds docs_domain_distinct_hll
+    "docs_domain_distinct_hll",  # NEW r14: mergeable HLL distinct sketch vs exact census — never sampled
     "embedding_near_dups_lsh_seeded",
     "docs_ngram_contamination",
     "docs_tfidf_similar_pairs",
@@ -123,8 +123,8 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_repetition_stats",
     "docs_rolling_hash",
     "docs_rolling_hash_md5_oracled",
-    "docs_pii_scrub_stats",
-    "docs_pii_scrub_seeded",
+    "docs_pii_scrub_surface",  # r14 merge: organic + seeded scrub legs — funds embedding_pq_adc_topk
+    "embedding_pq_adc_topk",  # NEW r14: PQ/ADC probe vs literal codebook (registered slot plan) — never sampled
     "docs_sequence_packing",
     "docs_sampling_census",
     "revenue_by_nation",

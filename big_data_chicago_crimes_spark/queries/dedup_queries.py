@@ -127,7 +127,7 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_sketch_candidates_surface",
     # r12 merge: the former docs_minhash_lsh_candidates and
     # docs_simhash_candidates (both xxhash64-family rows-only entries —
-    # their md5 twins docs_minhash_md5_oracled / docs_simhash_md5_surface
+    # their md5 twins (now merged into docs_sketch_md5_surface)
     # carry the DuckDB oracles, and the local suite proves family
     # invariance: test_minhash_family_invariance_vs_md5_twin,
     # test_simhash_pigeonhole_completeness) in ONE registry slot. The
@@ -690,7 +690,7 @@ def docs_sketch_seeded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       leaves band 3 agreeing, so the banded join MUST emit every planted
       pair; any fingerprinting, band-extraction, join, or dedup bug
       loses rows and breaks the hash. Precision of the band join is
-      certified separately by docs_simhash_md5_surface (band leg).
+      certified separately by docs_sketch_md5_surface (sh_band leg).
 
     Output keeps only the planted pairs (organic candidates are
     hash-family-dependent, hence unpredictable in SQL)."""
@@ -1033,21 +1033,21 @@ def _minhash_md5_oracle(num_hashes: int = 32, bands: int = 8) -> str:
     """
 
 
-@register(
-    "docs_minhash_md5_oracled",
-    oracle=_minhash_md5_oracle(),
-    tags=("dedup", "minhash", "lsh", "extension"),
-)
-def docs_minhash_md5_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH with the md5-string hash family — byte-identical in
-    DuckDB, so the FULL candidate-generation pipeline (shingle → 32
-    minhashes → 8 band signatures → collision join) is oracle-checked.
-    The xxhash64 variant (docs_minhash_lsh_candidates) stays the fast
-    default; this query certifies the algorithm."""
-    t = load_tables(spark, sf_dir)
-    return minhash_lsh_candidates(t.documents, hash_family="md5").orderBy(
-        "id_a", "id_b"
-    )
+def _sketch_md5_surface_oracle() -> str:
+    """Union of the minhash and simhash md5 certification oracles with
+    distinct leg tags — the merged-surface twin of the two queries it
+    replaced (r14 merge, funding the docs_domain_distinct_hll window
+    slot per the pair-merge slot-funding pattern)."""
+    return f"""
+        SELECT 'mh_band' AS leg, id_a AS a, id_b AS b FROM (
+            {_minhash_md5_oracle()}
+        )
+        UNION ALL
+        SELECT 'sh_' || leg AS leg, a, b FROM (
+            {_simhash_md5_surface_oracle()}
+        )
+        ORDER BY leg, a, b
+    """
 
 
 def _simhash_md5_oracle(bits: int = 32) -> str:
@@ -1103,26 +1103,35 @@ def _simhash_md5_surface_oracle(bits: int = 32, band_bits: int = 8) -> str:
 
 
 @register(
-    "docs_simhash_md5_surface",
-    oracle=_simhash_md5_surface_oracle(),
-    tags=("dedup", "simhash", "lsh", "extension"),
+    "docs_sketch_md5_surface",
+    oracle=_sketch_md5_surface_oracle(),
+    tags=("dedup", "minhash", "simhash", "lsh", "extension"),
 )
-def docs_simhash_md5_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL SimHash md5 certification surface in ONE result (r10
-    merge of docs_simhash_md5_oracled + the band-candidates twin —
-    funding the embedding_semantic_dedup_vec window slot): leg='fp'
-    emits every 32-bit fingerprint from the md5-derived bit stream
-    (byte-identical in DuckDB), leg='band' the 4×8-bit band-collision
-    pairs over those same fingerprints. The fingerprint table is
-    computed ONCE (scratch-persisted inside simhash_band_candidates;
-    the fp leg's identical plan hits the same cache), so the merged
-    query costs ~the band query alone — cheaper than the pair it
-    replaced. Certifies both stages that docs_simhash_candidates
-    (xxhash64, 64-bit/16-bit bands) runs as the fast default.
+def docs_sketch_md5_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL md5 sketch certification surface in ONE result — the r14
+    merge of docs_minhash_md5_oracled and docs_simhash_md5_surface
+    (itself the r10 merge of the simhash fp + band twins), funding the
+    docs_domain_distinct_hll window slot. Three legs:
 
-    CERTIFICATION query, not a scale path: 8-bit bands collide at rate
-    ~n²·4/256 on non-duplicate docs, the price of a fingerprint small
-    enough to reproduce in SQL; the production band space (2¹⁶ per
+    - ``mh_band`` — MinHash+LSH candidate pairs with the md5-string hash
+      family (byte-identical in DuckDB): shingle → 32 minhashes → 8 band
+      signatures → collision join, the full candidate-generation
+      pipeline that docs_minhash_lsh_candidates runs with xxhash64.
+    - ``sh_fp`` — every 32-bit SimHash fingerprint from the md5-derived
+      bit stream.
+    - ``sh_band`` — the 4×8-bit band-collision pairs over those same
+      fingerprints (the fingerprint table is computed ONCE:
+      scratch-persisted inside simhash_band_candidates, the fp leg's
+      identical plan hits the same cache).
+
+    The minhash and simhash legs share only the documents scan; their
+    sketch pipelines are independent, so one union costs the sum of the
+    two queries it replaced minus one scan — and certifies all three
+    stages under a single driver hash.
+
+    CERTIFICATION query, not a scale path: 8-bit simhash bands collide
+    at rate ~n²·4/256 on non-duplicate docs, the price of a fingerprint
+    small enough to reproduce in SQL; the production band space (2¹⁶ per
     band) keeps random collisions negligible."""
     from big_data_chicago_crimes_spark.operators.dedup import (
         simhash_band_candidates,
@@ -1130,17 +1139,24 @@ def docs_simhash_md5_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
+    mh = minhash_lsh_candidates(t.documents, hash_family="md5").select(
+        F.lit("mh_band").alias("leg"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+    )
     fp = simhash_table(t.documents, bits=32, hash_family="md5")
     pairs = simhash_band_candidates(fp, band_bits=8, bits=32)
     return (
-        fp.select(
-            F.lit("fp").alias("leg"),
-            F.col("doc_id").alias("a"),
-            F.col("simhash").alias("b"),
+        mh.unionByName(
+            fp.select(
+                F.lit("sh_fp").alias("leg"),
+                F.col("doc_id").alias("a"),
+                F.col("simhash").alias("b"),
+            )
         )
         .unionByName(
             pairs.select(
-                F.lit("band").alias("leg"),
+                F.lit("sh_band").alias("leg"),
                 F.col("id_a").alias("a"),
                 F.col("id_b").alias("b"),
             )

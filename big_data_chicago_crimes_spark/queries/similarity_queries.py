@@ -590,6 +590,189 @@ def embedding_ivf_topk_lake_seeded(spark: SparkSession, sf_dir: str) -> DataFram
     return single.unionByName(batch)
 
 
+# --- product quantization / ADC: the compressed-probe path --------------
+#
+# The PQ operators landed in r13 with local tests only (VERDICT r13
+# missing #1); this query executes the recorded slot plan
+# (plans/registry.py r14 window): a LITERAL codebook (the
+# literal_centroids determinism contract, per subspace) makes encoding
+# AND asymmetric-distance probing exactly SQL-replayable, so the whole
+# compressed path — sub-vector slicing, per-subspace nearest-sub-centroid
+# assignment, the driver-side m×k partial-distance table, the in-row ADC
+# fold, and both ranking forms — sits under one driver hash. Funded by
+# the docs_pii_scrub_stats + docs_pii_scrub_seeded merge.
+
+_PQ_M = 8  # subspaces → dim/m = 8 floats each at EMB_DIM=64
+_PQ_K = 16  # sub-centroids per subspace → codes are 4-bit, 32× compression
+_PQ_SUB = _EMB_DIM // _PQ_M
+
+
+def _pq_lit_codebook() -> list[list[list[float]]]:
+    from big_data_chicago_crimes_spark.operators.similarity import pq_codebook
+
+    return pq_codebook(_PQ_M, _PQ_K, _EMB_DIM)
+
+
+def _raw_sqdist_sql(vec_expr: str, cent_expr: str) -> str:
+    """UNrounded squared-L2 between two DOUBLE[] expressions — the
+    DuckDB mirror of the raw partial distances pq_adc_topk computes
+    driver-side (only the final ADC sum is rounded; encoding reuses the
+    ROUNDED ranking via _sqdist_sql's contract inline below)."""
+    return (
+        f"list_sum(list_transform(list_zip({vec_expr}, {cent_expr}), "
+        f"x -> (x[1] - x[2])*(x[1] - x[2])))"
+    )
+
+
+def _pq_adc_oracle() -> str:
+    """The ENTIRE PQ/ADC path in SQL: codebook VALUES, per-(vector,
+    subspace) nearest-sub-centroid code assignment (rounded-distance
+    ranking, cid tie-break — nearest_centroid_cells' portability
+    contract applied to the slice), the per-query partial-distance
+    table, code-indexed ADC sums rounded at 6dp, and both the
+    single-query top-10 and the 4-query batch top-3."""
+    book = _pq_lit_codebook()
+    values = ", ".join(
+        f"({s}, {c}, [{', '.join(repr(float(x)) for x in cv)}]::DOUBLE[])"
+        for s, sub_book in enumerate(book)
+        for c, cv in enumerate(sub_book)
+    )
+    slice_e = (
+        f"list_slice(e.embedding::DOUBLE[], cb.s*{_PQ_SUB}+1, cb.s*{_PQ_SUB}+{_PQ_SUB})"
+    )
+    slice_q0 = f"list_slice(q0.qv, cb.s*{_PQ_SUB}+1, cb.s*{_PQ_SUB}+{_PQ_SUB})"
+    slice_qb = f"list_slice(qb.qv, cb.s*{_PQ_SUB}+1, cb.s*{_PQ_SUB}+{_PQ_SUB})"
+    return f"""
+        WITH cb AS (SELECT * FROM (VALUES {values}) t(s, c, cv)),
+        enc AS (
+            SELECT vec_id, s, c AS code FROM (
+                SELECT e.vec_id, cb.s, cb.c,
+                       row_number() OVER (PARTITION BY e.vec_id, cb.s
+                           ORDER BY {_sqdist_sql(slice_e, "cb.cv")}, cb.c) AS rn
+                FROM embeddings e CROSS JOIN cb
+            ) WHERE rn = 1
+        ),
+        q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = {_QUERY_VEC_ID}),
+        tbl0 AS (
+            SELECT cb.s, cb.c, {_raw_sqdist_sql(slice_q0, "cb.cv")} AS pd
+            FROM cb CROSS JOIN q0
+        ),
+        adc0 AS (
+            SELECT e.vec_id, ROUND(SUM(t.pd), 6) AS adc_dist
+            FROM enc e JOIN tbl0 t ON e.s = t.s AND e.code = t.c
+            WHERE e.vec_id <> {_QUERY_VEC_ID}
+            GROUP BY e.vec_id
+        ),
+        single AS (
+            SELECT 'single' AS section, CAST(0 AS BIGINT) AS query_id,
+                   vec_id, adc_dist,
+                   CAST(row_number() OVER (ORDER BY adc_dist, vec_id)
+                        AS INTEGER) AS rank
+            FROM adc0 ORDER BY adc_dist, vec_id LIMIT 10
+        ),
+        qb AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 4),
+        tblb AS (
+            SELECT qb.query_id, cb.s, cb.c,
+                   {_raw_sqdist_sql(slice_qb, "cb.cv")} AS pd
+            FROM cb CROSS JOIN qb
+        ),
+        adcb AS (
+            SELECT t.query_id, e.vec_id, ROUND(SUM(t.pd), 6) AS adc_dist
+            FROM enc e JOIN tblb t ON e.s = t.s AND e.code = t.c
+            WHERE e.vec_id >= 4
+            GROUP BY t.query_id, e.vec_id
+        ),
+        batch AS (
+            SELECT 'batch' AS section, query_id, vec_id, adc_dist, rank FROM (
+                SELECT query_id, vec_id, adc_dist,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+                FROM adcb
+            ) WHERE rank <= 3
+        )
+        SELECT * FROM single UNION ALL SELECT * FROM batch
+        ORDER BY section, query_id, rank
+    """
+
+
+@register(
+    "embedding_pq_adc_topk",
+    oracle=_pq_adc_oracle(),
+    tags=("similarity", "ann", "pq", "adc", "extension"),
+)
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization / asymmetric-distance top-k (Jégou, Douze &
+    Schmid, TPAMI 2011), both probe forms against the LITERAL codebook,
+    in one certified surface:
+
+    - ``single`` — ``pq_adc_topk``: the vec_id=0 query (unquantized)
+      probes the encoded corpus (vec_id ≠ 0) for its top-10. The m×k
+      partial-distance table is driver-side index metadata baked into
+      the plan as literals; the per-row score is an in-row O(m) fold
+      over pq_codes — scan(codes) → project → TakeOrderedAndProject,
+      zero shuffles, raw vectors never read after encoding.
+    - ``batch`` — ``pq_adc_batch_topk``: vec_ids 0-3 as a query batch
+      (top-3 each) against the rest, all four partial-distance tables in
+      ONE literal 3-D array, per-query ranking via the shared
+      ``_salted_topk`` contract.
+
+    Encoding (``pq_encode``) is the only pass that touches raw vectors:
+    per subspace, nearest-sub-centroid by ROUNDED squared-L2 with cid
+    tie-break (the nearest_centroid_cells portability contract). At
+    100 TB the codes table is 32× smaller than the embeddings, and every
+    probe is a scan of codes alone.
+
+    The 4-row query batch is fetched driver-side (``collect`` on a
+    pushed-down ``vec_id < 4`` filter) — dim-bounded index metadata,
+    the ``_query_vec`` convention, never a data-sized move."""
+    from pyspark.sql import Window
+
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        pq_adc_batch_topk,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    t = load_tables(spark, sf_dir)
+    book = _pq_lit_codebook()
+    enc = pq_encode(t.embeddings, book)
+
+    qv = _query_vec(t)
+    w = Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    single = (
+        pq_adc_topk(
+            enc.filter(F.col("vec_id") != _QUERY_VEC_ID), book, qv, k=10
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.lit("single").alias("section"),
+            F.lit(0).cast("long").alias("query_id"),
+            "vec_id",
+            "adc_dist",
+            "rank",
+        )
+    )
+
+    qrows = (
+        t.embeddings.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .collect()  # 4 dim-sized rows: a retrieval batch is index metadata
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    batch = pq_adc_batch_topk(
+        enc.filter(F.col("vec_id") >= 4), book, queries, k=3
+    ).select(
+        F.lit("batch").alias("section"),
+        F.col("query_id").cast("long").alias("query_id"),
+        "vec_id",
+        "adc_dist",
+        "rank",
+    )
+    return single.unionByName(batch).orderBy("section", "query_id", "rank")
+
+
 @register(
     "docs_hybrid_search",
     # The retrieval funnel of a RAG/search stack: cheap lexical recall
@@ -930,7 +1113,7 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_semantic_dedup_vec",
     # Funded by folding docs_simhash_md5_oracled into
-    # docs_simhash_band_candidates_md5_oracled (→ docs_simhash_md5_surface,
+    # docs_simhash_band_candidates_md5_oracled (→ docs_sketch_md5_surface,
     # dedup_queries.py). The oracle is construction-independent — it
     # replays the membership DEFINITION in SQL — so reusing it against
     # the BLAS-vectorized builders certifies their exact equality under

@@ -92,7 +92,7 @@ SUITE = {
         "docs_quality_scores",
         "docs_lang_id",
         # first-class as of r7 (r6 measured both ad hoc as late additions)
-        "docs_pii_scrub_stats",
+        "docs_pii_scrub_surface",
         "docs_sequence_packing",
         "docs_chunk_windows",
         "docs_chunk_pack",

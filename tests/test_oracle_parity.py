@@ -47,7 +47,7 @@ def test_results_stable_under_partitioning(spark, sf_dir):
         "orders_running_total",
         "docs_exact_dedup",
         "docs_sampling_census",
-        "docs_minhash_md5_oracled",
+        "docs_sketch_md5_surface",
     ]
     qs = all_queries()
     before = spark.conf.get("spark.sql.shuffle.partitions")

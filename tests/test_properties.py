@@ -647,3 +647,49 @@ def test_bigram_logprob_matches_python_reference(spark, docs):
     )
     got = {r["doc_id"]: r["bigram_lp"] for r in bigram_logprob(df).collect()}
     assert got == want
+
+
+@SETTINGS
+@given(
+    items=st.lists(
+        st.sampled_from([f"v{i}" for i in range(40)]), min_size=1, max_size=120
+    )
+)
+def test_hll_state_and_estimate_match_python_model(spark, items):
+    """The FULL HLL state (register map, n_regs, integer z) must equal an
+    independent Python model (hashlib md5, bit_length ranks, integer
+    harmonic state) on arbitrary streams, and the estimate must agree to
+    1e-6 — pins the 48-bit hash derivation, the p/q bit split, the rank
+    arithmetic, and both estimator branches (the same derivation the
+    DuckDB oracle replays)."""
+    import hashlib
+    import math
+
+    from big_data_chicago_crimes_spark.operators.sketches import (
+        HLL_P,
+        hll_build,
+        hll_estimate,
+    )
+
+    p, m = HLL_P, 1 << HLL_P
+    k_max = 48 - p + 1
+    regs: dict[int, int] = {}
+    for it in set(items):
+        hv = int(hashlib.md5(it.encode()).hexdigest()[:12], 16)
+        idx, w = hv % m, hv >> p
+        rho = k_max if w == 0 else k_max - w.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    z_int = sum(1 << (k_max - r) for r in regs.values()) + (m - len(regs)) * (
+        1 << k_max
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m * float(1 << k_max) / z_int
+    v = m - len(regs)
+    est = m * math.log(m / v) if (raw <= 2.5 * m and v > 0) else raw
+
+    df = spark.createDataFrame([("g", it) for it in items], "g string, item string")
+    sk = hll_build(df, "item", ["g"])
+    assert {r["idx"]: r["m_rho"] for r in sk.collect()} == regs
+    row = hll_estimate(sk, ["g"]).collect()[0]
+    assert (row["n_regs"], row["z_int"]) == (len(regs), z_int)
+    assert abs(row["hll_est"] - est) < 1e-6

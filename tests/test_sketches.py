@@ -97,3 +97,55 @@ def test_cms_estimate_reserved_output_name_raises(spark):
     items = df.withColumn("cms_cnt", F.lit(0))
     with pytest.raises(ValueError, match="collide"):
         cms_estimate(sketch, items, "token", depth=2, width=8)
+
+
+# --- HyperLogLog ---------------------------------------------------------
+
+from big_data_chicago_crimes_spark.operators.sketches import (  # noqa: E402
+    HLL_P,
+    hll_build,
+    hll_estimate,
+    hll_merge,
+)
+
+_M = 1 << HLL_P
+
+
+def test_hll_state_bounded_and_duplicate_insensitive(spark):
+    """Sketch state is ≤ m rows per group regardless of cardinality, and
+    duplicate instances change NOTHING (distinct-count semantics: an
+    item's hash always routes to the same register with the same rank)."""
+    df = _items(spark, [f"t{i}" for i in range(3000)])
+    sk = hll_build(df, "token", [])
+    assert sk.count() <= _M
+    dup = _items(spark, [f"t{i % 3000}" for i in range(9000)])
+    sk_dup = hll_build(dup, "token", [])
+    a = {(r["idx"], r["m_rho"]) for r in sk.collect()}
+    b = {(r["idx"], r["m_rho"]) for r in sk_dup.collect()}
+    assert a == b
+
+
+def test_hll_merge_of_splits_equals_direct_sketch(spark):
+    """max is associative: merging sketches over disjoint splits must
+    equal the sketch built directly on the union — the property that
+    lets per-day sketch tables be stored and re-aggregated."""
+    a = _items(spark, [f"x{i}" for i in range(400)])
+    b = _items(spark, [f"x{i}" for i in range(200, 700)])  # overlapping too
+    direct = hll_build(a.unionByName(b), "token", [])
+    merged = hll_merge(
+        hll_build(a, "token", []), hll_build(b, "token", []), []
+    )
+    got_d = {(r["idx"], r["m_rho"]) for r in direct.collect()}
+    got_m = {(r["idx"], r["m_rho"]) for r in merged.collect()}
+    assert got_d == got_m
+
+
+def test_hll_estimate_within_advertised_error(spark):
+    """~1.04/√m relative error at p=10 (≈3.2%); allow 3σ on a
+    deterministic fixture at two cardinalities spanning the linear-
+    counting and raw-estimator branches."""
+    for n in (100, 5000):
+        df = _items(spark, [f"item-{i}" for i in range(n)])
+        row = hll_estimate(hll_build(df, "token", []), []).collect()[0]
+        rel = abs(row["hll_est"] - n) / n
+        assert rel < 3 * 1.04 / (_M ** 0.5), (n, row["hll_est"])
