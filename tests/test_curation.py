@@ -490,3 +490,20 @@ def test_bigram_logprob_validates_lam(spark):
         bigram_logprob(docs, lam=1.0)
     with pytest.raises(ValueError, match="lam"):
         bigram_logprob(docs, lam=-0.1)
+
+
+def test_lm_scoring_join_broadcasts_under_aqe(spark):
+    """The vocabulary-side scoring joins carry NO static broadcast hint
+    (_vocab_side, VERDICT r13 #4 — vocabulary grows with the corpus, so
+    an unconditional hint is a 100 TB driver OOM). At bench scales the
+    posture must cost nothing: AQE sees the post-aggregate vocab size at
+    runtime and converts the join to broadcast anyway. Execute and check
+    the FINAL adaptive plan."""
+    from big_data_chicago_crimes_spark.operators.curation import unigram_logprob
+
+    docs = _docs(spark, [(i, f"tok{i % 7} tok{(i + 1) % 7} common") for i in range(50)])
+    scored = unigram_logprob(docs)
+    scored.collect()  # materialize so AQE finalizes the plan
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
