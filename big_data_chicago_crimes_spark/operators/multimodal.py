@@ -87,18 +87,18 @@ def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Dat
     the output byte count deterministically from input size and target
     dims. Arrow-batched mapInPandas, production-shaped."""
 
+    cap = target_w * target_h * 3
+
     def kernel(batches):
         for pdf in batches:
             n_in = pdf["payload"].map(len).astype("int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "target_w": pd.Series([target_w] * len(pdf), dtype="int32"),
-                    "target_h": pd.Series([target_h] * len(pdf), dtype="int32"),
-                    # fake: resized size scales with target area, capped by input
-                    "n_bytes_out": (n_in.clip(upper=target_w * target_h * 3)),
-                }
-            )
+            out = pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64")})
+            # scalar assignment broadcasts — no per-batch list-of-constants
+            out["target_w"] = pd.Series(target_w, index=out.index, dtype="int32")
+            out["target_h"] = pd.Series(target_h, index=out.index, dtype="int32")
+            # fake: resized size scales with target area, capped by input
+            out["n_bytes_out"] = n_in.clip(upper=cap).values
+            yield out
 
     return df.select("doc_id", "payload").mapInPandas(kernel, schema=RESIZED_SCHEMA)
 

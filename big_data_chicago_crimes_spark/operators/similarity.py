@@ -52,7 +52,16 @@ def _spark_round6(a: "np.ndarray") -> "np.ndarray":
     out = np.round(a, 6)
     scaled = a * 1e6
     frac = np.abs(scaled - np.floor(scaled) - 0.5)
-    sus = np.argwhere(frac < 1e-6)
+    # The suspicion window is RELATIVE, not a bare 1e-6 (ADVICE r13):
+    # once |scaled| exceeds ~2^32 the ulp of the scaled value is larger
+    # than 1e-6, so a true half-boundary could sit outside an absolute
+    # window and silently fall back to numpy's half-even. A few ulps of
+    # the scaled magnitude keeps every representable boundary inside
+    # the window at any magnitude; over-wide windows only send extra
+    # elements through the exact-but-slow Decimal path (correct, never
+    # wrong).
+    tol = np.maximum(1e-6, 8 * np.spacing(np.abs(scaled)))
+    sus = np.argwhere(frac < tol)
     if len(sus):
         from decimal import ROUND_HALF_UP, Decimal
 
@@ -989,12 +998,25 @@ def ivf_topk(
     k_centroids rows), scan only the ``nprobe`` nearest inverted lists,
     exact cosine re-rank inside them. With centroid_id as a partition
     column this is a partition-pruned scan of ~nprobe/k of the data."""
-    q = np.asarray(query_vec, dtype=float)
     # rank cells by the SAME rounded-squared-L2 + cid tie-break contract
     # nearest_centroid_cells / batch_ivf_topk use — raw norms would let
     # a < 5e-7 distance gap probe a different cell than the batch path
-    # (tests pin single == batch per query)
-    d2 = _spark_round6(((np.asarray(centroids, dtype=float) - q) ** 2).sum(axis=1))
+    # (tests pin single == batch per query). Each distance is a
+    # SEQUENTIAL Python fold (ann_topk's _fold_dot convention, ADVICE
+    # r13): numpy's pairwise ((c-q)**2).sum() can differ from Spark's
+    # left-to-right F.aggregate by an ulp BEFORE rounding, and a 6dp
+    # boundary value would then round to a different cell than the
+    # batch path probes.
+    def _fold_sqdist(c) -> float:
+        acc = 0.0
+        for x, y in zip(query_vec, c):
+            d = float(x) - float(y)
+            acc += d * d
+        return acc
+
+    d2 = [
+        float(_spark_round6(np.asarray([_fold_sqdist(c)]))[0]) for c in centroids
+    ]
     probe_ids = sorted(range(len(centroids)), key=lambda i: (d2[i], i))[:nprobe]
     candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)

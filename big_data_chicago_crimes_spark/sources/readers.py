@@ -77,13 +77,14 @@ def literal_table(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-# cache-key → resolved read schema. The footer of a given file never
-# changes without the file itself changing, so one metadata read per key
-# per process is enough. For a single file the key is (path, mtime); for
-# a DIRECTORY dataset the directory entry's mtime does not change when a
-# part file is overwritten in place, so the key folds in the max mtime
-# across part files (one listdir — still metadata-only, no data scan).
-_READ_SCHEMA_CACHE: dict[tuple[str, float], T.StructType] = {}
+# cache-key → (resolved read schema, per-column temporal units). The
+# footer of a given file never changes without the file itself changing,
+# so one metadata read per key per process is enough. For a single file
+# the key is (path, mtime); for a DIRECTORY dataset the directory
+# entry's mtime does not change when a part file is overwritten in
+# place, so the key folds in the max mtime across part files (one
+# listdir — still metadata-only, no data scan).
+_READ_SCHEMA_CACHE: dict[tuple, tuple[T.StructType, dict[str, str | None]]] = {}
 
 
 def _schema_cache_key(path: str) -> tuple[str, float]:
@@ -142,6 +143,24 @@ def adaptive_read_schema(path: str, declared: T.StructType) -> T.StructType:
     assume — for every declared-timestamp column, not just events.ts.
     ``normalize_temporals`` converts the loaded columns back to the
     declared logical types."""
+    return _adaptive_schema_and_units(path, declared)[0]
+
+
+def temporal_units(path: str, declared: T.StructType) -> dict[str, str | None]:
+    """Per-column temporal unit for declared-timestamp columns that LOAD
+    as LongType, decided ONCE PER COLUMN from the parquet logical-type
+    annotation (ADVICE r13 — the footer is authoritative: a typed
+    timestamp[ns] column is nanoseconds for every row, full stop):
+    ``'ns'`` for typed TIMESTAMP(NANOS), ``None`` for untyped INT64
+    (the footer genuinely does not say — ``normalize_temporals`` falls
+    back to the per-row magnitude heuristic for those). Memoized with
+    the read schema (same key, one footer peek)."""
+    return _adaptive_schema_and_units(path, declared)[1]
+
+
+def _adaptive_schema_and_units(
+    path: str, declared: T.StructType
+) -> tuple[T.StructType, dict[str, str | None]]:
     import pyarrow as pa
 
     # the declared schema is part of the key: two callers reading the
@@ -153,6 +172,7 @@ def adaptive_read_schema(path: str, declared: T.StructType) -> T.StructType:
 
     leaf = _parquet_leaf_types(path)
     fields = []
+    units: dict[str, str | None] = {}
     for f in declared.fields:
         dtype = f.dataType
         if isinstance(f.dataType, T.TimestampType) and f.name in leaf:
@@ -163,6 +183,7 @@ def adaptive_read_schema(path: str, declared: T.StructType) -> T.StructType:
             elif pa.types.is_timestamp(at):
                 if at.unit == "ns":
                     dtype = T.LongType()  # raw int64 ns
+                    units[f.name] = "ns"
                 elif at.tz is not None:
                     dtype = T.TimestampType()
                 else:
@@ -171,28 +192,42 @@ def adaptive_read_schema(path: str, declared: T.StructType) -> T.StructType:
                 dtype = T.DateType()
             elif pa.types.is_integer(at):
                 dtype = T.LongType()
+                units[f.name] = None  # untyped: unit unknowable from footer
             else:
                 raise TypeError(
                     f"{f.name} has unsupported parquet type {at}"
                 )
         fields.append(T.StructField(f.name, dtype, f.nullable))
-    schema = T.StructType(fields)
-    _READ_SCHEMA_CACHE[key] = schema
-    return schema
+    result = (T.StructType(fields), units)
+    _READ_SCHEMA_CACHE[key] = result
+    return result
 
 
-def normalize_temporals(df: DataFrame, declared: T.StructType) -> DataFrame:
+def normalize_temporals(
+    df: DataFrame,
+    declared: T.StructType,
+    units: dict[str, str | None] | None = None,
+) -> DataFrame:
     """Convert every column that ``declared`` types as TimestampType from
     its LOADED dtype back to TimestampType:
 
-    - LongType → epoch integer whose UNIT is decided per row by
-      magnitude: |v| ≥ 10^17 is nanoseconds (any date after 1973 in ns
-      exceeds it; in µs that magnitude is the year 5138), else
-      microseconds — so an untyped-INT64-micros generation cannot be
-      shrunk 1000× into January 1970 (the round-4 regression class this
-      reader exists to prevent; the ns path was previously ASSUMED).
-      Conversion uses exact integer division (``DIV`` stays in bigint —
-      double division loses precision above 2^53 ns).
+    - LongType → epoch integer. The UNIT comes from ``units`` (the
+      footer's logical-type annotation via ``temporal_units`` — decided
+      ONCE PER COLUMN, the authoritative answer for typed
+      TIMESTAMP(NANOS) files; every production loader passes it). When
+      the footer is silent (untyped INT64) or no ``units`` is supplied,
+      fall back to the per-row magnitude heuristic: v ≥ 10^17 or
+      ≤ −10^17 is nanoseconds (any date after 1973 in ns exceeds it; in
+      µs that magnitude is the year 5138), else microseconds — so an
+      untyped-INT64-micros generation cannot be shrunk 1000× into
+      January 1970 (the round-4 regression class this reader exists to
+      prevent). The heuristic's blind spot — ns epochs before ~March
+      1973 decode as µs — is exactly why typed files take the footer
+      path (ADVICE r13). The two-sided comparison (not ``abs``) stays
+      total on the full long range: abs(Long.MIN_VALUE) raises
+      ARITHMETIC_OVERFLOW under ANSI. Conversion uses exact integer
+      division (``DIV`` stays in bigint — double division loses
+      precision above 2^53 ns).
     - TimestampNTZType → reinterpret as session-tz timestamp (session tz
       is pinned to UTC in session.py, so this is a wall-clock no-op and
       matches DuckDB's naive reading of the same file).
@@ -206,13 +241,20 @@ def normalize_temporals(df: DataFrame, declared: T.StructType) -> DataFrame:
             continue
         loaded = out.schema[f.name].dataType
         if isinstance(loaded, T.LongType):
-            out = out.withColumn(
-                f.name,
-                F.when(
-                    F.abs(F.col(f.name)) >= F.lit(10**17),
-                    F.timestamp_micros(F.expr(f"{f.name} DIV 1000")),
-                ).otherwise(F.timestamp_micros(F.col(f.name))),
-            )
+            ns_expr = F.timestamp_micros(F.expr(f"{f.name} DIV 1000"))
+            us_expr = F.timestamp_micros(F.col(f.name))
+            unit = (units or {}).get(f.name)
+            if unit == "ns":
+                converted = ns_expr
+            elif unit == "us":
+                converted = us_expr
+            else:
+                converted = F.when(
+                    (F.col(f.name) >= F.lit(10**17))
+                    | (F.col(f.name) <= F.lit(-(10**17))),
+                    ns_expr,
+                ).otherwise(us_expr)
+            out = out.withColumn(f.name, converted)
         elif isinstance(loaded, (T.TimestampNTZType, T.DateType)):
             out = out.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
         elif isinstance(loaded, T.TimestampType):
@@ -231,11 +273,15 @@ def events_read_schema(path: str) -> T.StructType:
     return adaptive_read_schema(path, events_schema_with_ts(T.TimestampType()))
 
 
-def normalize_event_ts(df: DataFrame) -> DataFrame:
+def normalize_event_ts(
+    df: DataFrame, units: dict[str, str | None] | None = None
+) -> DataFrame:
     """Normalize a loaded events frame's ``ts`` to TimestampType —
     ``normalize_temporals`` specialized to the events schema (kept as a
-    named entry point for the streaming reader and encoding tests)."""
-    return normalize_temporals(df, events_schema_with_ts(T.TimestampType()))
+    named entry point for the streaming reader and encoding tests).
+    Pass ``units=temporal_units(path, ...)`` when the source path is
+    known so typed ns columns take the exact footer decision."""
+    return normalize_temporals(df, events_schema_with_ts(T.TimestampType()), units)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -244,8 +290,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     declared = TESTDATA_SCHEMAS[name]
     # temporal encodings vary by testdata generation — adapt, don't assume
-    raw = read_parquet(spark, path, adaptive_read_schema(path, declared))
-    return normalize_temporals(raw, declared)
+    schema, units = _adaptive_schema_and_units(path, declared)
+    raw = read_parquet(spark, path, schema)
+    return normalize_temporals(raw, declared, units)
 
 
 class Tables(Mapping):

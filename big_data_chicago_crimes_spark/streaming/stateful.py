@@ -21,6 +21,20 @@ OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timest
 # tuples don't carry pandas Timestamps): without it, a micro-batch made
 # only of LATE events would emit a REGRESSED "last-seen" timestamp (that
 # batch's max, not the running max) while the counters stayed correct.
+#
+# SCHEMA MIGRATION (ADVICE r13): this schema grew from 2 fields
+# (n_events, total_value) to 3 when last_ts_us was added. The state
+# STORE schema is part of the checkpoint: Spark's state-store schema
+# compatibility check rejects a resume from an old-schema checkpoint at
+# stream start ([STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE]) — it never
+# reaches the Python kernel, so a len-2 tuple cannot appear in
+# ``state.get`` at runtime. The defensive unpack below still handles it
+# (last seen = unknown → None) so that IF a deployment disables the
+# compatibility check (spark.sql.streaming.stateStore.stateSchemaCheck)
+# the resume degrades gracefully instead of dying on a tuple-unpack
+# error mid-batch. Operators changing this schema again: either keep
+# the prefix stable and append (this pattern), or document that
+# checkpoints must be discarded on upgrade.
 STATE_SCHEMA = "n_events long, total_value double, last_ts_us long"
 
 
@@ -31,9 +45,14 @@ def _update_user_profile(
     and emit the refreshed profile row. Pure pandas per Arrow batch — no
     per-row Python in the hot path."""
     (user_id,) = key
-    n_events, total_value, last_ts_us = (
-        state.get if state.exists else (0, 0.0, None)
-    )
+    if state.exists:
+        prior = tuple(state.get)
+        # legacy 2-field state (pre-last_ts_us checkpoints, see
+        # STATE_SCHEMA note): treat last-seen as unknown, not a crash
+        n_events, total_value = prior[0], prior[1]
+        last_ts_us = prior[2] if len(prior) > 2 else None
+    else:
+        n_events, total_value, last_ts_us = 0, 0.0, None
     last_ts = pd.Timestamp(last_ts_us, unit="us") if last_ts_us is not None else None
     for pdf in batches:
         n_events += len(pdf)

@@ -31,13 +31,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch loader does (stream/batch symmetry includes ingestion)."""
     # the file stream source requires a DIRECTORY; glob-filter to the
     # events file inside the scale-factor dir
+    from big_data_chicago_crimes_spark.schemas import events_schema_with_ts
+    from big_data_chicago_crimes_spark.sources.readers import temporal_units
+    from pyspark.sql import types as T
+
+    path = f"{sf_dir}/events.parquet"
     raw = (
-        spark.readStream.schema(events_read_schema(f"{sf_dir}/events.parquet"))
+        spark.readStream.schema(events_read_schema(path))
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return normalize_event_ts(raw)
+    # typed ns files take the exact footer unit; only untyped INT64
+    # falls back to the per-row magnitude heuristic (ADVICE r13)
+    units = temporal_units(path, events_schema_with_ts(T.TimestampType()))
+    return normalize_event_ts(raw, units)
 
 
 def tumbling_window_agg(

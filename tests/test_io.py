@@ -186,3 +186,34 @@ def test_normalize_temporals_unit_by_magnitude(spark):
     declared = T.StructType([T.StructField("ts", T.TimestampType())])
     out = [r["ts"].year for r in normalize_temporals(df, declared).collect()]
     assert out == [2024, 2024]
+
+
+def test_typed_ns_pre_1973_epoch_uses_footer_unit(spark, tmp_path):
+    """A typed TIMESTAMP(NANOS) column whose values predate ~March 1973
+    falls below the 10^17 magnitude cutoff — the per-row heuristic would
+    decode it as MICROSECONDS (landing decades in the future). The
+    loader must take the footer's per-column unit instead (ADVICE r13).
+    Also pins the Long.MIN_VALUE ANSI-safety of the fallback: the
+    magnitude test is two-sided, never abs()."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from big_data_chicago_crimes_spark.sources.readers import (
+        _adaptive_schema_and_units,
+        normalize_temporals,
+        read_parquet,
+    )
+
+    ns_1970 = 86_400 * 10**9  # 1970-01-02 in ns — far below 10^17
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"ts": pa.array([ns_1970], pa.timestamp("ns"))}), path)
+    declared = T.StructType([T.StructField("ts", T.TimestampType())])
+    schema, units = _adaptive_schema_and_units(path, declared)
+    assert units == {"ts": "ns"}
+    out = normalize_temporals(read_parquet(spark, path, schema), declared, units)
+    assert [str(r["ts"].date()) for r in out.collect()] == ["1970-01-02"]
+
+    # fallback (no units) survives Long.MIN_VALUE under ANSI
+    df = spark.createDataFrame([(-(2**63),)], "ts long")
+    normalize_temporals(df, declared).collect()
