@@ -104,6 +104,7 @@ HEADLINE = [
     "embedding_ivf_topk_lake",       # materialized-index probe (scale path)
     "embedding_lsh_bucket_histogram",
     "embedding_batch_topk",  # multi-query broadcast bucket join (r8)
+    "embedding_pq_adc_topk",  # PQ-compressed ADC probe, single + batch legs (r14)
     "events_json_profile",  # merged JSON surface (r7 continuation)
     # sampling / splits
     "docs_sampling_census",
@@ -111,6 +112,7 @@ HEADLINE = [
     "docs_domain_quota",  # histogram-bounded per-domain quota cap
     "docs_stratified_sample",  # exact per-stratum fractional draw (r13)
     "docs_heavy_hitters_cms",  # count-min sketch vs exact top-15 (r13)
+    "docs_domain_distinct_hll",  # mergeable HLL distinct census vs exact (r14)
     "docs_bigram_perplexity",  # interpolated-bigram LM scoring (r13)
     "docs_temperature_mix",  # sqrt-rate mixture flattening
     "docs_chunk_windows",  # sliding token-window fan-out

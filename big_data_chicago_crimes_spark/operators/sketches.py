@@ -1,4 +1,5 @@
-"""Mergeable sketches: count-min (frequency) and HyperLogLog (distinct).
+"""Mergeable sketches: count-min (frequency), HyperLogLog (distinct),
+and equi-width histogram (quantiles).
 
 Count-min sketch (Cormode & Muthukrishnan, "An improved data stream
 summary: the count-min sketch and its applications", J. Algorithms
@@ -298,4 +299,138 @@ def hll_oracle_sql(
                 ) GROUP BY grp, idx
             ) GROUP BY grp
         )
+    """
+
+
+# --- Equi-width histogram quantile sketch --------------------------------
+#
+# The quantile member of the sketch family (CMS = frequency, HLL =
+# distinct, this = quantiles). percentile_approx's GK sketch already
+# gives mergeable WITHIN-QUERY quantiles, but its state is
+# JVM-internal: it cannot be stored as a table, merged across
+# days/splits after the fact, or replayed by another engine. This
+# sketch CAN: the state is (group, bin, c) rows over a fixed value
+# range — an equi-width histogram — whose merge is cell-wise ADDITION
+# (the CMS merge), whose size is ≤ n_bins per group at any row count,
+# and whose binning arithmetic reproduces bit-for-bit in any IEEE
+# engine. Quantile estimates carry a deterministic error bound:
+# the true quantile lies within the answering bin, so the error is
+# ≤ one bin width ((hi-lo)/n_bins); callers size n_bins to the value
+# range like CMS width to the mass budget. Values outside [lo, hi]
+# clip into the edge bins (documented saturation, not an error — at
+# 100 TB the range comes from cheap min/max stats or domain knowledge).
+
+
+def qsketch_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Per-group histogram sketch from one pass: ``(*group_cols, bin,
+    c)`` with ≤ ``n_bins`` rows per group. ``bin = floor((v - lo) *
+    n_bins / (hi - lo))`` clamped to [0, n_bins-1] — the exact
+    expression any SQL oracle replays (same literal order of
+    operations). The groupBy's map-side partials ARE the per-partition
+    sketches; the exchange is the cell-wise merge. NULL values carry no
+    quantile information and are dropped (count them separately if the
+    null rate matters)."""
+    if not hi > lo:
+        raise ValueError(f"qsketch_build: need hi > lo, got [{lo}, {hi}]")
+    v = F.col(value_col).cast("double")
+    raw_bin = F.floor((v - F.lit(float(lo))) * F.lit(float(n_bins)) / F.lit(float(hi) - float(lo)))
+    b = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def qsketch_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Cell-wise sum of two sketch tables built with the same (lo, hi,
+    n_bins): merge-of-splits equals sketch-of-union exactly (addition is
+    associative/commutative — same contract as cms_build's groupBy)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bin")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+
+
+def qsketch_quantile(
+    sketch: DataFrame,
+    qs: list[float],
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Quantile estimates per group from the sketch alone: for each q in
+    ``qs``, the LOWER EDGE of the first bin whose cumulative count
+    reaches ``ceil(q * n)`` — a deterministic integer-rank rule both
+    engines replay exactly (no interpolation, so no float comparisons on
+    cumulative sums). Output: one row per group with ``q_<label>``
+    columns, each within one bin width of the true quantile. The window
+    runs over ≤ n_bins rows per group — sketch-sized, never data-sized."""
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("qsketch_quantile: empty quantile list")
+    w = Window.partitionBy(*group_cols).orderBy("bin") if group_cols else (
+        Window.orderBy("bin")
+    )
+    width = (float(hi) - float(lo)) / n_bins
+    cum = sketch.withColumn("__cum", F.sum("c").over(w)).withColumn(
+        "__n", F.sum("c").over(Window.partitionBy(*group_cols))
+    )
+    aggs = []
+    for q in qs:
+        label = str(q).replace(".", "_")
+        rank = F.ceil(F.lit(float(q)) * F.col("__n"))
+        hit_bin = F.min(F.when(F.col("__cum") >= rank, F.col("bin")))
+        aggs.append(
+            (F.lit(float(lo)) + hit_bin * F.lit(width)).alias(f"q_{label}")
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def qsketch_quantile_oracle_sql(
+    group_expr: str,
+    value_expr: str,
+    source_sql: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> str:
+    """DuckDB replay of build→quantile over ``source_sql``: identical
+    binning expression, identical integer-rank rule. Lives next to the
+    operators (the hll_oracle_sql convention)."""
+    width = (float(hi) - float(lo)) / n_bins
+    cols = ", ".join(
+        f"{float(lo)!r} + MIN(CASE WHEN cum >= CEIL({float(q)!r} * n) "
+        f"THEN bin END) * {width!r} AS q_{str(q).replace('.', '_')}"
+        for q in qs
+    )
+    return f"""
+        SELECT grp, {cols}
+        FROM (
+            SELECT grp, bin, SUM(c) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+                   SUM(c) OVER (PARTITION BY grp) AS n
+            FROM (
+                SELECT grp, bin, COUNT(*) AS c FROM (
+                    SELECT {group_expr} AS grp,
+                           LEAST(GREATEST(FLOOR((CAST({value_expr} AS DOUBLE)
+                               - {float(lo)!r}) * {float(n_bins)!r}
+                               / {float(hi) - float(lo)!r}), 0), {n_bins - 1})
+                               AS bin
+                    FROM ({source_sql})
+                    WHERE {value_expr} IS NOT NULL
+                ) GROUP BY grp, bin
+            )
+        ) GROUP BY grp
     """

@@ -268,6 +268,39 @@ def users_distinct_exact_vs_approx(spark: SparkSession, sf_dir: str) -> DataFram
 # registry slot freed to fund docs_line_dedup. The GK-sketch contrast
 # (orders_price_quantiles_approx) below still certifies approx vs exact.
 
+# Histogram-sketch leg constants: o_totalprice spans ~850-560k at every
+# TPC-H SF (per-order totals are SF-invariant), so [0, 600000) covers
+# it; 4096 bins → width 146.484375 (600000/4096 — EXACT in binary, so
+# the bound literal is the same double in both engines).
+_QS_LO, _QS_HI, _QS_BINS = 0.0, 600000.0, 4096
+_QS_BINW = (_QS_HI - _QS_LO) / _QS_BINS
+
+
+def _quantiles_surface_oracle() -> str:
+    from big_data_chicago_crimes_spark.operators.sketches import (
+        qsketch_quantile_oracle_sql,
+    )
+
+    hist = qsketch_quantile_oracle_sql(
+        "'all'", "o_totalprice", "SELECT * FROM orders",
+        [0.5, 0.9], _QS_LO, _QS_HI, _QS_BINS,
+    )
+    return f"""
+        SELECT e.median_exact, e.p90_exact,
+               TRUE AS median_within_1pct,
+               TRUE AS p90_within_1pct,
+               ROUND(h.q_0_5, 4) AS hist_median,
+               ROUND(h.q_0_9, 4) AS hist_p90,
+               ABS(h.q_0_5 - e.median_exact) <= {_QS_BINW!r}
+                   AS hist_median_within_binw,
+               ABS(h.q_0_9 - e.p90_exact) <= {_QS_BINW!r}
+                   AS hist_p90_within_binw
+        FROM (SELECT ROUND(median(o_totalprice), 4) AS median_exact,
+                     ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact
+              FROM orders) e
+        CROSS JOIN ({hist}) h
+    """
+
 
 @register(
     "events_json_profile",
@@ -318,26 +351,53 @@ def events_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percentiles (DuckDB-verifiable) plus booleans asserting the sketch
     # landed within 1% relative error (accuracy=10000 → rank error 1e-4·n;
     # the o_totalprice distribution is dense, so value error is far below 1%).
-    oracle="""
-        SELECT ROUND(median(o_totalprice), 4) AS median_exact,
-               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
-               TRUE AS median_within_1pct,
-               TRUE AS p90_within_1pct
-        FROM orders
-    """,
-    tags=("agg", "percentile", "approx"),
+    # r14 zero-cost extend (the keep_best-inside-docs_exact_dedup
+    # precedent): a 'hist_*' leg runs the ENGINE-PORTABLE histogram
+    # quantile sketch (operators/sketches.qsketch_build/_quantile — the
+    # quantile member of the CMS/HLL family; unlike the GK sketch its
+    # state is a storable, cell-wise-mergeable TABLE any engine
+    # replays), whose estimates the oracle reproduces EXACTLY and whose
+    # error bound (one bin width) is certified against the exact values.
+    oracle=_quantiles_surface_oracle(),
+    tags=("agg", "percentile", "approx", "sketch"),
 )
 def orders_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (GK sketch) — the 100 TB substitute for exact
-    percentiles: mergeable fixed-size state instead of a global sort.
-    Certified by bounded relative error vs the exact percentiles."""
+    """Approximate quantiles, two sketch families certified in one row:
+
+    - ``m_approx``/``p_approx`` booleans — percentile_approx (GK
+      sketch), the built-in 100 TB substitute for exact percentiles:
+      mergeable fixed-size state instead of a global sort. Its values
+      differ engine-to-engine by design, so certification is bounded
+      relative error vs the exact percentiles.
+    - ``hist_*`` — the engine-portable histogram quantile sketch
+      (qsketch_*): equi-width (group, bin, c) state over [0, 600000),
+      4096 bins, cell-wise-ADDITION merge — the quantile member of the
+      CMS/HLL sketch-table family. Deterministic integer-rank estimates
+      the DuckDB oracle replays bit-for-bit, plus booleans pinning the
+      one-bin-width error bound against the exact values. The quantile
+      window runs over ≤ 4096 sketch rows, never the data."""
+    from big_data_chicago_crimes_spark.operators.sketches import (
+        qsketch_build,
+        qsketch_quantile,
+    )
+
     t = load_tables(spark, sf_dir)
-    return t.orders.agg(
+    sk = qsketch_build(
+        t.orders.select(F.lit("all").alias("g"), "o_totalprice"),
+        "o_totalprice",
+        ["g"],
+        lo=_QS_LO,
+        hi=_QS_HI,
+        n_bins=_QS_BINS,
+    )
+    hq = qsketch_quantile(sk, [0.5, 0.9], ["g"], _QS_LO, _QS_HI, _QS_BINS).drop("g")
+    base = t.orders.agg(
         F.round(F.median("o_totalprice"), 4).alias("median_exact"),
         F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_exact"),
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("m_approx"),
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("p_approx"),
-    ).select(
+    )
+    return base.crossJoin(F.broadcast(hq)).select(
         "median_exact",
         "p90_exact",
         (
@@ -348,6 +408,14 @@ def orders_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
             F.abs(F.col("p_approx") - F.col("p90_exact"))
             <= 0.01 * F.col("p90_exact")
         ).alias("p90_within_1pct"),
+        F.round(F.col("q_0_5"), 4).alias("hist_median"),
+        F.round(F.col("q_0_9"), 4).alias("hist_p90"),
+        (F.abs(F.col("q_0_5") - F.col("median_exact")) <= F.lit(_QS_BINW)).alias(
+            "hist_median_within_binw"
+        ),
+        (F.abs(F.col("q_0_9") - F.col("p90_exact")) <= F.lit(_QS_BINW)).alias(
+            "hist_p90_within_binw"
+        ),
     )
 
 

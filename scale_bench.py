@@ -68,6 +68,10 @@ SUITE = {
         "embedding_ivf_topk_lake",
         "embedding_lsh_bucket_histogram",
         "embedding_batch_topk",
+        # r14: PQ/ADC — probes read the 32x-compressed codes table only
+        # (in-row literal-table fold, zero joins); the scale term is the
+        # one-pass encode + codes scan
+        "embedding_pq_adc_topk",
         "docs_hybrid_search",
     ],
     "curation": [
@@ -82,6 +86,11 @@ SUITE = {
         # should track the token-stream scan (sketch state is d×w cells
         # at ANY corpus size), plus the exact-top-15 baseline shuffle
         "docs_heavy_hitters_cms",
+        # r14: HyperLogLog distinct census — the constant-state distinct
+        # sibling of the CMS; register-wise MAX merge, state is <= m
+        # cells per group at ANY cardinality, so the ratio should track
+        # the fingerprint scan like the CMS tracks the token scan
+        "docs_domain_distinct_hll",
         # r13: bigram-LM scoring — in-row pair extraction (zero-shuffle)
         # + one bigram-count shuffle + pre-reduced scoring join; the
         # scale term to watch is the AQE-decided bigram-table join

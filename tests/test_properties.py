@@ -693,3 +693,51 @@ def test_hll_state_and_estimate_match_python_model(spark, items):
     row = hll_estimate(sk, ["g"]).collect()[0]
     assert (row["n_regs"], row["z_int"]) == (len(regs), z_int)
     assert abs(row["hll_est"] - est) < 1e-6
+
+
+@SETTINGS
+@given(
+    xs=st.lists(
+        st.floats(-50, 1050, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=100,
+    ),
+    q=st.sampled_from([0.1, 0.5, 0.9, 1.0]),
+)
+def test_qsketch_quantile_matches_python_model(spark, xs, q):
+    """Histogram quantile sketch agrees with an independent Python model
+    (same binning formula, same integer-rank rule) on arbitrary float
+    streams including out-of-range values — pins the clip-to-edge
+    semantics, the cumulative-rank rule, and the lower-edge estimate."""
+    import math
+
+    from big_data_chicago_crimes_spark.operators.sketches import (
+        qsketch_build,
+        qsketch_quantile,
+    )
+
+    lo, hi, n_bins = 0.0, 1000.0, 16
+    width = (hi - lo) / n_bins
+
+    def pybin(v):
+        b = math.floor((v - lo) * n_bins / (hi - lo))
+        return min(max(b, 0), n_bins - 1)
+
+    counts: dict[int, int] = {}
+    for v in xs:
+        counts[pybin(v)] = counts.get(pybin(v), 0) + 1
+    n = len(xs)
+    rank = math.ceil(q * n)
+    cum = 0
+    want = None
+    for b in sorted(counts):
+        cum += counts[b]
+        if cum >= rank:
+            want = lo + b * width
+            break
+
+    df = spark.createDataFrame([("g", float(v)) for v in xs], "g string, v double")
+    sk = qsketch_build(df, "v", ["g"], lo, hi, n_bins)
+    label = str(q).replace(".", "_")
+    got = qsketch_quantile(sk, [q], ["g"], lo, hi, n_bins).collect()[0][f"q_{label}"]
+    assert got == want

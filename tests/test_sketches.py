@@ -149,3 +149,71 @@ def test_hll_estimate_within_advertised_error(spark):
         row = hll_estimate(hll_build(df, "token", []), []).collect()[0]
         rel = abs(row["hll_est"] - n) / n
         assert rel < 3 * 1.04 / (_M ** 0.5), (n, row["hll_est"])
+
+
+# --- Histogram quantile sketch -------------------------------------------
+
+from big_data_chicago_crimes_spark.operators.sketches import (  # noqa: E402
+    qsketch_build,
+    qsketch_merge,
+    qsketch_quantile,
+)
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame([("g", float(x)) for x in xs], "g string, v double")
+
+
+def test_qsketch_state_bounded_and_outliers_clip_to_edge_bins(spark):
+    df = _vals(spark, list(range(-100, 10_100)))  # outliers both sides of [0, 10000)
+    sk = qsketch_build(df, "v", ["g"], lo=0.0, hi=10_000.0, n_bins=64)
+    rows = sk.collect()
+    assert len(rows) <= 64
+    bins = {r["bin"] for r in rows}
+    assert bins <= set(range(64))
+    total = sum(r["c"] for r in rows)
+    assert total == 10_200  # clipped, never dropped
+
+
+def test_qsketch_merge_of_splits_equals_direct(spark):
+    a = _vals(spark, range(0, 600))
+    b = _vals(spark, range(400, 1000))
+    direct = qsketch_build(a.unionByName(b), "v", ["g"], 0.0, 1000.0, 32)
+    merged = qsketch_merge(
+        qsketch_build(a, "v", ["g"], 0.0, 1000.0, 32),
+        qsketch_build(b, "v", ["g"], 0.0, 1000.0, 32),
+        ["g"],
+    )
+    got_d = {(r["bin"], r["c"]) for r in direct.collect()}
+    got_m = {(r["bin"], r["c"]) for r in merged.collect()}
+    assert got_d == got_m
+
+
+def test_qsketch_quantile_within_one_bin_width(spark):
+    import random
+
+    rng = random.Random(7)
+    xs = [rng.uniform(0, 1000) for _ in range(5000)]
+    df = _vals(spark, xs)
+    n_bins = 128
+    width = 1000.0 / n_bins
+    sk = qsketch_build(df, "v", ["g"], 0.0, 1000.0, n_bins)
+    row = qsketch_quantile(sk, [0.5, 0.9], ["g"], 0.0, 1000.0, n_bins).collect()[0]
+    xs_sorted = sorted(xs)
+    for q, col in [(0.5, "q_0_5"), (0.9, "q_0_9")]:
+        import math
+
+        true_q = xs_sorted[max(math.ceil(q * len(xs)) - 1, 0)]
+        assert abs(row[col] - true_q) <= width, (q, row[col], true_q)
+
+
+def test_qsketch_nulls_dropped_and_bad_range_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", None), ("g", 2.0)], "g string, v double"
+    )
+    sk = qsketch_build(df, "v", ["g"], 0.0, 10.0, 8)
+    assert sum(r["c"] for r in sk.collect()) == 2
+    with pytest.raises(ValueError, match="hi > lo"):
+        qsketch_build(df, "v", ["g"], 5.0, 5.0, 8)
