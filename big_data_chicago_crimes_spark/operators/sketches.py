@@ -183,7 +183,10 @@ def hll_build(
     register); the groupBy's map-side MAX partials ARE the per-partition
     sketches and its exchange IS the register-wise merge, so the shuffle
     moves ≤ m cells per group per partition no matter how many distinct
-    items the group holds."""
+    items the group holds. NULL items carry no identity — md5(NULL)
+    would otherwise route a phantom NULL register into the state — and
+    are dropped (COUNT(DISTINCT x) ignores NULLs too; the oracle helper
+    filters identically)."""
     m = 1 << p
     q = _hll_q(p)
     h = F.conv(F.substring(F.md5(F.col(item_col)), 1, _HLL_HEX), 16, 10).cast(
@@ -194,7 +197,8 @@ def hll_build(
         F.lit(q + 1) - F.length(F.bin(w))
     )
     return (
-        df.select(*group_cols, (h % m).alias("idx"), rho.alias("rho"))
+        df.filter(F.col(item_col).isNotNull())
+        .select(*group_cols, (h % m).alias("idx"), rho.alias("rho"))
         .groupBy(*group_cols, "idx")
         .agg(F.max("rho").alias("m_rho"))
     )
@@ -295,6 +299,7 @@ def hll_oracle_sql(
                         SELECT *, ('0x' || substring(md5({item_expr}), 1,
                                    {_HLL_HEX}))::BIGINT AS hv
                         FROM ({source_sql})
+                        WHERE {item_expr} IS NOT NULL
                     )
                 ) GROUP BY grp, idx
             ) GROUP BY grp

@@ -217,3 +217,16 @@ def test_qsketch_nulls_dropped_and_bad_range_raises(spark):
     assert sum(r["c"] for r in sk.collect()) == 2
     with pytest.raises(ValueError, match="hi > lo"):
         qsketch_build(df, "v", ["g"], 5.0, 5.0, 8)
+
+
+def test_hll_null_items_carry_no_identity(spark):
+    """md5(NULL) must not route a phantom register: NULL items are
+    dropped (COUNT(DISTINCT) semantics), so a stream with NULLs builds
+    the SAME sketch as the stream without them."""
+    with_nulls = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "token string"
+    )
+    without = _items(spark, ["a", "b"])
+    got = {(r["idx"], r["m_rho"]) for r in hll_build(with_nulls, "token", []).collect()}
+    want = {(r["idx"], r["m_rho"]) for r in hll_build(without, "token", []).collect()}
+    assert got == want and len(want) == 2
