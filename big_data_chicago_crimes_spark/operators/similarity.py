@@ -527,19 +527,60 @@ def batch_ann_topk(
 
 
 def nearest_centroid_cells(
-    vec_col: Column, centroids: list[list[float]], n: int
+    vec_col: Column | str, centroids: list[list[float]], n: int, offset: int = 0
 ) -> Column:
     """Array of the ``n`` nearest centroid ids to ``vec_col`` — the cell
-    ranking shared by the batch-IVF probe stage (n = nprobe) and
-    literal-centroid index assignment (n = 1). Squared L2 to each
-    centroid, then array_sort over (dist, cid) structs — k_centroids-
-    sized per-row work, independent of corpus size, all codegen, no
-    driver-side math. The distance is ROUNDED to 6dp before ranking
-    (cid tie-break): double summation order differs across engines
-    (DuckDB's list_sum is not a sequential fold — measured ulp-level
-    divergence from Spark's sequential F.aggregate), so ranking on the
-    raw sum would make the cell choice engine-dependent at the last
-    ulp. Same portability contract the cosine rank already uses."""
+    ranking shared by the batch-IVF probe stage (n = nprobe),
+    literal-centroid index assignment (n = 1), and PQ sub-vector
+    encoding (``offset`` shifts element indices to a subspace without a
+    slice() node). Squared L2 to each centroid, then array_sort over
+    (dist, cid) structs — k_centroids-sized per-row work, independent of
+    corpus size, no driver-side math. The distance is ROUNDED to 6dp
+    before ranking (cid tie-break): double summation order differs
+    across engines (DuckDB's list_sum is not a sequential fold —
+    measured ulp-level divergence from Spark's sequential F.aggregate),
+    so ranking on the raw sum would make the cell choice
+    engine-dependent at the last ulp. Same portability contract the
+    cosine rank already uses.
+
+    Pass ``vec_col`` as a SQL expression STRING (a column name) for the
+    fast-planning form: the IDENTICAL HOF expression tree built as ONE
+    SQL string (the sig_sql convention — Column-by-Column literal
+    construction costs a py4j round trip PER CENTROID COORDINATE,
+    measured ~3.8 s of driver time for an 8×16×8 codebook; the parsed
+    string builds the same nodes in one call). Fully UNROLLING the
+    arithmetic instead was measured and REJECTED: 2.8-4.6 s exec vs
+    1.9 s for the HOF form at sf0.1 — the 1024-term tree blows the
+    whole-stage-codegen budget, the same result hyperplane_signature's
+    inline note records for the LSH unroll. The Column form is kept for
+    callers holding derived Column expressions; both build the same
+    expression, so distances are identical by construction.
+    """
+    if isinstance(vec_col, str):
+        sub = len(centroids[0])
+        # ALWAYS slice to the centroid length: zip_with pads a longer
+        # vector with NULLs (64-dim vec vs 8-dim sub-centroid → NULL
+        # distances that sort by cid alone — caught by the parity check)
+        vec_expr = f"slice({vec_col}, {offset + 1}, {sub})"
+        cells = ", ".join(
+            f"named_struct('cid', {i}, 'cv', array("
+            + ",".join(f"{float(x)!r}D" for x in c)
+            + "))"
+            for i, c in enumerate(centroids)
+        )
+        return F.expr(
+            f"""transform(slice(array_sort(transform(array({cells}),
+                c -> named_struct('d', round(aggregate(
+                        zip_with({vec_expr}, c.cv,
+                                 (x, y) -> (CAST(x AS DOUBLE) - y)
+                                           * (CAST(x AS DOUBLE) - y)),
+                        0.0D, (acc, x) -> acc + x), 6),
+                     'cid', c.cid))), 1, {n}), s -> s.cid)"""
+        )
+    if offset:
+        raise ValueError(
+            "nearest_centroid_cells: offset requires the SQL-string form"
+        )
     cent_lits = F.array(
         *[
             F.struct(
@@ -598,7 +639,7 @@ def assign_to_centroids(
     partitions."""
     return df.withColumn(
         "centroid_id",
-        nearest_centroid_cells(F.col(vec_col), centroids, 1)[0].cast("int"),
+        nearest_centroid_cells(vec_col, centroids, 1)[0].cast("int"),
     )
 
 
@@ -962,7 +1003,7 @@ def batch_ivf_topk(
 
     Output: (query_id, id, cosine, rank ≤ k), ranked by rounded cosine
     with id tie-break."""
-    cells = nearest_centroid_cells(F.col(vec_col), centroids, nprobe)
+    cells = nearest_centroid_cells(vec_col, centroids, nprobe)
     probes = (
         queries.select(
             F.col(id_col).alias(query_id_col),
@@ -1143,7 +1184,7 @@ def pq_encode(
     codes = F.array(
         *[
             nearest_centroid_cells(
-                F.slice(F.col(vec_col), s * sub + 1, sub), codebook[s], 1
+                vec_col, codebook[s], 1, offset=s * sub
             )[0].cast("int")
             for s in range(m)
         ]

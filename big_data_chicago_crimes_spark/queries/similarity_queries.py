@@ -734,10 +734,15 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_adc_topk,
         pq_encode,
     )
+    from big_data_chicago_crimes_spark.session import scratch_persist
 
     t = load_tables(spark, sf_dir)
     book = _pq_lit_codebook()
-    enc = pq_encode(t.embeddings, book)
+    # the codes frame is the query's one encode pass (id + m small ints,
+    # narrow) and BOTH probe legs scan it — persist so the HOF encode
+    # runs once, the same economics as materializing the codes table at
+    # scale (encode once, probe codes forever)
+    enc = scratch_persist(pq_encode(t.embeddings, book).select("vec_id", "pq_codes"))
 
     qv = _query_vec(t)
     w = Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
