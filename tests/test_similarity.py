@@ -964,3 +964,35 @@ def test_survivor_index_accepts_pre_assigned_corpus(spark):
     idx = semantic_survivor_index(pre_assigned, kept)
     assert set(idx.columns) == {"vec_id", "embedding", "norm", "centroid_id"}
     assert idx.count() == kept.count()
+
+
+def test_nearest_centroid_cells_sql_form_matches_column_form(spark, sf_dir):
+    """The fast-planning SQL-string form must produce BIT-IDENTICAL cell
+    rankings to the Column/HOF form on real vectors, for both the
+    full-dim and the PQ offset-slice shapes (the r14 rewrite's
+    zip_with NULL-padding bug would have flipped ~40% of codes)."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        literal_centroids,
+        nearest_centroid_cells,
+        pq_codebook,
+    )
+    from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+    emb = load_tables(spark, sf_dir).embeddings
+    cents = literal_centroids(8, 64)
+    full = emb.select(
+        nearest_centroid_cells("embedding", cents, 3).alias("a"),
+        nearest_centroid_cells(F.col("embedding"), cents, 3).alias("b"),
+    )
+    assert full.filter(F.col("a") != F.col("b")).count() == 0
+
+    book = pq_codebook(4, 8, 64)
+    sliced = emb.select(
+        nearest_centroid_cells("embedding", book[2], 2, offset=2 * 16).alias("a"),
+        nearest_centroid_cells(
+            F.slice(F.col("embedding"), 2 * 16 + 1, 16), book[2], 2
+        ).alias("b"),
+    )
+    assert sliced.filter(F.col("a") != F.col("b")).count() == 0
