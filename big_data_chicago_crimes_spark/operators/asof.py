@@ -41,7 +41,14 @@ def asof_join(
     right row (and ``{right_ts}_asof`` for the matched timestamp)."""
     carried = [right_ts, *right_vals]
     l_tagged = left.withColumn("__side", F.lit(1)).withColumn("__ets", F.col(left_ts))
-    r_tagged = right.select(
+    # A NULL right_ts can satisfy "largest ts <= left_ts" for NO left
+    # row, but the window sorts NULLs FIRST — an unfiltered NULL-ts
+    # right row would forward-fill its values onto every left row before
+    # the first real right row (a silent wrong answer on messy data;
+    # r14 join-spine review). NULL LEFT ts rows also sort before every
+    # (filtered) right row, so they surface unmatched — consistent with
+    # "no right row <= NULL" and with merge_asof's treatment.
+    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key),
         F.col(right_ts).alias("__ets"),
         *[F.col(c).alias(f"{c}_asof") for c in carried],
@@ -88,7 +95,13 @@ def range_join(
     p = points.withColumn(
         "__bucket", F.floor(F.col(point_col) / bucket_width).cast("long")
     )
-    iv = intervals.withColumn(
+    # Degenerate intervals (end <= start, or NULL bounds) match no point
+    # under [start, end) — drop them BEFORE the explode: F.sequence with
+    # start > stop silently generates a DESCENDING range, so one reversed
+    # interval would otherwise replicate across every bucket it spans in
+    # the wrong direction (an unbounded blow-up the residual filter only
+    # pays for, never surfaces; r14 join-spine review).
+    iv = intervals.filter(F.col(start_col) < F.col(end_col)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(

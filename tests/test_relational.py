@@ -91,3 +91,45 @@ def test_range_join_matches_naive(spark):
     )
     key = lambda r: (r.pid, r.iid)
     assert sorted(map(key, fast.collect())) == sorted(map(key, naive.collect()))
+
+
+def test_asof_join_null_right_ts_never_fills(spark):
+    """A right row with NULL ts satisfies 'largest ts <= left_ts' for NO
+    left row; before the r14 fix it sorted FIRST in the as-of window and
+    forward-filled its value onto every left row preceding the first
+    real right row."""
+    from datetime import datetime
+
+    from big_data_chicago_crimes_spark.operators.asof import asof_join
+
+    dt = lambda s: datetime(2024, 1, s)
+    left = spark.createDataFrame([(1, dt(2)), (1, dt(12))], "k int, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, dt(10), 5.0)], "k int, rts timestamp, v double"
+    )
+    out = {
+        r["lts"].day: (r["v_asof"], r["rts_asof"])
+        for r in asof_join(left, right, "k", "lts", "rts", ["v"], how="left").collect()
+    }
+    assert out[2] == (None, None)  # nothing at-or-before Jan 2
+    assert out[12][0] == 5.0  # Jan 10 row, never the NULL-ts 99.0
+    inner = asof_join(left, right, "k", "lts", "rts", ["v"], how="inner").collect()
+    assert [r["lts"].day for r in inner] == [12]
+
+
+def test_range_join_reversed_interval_matches_nothing_without_explosion(spark):
+    """end <= start intervals match no point under [start, end); they
+    must be dropped BEFORE bucket explosion (F.sequence silently
+    generates a DESCENDING range for start > stop)."""
+    from big_data_chicago_crimes_spark.operators.asof import range_join
+
+    points = spark.createDataFrame([(5.0,), (50.0,)], "p double")
+    intervals = spark.createDataFrame(
+        [(0.0, 10.0, "ok"), (100.0, 0.0, "reversed"), (None, 10.0, "nullstart")],
+        "s double, e double, tag string",
+    )
+    got = {
+        (r["p"], r["tag"])
+        for r in range_join(points, intervals, "p", "s", "e", 10.0).collect()
+    }
+    assert got == {(5.0, "ok")}
