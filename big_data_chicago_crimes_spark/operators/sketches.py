@@ -174,6 +174,23 @@ def _hll_q(p: int) -> int:
     return 4 * _HLL_HEX - p
 
 
+def hll_cells(item: Column, p: int = HLL_P) -> Column:
+    """The per-row routing cell ``struct(idx, rho)`` for one item — the
+    scalar piece of :func:`hll_build`, exposed so compositions that
+    cannot reuse the batch groupBy (e.g. the streaming windowed-distinct
+    aggregation, which must interleave the window key) route items
+    through EXACTLY the same hash/rank derivation. NULL items yield a
+    NULL struct field — callers filter like hll_build does."""
+    m = 1 << p
+    q = _hll_q(p)
+    h = F.conv(F.substring(F.md5(item), 1, _HLL_HEX), 16, 10).cast("bigint")
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(q + 1)).otherwise(
+        F.lit(q + 1) - F.length(F.bin(w))
+    )
+    return F.struct((h % m).alias("idx"), rho.alias("rho"))
+
+
 def hll_build(
     df: DataFrame, item_col: str, group_cols: list[str], p: int = HLL_P
 ) -> DataFrame:
@@ -187,18 +204,11 @@ def hll_build(
     would otherwise route a phantom NULL register into the state — and
     are dropped (COUNT(DISTINCT x) ignores NULLs too; the oracle helper
     filters identically)."""
-    m = 1 << p
-    q = _hll_q(p)
-    h = F.conv(F.substring(F.md5(F.col(item_col)), 1, _HLL_HEX), 16, 10).cast(
-        "bigint"
-    )
-    w = F.shiftright(h, p)
-    rho = F.when(w == 0, F.lit(q + 1)).otherwise(
-        F.lit(q + 1) - F.length(F.bin(w))
-    )
+    cell = hll_cells(F.col(item_col), p)
     return (
         df.filter(F.col(item_col).isNotNull())
-        .select(*group_cols, (h % m).alias("idx"), rho.alias("rho"))
+        .select(*group_cols, cell.alias("__c"))
+        .select(*group_cols, "__c.idx", "__c.rho")
         .groupBy(*group_cols, "idx")
         .agg(F.max("rho").alias("m_rho"))
     )

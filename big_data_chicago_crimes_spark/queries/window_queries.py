@@ -121,31 +121,76 @@ def customer_balance_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _hourly_tumbling_oracle() -> str:
+    from big_data_chicago_crimes_spark.operators.sketches import hll_oracle_sql
+
+    hour_expr = "STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"
+    hll = hll_oracle_sql(hour_expr, "CAST(user_id AS VARCHAR)", "SELECT * FROM events")
+    return f"""
+        WITH base AS (
+            SELECT {hour_expr} AS window_start,
+                   COUNT(*) AS cnt,
+                   ROUND(SUM(value), 2) AS total_value,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+            FROM events GROUP BY 1
+        ), hll AS ({hll})
+        SELECT b.window_start, b.cnt, b.total_value, b.distinct_users,
+               h.n_regs AS hll_regs, h.z_int AS hll_z_int,
+               h.hll_est AS hll_users
+        FROM base b JOIN hll h ON h.grp = b.window_start
+        ORDER BY window_start
+    """
+
+
 @register(
     "events_hourly_tumbling",
-    oracle="""
-        SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-               COUNT(*) AS cnt,
-               ROUND(SUM(value), 2) AS total_value
-        FROM events GROUP BY 1 ORDER BY window_start
-    """,
-    tags=("time-window", "streaming-shape"),
+    # r14 zero-cost extend: per-window exact distinct users next to the
+    # windowed-HLL estimate (streaming/windows.windowed_distinct_hll —
+    # the chained two-aggregation plan Spark runs as a STREAM in append
+    # mode; stream==batch per-window equality is pinned in
+    # tests/test_streaming.py, and this row hash-certifies the batch
+    # twin's full integer sketch state against the DuckDB replay).
+    oracle=_hourly_tumbling_oracle(),
+    tags=("time-window", "streaming-shape", "sketch", "hll"),
 )
 def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling event-time window (batch F.window — the exact
     groupBy a Structured Streaming job would run with a watermark;
-    SURVEY.md §2.9)."""
+    SURVEY.md §2.9), carrying both distinct-user answers per window:
+    ``distinct_users`` (exact — state grows with distinct keys) and
+    ``hll_users`` + integer sketch state (``hll_regs``/``hll_z_int`` —
+    ≤ 2^p register rows per window at ANY cardinality, the form that
+    survives a 100 TB/day stream; built by the SAME
+    ``windowed_distinct_hll`` plan the streaming job runs)."""
+    from big_data_chicago_crimes_spark.streaming.windows import (
+        windowed_distinct_hll,
+    )
+
     t = load_tables(spark, sf_dir)
-    return (
+    base = (
         t.events.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").cast("bigint").alias("distinct_users"),
+        )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "cnt",
             "total_value",
+            "distinct_users",
         )
-        .orderBy("window_start")
     )
+    hll = windowed_distinct_hll(t.events).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("n_regs").alias("hll_regs"),
+        F.col("z_int").alias("hll_z_int"),
+        F.col("hll_est").alias("hll_users"),
+    )
+    return base.join(hll, "window_start").select(
+        "window_start", "cnt", "total_value", "distinct_users",
+        "hll_regs", "hll_z_int", "hll_users",
+    ).orderBy("window_start")
 
 
 @register(

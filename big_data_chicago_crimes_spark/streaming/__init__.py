@@ -13,6 +13,7 @@ from big_data_chicago_crimes_spark.streaming.windows import (
     sliding_window_agg,
     streaming_dedup,
     tumbling_window_agg,
+    windowed_distinct_hll,
 )
 
 __all__ = [
@@ -25,4 +26,5 @@ __all__ = [
     "sliding_window_agg",
     "streaming_dedup",
     "tumbling_window_agg",
+    "windowed_distinct_hll",
 ]

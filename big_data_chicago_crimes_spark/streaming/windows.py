@@ -102,6 +102,51 @@ def session_window_agg(
     )
 
 
+def windowed_distinct_hll(
+    events: DataFrame,
+    item_col: str = "user_id",
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Approximate distinct ``item_col`` per tumbling event-time window
+    via the mergeable HLL sketch (operators/sketches.py) — the streaming
+    form of the distinct census. Exact streaming COUNT(DISTINCT) needs
+    per-key state proportional to the number of distinct items per
+    window; the sketch caps state at ≤ 2^p register rows per window no
+    matter how many distinct items arrive — the property that makes
+    windowed distinct counting survivable on a 100 TB/day stream.
+
+    TWO chained event-time aggregations (register max, then the
+    per-window estimate) — the multiple-stateful-operator shape Spark
+    supports in append mode since 3.4: both groupings carry the SAME
+    event-time window column, so the watermark propagates and each
+    window's registers finalize exactly once. Batch/stream symmetric:
+    the identical plan runs over a batch frame (certified by the
+    ``hll_users`` columns of events_hourly_tumbling's driver row and by
+    the stream==batch equality test in tests/test_streaming.py).
+
+    Output: (w, n_regs, z_int, hll_est) — one row per finalized window;
+    the caller formats ``w``. Items are cast to string so the md5
+    routing matches the batch census convention; NULL items are dropped
+    (hll_build's contract)."""
+    from big_data_chicago_crimes_spark.operators.sketches import (
+        hll_cells,
+        hll_estimate,
+    )
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    cells = (
+        src.filter(F.col(item_col).isNotNull())
+        .select(
+            F.window("ts", width).alias("w"),
+            hll_cells(F.col(item_col).cast("string")).alias("__c"),
+        )
+        .select("w", "__c.idx", "__c.rho")
+    )
+    sk = cells.groupBy("w", "idx").agg(F.max("rho").alias("m_rho"))
+    return hll_estimate(sk, ["w"])
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str] | None = None,

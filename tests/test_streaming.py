@@ -520,3 +520,33 @@ def test_ingest_recovers_from_empty_uncommitted_directory(spark, tmp_path):
     ingest_process_batch(batch, 0, accepted, index)
     got = spark.read.parquet(accepted)
     assert got.count() == 1
+
+
+def test_stream_matches_batch_windowed_distinct_hll(spark, sf_dir):
+    """The chained two-aggregation HLL plan (register max -> per-window
+    estimate) must run as a STREAM (multiple stateful operators, append
+    mode) and agree with the batch form per window. Append mode emits
+    only watermark-finalized windows, so the stream's rows are a prefix
+    of the batch result: every emitted window must match its batch twin
+    EXACTLY (integer sketch state included), and the emission must
+    cover all but the trailing watermark horizon."""
+    from big_data_chicago_crimes_spark.streaming import windowed_distinct_hll
+
+    stream = read_events_stream(spark, sf_dir)
+    streamed = run_stream_to_memory(
+        windowed_distinct_hll(stream), "stream_hll_test", output_mode="append"
+    )
+    batch = windowed_distinct_hll(load_table(spark, sf_dir, "events"))
+
+    def key(rows):
+        return {
+            r["w"]["start"]: (r["n_regs"], r["z_int"], r["hll_est"]) for r in rows
+        }
+
+    s, b = key(streamed.collect()), key(batch.collect())
+    assert s, "append-mode stream emitted nothing"
+    for w, state in s.items():
+        assert state == b[w], (w, state, b[w])
+    # hourly windows over ~30 days ≈ 700+; the 2h watermark may hold
+    # back only the trailing horizon
+    assert len(s) > 100 and len(s) >= len(b) - 4, (len(s), len(b))
