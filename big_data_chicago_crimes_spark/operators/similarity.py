@@ -1192,6 +1192,53 @@ def pq_encode(
     return df.withColumn("pq_codes", codes)
 
 
+def pq_encode_vectorized(
+    df: DataFrame, codebook: list[list[list[float]]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Arrow-batched sibling of ``pq_encode`` for the BULK encode pass —
+    the one-time job that compresses a 100 TB embedding corpus into its
+    codes table. Per batch and subspace: one BLAS gram against the k
+    sub-centroids (``‖v‖² + ‖c‖² − 2·V·Cᵀ``), the same 6dp-rounded
+    ranking, and np.argmin's first-minimum = the cid tie-break — the
+    ``assign_to_centroids_vectorized`` contract applied per subspace.
+    The expression form evaluates m·k interpreted fold-aggregates per
+    row (~0.3 ms/row at m=8, k=16) — the right certified probe-path
+    twin, the wrong constant for corpus-scale encoding; this form is
+    vectorized per Arrow batch. Codes equality with ``pq_encode`` on
+    real data is pinned in tests/test_similarity.py (pairwise-vs-fold
+    summation ulps fall inside the rounding contract the same way the
+    IVF vectorized sibling's do)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    Cs = [np.asarray(c, dtype=np.float64) for c in codebook]
+    cns = [(C * C).sum(axis=1) for C in Cs]
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("pq_codes", ArrayType(IntegerType()))]
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _vectors_matrix(pdf, vec_col, dim=m * sub)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                Vs = V[:, s * sub : (s + 1) * sub]
+                vn = (Vs * Vs).sum(axis=1)
+                d = _spark_round6(
+                    vn[:, None] + cns[s][None, :] - 2.0 * (Vs @ Cs[s].T)
+                )
+                codes[:, s] = d.argmin(axis=1)
+            out = pdf.copy()
+            out["pq_codes"] = list(codes)
+            yield out
+
+    return df.mapInPandas(enc, schema=out_schema)
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     codebook: list[list[list[float]]],
