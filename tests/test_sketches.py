@@ -230,3 +230,24 @@ def test_hll_null_items_carry_no_identity(spark):
     got = {(r["idx"], r["m_rho"]) for r in hll_build(with_nulls, "token", []).collect()}
     want = {(r["idx"], r["m_rho"]) for r in hll_build(without, "token", []).collect()}
     assert got == want and len(want) == 2
+
+
+def test_hll_sketch_table_parquet_roundtrip_and_cross_day_merge(spark, tmp_path):
+    """The 100 TB operational story, run for real: build a per-day
+    sketch TABLE, write it to parquet, read it back later, merge with a
+    new day's sketch, estimate — all without re-reading day 1's data.
+    The roundtripped merge must equal the sketch built directly over
+    both days' union (registers are integers; parquet roundtrips them
+    exactly)."""
+    day1 = _items(spark, [f"u{i}" for i in range(300)])
+    day2 = _items(spark, [f"u{i}" for i in range(200, 600)])
+    path = str(tmp_path / "hll_day1")
+    hll_build(day1, "token", []).write.parquet(path)
+
+    stored = spark.read.parquet(path)
+    merged = hll_estimate(hll_merge(stored, hll_build(day2, "token", []), []), [])
+    direct = hll_estimate(hll_build(day1.unionByName(day2), "token", []), [])
+    m, d = merged.collect()[0], direct.collect()[0]
+    assert (m["n_regs"], m["z_int"], m["hll_est"]) == (
+        d["n_regs"], d["z_int"], d["hll_est"]
+    )
