@@ -137,8 +137,22 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "user_session_counts",
     # ------------------------------------------------------------------
     # r13 cohort (the r11-green queries; rotates back in for r15).
-    # Order preserved from the r13 window, changed-builders-first rule
-    # to be re-applied at the r15 rotation.
+    # Order preserved from the r13 window; changed-builders-first rule
+    # to be re-applied at the r15 rotation. Builders in THIS cohort that
+    # changed during r14 AFTER their r13 stamps (pin these to the first
+    # window slots at the r15 rotation — locally verified green at
+    # sf0.01 this round, but the driver hash is the contract):
+    # - asof_join_surface: asof_join now filters NULL-ts right rows
+    #   (silent-fill fix, operators/asof.py)
+    # - docs_domain_quota / docs_bigram_perplexity (and the r14-window
+    #   docs_quality_scores): LM scoring joins lost their forced
+    #   vocabulary broadcasts (_vocab_side — AQE decides; plan-only,
+    #   output-identical by construction)
+    # - multimodal_pipeline_stats: resize_media kernel's constant
+    #   columns rebuilt via scalar broadcast (behavior-identical)
+    # - orders_lake_partitioned_scan / lineitem_zorder_box_scan ride
+    #   readers.py's footer-unit decision (temporal_units) — loader
+    #   change shared by every query, certified across the r14 window
     # ------------------------------------------------------------------
     "docs_stream_static_dedup_batch",  # r13 slot 1: bloom probe path re-certified green
     "docs_domain_quota",  # r13 slot 2: persist reversal re-certified green
