@@ -1208,7 +1208,6 @@ def pq_encode_vectorized(
     real data is pinned in tests/test_similarity.py (pairwise-vs-fold
     summation ulps fall inside the rounding contract the same way the
     IVF vectorized sibling's do)."""
-    import pandas as pd
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
     m = len(codebook)
