@@ -294,7 +294,15 @@ def _quantiles_surface_oracle() -> str:
                ABS(h.q_0_5 - e.median_exact) <= {_QS_BINW!r}
                    AS hist_median_within_binw,
                ABS(h.q_0_9 - e.p90_exact) <= {_QS_BINW!r}
-                   AS hist_p90_within_binw
+                   AS hist_p90_within_binw,
+               -- merge-of-halves == sketch-of-union: integer cell sums,
+               -- so the direct sketch's estimates ARE the merged truth;
+               -- the Spark side computes them through qsketch_merge of
+               -- o_orderkey-parity halves, making the driver hash a
+               -- mergeability certification (the HLL 'merged'-leg
+               -- pattern)
+               ROUND(h.q_0_5, 4) AS hist_median_merged,
+               ROUND(h.q_0_9, 4) AS hist_p90_merged
         FROM (SELECT ROUND(median(o_totalprice), 4) AS median_exact,
                      ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact
               FROM orders) e
@@ -375,13 +383,32 @@ def orders_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
       CMS/HLL sketch-table family. Deterministic integer-rank estimates
       the DuckDB oracle replays bit-for-bit, plus booleans pinning the
       one-bin-width error bound against the exact values. The quantile
-      window runs over ≤ 4096 sketch rows, never the data."""
+      window runs over ≤ 4096 sketch rows, never the data.
+    - ``hist_*_merged`` — the same estimates computed through
+      ``qsketch_merge`` of two o_orderkey-parity half-sketches; the
+      oracle states them from the DIRECT sketch, so the driver hash
+      certifies merge-of-halves == sketch-of-union (the HLL
+      'merged'-leg pattern)."""
     from big_data_chicago_crimes_spark.operators.sketches import (
         qsketch_build,
+        qsketch_merge,
         qsketch_quantile,
     )
 
     t = load_tables(spark, sf_dir)
+
+    def half_sketch(parity: int):
+        return qsketch_build(
+            t.orders.filter(F.col("o_orderkey") % 2 == parity).select(
+                F.lit("all").alias("g"), "o_totalprice"
+            ),
+            "o_totalprice",
+            ["g"],
+            lo=_QS_LO,
+            hi=_QS_HI,
+            n_bins=_QS_BINS,
+        )
+
     sk = qsketch_build(
         t.orders.select(F.lit("all").alias("g"), "o_totalprice"),
         "o_totalprice",
@@ -391,13 +418,22 @@ def orders_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         n_bins=_QS_BINS,
     )
     hq = qsketch_quantile(sk, [0.5, 0.9], ["g"], _QS_LO, _QS_HI, _QS_BINS).drop("g")
+    merged = qsketch_merge(half_sketch(0), half_sketch(1), ["g"])
+    hq_m = (
+        qsketch_quantile(merged, [0.5, 0.9], ["g"], _QS_LO, _QS_HI, _QS_BINS)
+        .drop("g")
+        .select(
+            F.col("q_0_5").alias("mq_0_5"),
+            F.col("q_0_9").alias("mq_0_9"),
+        )
+    )
     base = t.orders.agg(
         F.round(F.median("o_totalprice"), 4).alias("median_exact"),
         F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_exact"),
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("m_approx"),
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("p_approx"),
     )
-    return base.crossJoin(F.broadcast(hq)).select(
+    return base.crossJoin(F.broadcast(hq)).crossJoin(F.broadcast(hq_m)).select(
         "median_exact",
         "p90_exact",
         (
@@ -416,6 +452,8 @@ def orders_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.abs(F.col("q_0_9") - F.col("p90_exact")) <= F.lit(_QS_BINW)).alias(
             "hist_p90_within_binw"
         ),
+        F.round(F.col("mq_0_5"), 4).alias("hist_median_merged"),
+        F.round(F.col("mq_0_9"), 4).alias("hist_p90_merged"),
     )
 
 
