@@ -1039,15 +1039,25 @@ def ivf_topk(
     k_centroids rows), scan only the ``nprobe`` nearest inverted lists,
     exact cosine re-rank inside them. With centroid_id as a partition
     column this is a partition-pruned scan of ~nprobe/k of the data."""
-    # rank cells by the SAME rounded-squared-L2 + cid tie-break contract
-    # nearest_centroid_cells / batch_ivf_topk use — raw norms would let
-    # a < 5e-7 distance gap probe a different cell than the batch path
-    # (tests pin single == batch per query). Each distance is a
-    # SEQUENTIAL Python fold (ann_topk's _fold_dot convention, ADVICE
-    # r13): numpy's pairwise ((c-q)**2).sum() can differ from Spark's
-    # left-to-right F.aggregate by an ulp BEFORE rounding, and a 6dp
-    # boundary value would then round to a different cell than the
-    # batch path probes.
+    probe_ids = _rank_probe_cells(query_vec, centroids, nprobe)
+    candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
+def _rank_probe_cells(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Driver-side probe-cell ranking shared by ``ivf_topk`` and
+    ``ivf_pq_topk``: the SAME rounded-squared-L2 + cid tie-break
+    contract nearest_centroid_cells / batch_ivf_topk use — raw norms
+    would let a < 5e-7 distance gap probe a different cell than the
+    batch path (tests pin single == batch per query). Each distance is
+    a SEQUENTIAL Python fold (ann_topk's _fold_dot convention, ADVICE
+    r13): numpy's pairwise ((c-q)**2).sum() can differ from Spark's
+    left-to-right F.aggregate by an ulp BEFORE rounding, and a 6dp
+    boundary value would then round to a different cell than the batch
+    path probes."""
+
     def _fold_sqdist(c) -> float:
         acc = 0.0
         for x, y in zip(query_vec, c):
@@ -1058,9 +1068,43 @@ def ivf_topk(
     d2 = [
         float(_spark_round6(np.asarray([_fold_sqdist(c)]))[0]) for c in centroids
     ]
-    probe_ids = sorted(range(len(centroids)), key=lambda i: (d2[i], i))[:nprobe]
-    candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
-    return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+    return sorted(range(len(centroids)), key=lambda i: (d2[i], i))[:nprobe]
+
+
+def ivf_pq_topk(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ probe — the FAISS-standard composition (Jégou, Douze &
+    Schmid 2011 §V: coarse inverted lists + product-quantized codes;
+    this is the non-residual variant — codes quantize the raw vectors,
+    so the SAME codebook serves flat-ADC and IVF-ADC probes): rank the
+    coarse centroids driver-side (``_rank_probe_cells``, index
+    metadata), scan ONLY the ``nprobe`` nearest inverted lists — with
+    ``centroid_id`` a partition column that is a partition-PRUNED scan
+    of ~nprobe/k_coarse of the CODES table — and rank the surviving
+    candidates by asymmetric distance over their codes
+    (``pq_adc_topk``'s in-row literal-table fold). The probe touches
+    neither the raw vectors nor any unprobed cell's codes: at 100 TB
+    the per-query cost is (nprobe/k_coarse) × (corpus_codes_bytes /
+    32), the two compression levers multiplied.
+
+    ``indexed`` must carry ``centroid_id`` (assign_to_centroids /
+    _vectorized) and ``pq_codes`` (pq_encode / pq_encode_vectorized)
+    built with the SAME centroids and codebook this probe receives —
+    the index build is one pass adding both columns, written
+    partitioned by centroid_id."""
+    for col in ("centroid_id", "pq_codes"):
+        if col not in indexed.columns:
+            raise ValueError(f"ivf_pq_topk: indexed frame lacks {col!r}")
+    probe_ids = _rank_probe_cells(query_vec, centroids, nprobe)
+    cand = indexed.filter(F.col("centroid_id").isin(probe_ids))
+    return pq_adc_topk(cand, codebook, query_vec, k=k, id_col=id_col)
 
 
 def embedding_contamination(

@@ -1018,3 +1018,48 @@ def test_pq_encode_vectorized_matches_expression_form(spark, sf_dir):
         for r in pq_encode_vectorized(emb, book).collect()
     }
     assert expr == vec and len(expr) > 0
+
+
+def test_ivf_pq_topk_planted_duplicates_rank_first(spark):
+    """IVF-PQ recall by construction on a corpus whose vectors are BUILT
+    from the codebook (vector i = concat of sub-centroid (i+s) mod k per
+    subspace, so every vector has a distinct, exactly-quantizable code
+    tuple — a random codebook quantizes the organic embeddings
+    degenerately, which is what pq_train exists to fix): the query and
+    its exact copies share a coarse cell (first probed) and codes
+    (ADC-minimal), so they must be exactly the top-3; and every result
+    row must come from a probed cell (the pruned-scan contract)."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        _rank_probe_cells,
+        assign_to_centroids,
+        ivf_pq_topk,
+        literal_centroids,
+        pq_codebook,
+        pq_encode,
+    )
+
+    book = pq_codebook(8, 16, 64)
+    cents = literal_centroids(8, 64)
+    rows = []
+    for i in range(14):  # < k=16 so (i+s) mod k gives every vector a distinct code tuple
+        vec = [x for s in range(8) for x in book[s][(i + s) % 16]]
+        rows.append((i, [float(x) for x in vec]))
+    q = list(rows[0][1])
+    rows += [(1_000_000, q), (1_000_001, q)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    indexed = pq_encode(assign_to_centroids(emb, cents), book)
+
+    out = ivf_pq_topk(indexed, cents, book, q, k=5, nprobe=2).collect()
+    assert {r["vec_id"] for r in out[:3]} == {0, 1_000_000, 1_000_001}, out
+    assert out[0]["adc_dist"] == out[2]["adc_dist"] < out[3]["adc_dist"]
+
+    probe = set(_rank_probe_cells(q, cents, 2))
+    cells = {
+        r["centroid_id"]
+        for r in indexed.filter(
+            F.col("vec_id").isin([r["vec_id"] for r in out])
+        ).collect()
+    }
+    assert cells <= probe
