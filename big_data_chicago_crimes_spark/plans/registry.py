@@ -153,6 +153,10 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # - orders_lake_partitioned_scan / lineitem_zorder_box_scan ride
     #   readers.py's footer-unit decision (temporal_units) — loader
     #   change shared by every query, certified across the r14 window
+    # r15 slot plan: an IVF-PQ query (operators landed r14 —
+    # similarity.ivf_pq_topk, literal centroids + codebook so the
+    # oracle composes the two already-replayable stages) funded by an
+    # r15-cohort pair merge — the embedding_pq_adc_topk precedent.
     # ------------------------------------------------------------------
     "docs_stream_static_dedup_batch",  # r13 slot 1: bloom probe path re-certified green
     "docs_domain_quota",  # r13 slot 2: persist reversal re-certified green
