@@ -142,14 +142,41 @@ def cosine_topk(
     )
 
 
+def _plane_sig_sql(vec_expr: str, dim: int, n_planes: int, table: int) -> str:
+    """The n_planes-bit signature as ONE SQL expression string — shared
+    by ``hyperplane_signature``'s fast-planning path and
+    ``lsh_near_dup_pairs``' per-table sig_sql, so the two can never
+    drift. Each plane dot keeps the HOF zip_with/aggregate form
+    (unrolling was measured 5× slower — codegen-budget blowout, see the
+    inline note below); the whole tree parses JVM-side in one call
+    instead of one py4j round trip per plane coordinate (~0.7-1.6 s of
+    driver time per signature at 8×64)."""
+    terms = []
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, table)):
+        arr = ",".join(f"{float(x)!r}D" for x in plane)
+        dot = (
+            f"aggregate(zip_with({vec_expr}, array({arr}), "
+            f"(x, p) -> cast(x as double) * p), 0D, (a, x) -> a + x)"
+        )
+        terms.append(f"if({dot} > 0D, {1 << i}, 0)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def hyperplane_signature(
     vec_col: Column | str, dim: int, n_planes: int = 8, table: int = 0
 ) -> Column:
     """LSH bucket id (int 0..2^n_planes-1): bit i = sign(v · plane_i).
     The planes are fixed literals → the whole signature evaluates inside
     codegen; no UDF, no shuffle. ``table`` selects an independent plane
-    set for multi-table LSH (table 0 = the historical planes)."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    set for multi-table LSH (table 0 = the historical planes).
+
+    A string ``vec_col`` (a column name — every production call site)
+    takes the one-SQL-string path (``_plane_sig_sql``); the Column path
+    builds the same expression nodes and is kept for derived Column
+    inputs (value parity pinned by test)."""
+    if isinstance(vec_col, str):
+        return F.expr(_plane_sig_sql(vec_col, dim, n_planes, table))
+    v = vec_col
     planes = _hyperplanes(dim, n_planes, table)
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
@@ -233,15 +260,7 @@ def lsh_near_dup_pairs(
     # is 'np.float64(x)' — unparseable SQL — while Python float repr is
     # stable and round-trips exactly.
     def sig_sql(t: int) -> str:
-        terms = []
-        for i, plane in enumerate(_hyperplanes(dim, n_planes, table=t)):
-            arr = ",".join(f"{float(x)!r}D" for x in plane)
-            dot = (
-                f"aggregate(zip_with({vec_col}, array({arr}), "
-                f"(x, p) -> cast(x as double) * p), 0D, (a, x) -> a + x)"
-            )
-            terms.append(f"if({dot} > 0D, {1 << i}, 0)")
-        return "(" + " + ".join(terms) + ")"
+        return _plane_sig_sql(vec_col, dim, n_planes, t)
 
     structs = ", ".join(
         f"struct({t} as tbl, {sig_sql(t)} as sig)" for t in range(n_tables)

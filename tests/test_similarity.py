@@ -1063,3 +1063,22 @@ def test_ivf_pq_topk_planted_duplicates_rank_first(spark):
         ).collect()
     }
     assert cells <= probe
+
+
+def test_hyperplane_signature_sql_form_matches_column_form(spark, sf_dir):
+    """The one-SQL-string signature must equal the Column-built form
+    bit-for-bit on real vectors, for both plane tables."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        hyperplane_signature,
+    )
+    from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+    emb = load_tables(spark, sf_dir).embeddings
+    for t in (0, 1):
+        both = emb.select(
+            hyperplane_signature("embedding", 64, 8, table=t).alias("a"),
+            hyperplane_signature(F.col("embedding"), 64, 8, table=t).alias("b"),
+        )
+        assert both.filter(F.col("a") != F.col("b")).count() == 0
