@@ -778,6 +778,183 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single.unionByName(batch).orderBy("section", "query_id", "rank")
 
 
+# --- IVF-PQ: the partition-pruned compressed probe ----------------------
+#
+# Executes the r15 slot plan recorded at plans/registry.py (VERDICT r14
+# missing #2): ivf_pq_topk (operators/similarity.py) landed in r14 with
+# pytest coverage only — this row gives the FAISS-standard composition
+# (Jégou, Douze & Schmid 2011 §V) its driver evidence. Both stages are
+# already replayable under their own literal tables (coarse centroids =
+# _ivf_lit_centroids, the embedding_ivf_topk_lake_seeded contract;
+# sub-centroid codebook = _pq_lit_codebook, the embedding_pq_adc_topk
+# contract), so the composed oracle is their CTEs joined: probe-cell
+# ranking ∘ cell assignment ∘ per-subspace encoding ∘ code-indexed ADC.
+# Funded by the shipping_priority_top10 + top_revenue_orders merge
+# (orders_q3_topk_surface).
+
+_IVFPQ_NPROBE = 3
+_IVFPQ_K = 10
+_IVFPQ_NQ = 2  # vec_ids 0,1 probe; vec_id >= 2 is the corpus
+
+
+def _ivf_pq_lit_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ index as a LAKE artifact: one pass over the raw
+    vectors adds BOTH index columns (centroid_id via assign_to_centroids,
+    pq_codes via pq_encode), written partitioned by centroid_id — the
+    layout ivf_pq_topk's docstring promises, so every probe is a
+    partition-PRUNED scan of ~nprobe/k_coarse of the CODES table and the
+    raw vectors are never read again. Reproducible from the seeds alone
+    (the literal-codebook determinism contract)."""
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        assign_to_centroids,
+        pq_encode,
+    )
+    from big_data_chicago_crimes_spark.sources.sinks import cached
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir)
+        indexed = pq_encode(
+            assign_to_centroids(t.embeddings, _ivf_lit_centroids()),
+            _pq_lit_codebook(),
+        )
+        return indexed.select("vec_id", "centroid_id", "pq_codes").repartition(
+            "centroid_id"
+        )
+
+    return cached(
+        spark,
+        f"{_lake_root(spark, sf_dir)}/embeddings_ivf_pq_lit",
+        build,
+        partition_by=["centroid_id"],
+    )
+
+
+def _ivf_pq_oracle() -> str:
+    """The ENTIRE IVF-PQ path in SQL: coarse-centroid VALUES + codebook
+    VALUES, per-query nprobe cell ranking and per-vector nearest-cell
+    assignment (both rounded-L2, cid tie-break — the
+    nearest_centroid_cells portability contract), per-(vector, subspace)
+    code assignment, the per-query partial-distance table, and the
+    code-indexed ADC sum rounded at 6dp over ONLY the probed cells'
+    candidates."""
+    cent_values = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])"
+        for cid, cv in enumerate(_ivf_lit_centroids())
+    )
+    book = _pq_lit_codebook()
+    book_values = ", ".join(
+        f"({s}, {c}, [{', '.join(repr(float(x)) for x in cv)}]::DOUBLE[])"
+        for s, sub_book in enumerate(book)
+        for c, cv in enumerate(sub_book)
+    )
+    slice_e = (
+        f"list_slice(e.embedding::DOUBLE[], cb.s*{_PQ_SUB}+1, cb.s*{_PQ_SUB}+{_PQ_SUB})"
+    )
+    slice_q = f"list_slice(q.qv, cb.s*{_PQ_SUB}+1, cb.s*{_PQ_SUB}+{_PQ_SUB})"
+    return f"""
+        WITH cells AS (SELECT * FROM (VALUES {cent_values}) t(cid, cv)),
+        cb AS (SELECT * FROM (VALUES {book_values}) t(s, c, cv)),
+        q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < {_IVFPQ_NQ}
+        ), probes AS (
+            SELECT query_id, cid FROM (
+                SELECT q.query_id, c.cid,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {_sqdist_sql("q.qv", "c.cv")}, c.cid) AS rn
+                FROM q CROSS JOIN cells c) WHERE rn <= {_IVFPQ_NPROBE}
+        ), assigned AS (
+            SELECT vec_id, cid AS cell FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_sqdist_sql("e.embedding::DOUBLE[]", "c.cv")},
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN cells c
+                WHERE e.vec_id >= {_IVFPQ_NQ}) WHERE rn = 1
+        ), enc AS (
+            SELECT vec_id, s, c AS code FROM (
+                SELECT e.vec_id, cb.s, cb.c,
+                       row_number() OVER (PARTITION BY e.vec_id, cb.s
+                           ORDER BY {_sqdist_sql(slice_e, "cb.cv")}, cb.c) AS rn
+                FROM embeddings e CROSS JOIN cb
+                WHERE e.vec_id >= {_IVFPQ_NQ}) WHERE rn = 1
+        ), tbl AS (
+            SELECT q.query_id, cb.s, cb.c, {_raw_sqdist_sql(slice_q, "cb.cv")} AS pd
+            FROM cb CROSS JOIN q
+        ), cand AS (
+            SELECT p.query_id, a.vec_id
+            FROM assigned a JOIN probes p ON a.cell = p.cid
+        ), adc AS (
+            SELECT cd.query_id, cd.vec_id, ROUND(SUM(t.pd), 6) AS adc_dist
+            FROM cand cd
+            JOIN enc e ON cd.vec_id = e.vec_id
+            JOIN tbl t ON t.query_id = cd.query_id AND e.s = t.s AND e.code = t.c
+            GROUP BY cd.query_id, cd.vec_id
+        )
+        SELECT query_id, vec_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT query_id, vec_id, adc_dist,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist, vec_id) AS rank
+            FROM adc) WHERE rank <= {_IVFPQ_K}
+        ORDER BY query_id, rank
+    """
+
+
+@register(
+    "embedding_ivf_pq_topk",
+    oracle=_ivf_pq_oracle(),
+    tags=("similarity", "ann", "ivf", "pq", "lake", "extension"),
+)
+def embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe against the MATERIALIZED literal index
+    (``operators/similarity.ivf_pq_topk`` — the r14 operator's driver
+    row, per the recorded r15 slot plan): vec_ids 0-1 each probe the
+    corpus (vec_id ≥ 2) for their top-10 by asymmetric distance.
+
+    The index lake (``_ivf_pq_lit_lake``) holds (vec_id, pq_codes)
+    partitioned by centroid_id — one build pass over the raw vectors,
+    32× smaller thereafter. Per query: the 8 coarse centroids rank
+    driver-side (index metadata), the codes scan is PARTITION-PRUNED to
+    the nprobe=3 nearest cells (tests/test_layout.py pins the
+    PartitionFilters), and the survivors rank by the in-row O(m) ADC
+    fold over the literal partial-distance table — zero shuffles, zero
+    joins, raw vectors never read. At 100 TB the per-query cost is
+    (nprobe/k_coarse) × (corpus_bytes/32): both compression levers
+    multiplied, the FAISS-standard economics.
+
+    The 2-row query batch is fetched driver-side (pushed-down
+    ``vec_id < 2`` filter) — dim-bounded index metadata, the
+    ``_query_vec`` convention."""
+    from pyspark.sql import Window
+
+    from big_data_chicago_crimes_spark.operators.similarity import ivf_pq_topk
+
+    cents = _ivf_lit_centroids()
+    book = _pq_lit_codebook()
+    corpus = _ivf_pq_lit_lake(spark, sf_dir).filter(F.col("vec_id") >= _IVFPQ_NQ)
+    t = load_tables(spark, sf_dir)
+    qrows = (
+        t.embeddings.filter(F.col("vec_id") < _IVFPQ_NQ)
+        .select("vec_id", "embedding")
+        .collect()  # 2 dim-sized rows: a retrieval batch is index metadata
+    )
+    w = Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    legs = [
+        ivf_pq_topk(corpus, cents, book, qv, k=_IVFPQ_K, nprobe=_IVFPQ_NPROBE)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.lit(qid).cast("long").alias("query_id"), "vec_id", "adc_dist", "rank"
+        )
+        for qid, qv in sorted(
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+        )
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("query_id", "rank")
+
+
 @register(
     "docs_hybrid_search",
     # The retrieval funnel of a RAG/search stack: cheap lexical recall
