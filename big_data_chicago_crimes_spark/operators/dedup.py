@@ -463,6 +463,77 @@ def fuzzy_match_pairs_segments(
     )
 
 
+def _span_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Normalized (__id, __t, __len) frame, spread for compute — shared
+    by the exact-substring family (shared_span_pairs,
+    maximal_span_pairs)."""
+    return spread_for_compute(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__t"),
+            F.length(F.col(text_col)).alias("__len"),
+        )
+    )
+
+
+def _span_candidate_doc_ids(base: DataFrame, min_span: int, k: int) -> DataFrame:
+    """Candidate-doc generation for the exact-substring family — the
+    strided k-gram hash join extracted VERBATIM from shared_span_pairs
+    (r13-certified; the extraction is plan-identical): the FULL side
+    emits the xxhash64 of every k-gram; the STRIDED side emits k-grams
+    only at positions ≡ 1 (mod s), s = min_span − k + 1. Any shared
+    span of length ≥ min_span spans s consecutive k-gram start
+    positions in the strided doc — hence ≥ 1 sampled position — and the
+    full side holds every position, so the hash join finds every
+    qualifying pair in either orientation (sound superset; a hash
+    collision only ADDS a candidate). Fan-out is corpus-linear: ~len
+    rows on the full side, ~len/s on the strided side, hashes only — no
+    substring strings ever shuffle. Returns the DISTINCT doc ids
+    touched by any candidate pair (one column, ``__id``)."""
+    stride = min_span - k + 1
+
+    def gram_rows(positions: Column) -> DataFrame:
+        # sequence(1, n) is DESCENDING for n < 1 — guard emits no rows
+        return (
+            base.withColumn("__p", F.explode(positions))
+            .select(
+                F.xxhash64(F.substring(F.col("__t"), F.col("__p"), k)).alias("__h"),
+                F.col("__id"),
+            )
+        )
+
+    full = gram_rows(
+        F.when(
+            F.col("__len") >= k, F.sequence(F.lit(1), F.col("__len") - k + 1)
+        )
+    )
+    strided = gram_rows(
+        F.when(
+            F.col("__len") >= k,
+            F.sequence(F.lit(1), F.col("__len") - k + 1, F.lit(stride)),
+        )
+    )
+    strided2 = strided.withColumnRenamed("__id", "__id2").withColumnRenamed(
+        "__h", "__h2"
+    )
+    cand = (
+        full.join(
+            _pin_pair_join_build_side(strided2),
+            (F.col("__h") == F.col("__h2")) & (F.col("__id") != F.col("__id2")),
+        )
+        .select(
+            F.least(F.col("__id"), F.col("__id2")).alias("__ida"),
+            F.greatest(F.col("__id"), F.col("__id2")).alias("__idb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(F.col("__ida").alias("__id"))
+        .unionAll(cand.select(F.col("__idb").alias("__id")))
+        .distinct()
+    )
+
+
 def shared_span_pairs(
     df: DataFrame,
     min_span: int = 50,
@@ -506,52 +577,8 @@ def shared_span_pairs(
     """
     if k > min_span:
         raise ValueError(f"k {k} must be <= min_span {min_span}")
-    stride = min_span - k + 1
-    m = F.length(F.col(text_col))
-    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"), m.alias("__len"))
-    base = spread_for_compute(base)
-
-    def gram_rows(positions: Column) -> DataFrame:
-        # sequence(1, n) is DESCENDING for n < 1 — guard emits no rows
-        return (
-            base.withColumn("__p", F.explode(positions))
-            .select(
-                F.xxhash64(F.substring(F.col("__t"), F.col("__p"), k)).alias("__h"),
-                F.col("__id"),
-            )
-        )
-
-    full = gram_rows(
-        F.when(
-            F.col("__len") >= k, F.sequence(F.lit(1), F.col("__len") - k + 1)
-        )
-    )
-    strided = gram_rows(
-        F.when(
-            F.col("__len") >= k,
-            F.sequence(F.lit(1), F.col("__len") - k + 1, F.lit(stride)),
-        )
-    )
-    strided2 = strided.withColumnRenamed("__id", "__id2").withColumnRenamed(
-        "__h", "__h2"
-    )
-    cand = (
-        full.join(
-            _pin_pair_join_build_side(strided2),
-            (F.col("__h") == F.col("__h2")) & (F.col("__id") != F.col("__id2")),
-        )
-        .select(
-            F.least(F.col("__id"), F.col("__id2")).alias("__ida"),
-            F.greatest(F.col("__id"), F.col("__id2")).alias("__idb"),
-        )
-        .distinct()
-    )
-
-    cand_ids = (
-        cand.select(F.col("__ida").alias("__id"))
-        .unionAll(cand.select(F.col("__idb").alias("__id")))
-        .distinct()
-    )
+    base = _span_base(df, text_col, id_col)
+    cand_ids = _span_candidate_doc_ids(base, min_span, k)
     span_rows = (
         base.join(cand_ids, "__id", "left_semi")
         .withColumn(
@@ -584,6 +611,150 @@ def shared_span_pairs(
     return shared.groupBy(
         F.col("__id").alias("id_a"), F.col("__id2").alias("id_b")
     ).agg(F.count(F.lit(1)).cast("int").alias("n_shared_spans"))
+
+
+def maximal_span_pairs(
+    df: DataFrame,
+    min_span: int = 50,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MAXIMAL exact shared substrings between document pairs — the full
+    ExactSubstr output of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022): where ``shared_span_pairs``
+    reports that a pair shares ≥ min_span chars (the probe),
+    this reports each maximal duplicated substring itself —
+    (id_a, id_b, pos_a, pos_b, span_len), the positions a removal pass
+    needs. Lee et al. compute these with a single-machine suffix array
+    (their §4: sorted suffixes, adjacent longest-common-prefix runs);
+    a suffix array doesn't distribute, but its output is exactly
+    recoverable from k-gram matches: a maximal shared substring of
+    length M ≥ k between docs a and b produces matches at positions
+    pa = sa..sa+M−k on the SAME DIAGONAL d = pa − pb, and no match at
+    sa−1 or sa+M−k+1 on that diagonal (the flanking chars differ, else
+    not maximal). So maximal substrings = maximal runs of consecutive
+    pa within (a, b, d) — the gaps-and-islands pattern — with
+    span_len = run_length + k − 1. (These are the classic "maximal
+    exact matches" of the string-matching literature.)
+
+    Plan: (1) candidate docs via the strided-hash join
+    (``_span_candidate_doc_ids`` — hashes only, corpus-linear, sound
+    superset: every pair with a span ≥ min_span is a candidate pair,
+    so both its docs survive); (2) candidate docs explode their k-gram
+    STRINGS once and self-join on the exact gram (no hashes — no false
+    positives), yielding match positions; (3) per (pair, diagonal), the
+    island id pa − row_number() groups consecutive positions; one
+    aggregate emits each maximal span. Gram strings shuffle only for
+    candidate docs; the island window partitions by (pair, diagonal) —
+    bounded by the longer doc, never corpus-sized. Output filtered to
+    span_len ≥ min_span; pos_* are 1-based; in-doc repeats yield one
+    row per occurrence pair (distinct diagonals), the MEM convention.
+    """
+    from pyspark.sql import Window
+
+    if k > min_span:
+        raise ValueError(f"k {k} must be <= min_span {min_span}")
+    base = _span_base(df, text_col, id_col)
+    cand_ids = _span_candidate_doc_ids(base, min_span, k)
+    gram_rows = (
+        base.join(cand_ids, "__id", "left_semi")
+        .withColumn(
+            "__p",
+            F.explode(
+                F.when(
+                    F.col("__len") >= k,
+                    F.sequence(F.lit(1), F.col("__len") - k + 1),
+                )
+            ),
+        )
+        .select(
+            "__id", "__p", F.substring(F.col("__t"), F.col("__p"), k).alias("__g")
+        )
+    )
+    other = (
+        gram_rows.withColumnRenamed("__id", "__id2")
+        .withColumnRenamed("__p", "__p2")
+        .withColumnRenamed("__g", "__g2")
+    )
+    matches = gram_rows.join(
+        other,
+        (F.col("__g") == F.col("__g2")) & (F.col("__id") < F.col("__id2")),
+    ).select(
+        F.col("__id").alias("__ida"),
+        F.col("__id2").alias("__idb"),
+        F.col("__p").alias("__pa"),
+        F.col("__p2").alias("__pb"),
+        (F.col("__p") - F.col("__p2")).alias("__diag"),
+    )
+    w = Window.partitionBy("__ida", "__idb", "__diag").orderBy("__pa")
+    runs = matches.withColumn("__isl", F.col("__pa") - F.row_number().over(w))
+    return (
+        runs.groupBy("__ida", "__idb", "__diag", "__isl")
+        .agg(
+            F.min("__pa").alias("pos_a"),
+            F.min("__pb").alias("pos_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("int").alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_span)
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            "pos_a",
+            "pos_b",
+            "span_len",
+        )
+    )
+
+
+def span_removal_census(
+    spans: DataFrame,
+    id_col: str = "id_b",
+    pos_col: str = "pos_b",
+    len_col: str = "span_len",
+) -> DataFrame:
+    """Per-document removal mask over ``maximal_span_pairs`` output —
+    the dedup step of Lee et al. 2022 (they cut each duplicated
+    substring from all but one occurrence): with the deterministic
+    keep-first policy (the pair's LOWER id keeps its copy; the id_b
+    side is cut), a document's removal set is the UNION of its
+    [pos_b, pos_b + span_len) intervals across all pairs where it is
+    id_b. Overlapping spans from different partners must not
+    double-count, so the intervals merge via the running-max
+    gaps-and-islands pattern: sort by start within doc, open a new
+    island where start exceeds the max end seen so far. Returns
+    (doc_id, n_intervals, chars_removed) — n_intervals = merged
+    (disjoint) removal intervals, chars_removed = total chars cut.
+    Windows partition per document and fan in by pair count — span
+    rows, not corpus rows, shuffle."""
+    from pyspark.sql import Window
+
+    iv = spans.select(
+        F.col(id_col).alias("__doc"),
+        F.col(pos_col).alias("__s"),
+        (F.col(pos_col) + F.col(len_col)).alias("__e"),
+    )
+    w = (
+        Window.partitionBy("__doc")
+        .orderBy("__s", "__e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = Window.partitionBy("__doc").orderBy("__s", "__e")
+    marked = iv.withColumn("__prev_max", F.max("__e").over(w)).withColumn(
+        "__new",
+        F.when(
+            F.col("__prev_max").isNull() | (F.col("__s") > F.col("__prev_max")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = marked.withColumn("__grp", F.sum("__new").over(wrun))
+    merged = islands.groupBy("__doc", "__grp").agg(
+        F.min("__s").alias("__ms"), F.max("__e").alias("__me")
+    )
+    return merged.groupBy(F.col("__doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_intervals"),
+        F.sum(F.col("__me") - F.col("__ms")).cast("long").alias("chars_removed"),
+    )
 
 
 def line_level_dedup(

@@ -270,6 +270,143 @@ def docs_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_span_pairs(corpus, min_span=50, k=28).orderBy("id_a", "id_b")
 
 
+_MSP_K = 40  # match-gram length; maximal-span resolution floor (≥ min_span=50 kept)
+_MSP_MIN = 50
+
+
+@register(
+    "docs_exact_substring_spans",
+    # NEW r15 (VERDICT r14 #6, option A): the suffix-array ExactSubstr
+    # OUTPUT — maximal duplicated substrings with positions, plus the
+    # removal census — beyond docs_shared_span_pairs' pair-level count.
+    # Funded by the late_shipment_orders + segment_customers_with_orders
+    # merge (exists_join_surface). The oracle replays the DEFINITION
+    # directly (all k-gram matches over the full corpus → diagonal
+    # islands → interval union), not the sampling: the candidate stage
+    # is a sound superset (any pair with a span ≥ min_span is a
+    # candidate pair), so restricting the match join to candidate docs
+    # loses nothing and the answers coincide. Same quote-twin planting
+    # as the sibling — every 25th doc spawns a doc embedding an 80-char
+    # slice, so maximal ~80-char spans (and their removal masks) are
+    # guaranteed non-vacuous alongside organic boilerplate spans.
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 2000000, 'quoted: ' || substr(text, 10, 80) || ' :end'
+            FROM documents WHERE doc_id % 25 = 0
+        ), pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - {_MSP_K - 1})) AS p
+            FROM corpus WHERE length(text) >= {_MSP_K}
+        ), g AS (
+            SELECT doc_id, CAST(p AS INTEGER) AS p,
+                   substr(text, CAST(p AS INTEGER), {_MSP_K}) AS gram
+            FROM pos
+        ), m AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb, a.p AS pa, b.p AS pb,
+                   a.p - b.p AS diag
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        ), isl AS (
+            SELECT ida, idb, pa, pb, diag,
+                   pa - row_number() OVER (PARTITION BY ida, idb, diag
+                                           ORDER BY pa) AS grp
+            FROM m
+        ), spans AS (
+            SELECT ida, idb, MIN(pa) AS pos_a, MIN(pb) AS pos_b,
+                   COUNT(*) + {_MSP_K - 1} AS span_len
+            FROM isl GROUP BY ida, idb, diag, grp
+            HAVING COUNT(*) + {_MSP_K - 1} >= {_MSP_MIN}
+        ), iv AS (
+            SELECT idb AS doc, pos_b AS s, pos_b + span_len AS e FROM spans
+        ), marked AS (
+            SELECT doc, s, e,
+                   MAX(e) OVER (PARTITION BY doc ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pm
+            FROM iv
+        ), islands AS (
+            SELECT doc, s, e,
+                   SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc ORDER BY s, e) AS grp
+            FROM marked
+        ), merged AS (
+            SELECT doc, grp, MIN(s) AS ms, MAX(e) AS me
+            FROM islands GROUP BY doc, grp
+        ), mask AS (
+            SELECT doc, CAST(COUNT(*) AS INTEGER) AS n_iv,
+                   CAST(SUM(me - ms) AS BIGINT) AS chars
+            FROM merged GROUP BY doc
+        )
+        SELECT 'span' AS leg, ida AS id_a, idb AS id_b,
+               CAST(pos_a AS INTEGER) AS pos_a, CAST(pos_b AS INTEGER) AS pos_b,
+               CAST(span_len AS BIGINT) AS span_len
+        FROM spans
+        UNION ALL
+        SELECT 'mask' AS leg, doc AS id_a, CAST(-1 AS BIGINT) AS id_b,
+               n_iv AS pos_a, CAST(-1 AS INTEGER) AS pos_b, chars AS span_len
+        FROM mask
+        ORDER BY leg, id_a, id_b, pos_a, pos_b
+    """,
+    tags=("dedup", "exact-substring", "span", "maximal", "extension"),
+)
+def docs_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-shaped exact-substring dedup (Lee et al., ACL 2022
+    §4), two legs in one driver row:
+
+    - ``span``: every MAXIMAL duplicated substring of length ≥ 50 chars
+      between document pairs — (id_a, id_b, pos_a, pos_b, span_len) via
+      ``operators/dedup.maximal_span_pairs`` (strided-hash candidates →
+      exact 40-gram match join on candidate docs → diagonal
+      gaps-and-islands). The positions a removal pass cuts, not just
+      the pair-level count ``docs_shared_span_pairs`` reports.
+    - ``mask``: the removal census (``span_removal_census``) under the
+      keep-first policy (id_b's copy is cut): per affected document,
+      the merged-interval count and total chars removed. Sentinel
+      columns (the docs_temperature_mix convention): id_a = doc_id,
+      id_b = −1, pos_a = n_intervals, pos_b = −1, span_len =
+      chars_removed."""
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        maximal_span_pairs,
+        span_removal_census,
+    )
+    from big_data_chicago_crimes_spark.session import scratch_persist
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    quotes = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("quoted: "), F.substring("text", 10, 80), F.lit(" :end")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(quotes)
+    # both legs consume the spans frame — persist so the candidate +
+    # match-join pipeline runs once (the embedding_pq_adc_topk economics)
+    spans = scratch_persist(
+        maximal_span_pairs(corpus, min_span=_MSP_MIN, k=_MSP_K)
+    )
+    span_leg = spans.select(
+        F.lit("span").alias("leg"),
+        "id_a",
+        "id_b",
+        "pos_a",
+        "pos_b",
+        F.col("span_len").cast("long").alias("span_len"),
+    )
+    mask_leg = span_removal_census(spans).select(
+        F.lit("mask").alias("leg"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.col("n_intervals").alias("pos_a"),
+        F.lit(-1).cast("int").alias("pos_b"),
+        F.col("chars_removed").alias("span_len"),
+    )
+    return span_leg.unionByName(mask_leg).orderBy(
+        "leg", "id_a", "id_b", "pos_a", "pos_b"
+    )
+
+
 @register(
     "docs_line_dedup",
     # funded by folding orders_price_quantiles into the grouping

@@ -892,3 +892,161 @@ def test_hash_family_typo_raises(spark):
         minhash_signature_table(df, hash_family="xxHash")
     with pytest.raises(ValueError, match="hash_family"):
         simhash_table(df, hash_family="sha1")
+
+
+# --- maximal exact shared substrings (suffix-array ExactSubstr output) ---
+
+
+def _py_maximal_spans(a: str, b: str, L: int) -> list[tuple[int, int, int]]:
+    """Independent char-level reference: walk every diagonal of the
+    (a, b) comparison matrix and emit maximal runs of equal chars >= L
+    as 1-based (pos_a, pos_b, span_len) — NOT the k-gram/island
+    mechanism the operator uses, so agreement is evidence, not echo."""
+    out = []
+    for d in range(-(len(b) - 1), len(a)):
+        i, j = max(0, d), max(0, d) - d
+        run = 0
+        while i < len(a) and j < len(b):
+            if a[i] == b[j]:
+                run += 1
+            else:
+                if run >= L:
+                    out.append((i - run + 1, j - run + 1, run))
+                run = 0
+            i += 1
+            j += 1
+        if run >= L:
+            out.append((i - run + 1, j - run + 1, run))
+    return sorted(out)
+
+
+def _spark_maximal_spans(spark, texts: dict[int, str], L: int, k: int):
+    from big_data_chicago_crimes_spark.operators.dedup import maximal_span_pairs
+
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    return sorted(
+        (r.id_a, r.id_b, r.pos_a, r.pos_b, r.span_len)
+        for r in maximal_span_pairs(df, min_span=L, k=k).collect()
+    )
+
+
+def test_maximal_span_pairs_vs_char_reference(spark):
+    """Planted shared blocks: positions and lengths of every maximal
+    span match the char-level diagonal reference exactly; sub-threshold
+    overlaps and unrelated docs yield nothing."""
+    span = "the quick brown fox jumps over the lazy dog again and again!"
+    texts = {
+        1: "AAA " + span + " BBB",
+        2: "intro text here " + span + " outro",
+        3: "no overlap at all in this completely different document body",
+        5: "prefix " + span[:40] + " suffix but only forty shared chars",
+    }
+    got = _spark_maximal_spans(spark, texts, L=50, k=20)
+    expect = sorted(
+        (a, b, pa, pb, ln)
+        for a in texts
+        for b in texts
+        if a < b
+        for pa, pb, ln in _py_maximal_spans(texts[a], texts[b], 50)
+    )
+    assert got == expect, (got, expect)
+    assert [(g[0], g[1]) for g in got] == [(1, 2)]
+    # the maximal span is the FULL planted block EXTENDED over the
+    # flanking space both docs share on each side — maximality means
+    # the operator must not clip at the plant boundary
+    assert got[0][4] == len(span) + 2
+
+
+def test_maximal_span_pairs_multiple_occurrences_and_diagonals(spark):
+    """In-doc repeats produce one row per occurrence pair (distinct
+    diagonals) — the MEM convention — all position-exact vs the
+    reference."""
+    import random
+
+    rng = random.Random(11)
+    alphabet = "abcdefgh "
+    block = "".join(rng.choice("xyzw") for _ in range(30))
+    fill = lambda n: "".join(rng.choice(alphabet) for _ in range(n))  # noqa: E731
+    texts = {
+        1: fill(12) + block + fill(9) + block + fill(5),
+        2: fill(20) + block + fill(15),
+    }
+    got = _spark_maximal_spans(spark, texts, L=30, k=10)
+    expect = sorted(
+        (1, 2, pa, pb, ln) for pa, pb, ln in _py_maximal_spans(texts[1], texts[2], 30)
+    )
+    assert got == expect, (got, expect)
+    assert len(got) == 2  # both occurrences in doc 1 match doc 2's copy
+
+
+def test_maximal_span_pairs_fuzz_vs_reference(spark):
+    """Seeded fuzz: random corpora with randomly planted shared blocks —
+    full output equality (ids, positions, lengths) with the char-level
+    reference, including accidental alphabet collisions the planting
+    didn't intend."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abc "
+    for trial in range(4):
+        blocks = [
+            "".join(rng.choice("uvwxyz") for _ in range(rng.randint(25, 45)))
+            for _ in range(3)
+        ]
+        texts = {}
+        for i in range(1, 6):
+            parts = []
+            for _ in range(rng.randint(1, 3)):
+                parts.append(
+                    "".join(rng.choice(alphabet) for _ in range(rng.randint(5, 40)))
+                )
+                if rng.random() < 0.7:
+                    parts.append(rng.choice(blocks))
+            texts[i] = "".join(parts)
+        got = _spark_maximal_spans(spark, texts, L=25, k=10)
+        expect = sorted(
+            (a, b, pa, pb, ln)
+            for a in texts
+            for b in texts
+            if a < b
+            for pa, pb, ln in _py_maximal_spans(texts[a], texts[b], 25)
+        )
+        assert got == expect, (trial, got, expect)
+
+
+def test_span_removal_census_interval_union(spark):
+    """Overlapping removal intervals from different partners merge
+    before counting: chars_removed is the measure of the UNION, not the
+    sum of span lengths."""
+    from big_data_chicago_crimes_spark.operators.dedup import span_removal_census
+
+    rows = [
+        # doc 10: [5,55) and [40,90) overlap -> one interval, 85 chars;
+        # [200,230) disjoint -> second interval
+        (1, 10, 3, 5, 50),
+        (2, 10, 7, 40, 50),
+        (3, 10, 1, 200, 30),
+        # doc 20: identical spans from two partners -> count once
+        (1, 20, 11, 1, 60),
+        (2, 20, 99, 1, 60),
+    ]
+    spans = spark.createDataFrame(
+        rows, "id_a long, id_b long, pos_a int, pos_b int, span_len int"
+    )
+    got = {
+        r.doc_id: (r.n_intervals, r.chars_removed)
+        for r in span_removal_census(spans).collect()
+    }
+    assert got == {10: (2, 85 + 30), 20: (1, 60)}, got
+
+
+def test_maximal_span_pairs_k_bound(spark):
+    import pytest as _pytest
+
+    from big_data_chicago_crimes_spark.operators.dedup import maximal_span_pairs
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="min_span"):
+        maximal_span_pairs(df, min_span=10, k=20)
