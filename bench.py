@@ -59,10 +59,9 @@ HEADLINE = [
     # joins / TPC-H shapes
     "revenue_by_nation",
     "pricing_summary",
-    "top_revenue_orders",
+    "orders_q3_topk_surface",  # r15 merge: top_revenue_orders + shipping_priority_top10
     "best_order_per_customer",
-    "segment_customers_with_orders",
-    "shipping_priority_top10",
+    "exists_join_surface",  # r15 merge: late_shipment_orders + segment_customers_with_orders
     "returned_item_top_customers",
     "supplier_nation_revenue",
     "events_by_segment_salted_join",  # skew-mitigation path
@@ -125,7 +124,6 @@ HEADLINE = [
     "users_distinct_exact_vs_approx",  # merged exact+HLL surface (r7 continuation)
     "orders_price_quantiles_approx",
     "revenue_metric_surface",  # r13 merge: promo_revenue_pct + forecast_revenue_change
-    "late_shipment_orders",
     "part_catalog_surface",  # r13 merge: parts_never_ordered + top10_part_types
     "all_account_balances",
     "asof_join_surface",  # merged as-of surface (r7 continuation)

@@ -125,69 +125,115 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "top_revenue_orders",
+    "orders_q3_topk_surface",
+    # merges the former top_revenue_orders (all-time BUILDING-segment
+    # revenue top-10) and shipping_priority_top10 (the date-filtered
+    # unshipped-revenue TPC-H Q3) registrations — both r13-green Q3
+    # shapes with the IDENTICAL output schema — into one leg-labeled
+    # surface (the part_catalog_surface precedent): both join plans
+    # still execute and hash-certify in a single registry slot. The
+    # slot freed funds embedding_ivf_pq_topk (the r15 slot plan,
+    # VERDICT r14 #2).
     oracle="""
-        SELECT o_orderkey,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-               STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate
-        FROM customer
-        JOIN orders   ON c_custkey = o_custkey
-        JOIN lineitem ON o_orderkey = l_orderkey
-        WHERE c_mktsegment = 'BUILDING'
-        GROUP BY o_orderkey, o_orderdate
-        ORDER BY revenue DESC, o_orderkey LIMIT 10
+        SELECT 'all_time' AS leg, o_orderkey AS orderkey, revenue, orderdate
+        FROM (
+            SELECT o_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        )
+        UNION ALL
+        SELECT 'unshipped' AS leg, l_orderkey AS orderkey, revenue, orderdate
+        FROM (
+            SELECT l_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(strftime(o_orderdate, '%Y-%m-%d') AS VARCHAR) AS orderdate
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+              AND l_shipdate  > TIMESTAMP '1999-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        )
+        ORDER BY leg, revenue DESC, orderkey
     """,
     tags=("join", "topk", "tpch:q3"),
 )
-def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: top-10 orders by revenue for one market segment.
-    The customer filter is applied BEFORE the join (semi-join style
-    reduction) and broadcast; top-k is TakeOrderedAndProject."""
+def orders_q3_topk_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 top-k surface, two legs in one driver row:
+
+    - ``all_time``: top-10 orders by revenue for the BUILDING segment,
+      no date filter. The customer filter is applied BEFORE the join
+      (semi-join style reduction); no broadcast hints — customer-subset
+      and orders both scale with the fact data, so AQE's runtime stats
+      make the broadcast-vs-SMJ call (they do go broadcast at bench SF).
+    - ``unshipped``: the canonical Q3 — unshipped revenue top-10, both
+      date filters pushed to the scans before the joins.
+
+    Both top-10s are TakeOrderedAndProject (per-partition heaps, never a
+    global sort)."""
     t = load_tables(spark, sf_dir)
-    # no broadcast hints: customer-subset and orders both scale with the
-    # fact data — AQE's runtime stats make the broadcast-vs-SMJ call
-    # (they do go broadcast at bench SF)
     building = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    orders = dim_join(
+
+    all_orders = dim_join(
         t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
         building,
         t.orders.o_custkey == building.c_custkey,
         hint=None,
     ).select("o_orderkey", "o_orderdate")
-    li = t.lineitem.select("l_orderkey", REVENUE().alias("rev"))
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+    li_all = t.lineitem.select("l_orderkey", REVENUE().alias("rev"))
+    all_time = (
+        li_all.join(all_orders, li_all.l_orderkey == all_orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.round(F.sum("rev"), 2).alias("revenue"))
         .select(
-            "o_orderkey",
+            F.lit("all_time").alias("leg"),
+            F.col("o_orderkey").alias("orderkey"),
             "revenue",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         )
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
         .limit(10)
     )
 
+    dated_orders = t.orders.filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    dated_orders = dated_orders.join(
+        building, dated_orders.o_custkey == building.c_custkey, "left_semi"
+    )
+    li_unshipped = t.lineitem.filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    ).select("l_orderkey", REVENUE().alias("rev"))
+    unshipped = (
+        li_unshipped.join(
+            dated_orders, li_unshipped.l_orderkey == dated_orders.o_orderkey
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+        .select(
+            F.lit("unshipped").alias("leg"),
+            F.col("l_orderkey").alias("orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+    return all_time.unionByName(unshipped).orderBy(
+        "leg", F.col("revenue").desc(), "orderkey"
+    )
 
-@register(
-    "segment_customers_with_orders",
-    oracle="""
-        SELECT c_mktsegment, COUNT(*) AS n_customers
-        FROM customer
-        WHERE c_custkey IN (SELECT o_custkey FROM orders)
-        GROUP BY c_mktsegment ORDER BY c_mktsegment
-    """,
-    tags=("join", "semi"),
-)
-def segment_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI join (EXISTS): customers having ≥1 order, per segment.
-    Right side reduced to its join key; no column materialization."""
-    t = load_tables(spark, sf_dir)
-    have = semi_join(t.customer, t.orders.select("o_custkey"),
-                     t.customer.c_custkey == F.col("o_custkey"))
-    return have.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_customers")
-    ).orderBy("c_mktsegment")
+
+# segment_customers_with_orders merged into exists_join_surface below —
+# the 'segment_customers' leg is the identical semi_join plan.
 
 
 @register(
@@ -306,83 +352,81 @@ def all_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "late_shipment_orders",
+    "exists_join_surface",
+    # merges the former late_shipment_orders (TPC-H Q4 conditional
+    # left-semi: equi key + inequality residual) and
+    # segment_customers_with_orders (plain EXISTS left-semi)
+    # registrations — both r13-green semi-join certifications with a
+    # (key, count) output — into one leg-labeled surface (the
+    # part_catalog_surface precedent): both semi-join plans still
+    # execute and hash-certify in a single registry slot. The slot
+    # freed funds docs_exact_substring_spans (VERDICT r14 #6).
     oracle="""
-        SELECT o_orderpriority, COUNT(*) AS n_orders
+        SELECT 'late_shipment' AS leg, o_orderpriority AS key,
+               COUNT(*) AS cnt
         FROM orders o
         WHERE EXISTS (
             SELECT 1 FROM lineitem l
             WHERE l.l_orderkey = o.o_orderkey
               AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
         )
-        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'segment_customers' AS leg, c_mktsegment AS key,
+               COUNT(*) AS cnt
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        GROUP BY c_mktsegment
+        ORDER BY leg, key
     """,
     tags=("join", "semi", "tpch:q4"),
 )
-def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: orders with ≥1 lineitem shipped >60 days after
-    the order date, per priority — a CONDITIONAL left-semi join (equi
-    key + inequality residual), the EXISTS-subquery pattern."""
+def exists_join_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-subquery surface, two left-semi joins in one driver row:
+
+    - ``late_shipment``: TPC-H Q4 shape — orders with ≥1 lineitem
+      shipped >60 days after the order date, per priority. A
+      CONDITIONAL left-semi join (equi key + inequality residual).
+    - ``segment_customers``: customers having ≥1 order, per segment —
+      the plain EXISTS left-semi, right side reduced to its join key,
+      no right-column materialization.
+    """
     t = load_tables(spark, sf_dir)
     o = t.orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     li = t.lineitem.select("l_orderkey", "l_shipdate")
     cond = (o.o_orderkey == li.l_orderkey) & (
         li.l_shipdate > F.date_add(o.o_orderdate, 60)
     )
-    late = o.join(li, cond, "left_semi")
-    return (
-        late.groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_orders"))
-        .orderBy("o_orderpriority")
-    )
-
-
-@register(
-    "shipping_priority_top10",
-    oracle="""
-        SELECT l_orderkey,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-               CAST(strftime(o_orderdate, '%Y-%m-%d') AS VARCHAR) AS orderdate
-        FROM customer
-        JOIN orders   ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1999-01-01'
-          AND l_shipdate  > TIMESTAMP '1999-01-01'
-        GROUP BY l_orderkey, o_orderdate
-        ORDER BY revenue DESC, l_orderkey LIMIT 10
-    """,
-    tags=("join", "topk", "tpch:q3"),
-)
-def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: unshipped-revenue top 10 for one market segment.
-
-    Plan at scale: both filters push to the scans BEFORE the joins (the
-    segment filter shrinks customer ~5×, the date filters shrink both
-    fact sides); customer is semi-joined into orders (AQE may broadcast
-    the filtered segment), and the top-10 is TakeOrderedAndProject —
-    per-partition heaps, never a global sort."""
-    t = load_tables(spark, sf_dir)
-    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    orders = t.orders.filter(
-        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
-    ).select("o_orderkey", "o_custkey", "o_orderdate")
-    orders = orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
-    li = t.lineitem.filter(
-        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
-    ).select("l_orderkey", REVENUE().alias("rev"))
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+    late = (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
         .select(
-            "l_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.lit("late_shipment").alias("leg"),
+            F.col("o_orderpriority").alias("key"),
+            "cnt",
         )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-        .limit(10)
     )
+    have = semi_join(
+        t.customer,
+        t.orders.select("o_custkey"),
+        t.customer.c_custkey == F.col("o_custkey"),
+    )
+    segments = (
+        have.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.lit("segment_customers").alias("leg"),
+            F.col("c_mktsegment").alias("key"),
+            "cnt",
+        )
+    )
+    return late.unionByName(segments).orderBy("leg", "key")
+
+
+# shipping_priority_top10 merged into orders_q3_topk_surface above — the
+# 'unshipped' leg is the identical plan (filters pushed before the joins,
+# semi-joined segment customers, TakeOrderedAndProject top-10).
 
 
 @register(

@@ -140,7 +140,7 @@ def orders_quarter_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shape) merged into part_catalog_surface in join_queries.py — the
 # identical top_k leg rides the part scan the anti-join leg already
 # pays for. The ``aggregates.top_k`` operator itself stays certified by
-# shipping_priority_top10 / top_revenue_orders / purchase_top_users.
+# orders_q3_topk_surface (both legs) / purchase_top_users.
 
 
 @register(

@@ -130,7 +130,7 @@ SUITE = {
     "tpc_joins": [
         "revenue_by_nation",
         "pricing_summary",
-        "top_revenue_orders",
+        "orders_q3_topk_surface",
         "best_order_per_customer",
     ],
     # r7: the materialized-layout read paths — the shapes whose whole

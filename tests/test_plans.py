@@ -59,7 +59,7 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
 
 
 def test_semi_join_no_right_columns(spark, sf_dir):
-    plan = formatted_plan(spark, sf_dir, "segment_customers_with_orders")
+    plan = formatted_plan(spark, sf_dir, "exists_join_surface")
     assert "LeftSemi" in plan
 
 
@@ -67,7 +67,7 @@ def test_q3_filters_pushed_before_joins(spark, sf_dir):
     """TPC-H Q3 shape: the segment, order-date, and ship-date predicates
     must all reach their parquet scans — filtering after the join would
     move the whole fact table through the shuffle."""
-    plan = formatted_plan(spark, sf_dir, "shipping_priority_top10")
+    plan = formatted_plan(spark, sf_dir, "orders_q3_topk_surface")
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
     assert "LessThan(o_orderdate" in plan
     assert "GreaterThan(l_shipdate" in plan
