@@ -44,61 +44,125 @@ REGISTRY: dict[str, Query] = {}
 # (VERDICT r4 #3); tests/test_registry.py derives the staleness contract from
 # the committed CORRECTNESS history, so a bad rotation fails CI.
 #
-# ROUND-14 WINDOW (the mechanical cohort rotation, VERDICT r12 #1): at 100
+# ROUND-15 WINDOW (the mechanical cohort rotation, VERDICT r12 #1): at 100
 # registered queries the two 50-query cohorts alternate windows every
-# round or the 2-round staleness contract breaks. The r13 window (the
-# r11 cohort: stream-static / span / line / semantic dedup + ETL / OLAP
-# / join spine / pipeline — 50/50 hash-green in CORRECTNESS_r13) rotates
-# OUT; the r12 cohort (dedup sketches / ANN / text / sampling / ML /
-# streaming twins / geo) rotates IN. The rotation carries the round's
-# heaviest freight (VERDICT r13 #1): commit 144065b removed the
-# train/test leak from EVERY held-out ML runner AFTER the r12 rows were
-# stamped — featurization (indexer/scaler) now fits on the train split
-# only, and CrossValidator carries featurization inside its estimator so
-# each fold re-fits. The affected rows certify the OLD fit boundary, so
-# they go FIRST (the bloom-slot-1 precedent from r13, executed green):
-# - ``ml_classifier_auc_surface`` (AUC + CV + onehot legs) and
-#   ``ml_gbt_rmse``: every held-out metric they emit is recomputed on
-#   the leak-fixed path. If an AUC/RMSE band breaks, the band was
-#   calibrated on leaked metrics — re-derive it from truly-held-out
-#   numbers, do not re-widen to fit the leaked ones (VERDICT r13 #8).
-# - ``docs_train_val_test_split``: hash_split gained a NULL-key raise
-#   branch + global_hash_order NULL guard on its shards leg (r13
-#   session-2 review sweep, claimed output-identical).
-# - ``embedding_batch_topk``: _salted_topk gained order_col/ascending
-#   params for the PQ/ADC batch form (cosine path behavior-identical).
-# - ``embedding_near_dups_lsh``: output restructured in r13 (near_dup +
-#   top_candidate legs — the nonzero assertion surface, VERDICT r12 #3);
-#   its r12 row predates the restructure entirely.
-# - ``docs_lang_id`` (explode_outer zero-token survival),
-#   ``orders_temporal_bucket_surface`` (grouping()-tagged sets),
-#   ``geo_district_surface`` (context-managed reads): r13 builder
-#   changes claimed output-identical — the driver hash is the contract.
-# - ``docs_fingerprint_census``: the one unadjudicated >1.5× bench entry
-#   (VERDICT r13 wrong #3, suspect: NULL-fingerprint hardening c80ddf1)
-#   — early slot so the re-measure and the re-certification land together.
+# round or the 2-round staleness contract breaks. The r14 window (the
+# r12 cohort: ML / geo / dedup sketches / ANN / text / sampling —
+# 46/50 hash-green + 4 organically-nonzero rows-only in
+# CORRECTNESS_r14) rotates OUT; the r13 cohort (stream-static / span /
+# line / semantic dedup + ETL / OLAP / join spine / pipeline) rotates
+# IN, changed-builders-first per the r14 verdict's task #3:
+# - ``asof_join_surface``: asof_join now filters NULL-ts right rows
+#   (silent-fill fix 44d8da7, operators/asof.py) — its r13 stamp
+#   predates the fix, weakest evidence, slot 1 (the bloom/ML slots-1–2
+#   precedent, executed green in r13 and r14).
+# - ``embedding_ivf_pq_topk`` (NEW r15, never sampled): the recorded
+#   slot plan executed — ivf_pq_topk (operators/similarity.py, landed
+#   r14 pytest-only) against the materialized literal index, oracle
+#   composing the two already-replayable stages. Funded by the
+#   shipping_priority_top10 + top_revenue_orders merge
+#   (orders_q3_topk_surface).
+# - ``docs_exact_substring_spans`` (NEW r15, never sampled, VERDICT
+#   r14 #6 option A): maximal exact shared substrings + removal census
+#   (the suffix-array ExactSubstr output, Lee et al. 2022) — full
+#   DuckDB oracle + char-level-DP property tests. Funded by the
+#   late_shipment_orders + segment_customers_with_orders merge
+#   (exists_join_surface).
+# - ``orders_q3_topk_surface`` / ``exists_join_surface``: the two r15
+#   funding merges — never sampled under the merged names; every leg
+#   is an r13-green plan.
+# - ``docs_shared_span_pairs``: its candidate stage was extracted
+#   VERBATIM into _span_candidate_doc_ids this round (shared with
+#   maximal_span_pairs) — claimed plan-identical, but the driver hash
+#   is the contract.
+# - ``docs_domain_quota`` / ``docs_bigram_perplexity``: LM scoring
+#   joins lost their forced vocabulary broadcasts in r14 (_vocab_side —
+#   AQE decides; plan-only, output-identical by construction).
+# - ``multimodal_pipeline_stats``: resize_media kernel's constant
+#   columns rebuilt via scalar broadcast in r14 (behavior-identical).
+# - ``orders_lake_partitioned_scan`` / ``lineitem_zorder_box_scan``:
+#   ride readers.py's r14 footer-unit decision (temporal_units).
 # In-round additions are funded by the established pair-merge pattern
 # (merge two queries ALREADY inside this window into one result that
 # certifies both operators — precedent purchaser_error_overlap —
 # netting +1 slot each; merging across cohorts costs −2 and is never
-# done).
+# done). Note the SENTINEL constraint discovered this round: bench.py's
+# sentinel is events_count_by_type — it must never be merged away, or
+# the clean-floor protocol loses its cross-round comparator.
 CERTIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- r14 window: the r12 cohort rotates back in ---
-    # Slots 1-2: the leak-fixed ML runners (144065b) — weakest evidence first.
-    "ml_classifier_auc_surface",  # FIRST: held-out fit boundary rewritten post-r12-row (leak fix)
-    "ml_gbt_rmse",  # SECOND: same leak fix, regression runner
-    "docs_train_val_test_split",  # hash_split NULL-key guards post-r12-row
-    "embedding_batch_topk",  # _salted_topk signature change post-r12-row
-    "embedding_near_dups_lsh",  # output restructured r13 (nonzero top-candidate leg)
-    "docs_lang_id",  # explode_outer + coalesced sums post-r12-row
-    "orders_temporal_bucket_surface",  # r12 merge: year_range + season legs; grouping()-tagged r13
-    "geo_district_surface",  # S6/S7/S8 geo dim + sinks; context-managed reads r13
-    "docs_fingerprint_census",  # NULL-fingerprint hardening (c80ddf1) + bench re-measure
+    # --- r15 window: the r13 cohort rotates back in, changed-first ---
+    "asof_join_surface",  # FIRST: NULL-ts right-row filter (44d8da7) postdates its r13 stamp
+    "embedding_ivf_pq_topk",  # NEW r15: IVF-PQ probe vs materialized literal index — never sampled
+    "docs_exact_substring_spans",  # NEW r15: maximal spans + removal census — never sampled
+    "orders_q3_topk_surface",  # r15 merge: top_revenue_orders + shipping_priority_top10 — funds IVF-PQ
+    "exists_join_surface",  # r15 merge: late_shipment_orders + segment_customers_with_orders — funds spans
+    "docs_shared_span_pairs",  # candidate stage extracted to shared helper this round
+    "docs_domain_quota",  # vocabulary broadcast now AQE-decided (r14 change post-r13-stamp)
+    "docs_bigram_perplexity",  # same _vocab_side change
+    "multimodal_pipeline_stats",  # resize scalar-broadcast rebuild (r14, behavior-identical)
+    "orders_lake_partitioned_scan",  # footer-unit loader decision (r14)
+    "lineitem_zorder_box_scan",  # footer-unit loader decision (r14)
+    # --- rest of the r13 cohort, order preserved from the r13 window ---
+    "docs_stream_static_dedup_batch",
+    "docs_stratified_sample",
+    "docs_heavy_hitters_cms",
+    "docs_hybrid_search",
+    "docs_line_dedup",  # C4-style line-level boilerplate removal
+    "embedding_semantic_dedup",  # SemDeDup cluster-scoped pruning
+    "events_etl_clean_seeded",
+    "events_null_census",
+    "events_not_in_filter",
+    "events_dedup_keyed",
+    "events_csv_roundtrip",
+    "events_json_profile",
+    "events_count_by_type",  # the bench SENTINEL — never merge away
+    "events_type_stats_census",  # r13 merge: event_value_stats + distinct_event_types
+    "hourly_max_event_count",
+    "purchase_top_users",
+    "purchaser_error_overlap",
+    "users_distinct_exact_vs_approx",
+    "events_by_segment_salted_join",
+    "events_sliding_1h_30m",
+    "orders_priority_fill_rollup",  # = orders_count_by_priority + orders_filled_pct
+    "orders_by_price_band",
+    "orders_quarter_pivot",
+    "orders_grouping_surface",  # + 'pctl' leg = former orders_price_quantiles (r9)
+    "orders_running_total",
+    "lineitem_rollup",  # + corr columns = former lineitem_correlations (r9)
+    "revenue_metric_surface",  # r13 merge: promo_revenue_pct + forecast_revenue_change
+    "returned_item_top_customers",
+    "supplier_nation_revenue",
+    "part_catalog_surface",  # r13 merge: parts_never_ordered + top10_part_types
+    "all_account_balances",
+    "nation_balance_window_surface",  # = customer_balance_quartiles + nation_balance_extremes
+    "docs_pipeline_end_to_end",
+    "docs_temperature_mix",
+    "docs_curriculum_order",
+    "docs_chunk_windows",
+    "embedding_near_dup_certification",
+    "embedding_ivf_topk_lake_seeded",
+    "ml_correlation_matrix",
+    # ------------------------------------------------------------------
+    # r14 cohort (the r12-cohort queries; rotates back in for r16).
+    # Order preserved from the r14 window; changed-builders-first rule
+    # to be re-applied at the r16 rotation. Builders in THIS cohort
+    # changed during r15 after their r14 stamps: none so far — record
+    # any here as they change.
+    # ------------------------------------------------------------------
+    "ml_classifier_auc_surface",
+    "ml_gbt_rmse",
+    "docs_train_val_test_split",
+    "embedding_batch_topk",
+    "embedding_near_dups_lsh",
+    "docs_lang_id",
+    "orders_temporal_bucket_surface",  # r12 merge: year_range + season legs
+    "geo_district_surface",
+    "docs_fingerprint_census",
     "ml_kmeans_customer_clusters",
     "docs_jaccard_pairs",
-    "docs_quality_scores",  # pre-reduced LM scoring join (r12-certified)
-    "docs_dedup_components",  # frontier-pruned propagation (r12-certified)
-    "docs_intra_dedup",  # intra-document line dedup (r12-certified)
+    "docs_quality_scores",
+    "docs_dedup_components",
+    "docs_intra_dedup",
     "docs_fuzzy_match_pairs",
     "embedding_semantic_dedup_vec",
     "events_interval_join_batch",
@@ -108,8 +172,8 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_sketch_candidates_surface",  # r12 merge: minhash_lsh + simhash candidates
     "docs_sketch_seeded_recall",
     "docs_incremental_dedup",
-    "docs_sketch_md5_surface",  # r14 merge: minhash_md5 + simhash_md5 legs — funds docs_domain_distinct_hll
-    "docs_domain_distinct_hll",  # NEW r14: mergeable HLL distinct sketch vs exact census — never sampled
+    "docs_sketch_md5_surface",  # r14 merge: minhash_md5 + simhash_md5 legs
+    "docs_domain_distinct_hll",  # NEW r14: mergeable HLL distinct sketch, certified green
     "embedding_near_dups_lsh_seeded",
     "docs_ngram_contamination",
     "docs_tfidf_similar_pairs",
@@ -123,8 +187,8 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "docs_repetition_stats",
     "docs_rolling_hash",
     "docs_rolling_hash_md5_oracled",
-    "docs_pii_scrub_surface",  # r14 merge: organic + seeded scrub legs — funds embedding_pq_adc_topk
-    "embedding_pq_adc_topk",  # NEW r14: PQ/ADC probe vs literal codebook (registered slot plan) — never sampled
+    "docs_pii_scrub_surface",  # r14 merge: organic + seeded scrub legs
+    "embedding_pq_adc_topk",  # NEW r14: PQ/ADC probe vs literal codebook, certified green
     "docs_sequence_packing",
     "docs_sampling_census",
     "revenue_by_nation",
@@ -135,79 +199,6 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "customer_balance_rank_in_nation",
     "events_hourly_tumbling",
     "user_session_counts",
-    # ------------------------------------------------------------------
-    # r13 cohort (the r11-green queries; rotates back in for r15).
-    # Order preserved from the r13 window; changed-builders-first rule
-    # to be re-applied at the r15 rotation. Builders in THIS cohort that
-    # changed during r14 AFTER their r13 stamps (pin these to the first
-    # window slots at the r15 rotation — locally verified green at
-    # sf0.01 this round, but the driver hash is the contract):
-    # - asof_join_surface: asof_join now filters NULL-ts right rows
-    #   (silent-fill fix, operators/asof.py)
-    # - docs_domain_quota / docs_bigram_perplexity (and the r14-window
-    #   docs_quality_scores): LM scoring joins lost their forced
-    #   vocabulary broadcasts (_vocab_side — AQE decides; plan-only,
-    #   output-identical by construction)
-    # - multimodal_pipeline_stats: resize_media kernel's constant
-    #   columns rebuilt via scalar broadcast (behavior-identical)
-    # - orders_lake_partitioned_scan / lineitem_zorder_box_scan ride
-    #   readers.py's footer-unit decision (temporal_units) — loader
-    #   change shared by every query, certified across the r14 window
-    # r15 slot plan: an IVF-PQ query (operators landed r14 —
-    # similarity.ivf_pq_topk, literal centroids + codebook so the
-    # oracle composes the two already-replayable stages) funded by an
-    # r15-cohort pair merge — the embedding_pq_adc_topk precedent.
-    # ------------------------------------------------------------------
-    "docs_stream_static_dedup_batch",  # r13 slot 1: bloom probe path re-certified green
-    "docs_domain_quota",  # r13 slot 2: persist reversal re-certified green
-    "docs_stratified_sample",  # NEW r13, certified green
-    "docs_heavy_hitters_cms",  # NEW r13, certified green
-    "docs_bigram_perplexity",  # NEW r13, certified green
-    "docs_hybrid_search",
-    "docs_shared_span_pairs",  # exact-substring span dedup (Lee et al. 2022 shape)
-    "docs_line_dedup",  # C4-style line-level boilerplate removal
-    "embedding_semantic_dedup",  # SemDeDup cluster-scoped pruning
-    "events_etl_clean_seeded",
-    "events_null_census",
-    "events_not_in_filter",
-    "events_dedup_keyed",
-    "events_csv_roundtrip",
-    "events_json_profile",
-    "events_count_by_type",
-    "events_type_stats_census",  # r13 merge: event_value_stats + distinct_event_types
-    "hourly_max_event_count",
-    "purchase_top_users",
-    "purchaser_error_overlap",
-    "users_distinct_exact_vs_approx",
-    "events_by_segment_salted_join",
-    "events_sliding_1h_30m",
-    "orders_lake_partitioned_scan",
-    "lineitem_zorder_box_scan",
-    "orders_priority_fill_rollup",  # = orders_count_by_priority + orders_filled_pct
-    "orders_by_price_band",
-    "orders_quarter_pivot",
-    "orders_grouping_surface",  # + 'pctl' leg = former orders_price_quantiles (r9)
-    "orders_running_total",
-    "lineitem_rollup",  # + corr columns = former lineitem_correlations (r9)
-    "revenue_metric_surface",  # r13 merge: promo_revenue_pct + forecast_revenue_change
-    "late_shipment_orders",
-    "shipping_priority_top10",
-    "returned_item_top_customers",
-    "top_revenue_orders",
-    "supplier_nation_revenue",
-    "part_catalog_surface",  # r13 merge: parts_never_ordered + top10_part_types
-    "segment_customers_with_orders",
-    "all_account_balances",
-    "nation_balance_window_surface",  # = customer_balance_quartiles + nation_balance_extremes
-    "asof_join_surface",
-    "docs_pipeline_end_to_end",
-    "docs_temperature_mix",
-    "docs_curriculum_order",
-    "docs_chunk_windows",
-    "embedding_near_dup_certification",
-    "embedding_ivf_topk_lake_seeded",
-    "ml_correlation_matrix",
-    "multimodal_pipeline_stats",
 )
 
 
