@@ -16,6 +16,8 @@ Two paths, as a 100 TB engine needs both:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -119,6 +121,23 @@ def _lit_double_matrix_sql(rows) -> str:
     )
 
 
+_PLAIN_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _sql_vec_expr(s: str) -> str:
+    """Normalize a string vector reference for the one-SQL-string fast
+    paths (hyperplane_signature, nearest_centroid_cells, sig_sql). A
+    plain identifier is backtick-quoted so a column named like a
+    keyword can't parse as something else; anything more structured
+    (``a.b``, ``slice(v, 1, 8)``, a pre-backticked name) is treated as
+    a SQL EXPRESSION and interpolated verbatim — the documented
+    contract of the string form (ADVICE r14: a raw name needing quotes,
+    e.g. with a dash or space, would otherwise fail to parse or
+    silently resolve as an arithmetic expression; pass such columns
+    pre-backticked or use the Column form)."""
+    return f"`{s}`" if _PLAIN_IDENT.match(s) else s
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float] | Column,
@@ -170,12 +189,14 @@ def hyperplane_signature(
     codegen; no UDF, no shuffle. ``table`` selects an independent plane
     set for multi-table LSH (table 0 = the historical planes).
 
-    A string ``vec_col`` (a column name — every production call site)
-    takes the one-SQL-string path (``_plane_sig_sql``); the Column path
-    builds the same expression nodes and is kept for derived Column
-    inputs (value parity pinned by test)."""
+    A string ``vec_col`` takes the one-SQL-string path
+    (``_plane_sig_sql``): a plain column name is backtick-quoted, and
+    anything else is interpolated as a SQL EXPRESSION (``_sql_vec_expr``
+    — pass names that need quoting pre-backticked, or use the Column
+    form); the Column path builds the same expression nodes and is kept
+    for derived Column inputs (value parity pinned by test)."""
     if isinstance(vec_col, str):
-        return F.expr(_plane_sig_sql(vec_col, dim, n_planes, table))
+        return F.expr(_plane_sig_sql(_sql_vec_expr(vec_col), dim, n_planes, table))
     v = vec_col
     planes = _hyperplanes(dim, n_planes, table)
     bucket = F.lit(0)
@@ -260,7 +281,7 @@ def lsh_near_dup_pairs(
     # is 'np.float64(x)' — unparseable SQL — while Python float repr is
     # stable and round-trips exactly.
     def sig_sql(t: int) -> str:
-        return _plane_sig_sql(vec_col, dim, n_planes, t)
+        return _plane_sig_sql(_sql_vec_expr(vec_col), dim, n_planes, t)
 
     structs = ", ".join(
         f"struct({t} as tbl, {sig_sql(t)} as sig)" for t in range(n_tables)
@@ -562,13 +583,15 @@ def nearest_centroid_cells(
     engine-dependent at the last ulp. Same portability contract the
     cosine rank already uses.
 
-    Pass ``vec_col`` as a SQL expression STRING (a column name) for the
-    fast-planning form: the IDENTICAL HOF expression tree built as ONE
-    SQL string (the sig_sql convention — Column-by-Column literal
-    construction costs a py4j round trip PER CENTROID COORDINATE,
-    measured ~3.8 s of driver time for an 8×16×8 codebook; the parsed
-    string builds the same nodes in one call). Fully UNROLLING the
-    arithmetic instead was measured and REJECTED: 2.8-4.6 s exec vs
+    Pass ``vec_col`` as a STRING for the fast-planning form: the
+    IDENTICAL HOF expression tree built as ONE SQL string (the sig_sql
+    convention — Column-by-Column literal construction costs a py4j
+    round trip PER CENTROID COORDINATE, measured ~3.8 s of driver time
+    for an 8×16×8 codebook; the parsed string builds the same nodes in
+    one call). A plain column name is backtick-quoted; anything else is
+    interpolated as a SQL EXPRESSION (``_sql_vec_expr`` — names needing
+    quotes go pre-backticked, or use the Column form). Fully UNROLLING
+    the arithmetic instead was measured and REJECTED: 2.8-4.6 s exec vs
     1.9 s for the HOF form at sf0.1 — the 1024-term tree blows the
     whole-stage-codegen budget, the same result hyperplane_signature's
     inline note records for the LSH unroll. The Column form is kept for
@@ -580,7 +603,7 @@ def nearest_centroid_cells(
         # ALWAYS slice to the centroid length: zip_with pads a longer
         # vector with NULLs (64-dim vec vs 8-dim sub-centroid → NULL
         # distances that sort by cid alone — caught by the parity check)
-        vec_expr = f"slice({vec_col}, {offset + 1}, {sub})"
+        vec_expr = f"slice({_sql_vec_expr(vec_col)}, {offset + 1}, {sub})"
         cells = ", ".join(
             f"named_struct('cid', {i}, 'cv', array("
             + ",".join(f"{float(x)!r}D" for x in c)
@@ -1260,23 +1283,30 @@ def pq_encode_vectorized(
 ) -> DataFrame:
     """Arrow-batched sibling of ``pq_encode`` for the BULK encode pass —
     the one-time job that compresses a 100 TB embedding corpus into its
-    codes table. Per batch and subspace: one BLAS gram against the k
-    sub-centroids (``‖v‖² + ‖c‖² − 2·V·Cᵀ``), the same 6dp-rounded
-    ranking, and np.argmin's first-minimum = the cid tie-break — the
-    ``assign_to_centroids_vectorized`` contract applied per subspace.
-    The expression form evaluates m·k interpreted fold-aggregates per
-    row (~0.3 ms/row at m=8, k=16) — the right certified probe-path
-    twin, the wrong constant for corpus-scale encoding; this form is
-    vectorized per Arrow batch. Codes equality with ``pq_encode`` on
-    real data is pinned in tests/test_similarity.py (pairwise-vs-fold
-    summation ulps fall inside the rounding contract the same way the
-    IVF vectorized sibling's do)."""
+    codes table. Per batch and subspace: broadcast-subtract against the
+    k sub-centroids and square — ``((Vs − Cs)²).sum(-1)``, the SAME
+    (x−y)² formulation the certified expression path folds (ADVICE r14:
+    the earlier gram identity ``‖v‖²+‖c‖²−2·V·Cᵀ`` suffers catastrophic
+    cancellation for near-duplicate vector/sub-centroid pairs, which
+    could exceed the 6dp rounding contract and encode a boundary-value
+    vector differently from the oracle-certified path; the n×k×sub
+    temporary is cheap at sub = dim/m — unlike the coarse assignment's
+    full-dim case, where ``assign_to_centroids_vectorized`` keeps the
+    gram for its documented k ∝ N memory regime). Then the same
+    6dp-rounded ranking, and np.argmin's first-minimum = the cid
+    tie-break. The expression form evaluates m·k interpreted
+    fold-aggregates per row (~0.3 ms/row at m=8, k=16) — the right
+    certified probe-path twin, the wrong constant for corpus-scale
+    encoding; this form is vectorized per Arrow batch. Codes equality
+    with ``pq_encode`` on real data is pinned in
+    tests/test_similarity.py (pairwise-vs-fold summation ulps fall
+    inside the rounding contract the same way the IVF vectorized
+    sibling's do)."""
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
     m = len(codebook)
     sub = len(codebook[0][0])
     Cs = [np.asarray(c, dtype=np.float64) for c in codebook]
-    cns = [(C * C).sum(axis=1) for C in Cs]
     out_schema = StructType(
         list(df.schema.fields) + [StructField("pq_codes", ArrayType(IntegerType()))]
     )
@@ -1289,10 +1319,8 @@ def pq_encode_vectorized(
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for s in range(m):
                 Vs = V[:, s * sub : (s + 1) * sub]
-                vn = (Vs * Vs).sum(axis=1)
-                d = _spark_round6(
-                    vn[:, None] + cns[s][None, :] - 2.0 * (Vs @ Cs[s].T)
-                )
+                diff = Vs[:, None, :] - Cs[s][None, :, :]
+                d = _spark_round6((diff * diff).sum(axis=-1))
                 codes[:, s] = d.argmin(axis=1)
             out = pdf.copy()
             out["pq_codes"] = list(codes)

@@ -99,6 +99,7 @@ def cms_estimate(
     item_col: str,
     depth: int = 4,
     width: int = 256,
+    items_distinct: bool = False,
 ) -> DataFrame:
     """Point-query estimates for each distinct value in
     ``items[item_col]``: adds ``cms_cnt = min over rows of the item's
@@ -117,14 +118,21 @@ def cms_estimate(
     groupBy anyway — deduplicating first makes the documented
     "each distinct value" semantics explicit instead of a silent
     cardinality change for callers probing a non-distinct frame
-    (ADVICE r13), and shrinks the probe-side explode. Callers needing
-    per-row estimates should join the result back on the item columns.
+    (ADVICE r13), and shrinks the probe-side explode. The dedup is one
+    aggregate exchange BEFORE the broadcast probe — pure cost when the
+    caller's frame is already distinct (the common probe shape, ADVICE
+    r14): such callers pass ``items_distinct=True`` to skip it; the
+    output contract is unchanged either way because the final groupBy
+    over ``items.columns`` collapses duplicates regardless. Callers
+    needing per-row estimates should join the result back on the item
+    columns.
     """
     reserved = {"__cms_cell", "__cms_row", "__cms_bucket", "__cms_c", "cms_cnt"}
     clash = reserved & set(items.columns)
     if clash:
         raise ValueError(f"cms_estimate: items columns collide: {sorted(clash)}")
-    items = items.dropDuplicates()
+    if not items_distinct:
+        items = items.dropDuplicates()
     probe = F.broadcast(
         sketch.select(
             F.col("row").alias("__cms_row"),

@@ -1193,7 +1193,11 @@ def docs_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
         .limit(15)
     )
-    est = cms_estimate(sketch, top15, "token", depth=4, width=16)
+    # the probe frame is a groupBy output — distinct by construction, so
+    # skip cms_estimate's defensive dedup exchange (ADVICE r14)
+    est = cms_estimate(
+        sketch, top15, "token", depth=4, width=16, items_distinct=True
+    )
     return est.select(
         "token",
         "exact_cnt",

@@ -245,3 +245,29 @@ def test_documents_and_embeddings_share_id_space(spark, sf_dir):
     embs = t.embeddings.select(F.col("vec_id").alias("id"))
     assert docs.count() == embs.count()
     assert docs.join(embs, "id", "left_anti").count() == 0
+
+
+def test_documents_corpus_has_no_organic_phone_or_ip_matches(spark, sf_dir):
+    """Corpus-fact tripwire for docs_pii_scrub_surface's merged oracle
+    (ADVICE r14): the organic leg hard-codes total_phones/total_ips = 0
+    and an email-only redaction delta — an assumption about the
+    TESTDATA (no NANP/IPv4 matches anywhere, including digit runs
+    inside emails/URLs). If a testdata regeneration ever plants such
+    content, THIS test fails with the attribution 'data changed', so
+    the driver-gate mismatch is not misread as a scrub-operator bug."""
+    from big_data_chicago_crimes_spark.functions.text import pii_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = (
+        docs.select(pii_counts("text").alias("p"))
+        .agg(
+            F.sum("p.phones").alias("phones"),
+            F.sum("p.ips").alias("ips"),
+        )
+        .head()
+    )
+    assert (hits["phones"], hits["ips"]) == (0, 0), (
+        "testdata now contains organic phone/IP matches — update the "
+        "docs_pii_scrub_surface oracle's hard-coded zeros before "
+        "debugging the scrub operators"
+    )

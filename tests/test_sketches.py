@@ -251,3 +251,34 @@ def test_hll_sketch_table_parquet_roundtrip_and_cross_day_merge(spark, tmp_path)
     assert (m["n_regs"], m["z_int"], m["hll_est"]) == (
         d["n_regs"], d["z_int"], d["hll_est"]
     )
+
+
+def test_cms_estimate_items_distinct_flag_is_output_identical(spark):
+    """items_distinct=True skips the defensive dedup exchange (ADVICE
+    r14); the output contract must be unchanged — on an ALREADY-distinct
+    probe both forms agree, and on a non-distinct probe the final
+    groupBy still collapses duplicates to the same rows."""
+    from big_data_chicago_crimes_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(t,) for t in ["a", "a", "a", "b", "b", "c"]], "token string"
+    )
+    sketch = cms_build(df, "token", depth=3, width=64)
+    distinct_probe = df.select("token").distinct()
+    dup_probe = df.select("token")  # carries duplicates
+
+    def rows(est):
+        return sorted((r.token, r.cms_cnt) for r in est.collect())
+
+    base = rows(cms_estimate(sketch, distinct_probe, "token", depth=3, width=64))
+    assert base == rows(
+        cms_estimate(
+            sketch, distinct_probe, "token", depth=3, width=64, items_distinct=True
+        )
+    )
+    assert base == rows(
+        cms_estimate(sketch, dup_probe, "token", depth=3, width=64)
+    )
