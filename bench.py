@@ -92,6 +92,7 @@ HEADLINE = [
     "docs_incremental_dedup",  # new-batch-vs-corpus fingerprint anti-join (r8)
     "docs_stream_static_dedup_batch",  # stream-static anti-join dedup, batch degradation (r9)
     "docs_shared_span_pairs",  # exact-substring span dedup, strided k-gram sampling (r9)
+    "docs_exact_substring_spans",  # maximal spans + removal census, suffix-array output (r15)
     "docs_line_dedup",  # C4-style line-level boilerplate removal (r9)
     "docs_intra_dedup",  # intra-document line dedup, zero-shuffle scan path (r12)
     "docs_sketch_candidates_surface",  # r12 merge: minhash_lsh + simhash legs
@@ -104,6 +105,7 @@ HEADLINE = [
     "embedding_lsh_bucket_histogram",
     "embedding_batch_topk",  # multi-query broadcast bucket join (r8)
     "embedding_pq_adc_topk",  # PQ-compressed ADC probe, single + batch legs (r14)
+    "embedding_ivf_pq_topk",  # partition-pruned IVF-PQ probe vs materialized index (r15)
     "events_json_profile",  # merged JSON surface (r7 continuation)
     # sampling / splits
     "docs_sampling_census",

@@ -38,7 +38,14 @@ def hash_sample(
     retry, engine change, and corpus growth. Pure scan-side filter —
     no shuffle, pushdown-friendly. Degenerate rounding raises (the
     hash_split convention): a positive fraction that rounds to 0 of
-    ``buckets`` would silently return an empty sample."""
+    ``buckets`` would silently return an empty sample.
+
+    NULL keys: a NULL hashes to NULL, every bucket comparison is NULL
+    (false), so NULL-key rows are excluded from the sample at EVERY
+    fraction — including 1.0. Subsetting operators document this (the
+    temperature_mix contract) rather than raise — dropping is a
+    sampler's normal outcome, unlike ``hash_split``'s row-preserving
+    assignment where a NULL raises."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     keep = int(round(fraction * buckets))
@@ -136,10 +143,33 @@ def _bounded_group_head(
     bucket — ~1/``buckets`` of the hottest group — instead of funnelling
     every row of a group through one WindowExec task. A group whose
     quota is 0 has no bucket with ``__before < __k`` and is dropped by
-    the inner cutoff join, which is the correct degenerate keep-nothing."""
+    the inner cutoff join, which is the correct degenerate keep-nothing.
+
+    The weighted path guards every row's weight at execution (r15
+    review sweep): the prefix semantics REQUIRE non-negative weights
+    (the docstrings promised it, nothing enforced it) — a negative
+    weight makes the histogram cumsum non-monotone, so the cutoff
+    bucket, the residual, AND the boundary prefix all silently corrupt;
+    a NULL weight vanishes from both sums, silently treating the row as
+    weightless. Both raise loudly instead (the hash_split NULL-key
+    convention)."""
     b = hash_bucket(F.col(key), buckets).alias("__qb")
     keyed = df.withColumn("__qb", b)
-    mass = F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
+    if weight_col is not None:
+        # the raise branch casts to the weight's OWN dtype so the when()
+        # coercion can't change the sum arithmetic vs the unguarded form
+        wtype = df.schema[weight_col].dataType.simpleString()
+        guarded_w = F.when(
+            F.col(weight_col).isNull() | (F.col(weight_col) < 0),
+            F.raise_error(
+                F.lit(
+                    f"weighted quota: NULL or negative {weight_col!r} — "
+                    "weights must be non-negative; filter or impute first"
+                )
+            ).cast(wtype),
+        ).otherwise(F.col(weight_col))
+        keyed = keyed.withColumn("__qw", guarded_w)
+    mass = F.count(F.lit(1)) if weight_col is None else F.sum(F.col("__qw"))
     hist = keyed.groupBy(*group_cols, "__qb").agg(mass.alias("__cnt"))
     from pyspark.sql import Window
 
@@ -182,7 +212,7 @@ def _bounded_group_head(
     if weight_col is None:
         fill = F.row_number().over(wb)
     else:
-        fill = F.sum(F.col(weight_col)).over(
+        fill = F.sum(F.col("__qw")).over(
             wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     boundary = (
@@ -191,7 +221,8 @@ def _bounded_group_head(
         .filter(F.col("__rk") <= F.col("__resid"))
         .drop("__rk")
     )
-    return below.unionByName(boundary).drop("__qb", "__cut", "__resid")
+    out = below.unionByName(boundary).drop("__qb", "__cut", "__resid")
+    return out.drop("__qw") if weight_col is not None else out
 
 
 def quota_sample(
@@ -648,6 +679,15 @@ def doremi_weights(
     """
     if steps < 1:
         raise ValueError(f"steps must be >= 1, got {steps}")
+    # r15 review sweep: a negative eta (excess>0 ⇒ base<1, possibly ≤0)
+    # or smoothing outside [0,1] can produce NEGATIVE weights — every
+    # downstream consumer (doremi_mix's min(n/w) cap, the thresholds)
+    # then silently computes nonsense; the paper's recipe has η>0,
+    # c∈[0,1], so reject sign bugs at the boundary
+    if eta < 0:
+        raise ValueError(f"eta must be non-negative, got {eta}")
+    if not 0.0 <= smoothing <= 1.0:
+        raise ValueError(f"smoothing must be in [0, 1], got {smoothing}")
     excess = F.greatest(
         F.col(proxy_col) - F.col(ref_col), F.lit(0.0)
     ).alias("excess_loss")

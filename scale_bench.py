@@ -53,6 +53,7 @@ SUITE = {
         "docs_incremental_dedup",
         "docs_stream_static_dedup_batch",
         "docs_shared_span_pairs",
+        "docs_exact_substring_spans",
         "docs_line_dedup",
         # r12: intra-document line dedup — zero-shuffle scalar pass;
         # its ratio should track the documents scan (~1x per replica)
@@ -72,6 +73,7 @@ SUITE = {
         # (in-row literal-table fold, zero joins); the scale term is the
         # one-pass encode + codes scan
         "embedding_pq_adc_topk",
+        "embedding_ivf_pq_topk",
         "docs_hybrid_search",
     ],
     "curation": [

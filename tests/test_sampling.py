@@ -618,3 +618,84 @@ def test_balanced_shards_banded_weights_still_balance(spark):
     assert (max(totals.values()) - min(totals.values())) / mean < 0.10
     again = balanced_shards(df, F.col("w"), n_shards=4, banded_weights=True)
     assert out.collect() == again.collect()
+
+
+def test_weighted_quota_rejects_null_and_negative_weights(spark):
+    """r15 review sweep: the prefix semantics REQUIRE non-negative
+    weights (a negative weight makes the cumsum non-monotone and
+    silently corrupts the cutoff bucket, residual, and boundary
+    prefix; a NULL vanishes from both sums). Both must raise at
+    execution, not mis-sample."""
+    import pytest as _pytest
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        weighted_quota_sample,
+    )
+
+    neg = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", -3), (3, "en", 5)],
+        "doc_id long, lang string, w long",
+    )
+    with _pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)) as e:
+        weighted_quota_sample(neg, ["lang"], 100, "w", "doc_id").collect()
+    assert "non-negative" in str(e.value)
+
+    nul = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", None), (3, "en", 5)],
+        "doc_id long, lang string, w long",
+    )
+    with _pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)) as e:
+        weighted_quota_sample(nul, ["lang"], 100, "w", "doc_id").collect()
+    assert "non-negative" in str(e.value)
+
+
+def test_weighted_quota_guard_is_output_identical_on_valid_weights(spark):
+    """The guard must not change any kept set on valid input — pinned
+    against the pre-guard Python prefix model."""
+    import hashlib
+
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        weighted_quota_sample,
+    )
+
+    rows = [(i, "en" if i % 3 else "fr", (i * 37) % 50) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    got = sorted(
+        r.doc_id
+        for r in weighted_quota_sample(df, ["lang"], 200, "w", "doc_id").collect()
+    )
+
+    def h(x):
+        return hashlib.md5(str(x).encode()).hexdigest()
+
+    expect = []
+    for lang in ("en", "fr"):
+        # the operator's order is (hash bucket, row hash, key) — the
+        # bucket is int(md5[:8], 16) % 4096, NOT a prefix of the md5 order
+        grp = sorted(
+            (r for r in rows if r[1] == lang),
+            key=lambda r: (int(h(r[0])[:8], 16) % 4096, h(r[0]), r[0]),
+        )
+        run = 0
+        for did, _, w in grp:
+            if run + w > 200:
+                break
+            run += w
+            expect.append(did)
+    assert got == sorted(expect)
+
+
+def test_doremi_weights_rejects_sign_bugs(spark):
+    import pytest as _pytest
+
+    from big_data_chicago_crimes_spark.operators.sampling import doremi_weights
+
+    losses = spark.createDataFrame(
+        [("a", 2.0, 1.0)], "domain string, proxy_loss double, ref_loss double"
+    )
+    with _pytest.raises(ValueError, match="eta"):
+        doremi_weights(losses, eta=-1.0)
+    with _pytest.raises(ValueError, match="smoothing"):
+        doremi_weights(losses, smoothing=1.5)
