@@ -655,9 +655,21 @@ def maximal_span_pairs(
 
     if k > min_span:
         raise ValueError(f"k {k} must be <= min_span {min_span}")
+    from big_data_chicago_crimes_spark.session import scratch_persist
+
     base = _span_base(df, text_col, id_col)
     cand_ids = _span_candidate_doc_ids(base, min_span, k)
-    gram_rows = (
+    # BOTH sides of the gram self-join derive from this frame — without
+    # a persist Spark plans the entire candidate pipeline (the strided
+    # hash join) plus the gram explosion TWICE (verified on the
+    # physical plan: two full SortMergeJoin-LeftSemi subtrees). The
+    # pinned frame is (id, pos, k-char gram) for CANDIDATE docs only —
+    # the same candidate-bounded footprint lsh_near_dup_pairs pins.
+    # Measured at sf0.1 (interleaved min-of-4): 1.95 -> 1.82 s and a
+    # tighter spread; the avoided work is the SECOND full candidate
+    # hash join, so the win grows with the candidate stage's share of
+    # the plan (at web scale it dominates).
+    gram_rows = scratch_persist(
         base.join(cand_ids, "__id", "left_semi")
         .withColumn(
             "__p",
