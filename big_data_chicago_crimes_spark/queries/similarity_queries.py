@@ -1003,11 +1003,26 @@ def embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT 'rrf' AS leg, doc_id, lex_score, cosine,
                    ROUND(1.0 / (60 + rl) + 1.0 / (60 + rd), 6) AS fused
             FROM ranked ORDER BY fused DESC, doc_id LIMIT 10
+        ), ce AS (
+            SELECT 'ce' AS leg, s.doc_id, s.lex_score, s.cosine,
+                   ROUND(CASE WHEN d.ntok = 0 THEN 0.0
+                         ELSE d.inter * 1.0 / sqrt(d.ntok * 3.0) END, 6) AS fused
+            FROM scored s JOIN (
+                SELECT doc_id,
+                       len(list_intersect(
+                           list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                           ['hash', 'join', 'scan'])) AS inter,
+                       len(list_distinct(
+                           regexp_split_to_array(trim(text), '\\s+'))) AS ntok
+                FROM documents
+            ) d ON d.doc_id = s.doc_id
+            ORDER BY fused DESC, s.doc_id LIMIT 10
         )
         SELECT * FROM dense UNION ALL SELECT * FROM rrf
+        UNION ALL SELECT * FROM ce
         ORDER BY leg, doc_id
     """,
-    tags=("similarity", "hybrid", "retrieval", "rrf", "extension"),
+    tags=("similarity", "hybrid", "retrieval", "rrf", "rerank", "extension"),
 )
 def docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval, two fusion strategies on one certified surface
@@ -1089,7 +1104,28 @@ def docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("fused").desc(), "doc_id")
         .limit(10)
     )
-    return dense.unionByName(rrf).orderBy("leg", "doc_id")
+    # ce leg (NEW r15 — the rerank-cascade stage, VERDICT r14 #6 option
+    # B): cross-encoder top-10 over the SAME candidates via
+    # operators/similarity.cross_encoder_rerank — the Arrow-batched
+    # pairwise scoring stage, deterministic lexical proxy standing in
+    # for the model (SQL-replayable, so this leg is fully oracled). The
+    # text join broadcasts the ≤50-row candidate side; the corpus never
+    # moves.
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        cross_encoder_rerank,
+    )
+
+    cand_text = t.documents.select("doc_id", "text").join(
+        F.broadcast(scored), "doc_id"
+    )
+    ce = cross_encoder_rerank(cand_text, terms, k=10).select(
+        F.lit("ce").alias("leg"),
+        "doc_id",
+        "lex_score",
+        "cosine",
+        F.col("ce_score").alias("fused"),
+    )
+    return dense.unionByName(rrf).unionByName(ce).orderBy("leg", "doc_id")
 
 
 # --- SemDeDup: cluster-scoped semantic dedup ---------------------------

@@ -1082,3 +1082,46 @@ def test_hyperplane_signature_sql_form_matches_column_form(spark, sf_dir):
             hyperplane_signature(F.col("embedding"), 64, 8, table=t).alias("b"),
         )
         assert both.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_cross_encoder_rerank_parity_and_edges(spark):
+    """The Arrow-batched lexical proxy must equal the same score built
+    as a pure Spark expression (array_intersect / array_distinct), rank
+    by (score desc, id), and survive empty texts and empty partitions."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        cross_encoder_rerank,
+    )
+
+    rows = [
+        (1, "hash join scan plan"),
+        (2, "hash hash hash"),           # in-doc repeats count once
+        (3, "totally unrelated words here"),
+        (4, ""),                          # blank text -> score 0
+        (5, "scan join"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    terms = ["hash", "join", "scan"]
+    got = [
+        (r.doc_id, r.ce_score)
+        for r in cross_encoder_rerank(df, terms, k=5).collect()
+    ]
+
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    inter = F.size(F.array_intersect(toks, F.array(*[F.lit(t) for t in terms])))
+    ntok = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(F.size(toks))
+    score = F.when(ntok == 0, F.lit(0.0)).otherwise(
+        F.round(inter / F.sqrt((ntok * len(terms)).cast("double")), 6)
+    )
+    expect = [
+        (r.doc_id, r.s)
+        for r in df.select("doc_id", score.alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(5)
+        .collect()
+    ]
+    assert got == expect, (got, expect)
+    # doc 5 = {scan, join}: 2/sqrt(2*3) = 0.816497 ranks first; doc 1 =
+    # {hash, join, scan, plan}: 3/sqrt(4*3) = 0.866025 ranks above it
+    assert got[0] == (1, 0.866025) and got[1] == (5, 0.816497), got
