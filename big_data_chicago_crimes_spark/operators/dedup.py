@@ -719,26 +719,13 @@ def maximal_span_pairs(
     )
 
 
-def span_removal_census(
-    spans: DataFrame,
-    id_col: str = "id_b",
-    pos_col: str = "pos_b",
-    len_col: str = "span_len",
+def _merged_removal_intervals(
+    spans: DataFrame, id_col: str, pos_col: str, len_col: str
 ) -> DataFrame:
-    """Per-document removal mask over ``maximal_span_pairs`` output —
-    the dedup step of Lee et al. 2022 (they cut each duplicated
-    substring from all but one occurrence): with the deterministic
-    keep-first policy (the pair's LOWER id keeps its copy; the id_b
-    side is cut), a document's removal set is the UNION of its
-    [pos_b, pos_b + span_len) intervals across all pairs where it is
-    id_b. Overlapping spans from different partners must not
-    double-count, so the intervals merge via the running-max
-    gaps-and-islands pattern: sort by start within doc, open a new
-    island where start exceeds the max end seen so far. Returns
-    (doc_id, n_intervals, chars_removed) — n_intervals = merged
-    (disjoint) removal intervals, chars_removed = total chars cut.
-    Windows partition per document and fan in by pair count — span
-    rows, not corpus rows, shuffle."""
+    """(doc, interval-start, interval-end) after merging overlaps — the
+    running-max gaps-and-islands pass shared by ``span_removal_census``
+    (which counts it) and ``apply_span_removal`` (which cuts it).
+    Intervals are [start, end) in 1-based character positions."""
     from pyspark.sql import Window
 
     iv = spans.select(
@@ -760,9 +747,92 @@ def span_removal_census(
         ).otherwise(F.lit(0)),
     )
     islands = marked.withColumn("__grp", F.sum("__new").over(wrun))
-    merged = islands.groupBy("__doc", "__grp").agg(
+    return islands.groupBy("__doc", "__grp").agg(
         F.min("__s").alias("__ms"), F.max("__e").alias("__me")
     )
+
+
+def apply_span_removal(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_id_col: str = "id_b",
+    pos_col: str = "pos_b",
+    len_col: str = "span_len",
+) -> DataFrame:
+    """APPLY the exact-substring dedup: rebuild every document's text
+    with its removal intervals cut out — the final step of Lee et al.
+    2022's ExactSubstr pipeline (detect via ``maximal_span_pairs``,
+    audit via ``span_removal_census``, and this cut; under the
+    keep-first policy the pair's lower id keeps its copy, so ``spans``'
+    ``id_b``-side positions name what to remove). Returns ``df`` with
+    ``text_col`` rewritten (untouched docs pass through byte-identical)
+    plus ``n_spans_removed`` (merged intervals cut; 0 for untouched).
+
+    Plan shape: overlap-merge runs on SPAN rows (never corpus rows);
+    the per-doc interval set collects into one sorted array (bounded by
+    the doc's dup partners, dim-like in practice); the cut itself is a
+    single codegen ``aggregate`` fold over that array — for each
+    interval append the text BEFORE it and jump past it, then append
+    the tail — so the corpus-sized pass is one projection, no shuffle
+    beyond the intervals join. Positions are 1-based, intervals
+    [start, end) half-open; out-of-range intervals clip naturally
+    (``substr`` of an empty range is '')."""
+    merged = _merged_removal_intervals(spans, span_id_col, pos_col, len_col)
+    per_doc = merged.groupBy(F.col("__doc").alias(id_col)).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__ms").alias("s"), F.col("__me").alias("e")))
+        ).alias("__ivs")
+    )
+    out = df.join(per_doc, id_col, "left")
+    t = F.col(text_col)
+    # fold state: (cursor = next uncut 1-based position, acc = kept text)
+    cut = F.aggregate(
+        F.col("__ivs"),
+        F.struct(F.lit(1).alias("pos"), F.lit("").alias("acc")),
+        lambda st, iv: F.struct(
+            iv.getField("e").alias("pos"),
+            F.concat(
+                st.getField("acc"),
+                t.substr(st.getField("pos"), iv.getField("s") - st.getField("pos")),
+            ).alias("acc"),
+        ),
+        lambda st: F.concat(
+            st.getField("acc"),
+            t.substr(st.getField("pos"), F.length(t) - st.getField("pos") + 1),
+        ),
+    )
+    return out.select(
+        *[c for c in df.columns if c != text_col],
+        F.when(F.col("__ivs").isNull(), t).otherwise(cut).alias(text_col),
+        F.coalesce(F.size("__ivs"), F.lit(0)).cast("int").alias("n_spans_removed"),
+    )
+
+
+def span_removal_census(
+    spans: DataFrame,
+    id_col: str = "id_b",
+    pos_col: str = "pos_b",
+    len_col: str = "span_len",
+) -> DataFrame:
+    """Per-document removal mask over ``maximal_span_pairs`` output —
+    the dedup step of Lee et al. 2022 (they cut each duplicated
+    substring from all but one occurrence): with the deterministic
+    keep-first policy (the pair's LOWER id keeps its copy; the id_b
+    side is cut), a document's removal set is the UNION of its
+    [pos_b, pos_b + span_len) intervals across all pairs where it is
+    id_b. Overlapping spans from different partners must not
+    double-count, so the intervals merge via the running-max
+    gaps-and-islands pattern: sort by start within doc, open a new
+    island where start exceeds the max end seen so far. Returns
+    (doc_id, n_intervals, chars_removed) — n_intervals = merged
+    (disjoint) removal intervals, chars_removed = total chars cut.
+    Windows partition per document and fan in by pair count — span
+    rows, not corpus rows, shuffle. The merge pass is shared verbatim
+    with ``apply_span_removal`` (``_merged_removal_intervals``), so the
+    census always counts exactly what the cut removes."""
+    merged = _merged_removal_intervals(spans, id_col, pos_col, len_col)
     return merged.groupBy(F.col("__doc").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("int").alias("n_intervals"),
         F.sum(F.col("__me") - F.col("__ms")).cast("long").alias("chars_removed"),

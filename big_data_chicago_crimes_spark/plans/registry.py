@@ -158,6 +158,14 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # to be re-applied at the r16 rotation. Builders in THIS cohort
     # changed during r15 after their r14 stamps: none so far — record
     # any here as they change.
+    # r16 slot plan: an apply_span_removal query (operators landed r15
+    # — dedup.apply_span_removal: detect maximal spans, CUT the
+    # id_b-side copies, return the rebuilt corpus md5-pinned per doc —
+    # the docs_line_dedup byte-for-byte pattern; the cut fold and the
+    # interval merge are SQL-expressible so a full oracle composes
+    # from docs_exact_substring_spans' CTEs), funded by an r16-cohort
+    # pair merge — the embedding_pq_adc_topk / embedding_ivf_pq_topk
+    # precedent, executed green twice.
     # ------------------------------------------------------------------
     "ml_classifier_auc_surface",
     "ml_gbt_rmse",

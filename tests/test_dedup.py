@@ -1050,3 +1050,85 @@ def test_maximal_span_pairs_k_bound(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="min_span"):
         maximal_span_pairs(df, min_span=10, k=20)
+
+
+def test_apply_span_removal_matches_python_slicing(spark):
+    """The codegen cut fold vs direct Python string slicing: overlapping
+    intervals merge before cutting, untouched docs pass through
+    byte-identical, and census chars_removed == actual length delta."""
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        apply_span_removal,
+        span_removal_census,
+    )
+
+    docs = [
+        (10, "0123456789" * 10),   # 100 chars, two overlapping + one disjoint cut
+        (20, "abcdefghij" * 3),    # one cut covering the tail boundary
+        (30, "untouched document"),
+    ]
+    spans = [
+        (1, 10, 0, 5, 20),    # cut [5, 25)
+        (2, 10, 0, 15, 20),   # overlaps -> merged [5, 35)
+        (3, 10, 0, 60, 10),   # disjoint [60, 70)
+        (4, 20, 0, 25, 6),    # [25, 31) -> clips at len 30
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sp = spark.createDataFrame(
+        spans, "id_a long, id_b long, pos_a int, pos_b int, span_len int"
+    )
+
+    def py_cut(text, ivs):
+        # ivs: merged 1-based [s, e) intervals
+        out, pos = [], 1
+        for s, e in sorted(ivs):
+            out.append(text[pos - 1 : s - 1])
+            pos = e
+        out.append(text[pos - 1 :])
+        return "".join(out)
+
+    expect = {
+        10: py_cut(docs[0][1], [(5, 35), (60, 70)]),
+        20: py_cut(docs[1][1], [(25, 31)]),
+        30: docs[2][1],
+    }
+    got = {
+        r.doc_id: (r.text, r.n_spans_removed)
+        for r in apply_span_removal(df, sp).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == expect, got
+    assert {k: v[1] for k, v in got.items()} == {10: 2, 20: 1, 30: 0}
+    census = {
+        r.doc_id: r.chars_removed
+        for r in span_removal_census(sp).collect()
+    }
+    for did, (text, _) in got.items():
+        orig = dict(docs)[did]
+        assert len(orig) - len(text) == census.get(did, 0), did
+
+
+def test_apply_span_removal_roundtrip_with_maximal_spans(spark):
+    """End-to-end ExactSubstr: detect maximal spans, cut the id_b-side
+    copies, re-detect — the planted duplication must be GONE (no
+    remaining cross-doc span >= min_span that involves a cut doc pair in
+    the same orientation)."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        apply_span_removal,
+        maximal_span_pairs,
+    )
+
+    block = "the shared boilerplate sentence that appears in both documents!"
+    rows = [
+        (1, "doc one intro " + block + " doc one outro"),
+        (2, "doc two starts " + block + " and then ends differently here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = maximal_span_pairs(df, min_span=40, k=20)
+    assert spans.count() >= 1
+    cleaned = apply_span_removal(df, spans).select("doc_id", "text")
+    again = maximal_span_pairs(cleaned, min_span=40, k=20)
+    assert again.count() == 0, again.collect()
+    # doc 1 (the keep side) is byte-identical
+    kept = {r.doc_id: r.text for r in cleaned.collect()}
+    assert kept[1] == rows[0][1]
