@@ -30,6 +30,88 @@ def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
     return F.pmod(h, F.lit(buckets)).cast("int")
 
 
+def hash_unit(key: Column | str, hex_chars: int = 12) -> Column:
+    """Deterministic uniform draw in (0, 1]: the first ``hex_chars`` hex
+    digits of md5(key) as a 4·hex_chars-bit integer, mapped to
+    ``(h + 1) / (2^bits + 1)`` — never 0 (safe as a log/power argument),
+    engine-portable bit-for-bit (the HLL 48-bit routing convention), and
+    a pure function of row content like every draw in this module."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, hex_chars), 16, 10).cast(
+        "double"
+    )
+    denom = float((1 << (4 * hex_chars)) + 1)
+    return (h + F.lit(1.0)) / F.lit(denom)
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    n: int,
+    group_cols: list[str] | None = None,
+    priority_col: str = "__priority",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, derandomized — the
+    A-Res scheme of Efraimidis & Spirakis 2006 ("Weighted random
+    sampling with a reservoir") with the random draw replaced by the
+    module's content hash: each row gets ``u = hash_unit(key)`` and
+    priority ``ln(u) / w``; the ``n`` LARGEST priorities per group are
+    the sample. Inclusion probability is proportional-to-weight in the
+    A-Res sense, yet membership is a pure function of row content:
+    stable under repartition, retry, and engine change — the property
+    ``df.sample()``/rand() cannot give — and replayable in SQL (the
+    DuckDB oracle computes the identical md5 → unit → ln ranking).
+    This is the importance-sampling member of the family: quality- or
+    loss-weighted corpus draws where ``weighted_quota_sample`` is a
+    budget CAP (deterministic prefix, not probability-proportional)
+    and ``hash_sample`` is unweighted.
+
+    Ranking contract: priorities are ROUNDED to 6dp with a ``key``
+    tie-break (the module-wide cross-engine convention — ln is not
+    required correctly-rounded by IEEE-754, so ranking raw values
+    would let a last-ulp divergence flip membership). Weights must be
+    POSITIVE: NULL/negative raise at execution (the weighted-quota
+    guard); a zero weight raises too — A-Res gives it priority −∞,
+    i.e. 'never sampled', and a silent never-sampled row is the same
+    trap as a silent empty split (filter zero-weight rows first if
+    that is intended).
+
+    Scale shape: one scan computing (u, priority) in codegen, then
+    top-n per group via orderBy+limit (global: TakeOrderedAndProject,
+    per-partition heaps) or a rank window partitioned by group — never
+    a global sort of the data. Returns the sampled rows with
+    ``priority_col`` attached (callers may drop it)."""
+    if n < 0:
+        raise ValueError(f"n must be non-negative, got {n}")
+    w = F.col(weight_col)
+    guarded = F.when(
+        w.isNull() | (w <= 0),
+        F.raise_error(
+            F.lit(
+                f"weighted_priority_sample: NULL/zero/negative {weight_col!r} — "
+                "A-Res needs positive weights; filter or impute first"
+            )
+        ).cast("double"),
+    ).otherwise(w.cast("double"))
+    pri = F.round(F.log(hash_unit(key)) / guarded, 6)
+    scored = df.withColumn(priority_col, pri)
+    if not group_cols:
+        return scored.orderBy(
+            F.col(priority_col).desc(), F.col(key).asc()
+        ).limit(n)
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy(*group_cols).orderBy(
+        F.col(priority_col).desc(), F.col(key).asc()
+    )
+    return (
+        scored.withColumn("__wps_rk", F.row_number().over(wnd))
+        .filter(F.col("__wps_rk") <= n)
+        .drop("__wps_rk")
+    )
+
+
 def hash_sample(
     df: DataFrame, key: str, fraction: float, buckets: int = 100
 ) -> DataFrame:

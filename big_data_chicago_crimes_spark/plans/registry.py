@@ -165,7 +165,10 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # interval merge are SQL-expressible so a full oracle composes
     # from docs_exact_substring_spans' CTEs), funded by an r16-cohort
     # pair merge — the embedding_pq_adc_topk / embedding_ivf_pq_topk
-    # precedent, executed green twice.
+    # precedent, executed green twice. Second r16 candidate, same
+    # funding pattern: a weighted_priority_sample query
+    # (operators/sampling.py, landed r15 — derandomized A-Res, fully
+    # SQL-replayable: md5 → unit draw → ROUND(ln(u)/w, 6) ranking).
     # ------------------------------------------------------------------
     "ml_classifier_auc_surface",
     "ml_gbt_rmse",

@@ -699,3 +699,84 @@ def test_doremi_weights_rejects_sign_bugs(spark):
         doremi_weights(losses, eta=-1.0)
     with _pytest.raises(ValueError, match="smoothing"):
         doremi_weights(losses, smoothing=1.5)
+
+
+def test_weighted_priority_sample_matches_python_model(spark):
+    """Membership equals the A-Res model computed independently in
+    Python (md5 -> unit draw -> ln(u)/w ranking), is deterministic
+    under repartition, and the grouped form keeps exactly n per group."""
+    import hashlib
+    import math
+
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    rows = [
+        (i, "en" if i % 2 else "fr", float(1 + (i * 7) % 13)) for i in range(1, 81)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+
+    def upy(k):
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16)
+        return (h + 1) / float((1 << 48) + 1)
+
+    def pri(k, w):
+        return round(math.log(upy(k)) / w, 6)
+
+    expect = sorted(
+        ((pri(i, w), -i) for i, _, w in rows), reverse=True
+    )[:10]
+    expect_ids = sorted(-e[1] for e in expect)
+    got = sorted(
+        r.doc_id
+        for r in weighted_priority_sample(df, "doc_id", "w", 10).collect()
+    )
+    assert got == expect_ids, (got, expect_ids)
+    again = sorted(
+        r.doc_id
+        for r in weighted_priority_sample(
+            df.repartition(7), "doc_id", "w", 10
+        ).collect()
+    )
+    assert again == got
+
+    grouped = weighted_priority_sample(df, "doc_id", "w", 5, group_cols=["lang"])
+    per = {
+        r.lang: r.cnt
+        for r in grouped.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()
+    }
+    assert per == {"en": 5, "fr": 5}
+    # grouped membership also matches the model per group
+    for lang in ("en", "fr"):
+        exp = sorted(
+            ((pri(i, w), -i) for i, lg, w in rows if lg == lang), reverse=True
+        )[:5]
+        exp_ids = sorted(-e[1] for e in exp)
+        g = sorted(r.doc_id for r in grouped.filter(F.col("lang") == lang).collect())
+        assert g == exp_ids, lang
+
+
+def test_weighted_priority_sample_weight_bias_and_guards(spark):
+    """Heavier rows must be overrepresented (the A-Res property), and
+    non-positive/NULL weights raise rather than silently never-sample."""
+    import pytest as _pytest
+
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    rows = [(i, 20.0 if i % 2 == 0 else 1.0) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = [
+        r.doc_id for r in weighted_priority_sample(df, "doc_id", "w", 100).collect()
+    ]
+    heavy = sum(1 for i in kept if i % 2 == 0)
+    assert heavy > 70, heavy  # 20:1 weights -> heavy class dominates
+
+    bad = spark.createDataFrame([(1, 0.0), (2, 3.0)], "doc_id long, w double")
+    with _pytest.raises(Exception, match="positive"):
+        weighted_priority_sample(bad, "doc_id", "w", 1).collect()
+    nul = spark.createDataFrame([(1, None), (2, 3.0)], "doc_id long, w double")
+    with _pytest.raises(Exception, match="positive"):
+        weighted_priority_sample(nul, "doc_id", "w", 1).collect()
