@@ -74,6 +74,13 @@ def cms_build(
     explode (codegen'd scalar md5s, no shuffle); the groupBy is a
     bounded hash aggregate whose map-side partials ARE the per-partition
     sketches and whose exchange IS the cell-wise sketch merge.
+
+    NULL items carry no identity and are dropped — the hll_build
+    contract (r15 sweep: md5(NULL) is NULL, so NULL occurrences used to
+    accumulate into phantom NULL-bucket state rows that no probe could
+    ever match — harmless to estimates but silently bloating the stored
+    sketch; SQL COUNT(x) ignores NULLs too, and any oracle replay
+    filters identically).
     """
     cells = F.array(
         *[
@@ -85,7 +92,8 @@ def cms_build(
         ]
     )
     return (
-        df.select(F.explode(cells).alias("__cell"))
+        df.filter(F.col(item_col).isNotNull())
+        .select(F.explode(cells).alias("__cell"))
         .groupBy(
             F.col("__cell.row").alias("row"), F.col("__cell.bucket").alias("bucket")
         )
@@ -359,12 +367,28 @@ def qsketch_build(
     operations). The groupBy's map-side partials ARE the per-partition
     sketches; the exchange is the cell-wise merge. NULL values carry no
     quantile information and are dropped (count them separately if the
-    null rate matters)."""
+    null rate matters). A NaN value RAISES at execution (r15 sweep, the
+    score_ntile convention): Spark's ordering treats NaN as larger than
+    every number, so the clamp would silently file every NaN into the
+    TOP bin — corrupting the high quantiles with no error anywhere —
+    and there is no portable semantics to silently pick (engines
+    disagree on NaN ordering)."""
     if not hi > lo:
         raise ValueError(f"qsketch_build: need hi > lo, got [{lo}, {hi}]")
     v = F.col(value_col).cast("double")
     raw_bin = F.floor((v - F.lit(float(lo))) * F.lit(float(n_bins)) / F.lit(float(hi) - float(lo)))
-    b = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    b = F.when(
+        F.isnan(v),
+        F.raise_error(
+            F.lit(
+                f"qsketch_build: NaN in value column {value_col!r} — the "
+                "clamp would silently file it into the top bin; filter or "
+                "impute first"
+            )
+        ).cast("long"),
+    ).otherwise(F.least(F.greatest(raw_bin, F.lit(0)), F.lit(n_bins - 1))).cast(
+        "int"
+    )
     return (
         df.filter(v.isNotNull())
         .select(*group_cols, b.alias("bin"))
@@ -403,6 +427,11 @@ def qsketch_quantile(
 
     if not qs:
         raise ValueError("qsketch_quantile: empty quantile list")
+    bad = [q for q in qs if not 0.0 <= q <= 1.0]
+    if bad:
+        # a q outside [0,1] has no satisfying bin — the MIN() collapses
+        # to NULL and the caller reads a silent NULL quantile (r15 sweep)
+        raise ValueError(f"qsketch_quantile: quantiles outside [0, 1]: {bad}")
     w = Window.partitionBy(*group_cols).orderBy("bin") if group_cols else (
         Window.orderBy("bin")
     )

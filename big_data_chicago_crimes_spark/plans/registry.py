@@ -156,8 +156,13 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # r14 cohort (the r12-cohort queries; rotates back in for r16).
     # Order preserved from the r14 window; changed-builders-first rule
     # to be re-applied at the r16 rotation. Builders in THIS cohort
-    # changed during r15 after their r14 stamps: none so far — record
-    # any here as they change.
+    # changed during r15 after their r14 stamps (pin these to the
+    # first window slots at the r16 rotation; locally verified green
+    # at sf0.01 this round, but the driver hash is the contract):
+    # - orders_price_quantiles_approx: qsketch_build gained a loud
+    #   NaN guard and qsketch_quantile a [0,1] range check (r15
+    #   sweep — NaN used to clamp silently into the TOP bin);
+    #   output-identical on NaN-free data by construction.
     # r16 slot plan: an apply_span_removal query (operators landed r15
     # — dedup.apply_span_removal: detect maximal spans, CUT the
     # id_b-side copies, return the rebuilt corpus md5-pinned per doc —

@@ -282,3 +282,45 @@ def test_cms_estimate_items_distinct_flag_is_output_identical(spark):
     assert base == rows(
         cms_estimate(sketch, dup_probe, "token", depth=3, width=64)
     )
+
+
+def test_cms_build_drops_null_items(spark):
+    """NULL items must not accumulate phantom NULL-bucket state rows
+    (the hll_build contract; r15 sweep)."""
+    from big_data_chicago_crimes_spark.operators.sketches import cms_build
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,)], "token string"
+    )
+    sk = cms_build(df, "token", depth=3, width=8).collect()
+    assert all(r.bucket is not None for r in sk)
+    assert sum(r.c for r in sk) == 2 * 3  # two non-null instances x depth
+
+
+def test_qsketch_build_raises_on_nan(spark):
+    """A NaN value would silently clamp into the TOP bin (Spark orders
+    NaN above every number) and corrupt the high quantiles — raise
+    instead (the score_ntile convention)."""
+    import pytest as _pytest
+
+    from big_data_chicago_crimes_spark.operators.sketches import qsketch_build
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (2.0,)], "v double"
+    )
+    with _pytest.raises(Exception, match="NaN"):
+        qsketch_build(df, "v", [], lo=0.0, hi=10.0, n_bins=16).collect()
+
+
+def test_qsketch_quantile_rejects_out_of_range_q(spark):
+    import pytest as _pytest
+
+    from big_data_chicago_crimes_spark.operators.sketches import (
+        qsketch_build,
+        qsketch_quantile,
+    )
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    sk = qsketch_build(df, "v", [], lo=0.0, hi=10.0, n_bins=16)
+    with _pytest.raises(ValueError, match="outside"):
+        qsketch_quantile(sk, [0.5, 1.5], [], lo=0.0, hi=10.0, n_bins=16)
