@@ -285,6 +285,52 @@ def hll_estimate(
     )
 
 
+def hll_overlap_estimate(
+    a: DataFrame, b: DataFrame, group_cols: list[str], p: int = HLL_P
+) -> DataFrame:
+    """Per-group OVERLAP estimate between two sketch tables via
+    inclusion–exclusion: ``|A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)``,
+    with the union sketch from :func:`hll_merge` (lossless, so the
+    third term is exact HLL — the error is the three estimates'
+    combined, not compounded by approximation of the union itself).
+    The cross-split overlap question this answers — how much does
+    yesterday's crawl share with today's, does a training shard leak
+    into an eval shard — normally costs a full distinct-key join; on
+    stored sketch tables it costs three ``m``-register aggregates and
+    touches no raw data. Output: (*group_cols, est_a, est_b, est_union,
+    overlap_est) with ``overlap_est`` clamped at 0 (inclusion–exclusion
+    on three ±1.04/√m estimates can go slightly negative for disjoint
+    sets — a negative cardinality is never the right answer). Groups
+    present in only one input get the other's estimate as 0 via the
+    outer join — their overlap is genuinely 0.
+
+    Only groups and registers shuffle; like every operator in the
+    family this runs on the STORED state, so it composes across days /
+    splits / engines (the merge contract docs_domain_distinct_hll
+    certifies)."""
+    est_a = hll_estimate(a, group_cols, p).select(
+        *group_cols, F.col("hll_est").alias("est_a")
+    )
+    est_b = hll_estimate(b, group_cols, p).select(
+        *group_cols, F.col("hll_est").alias("est_b")
+    )
+    est_u = hll_estimate(hll_merge(a, b, group_cols), group_cols, p).select(
+        *group_cols, F.col("hll_est").alias("est_union")
+    )
+    joined = (
+        est_u.join(est_a, group_cols, "left")
+        .join(est_b, group_cols, "left")
+        .na.fill({"est_a": 0.0, "est_b": 0.0})
+    )
+    overlap = F.greatest(
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 6),
+        F.lit(0.0),
+    )
+    return joined.select(
+        *group_cols, "est_a", "est_b", "est_union", overlap.alias("overlap_est")
+    )
+
+
 def hll_oracle_sql(
     group_expr: str, item_expr: str, source_sql: str, p: int = HLL_P
 ) -> str:

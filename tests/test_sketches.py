@@ -324,3 +324,44 @@ def test_qsketch_quantile_rejects_out_of_range_q(spark):
     sk = qsketch_build(df, "v", [], lo=0.0, hi=10.0, n_bins=16)
     with _pytest.raises(ValueError, match="outside"):
         qsketch_quantile(sk, [0.5, 1.5], [], lo=0.0, hi=10.0, n_bins=16)
+
+
+def test_hll_overlap_estimate_inclusion_exclusion(spark):
+    """Overlap via inclusion-exclusion on stored sketches: a planted
+    50%-overlap pair estimates within the sketch error budget, disjoint
+    sets clamp at 0, and a group present in one side only reports
+    overlap 0 with the other's estimate 0."""
+    from big_data_chicago_crimes_spark.operators.sketches import (
+        hll_build,
+        hll_overlap_estimate,
+    )
+
+    # group g: A = 0..999, B = 500..1499 -> true overlap 500
+    # group d: A = tokens 0..299, B = 10_000..10_299 -> overlap 0
+    # group only_a: A only
+    rows_a = (
+        [("g", f"u{i}") for i in range(1000)]
+        + [("d", f"u{i}") for i in range(300)]
+        + [("only_a", f"u{i}") for i in range(100)]
+    )
+    rows_b = [("g", f"u{i}") for i in range(500, 1500)] + [
+        ("d", f"u{i}") for i in range(10_000, 10_300)
+    ]
+    a = hll_build(
+        spark.createDataFrame(rows_a, "grp string, item string"), "item", ["grp"]
+    )
+    b = hll_build(
+        spark.createDataFrame(rows_b, "grp string, item string"), "item", ["grp"]
+    )
+    got = {
+        r.grp: (r.est_a, r.est_b, r.est_union, r.overlap_est)
+        for r in hll_overlap_estimate(a, b, ["grp"]).collect()
+    }
+    ea, eb, eu, ov = got["g"]
+    # each estimate has ~3.2% stddev at p=10; allow a generous band on
+    # the difference-of-three (true union 1500, true overlap 500)
+    assert abs(ea - 1000) < 150 and abs(eb - 1000) < 150
+    assert abs(eu - 1500) < 200
+    assert 250 < ov < 750, got["g"]
+    assert got["d"][3] < 120, got["d"]  # near-0 overlap (clamped at 0 floor)
+    assert got["only_a"][1] == 0.0 and got["only_a"][3] == 0.0
