@@ -309,3 +309,24 @@ def test_temporal_bucket_surface_single_scan(spark, sf_dir):
     assert len(re.findall(r"Scan parquet\s+\(", plan)) == 1, plan
     assert "Expand (" in plan  # grouping sets, not a union of groupBys
     assert "Union (" not in plan
+
+
+def test_maximal_spans_candidate_pipeline_planned_once(spark, sf_dir):
+    """maximal_span_pairs scratch-persists its gram frame so the
+    candidate pipeline (the strided xxhash64 join + gram explosion) is
+    planned ONCE and both self-join sides read the cached relation — a
+    regression to two full candidate subtrees doubles the operator's
+    dominant cost (r15 A/B). The persist shows as InMemoryTableScan on
+    both join inputs (the regression case shows ZERO InMemoryTableScan
+    and two independent scan+join subtrees; operator string-counts
+    above the cache boundary are not meaningful — the cached plan's own
+    operators print once per scan site)."""
+    from big_data_chicago_crimes_spark.operators.dedup import maximal_span_pairs
+    from big_data_chicago_crimes_spark.session import release_scratch_caches
+    from big_data_chicago_crimes_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, sf_dir).documents.select("doc_id", "text")
+    df = maximal_span_pairs(docs, min_span=50, k=40)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_scratch_caches()
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
