@@ -779,6 +779,12 @@ def apply_span_removal(
     beyond the intervals join. Positions are 1-based, intervals
     [start, end) half-open; out-of-range intervals clip naturally
     (``substr`` of an empty range is '')."""
+    clash = sorted({"__ivs", "n_spans_removed"} & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"apply_span_removal: input already has column(s) {clash} — "
+            "they are reserved for the interval array and the output census"
+        )
     merged = _merged_removal_intervals(spans, span_id_col, pos_col, len_col)
     per_doc = merged.groupBy(F.col("__doc").alias(id_col)).agg(
         F.array_sort(

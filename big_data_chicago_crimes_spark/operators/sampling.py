@@ -35,7 +35,18 @@ def hash_unit(key: Column | str, hex_chars: int = 12) -> Column:
     digits of md5(key) as a 4·hex_chars-bit integer, mapped to
     ``(h + 1) / (2^bits + 1)`` — never 0 (safe as a log/power argument),
     engine-portable bit-for-bit (the HLL 48-bit routing convention), and
-    a pure function of row content like every draw in this module."""
+    a pure function of row content like every draw in this module.
+
+    ``hex_chars`` is capped at 13: the hex prefix is decoded through a
+    DOUBLE, whose 53-bit mantissa holds 4·13 = 52-bit integers exactly;
+    one more nibble and distinct hashes silently collide after the cast
+    (ADVICE r15), which breaks both uniformity and the bit-for-bit
+    DuckDB replay."""
+    if hex_chars < 1 or 4 * hex_chars > 52:
+        raise ValueError(
+            f"hash_unit: hex_chars must be in [1, 13] (got {hex_chars}) — "
+            "the hex prefix is decoded via DOUBLE, exact only to 52 bits"
+        )
     c = F.col(key) if isinstance(key, str) else key
     h = F.conv(F.substring(F.md5(c.cast("string")), 1, hex_chars), 16, 10).cast(
         "double"
@@ -70,20 +81,37 @@ def weighted_priority_sample(
     Ranking contract: priorities are ROUNDED to 6dp with a ``key``
     tie-break (the module-wide cross-engine convention — ln is not
     required correctly-rounded by IEEE-754, so ranking raw values
-    would let a last-ulp divergence flip membership). Weights must be
-    POSITIVE: NULL/negative raise at execution (the weighted-quota
-    guard); a zero weight raises too — A-Res gives it priority −∞,
-    i.e. 'never sampled', and a silent never-sampled row is the same
-    trap as a silent empty split (filter zero-weight rows first if
-    that is intended).
+    would let a last-ulp divergence flip membership). Before rounding,
+    weights are NORMALIZED by the frame's max weight — priority =
+    ln(u) · max(w)/w — which preserves the A-Res order exactly
+    (multiplying every priority by the positive constant max(w)) while
+    pinning the heaviest rows' priorities at ln(u) ∈ O(1) magnitude:
+    without it, raw ln(u)/w collapses to −0.000000 at 6dp once w ≳ 1e6
+    and selection among heavy rows silently degenerates to the key
+    tie-break (ADVICE r15). The max is one scalar aggregate
+    broadcast-crossed back (the resize_media scalar-broadcast shape),
+    and the oracle replays it as a CROSS JOIN (SELECT MAX(w) ...).
+    Weights must be POSITIVE: NULL/negative raise at execution (the
+    weighted-quota guard); a zero weight raises too — A-Res gives it
+    priority −∞, i.e. 'never sampled', and a silent never-sampled row
+    is the same trap as a silent empty split (filter zero-weight rows
+    first if that is intended).
 
-    Scale shape: one scan computing (u, priority) in codegen, then
-    top-n per group via orderBy+limit (global: TakeOrderedAndProject,
-    per-partition heaps) or a rank window partitioned by group — never
-    a global sort of the data. Returns the sampled rows with
-    ``priority_col`` attached (callers may drop it)."""
+    Scale shape: one scalar-aggregate pass for max(w), then one scan
+    computing (u, priority) in codegen, then top-n per group via
+    orderBy+limit (global: TakeOrderedAndProject, per-partition heaps)
+    or a rank window partitioned by group — never a global sort of the
+    data. Returns the sampled rows with ``priority_col`` attached
+    (callers may drop it)."""
     if n < 0:
         raise ValueError(f"n must be non-negative, got {n}")
+    reserved = {priority_col, "__wps_max", "__wps_rk"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"weighted_priority_sample: input already has column(s) {clash} — "
+            "rename them or pass a different priority_col"
+        )
     w = F.col(weight_col)
     guarded = F.when(
         w.isNull() | (w <= 0),
@@ -94,8 +122,13 @@ def weighted_priority_sample(
             )
         ).cast("double"),
     ).otherwise(w.cast("double"))
-    pri = F.round(F.log(hash_unit(key)) / guarded, 6)
-    scored = df.withColumn(priority_col, pri)
+    wmax = df.agg(F.max(guarded).alias("__wps_max"))
+    pri = F.round(F.log(hash_unit(key)) * F.col("__wps_max") / guarded, 6)
+    scored = (
+        df.crossJoin(F.broadcast(wmax))
+        .withColumn(priority_col, pri)
+        .drop("__wps_max")
+    )
     if not group_cols:
         return scored.orderBy(
             F.col(priority_col).desc(), F.col(key).asc()

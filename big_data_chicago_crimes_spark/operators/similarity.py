@@ -764,22 +764,29 @@ def assign_to_centroids_vectorized(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Arrow-batched sibling of ``assign_to_centroids`` for the k ∝ N
-    regime: per batch, squared L2 to every centroid via ONE BLAS gram
-    (‖v‖² + ‖c‖² − 2·V·Cᵀ — an N×k matrix, never N×k×dim), then the
-    same rounded-distance ranking with cid tie-break (np.argmin over
-    the 6dp-rounded row returns the FIRST minimum — exactly the
-    (dist, cid) lexicographic order of the HOF form). The literal-
-    expression form evaluates k interpreted fold-aggregates per row, so
-    its cost is O(N·k) through the expression interpreter — under the
-    production contract k ∝ N that step turns quadratic and dominates
-    (measured sf1/k=160: 2.9 s vs ~0.2 s for this form). Ranking on the
-    6dp-rounded distance is the established engine-portability contract
-    (see nearest_centroid_cells); pairwise-vs-fold summation ulps fall
-    inside it the same way DuckDB's list_sum does."""
+    regime: per batch, squared L2 to every centroid as ``((V − C)²)``
+    — the SAME (x−y)² formulation the certified expression path folds
+    (ADVICE r15: the earlier gram identity ``‖v‖²+‖c‖²−2·V·Cᵀ``
+    suffers catastrophic cancellation when a vector nearly equals a
+    centroid — exactly the near-duplicate regime SemDeDup probes — and
+    a last-ulp divergence could cross the 6dp rounding boundary and
+    assign a cell differently from the oracle-certified path). The
+    N×k×dim difference temporary is bounded by chunking batch ROWS so
+    each chunk stays ~32 MB regardless of k — the k ∝ N memory regime
+    the old gram form existed for is preserved without its
+    cancellation. Then the same rounded-distance ranking with cid
+    tie-break (np.argmin over the 6dp-rounded row returns the FIRST
+    minimum — exactly the (dist, cid) lexicographic order of the HOF
+    form). The literal-expression form evaluates k interpreted
+    fold-aggregates per row, so its cost is O(N·k) through the
+    expression interpreter — under the production contract k ∝ N that
+    step turns quadratic and dominates (measured sf1/k=160: 2.9 s vs
+    ~0.2 s for this form). Ranking on the 6dp-rounded distance is the
+    established engine-portability contract (see
+    nearest_centroid_cells)."""
     import pandas as pd
 
     C = np.asarray(centroids, dtype=np.float64)
-    cn = (C * C).sum(axis=1)
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     # StructType.add mutates in place — build a fresh copy, never extend
@@ -787,16 +794,21 @@ def assign_to_centroids_vectorized(
     out_schema = StructType(
         list(df.schema.fields) + [StructField("centroid_id", IntegerType())]
     )
+    # rows per chunk so the (rows × k × dim) float64 diff stays ~32 MB
+    step = max(1, 4_000_000 // max(C.shape[0] * C.shape[1], 1))
 
     def assign(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = _vectors_matrix(pdf, vec_col, dim=C.shape[1])
-            vn = (V * V).sum(axis=1)
-            d = _spark_round6(vn[:, None] + cn[None, :] - 2.0 * (V @ C.T))
+            cids = np.empty(len(V), dtype=np.int32)
+            for i in range(0, len(V), step):
+                diff = V[i : i + step, None, :] - C[None, :, :]
+                d = _spark_round6((diff * diff).sum(axis=-1))
+                cids[i : i + step] = d.argmin(axis=1)
             out = pdf.copy()
-            out["centroid_id"] = d.argmin(axis=1).astype("int32")
+            out["centroid_id"] = cids
             yield out
 
     return df.mapInPandas(assign, schema=out_schema)
@@ -1356,9 +1368,9 @@ def pq_encode_vectorized(
     cancellation for near-duplicate vector/sub-centroid pairs, which
     could exceed the 6dp rounding contract and encode a boundary-value
     vector differently from the oracle-certified path; the n×k×sub
-    temporary is cheap at sub = dim/m — unlike the coarse assignment's
-    full-dim case, where ``assign_to_centroids_vectorized`` keeps the
-    gram for its documented k ∝ N memory regime). Then the same
+    temporary is cheap at sub = dim/m — the coarse assignment's
+    full-dim case bounds the same temporary by row-chunking, see
+    ``assign_to_centroids_vectorized``). Then the same
     6dp-rounded ranking, and np.argmin's first-minimum = the cid
     tie-break. The expression form evaluates m·k interpreted
     fold-aggregates per row (~0.3 ms/row at m=8, k=16) — the right

@@ -1132,3 +1132,26 @@ def test_apply_span_removal_roundtrip_with_maximal_spans(spark):
     # doc 1 (the keep side) is byte-identical
     kept = {r.doc_id: r.text for r in cleaned.collect()}
     assert kept[1] == rows[0][1]
+
+
+def test_apply_span_removal_rejects_reserved_columns(spark):
+    """ADVICE r15: a df already carrying '__ivs' or 'n_spans_removed'
+    would be silently overwritten — raise instead (the cms_estimate
+    reserved-name convention)."""
+    import pytest as _pytest
+
+    from big_data_chicago_crimes_spark.operators.dedup import apply_span_removal
+
+    sp = spark.createDataFrame(
+        [(1, 1, 5)], "id_b long, pos_b int, span_len int"
+    )
+    bad = spark.createDataFrame(
+        [(1, "abc", 7)], "doc_id long, text string, n_spans_removed int"
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        apply_span_removal(bad, sp)
+    bad2 = spark.createDataFrame(
+        [(1, "abc", "x")], "doc_id long, text string, __ivs string"
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        apply_span_removal(bad2, sp)

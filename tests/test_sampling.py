@@ -703,8 +703,9 @@ def test_doremi_weights_rejects_sign_bugs(spark):
 
 def test_weighted_priority_sample_matches_python_model(spark):
     """Membership equals the A-Res model computed independently in
-    Python (md5 -> unit draw -> ln(u)/w ranking), is deterministic
-    under repartition, and the grouped form keeps exactly n per group."""
+    Python (md5 -> unit draw -> max-normalized ln(u)·wmax/w ranking),
+    is deterministic under repartition, and the grouped form keeps
+    exactly n per group."""
     import hashlib
     import math
 
@@ -716,13 +717,14 @@ def test_weighted_priority_sample_matches_python_model(spark):
         (i, "en" if i % 2 else "fr", float(1 + (i * 7) % 13)) for i in range(1, 81)
     ]
     df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    wmax = max(w for _, _, w in rows)
 
     def upy(k):
         h = int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16)
         return (h + 1) / float((1 << 48) + 1)
 
     def pri(k, w):
-        return round(math.log(upy(k)) / w, 6)
+        return round(math.log(upy(k)) * wmax / w, 6)
 
     expect = sorted(
         ((pri(i, w), -i) for i, _, w in rows), reverse=True
@@ -780,3 +782,56 @@ def test_weighted_priority_sample_weight_bias_and_guards(spark):
     nul = spark.createDataFrame([(1, None), (2, 3.0)], "doc_id long, w double")
     with _pytest.raises(Exception, match="positive"):
         weighted_priority_sample(nul, "doc_id", "w", 1).collect()
+
+    clash = spark.createDataFrame([(1, 2.0, 0.5)], "doc_id long, w double, __priority double")
+    with _pytest.raises(ValueError, match="reserved|already has"):
+        weighted_priority_sample(clash, "doc_id", "w", 1)
+
+
+def test_weighted_priority_sample_large_weights_keep_resolution(spark):
+    """ADVICE r15: with raw ln(u)/w ranking, weights ≥ ~1e6 collapse
+    every priority to -0.000000 at 6dp and selection degenerates to the
+    key tie-break (ascending doc_id). Max-normalization must keep the
+    weight-proportional draw: membership matches the normalized Python
+    model, NOT the first-n-by-key degenerate set."""
+    import hashlib
+    import math
+
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    rows = [(i, float(1e6 + (i * 7919) % 1000000)) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    wmax = max(w for _, w in rows)
+
+    def upy(k):
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16)
+        return (h + 1) / float((1 << 48) + 1)
+
+    expect = sorted(
+        ((round(math.log(upy(i)) * wmax / w, 6), -i) for i, w in rows),
+        reverse=True,
+    )[:20]
+    expect_ids = sorted(-e[1] for e in expect)
+    got = sorted(
+        r.doc_id for r in weighted_priority_sample(df, "doc_id", "w", 20).collect()
+    )
+    assert got == expect_ids, (got, expect_ids)
+    assert got != list(range(1, 21)), "degenerated to the key tie-break"
+
+
+def test_hash_unit_rejects_inexact_hex_width(spark):
+    """hash_unit decodes the hex prefix through a DOUBLE: 13 nibbles
+    (52 bits) is the last exact width; 14+ must raise, not silently
+    collide distinct hashes after the cast (ADVICE r15)."""
+    import pytest as _pytest
+
+    from big_data_chicago_crimes_spark.operators.sampling import hash_unit
+
+    with _pytest.raises(ValueError, match="52 bits|hex_chars"):
+        hash_unit("doc_id", hex_chars=14)
+    with _pytest.raises(ValueError, match="hex_chars"):
+        hash_unit("doc_id", hex_chars=0)
+    # 13 is still exact and allowed
+    hash_unit("doc_id", hex_chars=13)

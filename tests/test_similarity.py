@@ -1122,6 +1122,6 @@ def test_cross_encoder_rerank_parity_and_edges(spark):
         .collect()
     ]
     assert got == expect, (got, expect)
-    # doc 5 = {scan, join}: 2/sqrt(2*3) = 0.816497 ranks first; doc 1 =
-    # {hash, join, scan, plan}: 3/sqrt(4*3) = 0.866025 ranks above it
+    # doc 1 = {hash, join, scan, plan}: 3/sqrt(4*3) = 0.866025 ranks
+    # first, above doc 5 = {scan, join}: 2/sqrt(2*3) = 0.816497
     assert got[0] == (1, 0.866025) and got[1] == (5, 0.816497), got
