@@ -75,14 +75,12 @@ HEADLINE = [
     "user_session_counts",
     "events_interval_join_batch",  # stream-stream interval join, batch degradation (r8)
     # text suite
-    "docs_token_stats",
-    "docs_quality_by_source",
+    "docs_token_surface",  # r16 merge: token_stats + bpe_token_stats
     "docs_lang_id",
-    "docs_bpe_token_stats",
     "docs_fingerprint_census",
     "docs_rolling_hash",
     # text suite (quality/fingerprint extensions)
-    "docs_quality_scores",
+    "docs_quality_surface",  # r16 merge: quality_scores + quality_by_source
     "docs_repetition_stats",
     "docs_pii_scrub_surface",  # r14 merge: organic + seeded legs
     "docs_sequence_packing",
@@ -93,6 +91,7 @@ HEADLINE = [
     "docs_stream_static_dedup_batch",  # stream-static anti-join dedup, batch degradation (r9)
     "docs_shared_span_pairs",  # exact-substring span dedup, strided k-gram sampling (r9)
     "docs_exact_substring_spans",  # maximal spans + removal census, suffix-array output (r15)
+    "docs_span_removal_cut",  # ExactSubstr APPLIED: detect -> merge intervals -> cut, md5-pinned (r16)
     "docs_line_dedup",  # C4-style line-level boilerplate removal (r9)
     "docs_intra_dedup",  # intra-document line dedup, zero-shuffle scan path (r12)
     "docs_sketch_candidates_surface",  # r12 merge: minhash_lsh + simhash legs
@@ -112,6 +111,7 @@ HEADLINE = [
     "docs_train_val_test_split",
     "docs_domain_quota",  # histogram-bounded per-domain quota cap
     "docs_stratified_sample",  # exact per-stratum fractional draw (r13)
+    "docs_weighted_sample",  # derandomized A-Res weighted draw, global + grouped legs (r16)
     "docs_heavy_hitters_cms",  # count-min sketch vs exact top-15 (r13)
     "docs_domain_distinct_hll",  # mergeable HLL distinct census vs exact (r14)
     "docs_bigram_perplexity",  # interpolated-bigram LM scoring (r13)

@@ -677,3 +677,89 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="doc_id",
     ).select(F.lit("token_budget").alias("leg"), "doc_id", "lang")
     return frac.unionByName(budget).orderBy("leg", "lang", "doc_id")
+
+
+_WPS_DENOM = float((1 << 48) + 1)  # hash_unit's (h+1)/(2^48+1) mapping
+
+
+@register(
+    "docs_weighted_sample",
+    # NEW r16 (VERDICT r15 #3, the second recorded registry slot plan):
+    # the importance-sampling member of the sampling family — weighted
+    # sampling WITHOUT replacement via derandomized A-Res
+    # (Efraimidis & Spirakis 2006; operators/sampling.py:
+    # weighted_priority_sample). Funded by the docs_quality_scores +
+    # docs_quality_by_source merge (docs_quality_surface). Fully
+    # SQL-replayable by design: md5 → unit draw (h+1)/(2^48+1) →
+    # ROUND(ln(u)·max(w)/w, 6) priority with doc_id tie-break — the
+    # oracle computes the identical membership, so the driver hash
+    # certifies EXACT selected rows, not a distributional property.
+    # Weights are content-derived (n_chars + 1 — always positive) and
+    # max-normalized (ADVICE r15: raw ln(u)/w loses 6dp resolution for
+    # large weights; the normalization is order-preserving and the
+    # oracle replays it as a CROSS JOIN over MAX(w)).
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, lang, CAST(n_chars + 1 AS DOUBLE) AS w
+            FROM documents
+        ), mx AS (
+            SELECT MAX(w) AS wmax FROM w
+        ), pri AS (
+            SELECT doc_id, lang,
+                   ROUND(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
+                            / {_WPS_DENOM!r}) * wmax / w, 6) AS priority
+            FROM w CROSS JOIN mx
+        )
+        SELECT 'global' AS leg, lang, doc_id, priority FROM (
+            SELECT * FROM pri ORDER BY priority DESC, doc_id LIMIT 50
+        )
+        UNION ALL
+        SELECT 'by_lang' AS leg, lang, doc_id, priority FROM (
+            SELECT *, row_number() OVER (PARTITION BY lang
+                                         ORDER BY priority DESC, doc_id) AS rk
+            FROM pri
+        ) WHERE rk <= 20
+        ORDER BY leg, lang, doc_id
+    """,
+    tags=("sampling", "weighted", "a-res", "extension"),
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (derandomized A-Res,
+    Efraimidis & Spirakis 2006), two legs certifying both plan shapes
+    of :func:`~big_data_chicago_crimes_spark.operators.sampling.weighted_priority_sample`:
+
+    - ``global`` — the 50 highest-priority documents corpus-wide,
+      length-weighted (w = n_chars + 1): orderBy+limit plans as
+      TakeOrderedAndProject (per-partition heaps, no global sort).
+    - ``by_lang`` — the top 20 per language: a rank window partitioned
+      by lang (never a global sort; per-group fan-in only).
+
+    Membership is a pure function of row content (md5 unit draw,
+    max-normalized ln(u)·wmax/w priority, 6dp-rounded with doc_id
+    tie-break): stable under repartition, retry, and engine change —
+    the property rand()-based weighted reservoirs cannot give — and the
+    oracle recomputes the exact same ranking, so the driver hash pins
+    every selected row."""
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "lang", (F.col("n_chars") + 1).cast("double").alias("w")
+    )
+    glob = weighted_priority_sample(docs, "doc_id", "w", 50).select(
+        F.lit("global").alias("leg"),
+        "lang",
+        "doc_id",
+        F.col("__priority").alias("priority"),
+    )
+    by_lang = weighted_priority_sample(
+        docs, "doc_id", "w", 20, group_cols=["lang"]
+    ).select(
+        F.lit("by_lang").alias("leg"),
+        "lang",
+        "doc_id",
+        F.col("__priority").alias("priority"),
+    )
+    return glob.unionByName(by_lang).orderBy("leg", "lang", "doc_id")

@@ -23,30 +23,41 @@ _SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
 
 
 @register(
-    "docs_token_stats",
+    "docs_token_surface",
+    # r16 merge of docs_token_stats + docs_bpe_token_stats (funding the
+    # docs_span_removal_cut window slot — the in-cohort pair-merge
+    # pattern, precedent embedding_pq_adc_topk/orders_q3_topk_surface):
+    # both queries scanned documents and aggregated per lang, so the
+    # BPE-ish token average folds into the same groupBy as one more
+    # aggregate expression — one scan instead of two, zero new shuffles.
     # blank-text guard mirrors token_count's 0-for-blank semantics:
     # regexp_split_to_array('') yields [''] (len 1), while the engine's
     # token_count returns 0 — same divergence docs_sequence_packing's
     # oracle guards against (its prefix-sum would amplify one mismatch).
-    # Two sections certified in ONE window slot (VERDICT r7 #2b:
+    # Sections certified in ONE window slot (VERDICT r7 #2b:
     # vocab_top_k shipped in r7 with local tests only; it shares this
     # query's explode spine, so it merges here rather than spending a
-    # slot): 'lang_stats' = the per-lang token census; 'vocab_top100' =
-    # the 100 most frequent tokens with counts (ties break on the token
-    # string; the blank-token filter mirrors vocab_top_k's
-    # length(token) > 0 guard). NULL stats columns on the vocab leg are
-    # typed NULLs on both engines so the schema hash agrees.
+    # slot): 'lang_stats' = the per-lang token census (whitespace AND
+    # GPT-2-pretokenizer counts); 'vocab_top100' = the 100 most frequent
+    # tokens with counts (ties break on the token string; the
+    # blank-token filter mirrors vocab_top_k's length(token) > 0
+    # guard). NULL stats columns on the vocab leg are typed NULLs on
+    # both engines so the schema hash agrees.
     oracle="""
         SELECT 'lang_stats' AS section, lang AS key,
                COUNT(*) AS n,
                ROUND(AVG(CASE WHEN trim(text) = '' THEN 0
                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                          END), 6) AS avg_tokens,
+               ROUND(AVG(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+'))), 6)
+                   AS avg_bpe_tokens,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang
         UNION ALL
         SELECT 'vocab_top100' AS section, token AS key, n,
                CAST(NULL AS DOUBLE) AS avg_tokens,
+               CAST(NULL AS DOUBLE) AS avg_bpe_tokens,
                CAST(NULL AS BIGINT) AS total_chars
         FROM (
             SELECT token, COUNT(*) AS n
@@ -59,11 +70,13 @@ _SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
         )
         ORDER BY section, key
     """,
-    tags=("text", "vocab", "extension"),
+    tags=("text", "vocab", "tokenize", "extension"),
 )
-def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting per language ('lang_stats' section —
-    pure JVM split/size, no UDF in the scan path) plus the corpus
+def docs_token_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per language ('lang_stats' section — whitespace
+    split/size AND the GPT-2-style pre-tokenizer regex count
+    (functions/text.py:bpe_ish_token_count, the cheap proxy for an LLM
+    tokenizer), both pure JVM, no UDF in the scan path) plus the corpus
     vocabulary table ('vocab_top100' section — the 100 most frequent
     tokens via functions/text.py:vocab_top_k: explode → hash-aggregate
     with map-side partials → TakeOrderedAndProject top-k; the shuffle is
@@ -72,11 +85,17 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     stats = (
-        t.documents.select("lang", "n_chars", token_count("text").alias("n_tokens"))
+        t.documents.select(
+            "lang",
+            "n_chars",
+            token_count("text").alias("n_tokens"),
+            bpe_ish_token_count("text").alias("n_bpe"),
+        )
         .groupBy("lang")
         .agg(
             F.count("*").alias("n"),
             F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.round(F.avg("n_bpe"), 6).alias("avg_bpe_tokens"),
             F.sum("n_chars").alias("total_chars"),
         )
         .select(
@@ -84,6 +103,7 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang").alias("key"),
             "n",
             "avg_tokens",
+            "avg_bpe_tokens",
             "total_chars",
         )
     )
@@ -92,52 +112,10 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token").alias("key"),
         "n",
         F.lit(None).cast("double").alias("avg_tokens"),
+        F.lit(None).cast("double").alias("avg_bpe_tokens"),
         F.lit(None).cast("bigint").alias("total_chars"),
     )
     return stats.unionByName(vocab).orderBy("section", "key")
-
-
-@register(
-    "docs_quality_by_source",
-    oracle=f"""
-        WITH scored AS (
-            SELECT source,
-                   CASE WHEN length(text) = 0 THEN 0.0
-                        ELSE (length(text) - length(regexp_replace(text,
-                              '[!-/:-@\\[-`{{-~]', '', 'g'))) * 1.0 / length(text)
-                   END AS punct_ratio,
-                   CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
-                        ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                 t -> list_contains([{_SW_LIST}], lower(t)))) * 1.0
-                             / len(regexp_split_to_array(trim(text), '\\s+'))
-                   END AS stopword_ratio
-            FROM documents
-        )
-        SELECT source,
-               ROUND(AVG(punct_ratio), 6) AS avg_punct_ratio,
-               ROUND(AVG(stopword_ratio), 6) AS avg_stopword_ratio
-        FROM scored GROUP BY source ORDER BY source
-    """,
-    tags=("text", "quality", "extension"),
-)
-def docs_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-signal aggregates per source: punctuation ratio and
-    stopword ratio (prose-likeness). Higher-order array functions keep
-    the token filtering inside codegen."""
-    t = load_tables(spark, sf_dir)
-    return (
-        t.documents.select(
-            "source",
-            punct_ratio("text").alias("pr"),
-            stopword_ratio("text").alias("sr"),
-        )
-        .groupBy("source")
-        .agg(
-            F.round(F.avg("pr"), 6).alias("avg_punct_ratio"),
-            F.round(F.avg("sr"), 6).alias("avg_stopword_ratio"),
-        )
-        .orderBy("source")
-    )
 
 
 @register(
@@ -298,34 +276,16 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "docs_bpe_token_stats",
-    oracle="""
-        SELECT lang,
-               ROUND(AVG(len(regexp_extract_all(text,
-                   '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+'))), 6)
-                   AS avg_bpe_tokens
-        FROM documents GROUP BY lang ORDER BY lang
-    """,
-    tags=("text", "tokenize", "extension"),
-)
-def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-word-ish token counting via a GPT-2-style pre-tokenizer regex
-    (word pieces / digit runs / punctuation runs) — the cheap proxy for
-    an LLM tokenizer's token count, JVM-side."""
-    t = load_tables(spark, sf_dir)
-    return (
-        t.documents.select("lang", bpe_ish_token_count("text").alias("n"))
-        .groupBy("lang")
-        .agg(F.round(F.avg("n"), 6).alias("avg_bpe_tokens"))
-        .orderBy("lang")
-    )
-
-
-@register(
-    "docs_quality_scores",
+    "docs_quality_surface",
+    # r16 merge of docs_quality_scores + docs_quality_by_source (funding
+    # the docs_weighted_sample window slot): the per-source ratio
+    # aggregates ride the SAME scored CTE the quality leg already
+    # computes, as a fourth leg 'by_source' (key = source; the
+    # bucket-keyed legs carry the bucket as a string key and typed-NULL
+    # ratio columns, the docs_token_surface NULL-pad convention).
     oracle=f"""
         WITH scored AS (
-            SELECT LEAST(length(text) / 500.0, 1.0) AS len_score,
+            SELECT source, LEAST(length(text) / 500.0, 1.0) AS len_score,
                    CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
                         ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                                  t -> list_contains([{_SW_LIST}], lower(t)))) * 1.0
@@ -384,14 +344,22 @@ def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(*) AS n_docs
             FROM gopher_rules GROUP BY bucket
         )
-        SELECT * FROM quality UNION ALL SELECT * FROM lm
-        UNION ALL SELECT * FROM gopher
-        ORDER BY leg, bucket
+        SELECT leg, CAST(bucket AS VARCHAR) AS key, n_docs,
+               CAST(NULL AS DOUBLE) AS avg_punct_ratio,
+               CAST(NULL AS DOUBLE) AS avg_stopword_ratio
+        FROM (SELECT * FROM quality UNION ALL SELECT * FROM lm
+              UNION ALL SELECT * FROM gopher)
+        UNION ALL
+        SELECT 'by_source' AS leg, source AS key, COUNT(*) AS n_docs,
+               ROUND(AVG(p_ratio), 6) AS avg_punct_ratio,
+               ROUND(AVG(sw_ratio), 6) AS avg_stopword_ratio
+        FROM scored GROUP BY source
+        ORDER BY leg, key
     """,
     tags=("text", "quality", "lm-filter", "extension"),
 )
-def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two pipeline quality filters in one certified surface, tagged by
+def docs_quality_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline quality filters in one certified surface, tagged by
     ``leg``:
 
     - ``quality`` — composite [0,1] heuristic score histogram (0.1-wide
@@ -406,9 +374,13 @@ def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       rules they FAIL (Rae et al. 2021 Table A1: mean word length in
       [3,10], symbol-to-word ratio ≤ 0.1, ≥80% words alphabetic,
       ≥2 stopwords): bucket 0 = passes all, 4 = fails all.
+    - ``by_source`` — per-source punctuation-ratio / stopword-ratio
+      averages (prose-likeness by provenance; key = source, the ratio
+      columns are typed NULLs on the bucket-keyed legs).
 
-    The heuristic and gopher legs are pure per-row codegen; the LM leg
-    is one explode + one count shuffle + a broadcast re-join."""
+    The heuristic, gopher, and by_source legs are pure per-row codegen;
+    the LM leg is one explode + one count shuffle + a broadcast
+    re-join."""
     from big_data_chicago_crimes_spark.functions.text import (
         STOPWORDS_EN,
         tokens,
@@ -474,12 +446,38 @@ def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .withColumn("leg", F.lit("gopher"))
     )
-    return (
+    bucketed = (
         qual.unionByName(lm)
         .unionByName(gopher)
-        .select("leg", "bucket", "n_docs")
-        .orderBy("leg", "bucket")
+        .select(
+            "leg",
+            F.col("bucket").cast("string").alias("key"),
+            "n_docs",
+            F.lit(None).cast("double").alias("avg_punct_ratio"),
+            F.lit(None).cast("double").alias("avg_stopword_ratio"),
+        )
     )
+    by_source = (
+        t.documents.select(
+            "source",
+            punct_ratio("text").alias("pr"),
+            stopword_ratio("text").alias("sr"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("pr"), 6).alias("avg_punct_ratio"),
+            F.round(F.avg("sr"), 6).alias("avg_stopword_ratio"),
+        )
+        .select(
+            F.lit("by_source").alias("leg"),
+            F.col("source").alias("key"),
+            "n_docs",
+            "avg_punct_ratio",
+            "avg_stopword_ratio",
+        )
+    )
+    return bucketed.unionByName(by_source).orderBy("leg", "key")
 
 
 @register(
@@ -1209,6 +1207,9 @@ def docs_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hll_census_oracle() -> str:
     from big_data_chicago_crimes_spark.operators.sketches import hll_oracle_sql
 
+    split_a = "SELECT * FROM fp WHERE doc_id % 3 IN (0, 1)"
+    split_b = "SELECT * FROM fp WHERE doc_id % 3 IN (1, 2)"
+    split_u = f"{split_a} UNION ALL {split_b}"
     return f"""
         WITH fp AS (
             SELECT source, doc_id,
@@ -1225,6 +1226,24 @@ def _hll_census_oracle() -> str:
                (SELECT CAST(COUNT(DISTINCT fp) AS BIGINT) FROM fp) AS exact_distinct,
                e.n_regs, e.z_int, e.hll_est
         FROM ({hll_oracle_sql("'ALL'", "fp", "SELECT * FROM fp")}) e
+        UNION ALL
+        SELECT 'overlap' AS leg, u.grp AS source,
+               COALESCE(x.exact_overlap, 0) AS exact_distinct,
+               u.n_regs, u.z_int,
+               GREATEST(ROUND(sa.hll_est + sb.hll_est - u.hll_est, 6), 0.0)
+                   AS hll_est
+        FROM ({hll_oracle_sql("source", "fp", split_a)}) sa
+        JOIN ({hll_oracle_sql("source", "fp", split_b)}) sb
+             ON sb.grp = sa.grp
+        JOIN ({hll_oracle_sql("source", "fp", split_u)}) u
+             ON u.grp = sa.grp
+        LEFT JOIN (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_overlap FROM (
+                SELECT source, fp FROM fp WHERE doc_id % 3 IN (0, 1)
+                INTERSECT
+                SELECT source, fp FROM fp WHERE doc_id % 3 IN (1, 2)
+            ) GROUP BY source
+        ) x ON x.source = u.grp
         ORDER BY leg, source
     """
 
@@ -1246,7 +1265,7 @@ def _hll_census_oracle() -> str:
 )
 def docs_domain_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain distinct-document census via HyperLogLog (Flajolet et
-    al. 2007; operators/sketches.py), two certified legs:
+    al. 2007; operators/sketches.py), three certified legs:
 
     - ``per_source`` — for every source: the exact distinct-fingerprint
       count (the baseline the sketch replaces at scale — a shuffle
@@ -1260,15 +1279,26 @@ def docs_domain_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
       merge-of-splits ≡ sketch-of-union — the property that lets
       per-day/per-split sketch tables be stored and re-aggregated
       without re-reading 100 TB.
+    - ``overlap`` (NEW r16, VERDICT r15 #5) — cross-split leakage via
+      ``hll_overlap_estimate``'s inclusion–exclusion over two STORED
+      sketches (splits by doc_id mod 3: {0,1} vs {1,2}, so the true
+      per-source overlap — the parity-1 fingerprints — is non-vacuous
+      by construction), with the EXACT distinct-intersection count in
+      the same row (``exact_distinct`` column) as its truth twin and
+      the union sketch's state in ``n_regs``/``z_int``. At scale this
+      answers "does the train shard leak into eval" from three
+      m-register aggregates on stored state instead of a distinct-key
+      join over raw data.
 
     One documents scan feeds all legs: the (source, doc_id, fp) frame is
-    scratch-persisted (3 narrow columns) and consumed by both sketch
-    builds and both exact baselines."""
+    scratch-persisted (3 narrow columns) and consumed by every sketch
+    build and every exact baseline."""
     from big_data_chicago_crimes_spark.functions.text import doc_fingerprint
     from big_data_chicago_crimes_spark.operators.sketches import (
         hll_build,
         hll_estimate,
         hll_merge,
+        hll_overlap_estimate,
     )
     from big_data_chicago_crimes_spark.session import scratch_persist
 
@@ -1311,4 +1341,36 @@ def docs_domain_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z_int",
         "hll_est",
     )
-    return per_source.unionByName(merged).orderBy("leg", "source")
+
+    split_a = fp.filter((F.col("doc_id") % 3).isin(0, 1))
+    split_b = fp.filter((F.col("doc_id") % 3).isin(1, 2))
+    sk_a = hll_build(split_a, "fp", ["source"])
+    sk_b = hll_build(split_b, "fp", ["source"])
+    ov = hll_overlap_estimate(sk_a, sk_b, ["source"])
+    u_state = hll_estimate(hll_merge(sk_a, sk_b, ["source"]), ["source"]).select(
+        "source", "n_regs", "z_int"
+    )
+    exact_ov = (
+        split_a.select("source", "fp")
+        .intersect(split_b.select("source", "fp"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    overlap = (
+        ov.join(u_state, "source")
+        .join(exact_ov, "source", "left")
+        .na.fill({"exact_overlap": 0})
+        .select(
+            F.lit("overlap").alias("leg"),
+            "source",
+            F.col("exact_overlap").alias("exact_distinct"),
+            "n_regs",
+            "z_int",
+            F.col("overlap_est").alias("hll_est"),
+        )
+    )
+    return (
+        per_source.unionByName(merged)
+        .unionByName(overlap)
+        .orderBy("leg", "source")
+    )

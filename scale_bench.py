@@ -54,6 +54,10 @@ SUITE = {
         "docs_stream_static_dedup_batch",
         "docs_shared_span_pairs",
         "docs_exact_substring_spans",
+        # r16: the APPLIED cut — detect spans, merge intervals, rebuild
+        # every doc via one codegen fold; the scale term to watch is the
+        # corpus projection staying ~1x per replica over the detect cost
+        "docs_span_removal_cut",
         "docs_line_dedup",
         # r12: intra-document line dedup — zero-shuffle scalar pass;
         # its ratio should track the documents scan (~1x per replica)
@@ -82,8 +86,7 @@ SUITE = {
         "docs_tfidf_similar_pairs",
     ],
     "text": [
-        "docs_token_stats",
-        "docs_bpe_token_stats",
+        "docs_token_surface",  # r16 merge: token_stats + bpe_token_stats
         # r13: count-min sketch — the bounded-state aggregate; its ratio
         # should track the token-stream scan (sketch state is d×w cells
         # at ANY corpus size), plus the exact-top-15 baseline shuffle
@@ -100,7 +103,7 @@ SUITE = {
         "docs_repetition_stats",
         # r10: carries the new unigram-LM leg — the interesting scale
         # term is the LM fit (vocab count shuffle) + broadcast re-join
-        "docs_quality_scores",
+        "docs_quality_surface",  # r16 merge: + per-source ratio leg
         "docs_lang_id",
         # first-class as of r7 (r6 measured both ad hoc as late additions)
         "docs_pii_scrub_surface",
@@ -116,6 +119,9 @@ SUITE = {
     "mixing": [
         "docs_domain_quota",  # r10: + dsir_top200 leg (two LM fits + broadcast score)
         "docs_stratified_sample",  # r13: exact per-stratum fractional draw
+        # r16: A-Res weighted draw — one scalar max agg + scan + top-n
+        # (TakeOrderedAndProject / rank window); should track the scan
+        "docs_weighted_sample",
         "docs_temperature_mix",
         "docs_curriculum_order",
         # r10: split census + balanced-shards leg (histogram-rank + snake)
