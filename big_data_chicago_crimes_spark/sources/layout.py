@@ -111,6 +111,21 @@ def zorder_key(
                 f"zorder_key: column {c!r} has no non-null values "
                 "(empty frame or all-null) — nothing to Z-order on"
             )
+        import math
+
+        if math.isnan(lo) or math.isnan(hi):
+            # Spark's MAX ranks NaN above every double, so one NaN row
+            # makes hi = NaN → span = NaN → every scaled value NaN →
+            # cast-to-bigint collapses the whole column to one bucket:
+            # the layout silently stops clustering on this dimension
+            # while writes keep succeeding (r16 sweep — the qsketch
+            # NaN-in-top-bin class, surfaced as a performance cliff
+            # instead of a wrong answer). Raise; filter or impute first.
+            raise ValueError(
+                f"zorder_key: column {c!r} contains NaN — the min/max "
+                "scaling has no portable NaN semantics; filter or "
+                "impute NaN rows before layout"
+            )
         span = (hi - lo) or 1.0
         scaled.append(
             f"least({(1 << bits) - 1}, cast((cast({c} as double) - {lo!r}D) "

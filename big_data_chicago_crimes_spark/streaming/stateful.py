@@ -58,7 +58,15 @@ def _update_user_profile(
         n_events += len(pdf)
         total_value += float(pdf["value"].sum())
         batch_max = pdf["ts"].max()
-        last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        # a micro-batch whose ts are ALL NaT (max() skips NaT only when
+        # some value survives) must not become the running last-seen:
+        # NaT assigned here would store NaT.value (−2^63 µs) as
+        # last_ts_us and the NEXT batch's pd.Timestamp(unit="us")
+        # reconstruction raises OutOfBoundsDatetime — a poisoned state
+        # row that kills the stream long after the bad batch (r16
+        # sweep, the qsketch NaN-in-top-bin class). Counters still fold.
+        if pd.notna(batch_max):
+            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
     state.update(
         (
             n_events,

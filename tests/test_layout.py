@@ -285,3 +285,11 @@ def test_zorder_key_guards(spark):
     empty = spark.createDataFrame([], "a long, b long")
     with pytest.raises(ValueError, match="no non-null"):
         zorder_key(empty, ["a", "b"], bits=8)
+    # r16 sweep: one NaN row makes MAX() return NaN (Spark ranks NaN
+    # above every double), the span goes NaN, and every scaled value
+    # collapses to one bucket -- the layout silently stops clustering.
+    nan = spark.createDataFrame(
+        [(1.0, 1.0), (float("nan"), 2.0)], "a double, b double"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        zorder_key(nan, ["a", "b"], bits=8)

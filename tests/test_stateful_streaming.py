@@ -80,3 +80,47 @@ def test_late_only_microbatch_does_not_regress_last_ts(spark, tmp_path):
     assert out1["last_ts"].iloc[0] == pd.Timestamp("2024-01-01 12:00:00")
     assert out2["last_ts"].iloc[0] == pd.Timestamp("2024-01-01 12:00:00")
     assert out2["n_events"].iloc[0] == 2
+
+
+def test_all_nat_microbatch_does_not_poison_last_ts(spark):
+    """r16 sweep: a micro-batch whose ts are ALL NaT (e.g. null event
+    times from an at-least-once source) must leave last-seen unknown /
+    unchanged — assigning NaT would store NaT.value (-2^63 us) in the
+    state tuple and the NEXT batch's pd.Timestamp(unit='us')
+    reconstruction raises OutOfBoundsDatetime, killing the stream long
+    after the bad batch. Counters must still fold."""
+    import pandas as pd
+
+    from big_data_chicago_crimes_spark.streaming.stateful import (
+        _update_user_profile,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    # batch 1: only NaT timestamps -> last seen stays unknown (None)
+    b1 = pd.DataFrame({"ts": pd.to_datetime([None, None]), "value": [1.0, 2.0]})
+    out1 = list(_update_user_profile((1,), iter([b1]), st))[0]
+    assert out1["n_events"].iloc[0] == 2
+    assert pd.isna(out1["last_ts"].iloc[0])
+    assert st._v[2] is None  # stored micros stay None, not NaT.value
+    # batch 2: a real timestamp resumes the running max cleanly
+    b2 = pd.DataFrame({"ts": [pd.Timestamp("2024-01-01 12:00:00")], "value": [3.0]})
+    out2 = list(_update_user_profile((1,), iter([b2]), st))[0]
+    assert out2["last_ts"].iloc[0] == pd.Timestamp("2024-01-01 12:00:00")
+    assert out2["n_events"].iloc[0] == 3
+    # batch 3: NaT again AFTER a real max -> max must not regress or NaT-ify
+    b3 = pd.DataFrame({"ts": pd.to_datetime([None]), "value": [4.0]})
+    out3 = list(_update_user_profile((1,), iter([b3]), st))[0]
+    assert out3["last_ts"].iloc[0] == pd.Timestamp("2024-01-01 12:00:00")
