@@ -1227,6 +1227,81 @@ def cross_encoder_rerank(
     )
 
 
+def cross_encoder_rerank_batch(
+    candidates: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    score_fn=None,
+    score_col: str = "ce_score",
+) -> DataFrame:
+    """MANY queries reranked in ONE candidates scan — the batch shape of
+    :func:`cross_encoder_rerank`, composing with the batch recall
+    stages' contract (``embedding_batch_topk`` / ``pq_adc_batch_topk``
+    produce per-query candidate rows keyed by ``query_id_col``; join
+    texts on, then this stage scores each candidate against ITS query
+    and takes per-query top-k). ``queries`` arrives driver-side as
+    (query_id, token_list) pairs — the ``_query_vec`` convention: a
+    retrieval batch is dim-bounded metadata, not data.
+
+    Scale shape: one Arrow ``mapInPandas`` pass over the candidate
+    frame (model weights load once per executor and amortize across
+    EVERY query's candidates — the batch form's whole point vs nq
+    single-query passes), scoring each pandas batch group-wise by
+    query_id; then per-query top-k rides the shared ``_salted_topk``
+    contract (score desc, id tie-break — identical result to the
+    single-query operator per query, property-pinned in tests). By the
+    funnel contract the input is ≤ nq × a-few-hundred rows, so the
+    expensive pairwise scorer touches candidates only, never the
+    corpus. Output: candidates' columns + (score_col, rank ≤ k).
+
+    A candidate row whose ``query_id_col`` names no query in
+    ``queries`` raises loudly in the kernel — scoring it against the
+    wrong query's tokens would be a silent wrong answer."""
+    if not queries:
+        raise ValueError("cross_encoder_rerank_batch: empty query batch")
+    qids = [qid for qid, _ in queries]
+    if len(set(qids)) != len(qids):
+        # two token lists under one query_id would interleave their
+        # candidates in ONE ranking — mixed results under ranks 1..k
+        raise ValueError(
+            f"cross_encoder_rerank_batch: duplicate query ids {qids}"
+        )
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    fn = score_fn or cross_encoder_score_lexical
+    toks = {int(qid): list(t) for qid, t in queries}
+    out_schema = StructType(
+        list(candidates.schema.fields) + [StructField(score_col, DoubleType())]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf.copy()
+            scores = np.zeros(len(pdf), dtype=np.float64)
+            for qid, idx in pdf.groupby(query_id_col).groups.items():
+                if int(qid) not in toks:
+                    raise ValueError(
+                        f"cross_encoder_rerank_batch: candidate rows carry "
+                        f"unknown query_id {qid!r} — not in the query batch"
+                    )
+                pos = pdf.index.get_indexer(idx)
+                scores[pos] = fn(toks[int(qid)], pdf[text_col].iloc[pos].tolist())
+            out[score_col] = scores
+            yield out
+
+    scored = candidates.mapInPandas(score, schema=out_schema)
+    return _salted_topk(
+        scored, query_id_col, id_col, k, order_col=score_col, ascending=False
+    )
+
+
 def embedding_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1125,3 +1125,63 @@ def test_cross_encoder_rerank_parity_and_edges(spark):
     # doc 1 = {hash, join, scan, plan}: 3/sqrt(4*3) = 0.866025 ranks
     # first, above doc 5 = {scan, join}: 2/sqrt(2*3) = 0.816497
     assert got[0] == (1, 0.866025) and got[1] == (5, 0.816497), got
+
+
+def test_cross_encoder_rerank_batch_matches_single_query(spark):
+    """Batch rerank per query == the single-query operator run on that
+    query's candidate slice (the pq_adc_batch_topk property contract),
+    and the guards raise: empty batch, duplicate qids, unknown
+    query_id on a candidate row."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        cross_encoder_rerank,
+        cross_encoder_rerank_batch,
+    )
+
+    texts = [
+        "hash join scan plan",
+        "hash hash hash",
+        "totally unrelated words here",
+        "",
+        "scan join",
+        "plan scan probe",
+        "probe build hash",
+    ]
+    # per-query candidate rows: query 10 sees docs 1-5, query 20 docs 3-7
+    rows = [(10, i + 1, t) for i, t in enumerate(texts[:5])] + [
+        (20, i + 3, t) for i, t in enumerate(texts[2:])
+    ]
+    cand = spark.createDataFrame(
+        rows, "query_id long, doc_id long, text string"
+    ).repartition(4)
+    queries = [(10, ["hash", "join", "scan"]), (20, ["probe", "plan"])]
+    got = cross_encoder_rerank_batch(cand, queries, k=3)
+    for qid, toks in queries:
+        batch_rows = [
+            (r.doc_id, r.ce_score, r.rank)
+            for r in got.filter(F.col("query_id") == qid)
+            .orderBy("rank")
+            .collect()
+        ]
+        single = cross_encoder_rerank(
+            cand.filter(F.col("query_id") == qid).select("doc_id", "text"),
+            toks,
+            k=3,
+        )
+        single_rows = [
+            (r.doc_id, r.ce_score, i + 1)
+            for i, r in enumerate(single.collect())
+        ]
+        assert batch_rows == single_rows, (qid, batch_rows, single_rows)
+
+    with _pytest.raises(ValueError, match="empty query batch"):
+        cross_encoder_rerank_batch(cand, [], k=3)
+    with _pytest.raises(ValueError, match="duplicate"):
+        cross_encoder_rerank_batch(cand, [(10, ["a"]), (10, ["b"])], k=3)
+    stray = spark.createDataFrame(
+        [(99, 1, "hash join")], "query_id long, doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="unknown query_id"):
+        cross_encoder_rerank_batch(stray, queries, k=3).collect()
