@@ -631,6 +631,138 @@ def temperature_mix(
     return joined.filter(hash_bucket(key, buckets) < F.col("__mix_threshold"))
 
 
+def temperature_mix_exact(
+    df: DataFrame,
+    domain_col: str,
+    key: str,
+    alpha: float = 0.5,
+    buckets: int = 4096,
+    cache_cutoffs: bool = True,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Temperature-flatten a skewed domain mixture with EXACT per-domain
+    counts — the replacement-free counterpart of :func:`temperature_mix`
+    (VERDICT r15 #8): where the Bernoulli hash-threshold form keeps a
+    binomially-distributed ~rate·n rows per domain, this draws exactly
+    ``floor(rate × n_domain)`` rows, the way a mixture spec states a
+    recipe ("this domain contributes exactly N documents"). The rate is
+    the same ``(n_min / n_domain) ** (1 - alpha)`` — and since both
+    ``n_min`` and ``n_domain`` are ≥ 1, ``rate × n_domain =
+    n_domain^alpha · n_min^(1-alpha) ≥ 1``: no domain ever floors to an
+    empty quota, so the Bernoulli form's rounds-to-0 guard has no
+    exact-count analogue to trip.
+
+    Membership inherits the module contract (a pure function of row
+    content — stable under repartition/retry/engine change) and is
+    NESTED across temperatures like the Bernoulli form: the per-domain
+    selection ORDER is fixed (it does not depend on ``alpha``), only the
+    cutoff count moves, and the count is monotone in ``alpha`` — raising
+    the temperature only ever ADDS rows.
+
+    Two selection orders, one per weighting mode:
+
+    - ``weight_col=None`` (the scale default): rows are taken in the
+      module's content-hash prefix order (hash bucket, md5(key), key) —
+      an unbiased uniform draw without replacement, executed by the
+      ``quota_sample`` histogram-cutoff plan (:func:`_bounded_group_head`
+      with the per-domain target joined onto the histogram): the exact-
+      rank window sees only the single boundary bucket, ~1/``buckets``
+      of the hottest domain, never the domain itself.
+    - ``weight_col`` given: a weight-proportional draw — each domain's
+      quota is filled by the top-``k`` derandomized A-Res priorities
+      (``ln(hash_unit(key)) · max(w)/w``, the
+      :func:`weighted_priority_sample` ranking, max-normalized per
+      FRAME so the constant cancels in the order). This path ranks via
+      a window partitioned by domain over the FULL domain (priorities
+      are not bucketable the way the uniform hash is), so for domains
+      hot enough that one WindowExec task matters, pre-cap with
+      ``quota_sample`` or use the unweighted path. Weights must be
+      positive (the A-Res guard raises on NULL/zero/negative).
+
+    ``floor`` is applied to the same double arithmetic the Bernoulli
+    form uses (``sqrt`` for ``alpha=0.5`` — correctly rounded, hence
+    engine-portable bit-for-bit; ``pow`` otherwise, portable within
+    Spark only — the :func:`temperature_mix` ADVICE r7 contract), and
+    the oracle must replay the arithmetic OP-FOR-OP (divide, sqrt,
+    multiply, floor) — algebraically equal rewrites like
+    ``sqrt(n_min·n)`` round differently at the last ulp and can flip a
+    floored count.
+
+    Returns kept rows with ``__mix_n_total`` / ``__mix_k`` attached for
+    census queries. ``domain_col`` values must be NON-NULL (equality
+    join, the :func:`temperature_mix` contract); ``key`` must be
+    row-unique."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    reserved = {"__mix_n_total", "__mix_k"}
+    if weight_col is not None:
+        reserved |= {"__priority", "__wps_max", "__wps_rk"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"temperature_mix_exact: input already has column(s) {clash} — "
+            "rename them first"
+        )
+    counts = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("__mix_n_total")
+    )
+    nmin = counts.agg(F.min("__mix_n_total").alias("__mix_n_min"))
+    ratio = F.col("__mix_n_min").cast("double") / F.col("__mix_n_total")
+    if alpha == 0.5:
+        rate = F.sqrt(ratio)  # correctly rounded ⇒ cross-engine exact
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    targets = (
+        counts.crossJoin(F.broadcast(nmin))
+        .withColumn(
+            "__mix_k",
+            F.floor(rate * F.col("__mix_n_total").cast("double")).cast("long"),
+        )
+        .drop("__mix_n_min")
+    )
+    if weight_col is None:
+        kept = _bounded_group_head(
+            df,
+            [domain_col],
+            key,
+            buckets,
+            cache_cutoffs,
+            with_quota=lambda hist: hist.join(
+                F.broadcast(targets.withColumnRenamed("__mix_k", "__k")),
+                domain_col,
+            ).drop("__mix_n_total"),
+        )
+        return kept.join(F.broadcast(targets), domain_col)
+    w = F.col(weight_col)
+    guarded = F.when(
+        w.isNull() | (w <= 0),
+        F.raise_error(
+            F.lit(
+                f"temperature_mix_exact: NULL/zero/negative {weight_col!r} — "
+                "A-Res needs positive weights; filter or impute first"
+            )
+        ).cast("double"),
+    ).otherwise(w.cast("double"))
+    wmax = df.agg(F.max(guarded).alias("__wps_max"))
+    pri = F.round(F.log(hash_unit(key)) * F.col("__wps_max") / guarded, 6)
+    scored = (
+        df.crossJoin(F.broadcast(wmax))
+        .withColumn("__priority", pri)
+        .drop("__wps_max")
+        .join(F.broadcast(targets), domain_col)
+    )
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy(domain_col).orderBy(
+        F.col("__priority").desc(), F.col(key).asc()
+    )
+    return (
+        scored.withColumn("__wps_rk", F.row_number().over(wnd))
+        .filter(F.col("__wps_rk") <= F.col("__mix_k"))
+        .drop("__wps_rk", "__priority")
+    )
+
+
 def global_hash_order(
     df: DataFrame,
     key: str,

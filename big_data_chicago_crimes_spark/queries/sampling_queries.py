@@ -698,6 +698,15 @@ _WPS_DENOM = float((1 << 48) + 1)  # hash_unit's (h+1)/(2^48+1) mapping
     # max-normalized (ADVICE r15: raw ln(u)/w loses 6dp resolution for
     # large weights; the normalization is order-preserving and the
     # oracle replays it as a CROSS JOIN over MAX(w)).
+    # The temp_exact leg (r16, VERDICT r15 #8) certifies
+    # temperature_mix_exact's replacement-free draw: exactly
+    # floor(sqrt(n_min/n_g)·n_g) rows per language, taken in the
+    # module's content-hash prefix order (bucket, md5, doc_id) by the
+    # quota_sample histogram-cutoff plan. The oracle replays the count
+    # arithmetic OP-FOR-OP (divide, sqrt, multiply, floor — all
+    # correctly rounded, hence bit-identical cross-engine; an
+    # algebraic rewrite like sqrt(n_min·n_g) could round differently
+    # at the last ulp and flip a floored count).
     oracle=f"""
         WITH w AS (
             SELECT doc_id, lang, CAST(n_chars + 1 AS DOUBLE) AS w
@@ -709,6 +718,18 @@ _WPS_DENOM = float((1 << 48) + 1)  # hash_unit's (h+1)/(2^48+1) mapping
                    ROUND(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
                             / {_WPS_DENOM!r}) * wmax / w, 6) AS priority
             FROM w CROSS JOIN mx
+        ), ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4096,
+                                md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY lang) AS n_g
+            FROM documents
+        ), nm AS (
+            SELECT MIN(cnt) AS n_min
+            FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)
         )
         SELECT 'global' AS leg, lang, doc_id, priority FROM (
             SELECT * FROM pri ORDER BY priority DESC, doc_id LIMIT 50
@@ -719,28 +740,43 @@ _WPS_DENOM = float((1 << 48) + 1)  # hash_unit's (h+1)/(2^48+1) mapping
                                          ORDER BY priority DESC, doc_id) AS rk
             FROM pri
         ) WHERE rk <= 20
+        UNION ALL
+        SELECT 'temp_exact' AS leg, lang, doc_id, CAST(-1.0 AS DOUBLE) AS priority
+        FROM ranked CROSS JOIN nm
+        WHERE rk <= FLOOR(SQRT(CAST(n_min AS DOUBLE) / n_g) * CAST(n_g AS DOUBLE))
         ORDER BY leg, lang, doc_id
     """,
     tags=("sampling", "weighted", "a-res", "extension"),
 )
 def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (derandomized A-Res,
-    Efraimidis & Spirakis 2006), two legs certifying both plan shapes
-    of :func:`~big_data_chicago_crimes_spark.operators.sampling.weighted_priority_sample`:
+    Efraimidis & Spirakis 2006), three legs — the first two certify
+    both plan shapes of
+    :func:`~big_data_chicago_crimes_spark.operators.sampling.weighted_priority_sample`,
+    the third the exact-count temperature mix built on the same draws:
 
     - ``global`` — the 50 highest-priority documents corpus-wide,
       length-weighted (w = n_chars + 1): orderBy+limit plans as
       TakeOrderedAndProject (per-partition heaps, no global sort).
     - ``by_lang`` — the top 20 per language: a rank window partitioned
       by lang (never a global sort; per-group fan-in only).
+    - ``temp_exact`` (r16, VERDICT r15 #8) — the replacement-free
+      temperature mix
+      (:func:`~big_data_chicago_crimes_spark.operators.sampling.temperature_mix_exact`,
+      alpha=0.5): exactly floor(sqrt(n_min/n_g)·n_g) documents per
+      language, selected by the quota_sample histogram-cutoff plan
+      (the exact-rank window sees only the boundary bucket, never a
+      whole language). ``priority`` = -1.0 on this leg (no A-Res draw
+      — it is the uniform prefix member of the family).
 
-    Membership is a pure function of row content (md5 unit draw,
-    max-normalized ln(u)·wmax/w priority, 6dp-rounded with doc_id
-    tie-break): stable under repartition, retry, and engine change —
-    the property rand()-based weighted reservoirs cannot give — and the
-    oracle recomputes the exact same ranking, so the driver hash pins
-    every selected row."""
+    Membership on every leg is a pure function of row content (md5
+    draws, 6dp-rounded priorities with doc_id tie-break): stable under
+    repartition, retry, and engine change — the property rand()-based
+    weighted reservoirs cannot give — and the oracle recomputes the
+    exact same selections, so the driver hash pins every selected
+    row."""
     from big_data_chicago_crimes_spark.operators.sampling import (
+        temperature_mix_exact,
         weighted_priority_sample,
     )
 
@@ -762,4 +798,14 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("__priority").alias("priority"),
     )
-    return glob.unionByName(by_lang).orderBy("leg", "lang", "doc_id")
+    temp = temperature_mix_exact(
+        t.documents.select("doc_id", "lang"), "lang", "doc_id", alpha=0.5
+    ).select(
+        F.lit("temp_exact").alias("leg"),
+        "lang",
+        "doc_id",
+        F.lit(-1.0).alias("priority"),
+    )
+    return glob.unionByName(by_lang).unionByName(temp).orderBy(
+        "leg", "lang", "doc_id"
+    )

@@ -835,3 +835,160 @@ def test_hash_unit_rejects_inexact_hex_width(spark):
         hash_unit("doc_id", hex_chars=0)
     # 13 is still exact and allowed
     hash_unit("doc_id", hex_chars=13)
+
+
+def _tme_rows():
+    """Skewed three-domain corpus: en 300, fr 60, de 12."""
+    return (
+        [(i, "en") for i in range(300)]
+        + [(i, "fr") for i in range(300, 360)]
+        + [(i, "de") for i in range(360, 372)]
+    )
+
+
+def test_temperature_mix_exact_counts_and_model_agreement(spark):
+    """The exact-count temperature mix keeps floor(sqrt(n_min/n_g)·n_g)
+    rows per domain (alpha=0.5 — replayed with the same correctly-
+    rounded ops in Python), and the unweighted membership equals the
+    module's content-hash prefix order (bucket, md5, key) — the
+    quota_sample model with a per-domain k."""
+    import hashlib
+    import math
+
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        temperature_mix_exact,
+    )
+
+    rows = _tme_rows()
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix_exact(df, "lang", "doc_id", alpha=0.5)
+    n = {"en": 300, "fr": 60, "de": 12}
+    nmin = 12
+    exp_k = {d: math.floor(math.sqrt(nmin / nd) * nd) for d, nd in n.items()}
+    got = {(r.lang, r.doc_id) for r in out.collect()}
+    sizes: dict = {}
+    for d, _ in got:
+        sizes[d] = sizes.get(d, 0) + 1
+    assert sizes == exp_k, (sizes, exp_k)
+
+    def h(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+
+    def m(k):
+        return hashlib.md5(str(k).encode()).hexdigest()
+
+    expect = set()
+    by_d: dict = {}
+    for i, d in rows:
+        by_d.setdefault(d, []).append(i)
+    for d, ks in by_d.items():
+        ks.sort(key=lambda k: (h(k) % 4096, m(k), k))
+        expect.update((d, k) for k in ks[: exp_k[d]])
+    assert got == expect
+    # census columns ride along
+    assert {"__mix_n_total", "__mix_k"} <= set(out.columns)
+    # determinism under repartition
+    again = {
+        (r.lang, r.doc_id)
+        for r in temperature_mix_exact(
+            df.repartition(7), "lang", "doc_id", alpha=0.5
+        ).collect()
+    }
+    assert again == got
+
+
+def test_temperature_mix_exact_nested_and_endpoints(spark):
+    """Raising alpha only ever ADDS rows (the selection order is fixed;
+    only the per-domain cutoff count moves), alpha=1 keeps the corpus
+    whole, and the smallest domain is always kept whole at alpha=0.5."""
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        temperature_mix_exact,
+    )
+
+    df = spark.createDataFrame(_tme_rows(), "doc_id long, lang string")
+    cold = {
+        (r.lang, r.doc_id)
+        for r in temperature_mix_exact(df, "lang", "doc_id", alpha=0.25).collect()
+    }
+    warm = {
+        (r.lang, r.doc_id)
+        for r in temperature_mix_exact(df, "lang", "doc_id", alpha=0.75).collect()
+    }
+    assert cold <= warm and len(cold) < len(warm)
+    full = {
+        (r.lang, r.doc_id)
+        for r in temperature_mix_exact(df, "lang", "doc_id", alpha=1.0).collect()
+    }
+    assert full == {(d, i) for i, d in _tme_rows()}
+    half = {
+        (r.lang, r.doc_id)
+        for r in temperature_mix_exact(df, "lang", "doc_id", alpha=0.5).collect()
+    }
+    assert {(d, i) for i, d in _tme_rows() if d == "de"} <= half
+
+
+def test_temperature_mix_exact_weighted_matches_ares_model(spark):
+    """The weighted path fills each domain's exact quota with the top
+    A-Res priorities (max-normalized ln(u)·wmax/w, doc_id tie-break) —
+    membership equals the independent Python model per domain."""
+    import hashlib
+    import math
+
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        temperature_mix_exact,
+    )
+
+    rows = [
+        (i, "en" if i < 300 else ("fr" if i < 360 else "de"), float(1 + (i * 7) % 13))
+        for i in range(372)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    out = temperature_mix_exact(df, "lang", "doc_id", alpha=0.5, weight_col="w")
+    n = {"en": 300, "fr": 60, "de": 12}
+    exp_k = {d: math.floor(math.sqrt(12 / nd) * nd) for d, nd in n.items()}
+    wmax = max(w for _, _, w in rows)
+
+    def pri(k, w):
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16)
+        u = (h + 1) / float((1 << 48) + 1)
+        return round(math.log(u) * wmax / w, 6)
+
+    expect = set()
+    for d in n:
+        dom = sorted(
+            ((pri(i, w), -i) for i, lg, w in rows if lg == d), reverse=True
+        )[: exp_k[d]]
+        expect.update((d, -e[1]) for e in dom)
+    got = {(r.lang, r.doc_id) for r in out.collect()}
+    assert got == expect
+    # weighted membership differs from the unweighted prefix draw
+    unw = {
+        (r.lang, r.doc_id)
+        for r in temperature_mix_exact(
+            df.select("doc_id", "lang"), "lang", "doc_id", alpha=0.5
+        ).collect()
+    }
+    assert got != unw
+
+
+def test_temperature_mix_exact_guards(spark):
+    """Bad alpha and reserved-column collisions raise at build; a
+    non-positive weight raises at execution (the A-Res guard)."""
+    import pytest as _pytest
+
+    from big_data_chicago_crimes_spark.operators.sampling import (
+        temperature_mix_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", 1.0), (2, "fr", 0.0)], "doc_id long, lang string, w double"
+    )
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_mix_exact(df, "lang", "doc_id", alpha=1.5)
+    clash = df.withColumn("__mix_k", F.lit(1))
+    with _pytest.raises(ValueError, match="__mix_k"):
+        temperature_mix_exact(clash, "lang", "doc_id")
+    with _pytest.raises(Exception, match="positive weights"):
+        temperature_mix_exact(
+            df, "lang", "doc_id", weight_col="w"
+        ).collect()
