@@ -147,10 +147,19 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # ------------------------------------------------------------------
     # r15 cohort (the r13-cohort queries; rotates back in for r17).
     # Order preserved from the r15 window; changed-builders-first rule
-    # to be re-applied at the r17 rotation. Nothing in this cohort has
-    # changed since its r15 stamps as of the r16 rotation; if an r16
-    # commit touches a builder or shared operator below, pin it to the
-    # first slots at the r17 rotation.
+    # to be re-applied at the r17 rotation.
+    # CHANGED-BUILDER PINS recorded for r17 (commits postdating the
+    # r16 rotation that touch a builder below):
+    # - ``lineitem_zorder_box_scan``: zorder_key gained the loud
+    #   NaN-column guard in the r16 sweep (af5b058) — output-identical
+    #   on NaN-free data by construction, but the driver hash is the
+    #   contract; pin FIRST at the r17 rotation.
+    # Audited no-pin: the r16 batch rerank (4b2e0b3) is insertion-only
+    # (cross_encoder_rerank itself unchanged ⇒ docs_hybrid_search
+    # builder unchanged); the r16 stateful NaT fix touches
+    # streaming/stateful.py, which no driver row builds through
+    # (stream==batch is test-pinned); temperature_mix_exact (r16) is a
+    # new function certified in-window on docs_weighted_sample.
     # ------------------------------------------------------------------
     "asof_join_surface",
     "embedding_ivf_pq_topk",  # NEW r15: IVF-PQ probe vs materialized literal index
