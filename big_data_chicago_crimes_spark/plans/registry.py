@@ -160,6 +160,16 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # streaming/stateful.py, which no driver row builds through
     # (stream==batch is test-pinned); temperature_mix_exact (r16) is a
     # new function certified in-window on docs_weighted_sample.
+    # RECORDED r17 SLOT PLAN — ``docs_hybrid_search`` 'ce_batch' leg:
+    # cross_encoder_rerank_batch (r16, pytest-proven: batch==single
+    # property per query, guards on empty/duplicate/unknown query ids)
+    # is currently anchored transitively (batch==single pinned, single
+    # driver-hashed via the r15 ce leg). When docs_hybrid_search
+    # rotates back at r17, add a 'ce_batch' leg running 2-3 query
+    # token lists through ONE candidates scan; the oracle extends the
+    # existing ce CTE with a per-query UNION (the stand-in scorer is
+    # already SQL-replayable). This upgrades the batch contract from
+    # property-pinned to driver-hashed without a new slot.
     # ------------------------------------------------------------------
     "asof_join_surface",
     "embedding_ivf_pq_topk",  # NEW r15: IVF-PQ probe vs materialized literal index
