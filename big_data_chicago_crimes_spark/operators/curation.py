@@ -841,3 +841,133 @@ def dsir_logratio(
             6,
         ).alias("dsir_score"),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_freq: int = 1,
+    eow: str = "</w>",
+) -> DataFrame:
+    """Train BPE merge rules over a corpus — the byte-pair-encoding
+    tokenizer-training loop of Sennrich, Haddow & Birch 2016 ("Neural
+    Machine Translation of Rare Words with Subword Units"), the step a
+    training-data pipeline runs between corpus curation and token
+    counting (``vocab_top_k`` builds the word vocabulary; this learns
+    the SUBWORD inventory). Returns the merge table
+    (step, lhs, rhs, merged, freq), steps 1-based in learning order.
+
+    Scale shape — the textbook trick makes this corpus-size-free after
+    ONE pass: the corpus aggregates to the (word, count) vocabulary
+    once, and every iteration runs on that vocab-sized frame (pair
+    counting = one explode + groupBy over vocab rows; at 100 TB the
+    vocabulary is millions of rows while the corpus is billions). Per
+    step, exactly one 1-row ``collect`` fetches the winning pair (the
+    C2 dim-bounded contract — the loop's driver state is one pair per
+    step), and the merge application is a codegen ``aggregate`` fold
+    per word. Each step's frame is persisted and the previous step's
+    released, so plan depth and cache footprint stay O(1) across
+    steps.
+
+    Determinism / replayability: the winner is max summed frequency
+    with a (lhs, rhs) lexicographic tie-break — binary string order,
+    identical in any engine — and merge application is the CANONICAL
+    greedy left-to-right fold (state = the rebuilt
+    space-delimited symbol string; merging when the accumulator ends
+    with `` lhs `` and the next symbol equals ``rhs``). The fold, not
+    string replace(): non-overlapping replace diverges from BPE on
+    self-pair runs (``a a a a a`` with pair (a,a) must give
+    ``aa aa a``, replace-twice gives ``aa a aa``). The same fold is
+    expressible in DuckDB as ``list_reduce`` over the symbol list, so
+    the full iterative training replays in SQL as an unrolled CTE
+    chain (``queries.curation_queries.bpe_oracle_sql``) — provided no
+    early stop triggers (see ``min_freq``).
+
+    ``min_freq``: training stops early when the best pair's frequency
+    drops below it (the Sennrich convention; merging singleton pairs
+    memorizes noise). An early stop cannot be replayed by the unrolled
+    oracle — certified rows must choose ``n_merges`` small enough that
+    the corpus never triggers it. Words are whitespace tokens of
+    ``trim(text)``; ``eow`` marks word ends (symbols never contain
+    spaces, so the space-delimited string state is unambiguous).
+    NULL/blank texts contribute nothing."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if min_freq < 1:
+        raise ValueError(f"min_freq must be >= 1, got {min_freq}")
+    if " " in eow or not eow:
+        raise ValueError(f"eow must be a non-empty space-free marker, got {eow!r}")
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("__w"))
+        .filter(F.col("__w") != "")
+    )
+    vocab = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__cnt"))
+    chars = F.filter(F.split(F.col("__w"), ""), lambda c: c != "")
+    seqs = vocab.select(
+        F.col("__cnt"),
+        F.concat(
+            F.lit(" "), F.array_join(chars, " "), F.lit(" " + eow + " ")
+        ).alias("__seq"),
+    ).persist()
+
+    # adjacent symbol pairs; guarded for fully-merged one-symbol words
+    # (Spark's sequence(1, 0) would step BACKWARD, not return empty)
+    pair_expr = F.expr(
+        "CASE WHEN size(__sy) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(__sy) - 1), "
+        "i -> struct(__sy[i-1] AS a, __sy[i] AS b)) END"
+    )
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    prev: DataFrame | None = None
+    try:
+        for step in range(1, n_merges + 1):
+            best = (
+                seqs.withColumn("__sy", F.split(F.trim("__seq"), " "))
+                .select("__cnt", F.explode(pair_expr).alias("__p"))
+                .groupBy("__p")
+                .agg(F.sum("__cnt").alias("__f"))
+                .orderBy(F.desc("__f"), F.col("__p.a"), F.col("__p.b"))
+                .limit(1)
+                .collect()
+            )
+            # this collect filled seqs' cache, so its parent (read only
+            # through that cache from here on) can be released without
+            # forcing an extra materialization pass per step
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not best or best[0]["__f"] < min_freq:
+                break
+            a, b, f = best[0]["__p"]["a"], best[0]["__p"]["b"], int(best[0]["__f"])
+            merges.append((step, a, b, a + b, f))
+            # canonical greedy fold: rebuild each word's symbol string,
+            # merging where the accumulator ends with ' a ' and x == b
+            la = F.lit(a)
+            fold = F.aggregate(
+                F.split(F.trim("__seq"), " "),
+                F.lit(" "),
+                lambda acc, x: F.when(
+                    acc.endswith(F.concat(F.lit(" "), la, F.lit(" ")))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        acc.substr(
+                            F.lit(1), F.length(acc) - (F.length(la) + F.lit(1))
+                        ),
+                        la,
+                        F.lit(b),
+                        F.lit(" "),
+                    ),
+                ).otherwise(F.concat(acc, x, F.lit(" "))),
+            )
+            nxt = seqs.select("__cnt", fold.alias("__seq")).persist()
+            prev, seqs = seqs, nxt
+    finally:
+        seqs.unpersist()
+        if prev is not None:
+            prev.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, freq long"
+    )

@@ -160,6 +160,17 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # streaming/stateful.py, which no driver row builds through
     # (stream==batch is test-pinned); temperature_mix_exact (r16) is a
     # new function certified in-window on docs_weighted_sample.
+    # RECORDED r17 SLOT PLAN — ``docs_bpe_merges`` (NEW r16 operator,
+    # registered at the PRIORITY TAIL so the r16 window is untouched;
+    # oracle-parity-tested at sf0.001 in CI and verified exact at
+    # sf0.01): BPE tokenizer training (Sennrich et al. 2016) whose
+    # 6-step iterative loop replays FULLY in SQL — an unrolled
+    # (pairs → argmax → greedy-fold) CTE chain, the suite's first
+    # SQL-replayable iterative-training row. At the r17 rotation, move
+    # it into the window as a never-sampled row (the
+    # weighted_priority_sample r15→r16 precedent), and add it to
+    # bench.py HEADLINE + scale_bench SUITE in the same commit (kept
+    # out this round: the r16 bench stamp was already adopted).
     # RECORDED r17 SLOT PLAN — ``docs_hybrid_search`` 'ce_batch' leg:
     # cross_encoder_rerank_batch (r16, pytest-proven: batch==single
     # property per query, guards on empty/duplicate/unknown query ids)

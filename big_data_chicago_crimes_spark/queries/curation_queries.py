@@ -319,3 +319,94 @@ def bigram_perplexity_legs(scored: DataFrame) -> DataFrame:
         )
     )
     return src.unionByName(tail).orderBy("leg", "key")
+
+
+def bpe_oracle_sql(n_merges: int, eow: str = "</w>") -> str:
+    """The full ITERATIVE BPE training replayed in SQL: an unrolled CTE
+    chain, one (pairs → best → fold) stage per merge step. Each stage's
+    winner is computed in SQL (max summed freq, (lhs, rhs) binary-order
+    tie-break — identical in both engines), and the merge application
+    is the same canonical greedy fold the engine runs, expressed as
+    ``list_reduce`` over the symbol list with a string accumulator
+    (plain replace() would diverge on self-pair runs — see
+    ``operators.curation.bpe_train_merges``). Valid only when no
+    ``min_freq`` early stop triggers (the unrolled chain always runs
+    ``n_merges`` stages)."""
+    stages = []
+    finals = []
+    for k in range(1, n_merges + 1):
+        prev = "s0" if k == 1 else f"s{k - 1}"
+        stages.append(f"""
+        p{k} AS (
+            SELECT cnt, sy[i] AS a, sy[i+1] AS b
+            FROM (SELECT cnt, string_split(trim(seq), ' ') AS sy FROM {prev}),
+                 UNNEST(generate_series(1, len(sy) - 1)) AS t(i)
+        ), b{k} AS (
+            SELECT a, b, f FROM (
+                SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS f
+                FROM p{k} GROUP BY a, b
+                ORDER BY f DESC, a, b LIMIT 1
+            )
+        ), s{k} AS (
+            SELECT cnt, list_reduce(
+                list_prepend(' ', string_split(trim(seq), ' ')),
+                (acc, x) -> CASE
+                    WHEN suffix(acc, ' ' || a || ' ') AND x = b
+                    THEN left(acc, length(acc) - length(a) - 1) || a || b || ' '
+                    ELSE acc || x || ' '
+                END) AS seq
+            FROM {prev} CROSS JOIN b{k}
+        )""")
+        finals.append(
+            f"SELECT {k} AS step, a AS lhs, b AS rhs, a || b AS merged, f AS freq FROM b{k}"
+        )
+    chain = ",".join(stages)
+    union = "\n            UNION ALL ".join(finals)
+    return f"""
+        WITH words AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents WHERE text IS NOT NULL
+        ), s0 AS (
+            SELECT COUNT(*) AS cnt,
+                   ' ' || array_to_string(string_split_regex(w, ''), ' ')
+                       || ' {eow} ' AS seq
+            FROM words WHERE w <> '' GROUP BY w
+        ),{chain}
+        SELECT * FROM ({union}) ORDER BY step
+    """
+
+
+_BPE_MERGES = 6
+
+
+@register(
+    "docs_bpe_merges",
+    # NEW r16 operator, registered BEYOND the r16 window (never
+    # sampled this round — bench untouched post-adoption); recorded
+    # r17 slot-plan candidate: a NEW never-sampled row at rotation,
+    # the weighted_priority_sample r15→r16 precedent. The oracle
+    # replays the ENTIRE iterative training — the suite's first
+    # SQL-replayable iterative-algorithm row (dedup components' oracle
+    # recurses to verify a fixpoint; this one replays a LOOP stage by
+    # stage): 6 unrolled (pairs → argmax → greedy-fold) CTE stages.
+    # n_merges=6 keeps the min_freq early stop unreachable at every
+    # driver SF (step-6 freq >> 1 at sf0.001 already, and frequencies
+    # only grow with SF).
+    oracle=bpe_oracle_sql(_BPE_MERGES),
+    tags=("curation", "bpe", "tokenizer", "extension"),
+)
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016) over the corpus:
+    the first 6 learned merge rules with their frequencies —
+    (step, lhs, rhs, merged, freq) in learning order. The corpus
+    aggregates to the word-frequency vocabulary ONCE; every training
+    iteration runs on that vocab-sized frame (pair explode + groupBy),
+    fetches one winner row (dim-bounded collect), and applies the
+    merge as a codegen fold — the corpus-size-free loop of
+    :func:`~big_data_chicago_crimes_spark.operators.curation.bpe_train_merges`."""
+    from big_data_chicago_crimes_spark.operators.curation import bpe_train_merges
+
+    t = load_tables(spark, sf_dir)
+    return bpe_train_merges(t.documents, "text", n_merges=_BPE_MERGES).orderBy(
+        "step"
+    )

@@ -507,3 +507,99 @@ def test_lm_scoring_join_broadcasts_under_aqe(spark):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def _ref_bpe(texts, n_merges, eow="</w>", min_freq=1):
+    """Independent reference BPE trainer (Sennrich et al. 2016
+    pseudo-code): pair counts over the word-frequency vocabulary, max
+    frequency with (lhs, rhs) lexicographic tie-break, canonical greedy
+    left-to-right merge application."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in (t or "").strip().split():
+            if w:
+                vocab[w] += 1
+    seqs = [(list(w) + [eow], c) for w, c in vocab.items()]
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc = Counter()
+        for syms, c in seqs:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if f < min_freq:
+            break
+        merges.append((step, a, b, a + b, f))
+        nxt = []
+        for syms, c in seqs:
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            nxt.append((out, c))
+        seqs = nxt
+    return merges
+
+
+def test_bpe_train_merges_matches_reference_model(spark):
+    """The distributed trainer's merge table equals the independent
+    Sennrich-pseudo-code model on a corpus that exercises tie-breaks,
+    self-pair runs (the case where string replace() diverges from the
+    canonical greedy fold), and multi-step subword growth."""
+    from big_data_chicago_crimes_spark.operators.curation import bpe_train_merges
+
+    texts = [
+        "low low low lower lower lowest",
+        "newer newer new wider wide wide",
+        "aaaa aaa aa baaab",
+        "low lowest newer wide aaa",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.step, r.lhs, r.rhs, r.merged, r.freq)
+        for r in bpe_train_merges(df, "text", n_merges=10).orderBy("step").collect()
+    ]
+    want = _ref_bpe(texts, 10)
+    assert got == want, (got, want)
+    # determinism under repartition
+    again = [
+        (r.step, r.lhs, r.rhs, r.merged, r.freq)
+        for r in bpe_train_merges(df.repartition(7), "text", n_merges=10)
+        .orderBy("step")
+        .collect()
+    ]
+    assert again == got
+
+
+def test_bpe_train_merges_early_stop_and_guards(spark):
+    """min_freq stops training when the best pair drops below it; the
+    trainer drains to an empty table when every word is fully merged;
+    bad parameters raise."""
+    import pytest as _pytest
+
+    from big_data_chicago_crimes_spark.operators.curation import bpe_train_merges
+
+    df = spark.createDataFrame([("ab ab ab cd",)], "text string")
+    # freq(a,b)=3 dominates; after enough merges every word is one
+    # symbol and pair counting drains -> early exit, not an error
+    full = bpe_train_merges(df, "text", n_merges=50).collect()
+    assert 0 < len(full) < 50
+    want = _ref_bpe(["ab ab ab cd"], 50)
+    assert [(r.step, r.lhs, r.rhs, r.merged, r.freq) for r in full] == want
+    # min_freq: the cd-word pairs are singletons
+    capped = bpe_train_merges(df, "text", n_merges=50, min_freq=2)
+    assert [(r.step, r.lhs, r.rhs, r.merged, r.freq) for r in capped.collect()] == _ref_bpe(
+        ["ab ab ab cd"], 50, min_freq=2
+    )
+    with _pytest.raises(ValueError, match="n_merges"):
+        bpe_train_merges(df, "text", n_merges=0)
+    with _pytest.raises(ValueError, match="min_freq"):
+        bpe_train_merges(df, "text", min_freq=0)
+    with _pytest.raises(ValueError, match="eow"):
+        bpe_train_merges(df, "text", eow="a b")
