@@ -104,6 +104,7 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     "embedding_semantic_dedup_vec",  # chunked (x−y)² assign kernel (r16, ADVICE r15)
     "docs_token_surface",  # r16 merge: docs_token_stats + docs_bpe_token_stats — funds the cut row
     "docs_quality_surface",  # r16 merge: docs_quality_scores + docs_quality_by_source — funds A-Res
+    "docs_bpe_merges",  # NEW r16: SQL-replayable iterative BPE training — never sampled
     # --- rest of the r14 cohort, order preserved from the r14 window ---
     "ml_classifier_auc_surface",
     "ml_gbt_rmse",
@@ -160,17 +161,15 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # streaming/stateful.py, which no driver row builds through
     # (stream==batch is test-pinned); temperature_mix_exact (r16) is a
     # new function certified in-window on docs_weighted_sample.
-    # RECORDED r17 SLOT PLAN — ``docs_bpe_merges`` (NEW r16 operator,
-    # registered at the PRIORITY TAIL so the r16 window is untouched;
-    # oracle-parity-tested at sf0.001 in CI and verified exact at
-    # sf0.01): BPE tokenizer training (Sennrich et al. 2016) whose
-    # 6-step iterative loop replays FULLY in SQL — an unrolled
-    # (pairs → argmax → greedy-fold) CTE chain, the suite's first
-    # SQL-replayable iterative-training row. At the r17 rotation, move
-    # it into the window as a never-sampled row (the
-    # weighted_priority_sample r15→r16 precedent), and add it to
-    # bench.py HEADLINE + scale_bench SUITE in the same commit (kept
-    # out this round: the r16 bench stamp was already adopted).
+    # ``docs_bpe_merges`` (NEW r16, slot 12): a never-sampled row MUST
+    # sit inside the window (the tripwire below enforces it), so it
+    # certifies THIS round. Window cost: the r14-cohort tail row
+    # ``user_session_counts`` slides to slot 51 — its r14 stamp is
+    # exactly 2 rounds old (the staleness contract's limit), so PIN IT
+    # FIRST at the r17 rotation alongside lineitem_zorder_box_scan.
+    # Bench/scale economics are untouched this round (the adopted r16
+    # stamp predates the row; bench.py HEADLINE + scale_bench SUITE
+    # gain docs_bpe_merges at r17 — recorded plan).
     # RECORDED r17 SLOT PLAN — ``docs_hybrid_search`` 'ce_batch' leg:
     # cross_encoder_rerank_batch (r16, pytest-proven: batch==single
     # property per query, guards on empty/duplicate/unknown query ids)
