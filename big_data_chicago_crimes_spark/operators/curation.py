@@ -843,6 +843,37 @@ def dsir_logratio(
     )
 
 
+def _bpe_merge_fold(seq: Column, a: str, b: str) -> Column:
+    """One BPE merge applied to a space-delimited symbol string — the
+    canonical greedy left-to-right fold (state = the rebuilt string;
+    merge when the accumulator ends with `` a `` and the next symbol
+    equals ``b``). Shared by training (one rule per step) and encoding
+    (the learned rules chained in order); its DuckDB twin is the
+    ``list_reduce`` lambda in ``queries.curation_queries.bpe_oracle_sql``."""
+    la = F.lit(a)
+    return F.aggregate(
+        F.split(F.trim(seq), " "),
+        F.lit(" "),
+        lambda acc, x: F.when(
+            acc.endswith(F.concat(F.lit(" "), la, F.lit(" ")))
+            & (x == F.lit(b)),
+            F.concat(
+                acc.substr(F.lit(1), F.length(acc) - (F.length(la) + F.lit(1))),
+                la,
+                F.lit(b),
+                F.lit(" "),
+            ),
+        ).otherwise(F.concat(acc, x, F.lit(" "))),
+    )
+
+
+def _bpe_initial_seq(word: Column, eow: str) -> Column:
+    """A word's initial symbol string: ' c1 c2 … <eow> ' (one symbol
+    per character, space-delimited with sentinel spaces at both ends)."""
+    chars = F.filter(F.split(word, ""), lambda c: c != "")
+    return F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" " + eow + " "))
+
+
 def bpe_train_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -904,12 +935,9 @@ def bpe_train_merges(
         .filter(F.col("__w") != "")
     )
     vocab = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__cnt"))
-    chars = F.filter(F.split(F.col("__w"), ""), lambda c: c != "")
     seqs = vocab.select(
         F.col("__cnt"),
-        F.concat(
-            F.lit(" "), F.array_join(chars, " "), F.lit(" " + eow + " ")
-        ).alias("__seq"),
+        _bpe_initial_seq(F.col("__w"), eow).alias("__seq"),
     ).persist()
 
     # adjacent symbol pairs; guarded for fully-merged one-symbol words
@@ -945,24 +973,9 @@ def bpe_train_merges(
             merges.append((step, a, b, a + b, f))
             # canonical greedy fold: rebuild each word's symbol string,
             # merging where the accumulator ends with ' a ' and x == b
-            la = F.lit(a)
-            fold = F.aggregate(
-                F.split(F.trim("__seq"), " "),
-                F.lit(" "),
-                lambda acc, x: F.when(
-                    acc.endswith(F.concat(F.lit(" "), la, F.lit(" ")))
-                    & (x == F.lit(b)),
-                    F.concat(
-                        acc.substr(
-                            F.lit(1), F.length(acc) - (F.length(la) + F.lit(1))
-                        ),
-                        la,
-                        F.lit(b),
-                        F.lit(" "),
-                    ),
-                ).otherwise(F.concat(acc, x, F.lit(" "))),
-            )
-            nxt = seqs.select("__cnt", fold.alias("__seq")).persist()
+            nxt = seqs.select(
+                "__cnt", _bpe_merge_fold(F.col("__seq"), a, b).alias("__seq")
+            ).persist()
             prev, seqs = seqs, nxt
     finally:
         seqs.unpersist()
@@ -970,4 +983,47 @@ def bpe_train_merges(
             prev.unpersist()
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, freq long"
+    )
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    rules: list[tuple[str, str]],
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+    eow: str = "</w>",
+) -> DataFrame:
+    """ENCODE with learned BPE rules: the per-group subword-token
+    census after applying ``rules`` (the (lhs, rhs) pairs of
+    :func:`bpe_train_merges`, in learning order) to every word — the
+    token-budget question a pipeline asks of a trained tokenizer ("how
+    many subword tokens is this corpus?"), answered exactly, not by
+    the ``bpe_ish_token_count`` heuristic. Returns (*group_cols,
+    n_words, n_bpe_tokens).
+
+    Scale shape: encoding runs on the per-group WORD VOCABULARY
+    (groupBy (group, word) — one corpus pass), then each unique word's
+    symbol string passes through the rule chain as ``len(rules)``
+    chained codegen folds (:func:`_bpe_merge_fold`, the training fold
+    applied in order — canonical greedy semantics per rule), and the
+    census is one aggregate of symbol-count × word-count. Nothing
+    corpus-sized crosses a shuffle after the vocab aggregation, and no
+    per-row Python runs. ``rules`` is driver-side by design — it is
+    the dim-sized merge table (the C2 contract; collect it from
+    ``bpe_train_merges``'s output)."""
+    if not rules:
+        raise ValueError("rules must be non-empty (collect bpe_train_merges first)")
+    gcols = list(group_cols or [])
+    words = df.select(
+        *gcols, F.explode(tokens(text_col)).alias("__w")
+    ).filter(F.col("__w") != "")
+    vocab = words.groupBy(*gcols, "__w").agg(F.count(F.lit(1)).alias("__cnt"))
+    seq = _bpe_initial_seq(F.col("__w"), eow)
+    for a, b in rules:
+        seq = _bpe_merge_fold(seq, a, b)
+    n_sym = F.size(F.split(F.trim(seq), " "))
+    per_word = vocab.select(*gcols, "__cnt", n_sym.alias("__ns"))
+    return per_word.groupBy(*gcols).agg(
+        F.sum("__cnt").alias("n_words"),
+        F.sum(F.col("__ns").cast("long") * F.col("__cnt")).alias("n_bpe_tokens"),
     )

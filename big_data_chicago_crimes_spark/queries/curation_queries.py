@@ -331,7 +331,11 @@ def bpe_oracle_sql(n_merges: int, eow: str = "</w>") -> str:
     (plain replace() would diverge on self-pair runs — see
     ``operators.curation.bpe_train_merges``). Valid only when no
     ``min_freq`` early stop triggers (the unrolled chain always runs
-    ``n_merges`` stages)."""
+    ``n_merges`` stages). Two legs: 'merge' = the learned rule table;
+    'encoded' = the per-lang subword-token census read off the FINAL
+    training state s{n} (the vocabulary carries lang through the
+    chain — grouping s0 by (lang, word) leaves every pair sum and
+    every fold identical, since pair counts only ever SUM cnt)."""
     stages = []
     finals = []
     for k in range(1, n_merges + 1):
@@ -348,7 +352,7 @@ def bpe_oracle_sql(n_merges: int, eow: str = "</w>") -> str:
                 ORDER BY f DESC, a, b LIMIT 1
             )
         ), s{k} AS (
-            SELECT cnt, list_reduce(
+            SELECT lang, cnt, list_reduce(
                 list_prepend(' ', string_split(trim(seq), ' ')),
                 (acc, x) -> CASE
                     WHEN suffix(acc, ' ' || a || ' ') AND x = b
@@ -358,21 +362,30 @@ def bpe_oracle_sql(n_merges: int, eow: str = "</w>") -> str:
             FROM {prev} CROSS JOIN b{k}
         )""")
         finals.append(
-            f"SELECT {k} AS step, a AS lhs, b AS rhs, a || b AS merged, f AS freq FROM b{k}"
+            f"SELECT 'merge' AS leg, {k} AS step, a AS lhs, b AS rhs, "
+            f"a || b AS merged, f AS freq FROM b{k}"
         )
     chain = ",".join(stages)
     union = "\n            UNION ALL ".join(finals)
     return f"""
         WITH words AS (
-            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
             FROM documents WHERE text IS NOT NULL
         ), s0 AS (
-            SELECT COUNT(*) AS cnt,
+            SELECT lang, COUNT(*) AS cnt,
                    ' ' || array_to_string(string_split_regex(w, ''), ' ')
                        || ' {eow} ' AS seq
-            FROM words WHERE w <> '' GROUP BY w
+            FROM words WHERE w <> '' GROUP BY lang, w
         ),{chain}
-        SELECT * FROM ({union}) ORDER BY step
+        SELECT * FROM (
+            {union}
+            UNION ALL
+            SELECT 'encoded' AS leg, CAST(NULL AS INT) AS step,
+                   lang AS lhs, CAST(NULL AS VARCHAR) AS rhs,
+                   CAST(NULL AS VARCHAR) AS merged,
+                   CAST(SUM(len(string_split(trim(seq), ' ')) * cnt) AS BIGINT) AS freq
+            FROM s{n_merges} GROUP BY lang
+        ) ORDER BY leg, step, lhs
     """
 
 
@@ -396,17 +409,40 @@ _BPE_MERGES = 6
     tags=("curation", "bpe", "tokenizer", "extension"),
 )
 def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training (Sennrich et al. 2016) over the corpus:
-    the first 6 learned merge rules with their frequencies —
-    (step, lhs, rhs, merged, freq) in learning order. The corpus
-    aggregates to the word-frequency vocabulary ONCE; every training
-    iteration runs on that vocab-sized frame (pair explode + groupBy),
-    fetches one winner row (dim-bounded collect), and applies the
-    merge as a codegen fold — the corpus-size-free loop of
-    :func:`~big_data_chicago_crimes_spark.operators.curation.bpe_train_merges`."""
-    from big_data_chicago_crimes_spark.operators.curation import bpe_train_merges
+    """BPE tokenizer TRAIN + ENCODE (Sennrich et al. 2016), two legs:
+
+    - ``merge`` — the first 6 learned merge rules with frequencies,
+      (step, lhs, rhs, merged, freq) in learning order. The corpus
+      aggregates to the word-frequency vocabulary ONCE; every training
+      iteration runs on that vocab-sized frame (pair explode +
+      groupBy), fetches one winner row (dim-bounded collect), and
+      applies the merge as a codegen fold — the corpus-size-free loop
+      of :func:`~big_data_chicago_crimes_spark.operators.curation.bpe_train_merges`.
+    - ``encoded`` — the learned rules APPLIED: per-language
+      subword-token totals (``lhs`` = lang, ``freq`` = tokens) via
+      :func:`~big_data_chicago_crimes_spark.operators.curation.bpe_encode_counts`
+      — the exact token-budget answer of the trained tokenizer, which
+      the oracle replays by reading its final training state, so the
+      driver hash pins train AND encode agreeing across engines."""
+    from big_data_chicago_crimes_spark.operators.curation import (
+        bpe_encode_counts,
+        bpe_train_merges,
+    )
 
     t = load_tables(spark, sf_dir)
-    return bpe_train_merges(t.documents, "text", n_merges=_BPE_MERGES).orderBy(
-        "step"
+    merges = bpe_train_merges(t.documents, "text", n_merges=_BPE_MERGES)
+    rules = [(r.lhs, r.rhs) for r in merges.orderBy("step").collect()]
+    merge_leg = merges.select(
+        F.lit("merge").alias("leg"), "step", "lhs", "rhs", "merged", "freq"
     )
+    enc_leg = bpe_encode_counts(
+        t.documents, rules, "text", group_cols=["lang"]
+    ).select(
+        F.lit("encoded").alias("leg"),
+        F.lit(None).cast("int").alias("step"),
+        F.col("lang").alias("lhs"),
+        F.lit(None).cast("string").alias("rhs"),
+        F.lit(None).cast("string").alias("merged"),
+        F.col("n_bpe_tokens").alias("freq"),
+    )
+    return merge_leg.unionByName(enc_leg).orderBy("leg", "step", "lhs")

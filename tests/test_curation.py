@@ -603,3 +603,56 @@ def test_bpe_train_merges_early_stop_and_guards(spark):
         bpe_train_merges(df, "text", min_freq=0)
     with _pytest.raises(ValueError, match="eow"):
         bpe_train_merges(df, "text", eow="a b")
+
+
+def test_bpe_encode_counts_matches_reference_model(spark):
+    """Encoding with learned rules gives per-group subword counts equal
+    to applying the reference model's merges word by word — including
+    self-pair runs — and the rules guard raises on an empty table."""
+    import pytest as _pytest
+
+    from big_data_chicago_crimes_spark.operators.curation import (
+        bpe_encode_counts,
+        bpe_train_merges,
+    )
+
+    texts = [
+        ("en", "low low lower lowest aaa"),
+        ("en", "newer new wider wide"),
+        ("fr", "aaaa baaab low low"),
+    ]
+    df = spark.createDataFrame(texts, "lang string, text string")
+    merges = _ref_bpe([t for _, t in texts], 6)
+    rules = [(a, b) for _, a, b, _, _ in merges]
+
+    def encode_len(word):
+        syms = list(word) + ["</w>"]
+        for a, b in rules:
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    want = {}
+    for lang, t in texts:
+        for w in t.split():
+            cur = want.setdefault(lang, [0, 0])
+            cur[0] += 1
+            cur[1] += encode_len(w)
+    got = {
+        r.lang: [r.n_words, r.n_bpe_tokens]
+        for r in bpe_encode_counts(df, rules, "text", group_cols=["lang"]).collect()
+    }
+    assert got == {k: v for k, v in want.items()}
+    # engine-trained rules equal the model's (sanity: shared corpus)
+    trained = [
+        (r.lhs, r.rhs)
+        for r in bpe_train_merges(df, "text", n_merges=6).orderBy("step").collect()
+    ]
+    assert trained == rules
+    with _pytest.raises(ValueError, match="rules"):
+        bpe_encode_counts(df, [], "text")
