@@ -922,7 +922,15 @@ def bpe_train_merges(
     the corpus never triggers it. Words are whitespace tokens of
     ``trim(text)``; ``eow`` marks word ends (symbols never contain
     spaces, so the space-delimited string state is unambiguous).
-    NULL/blank texts contribute nothing."""
+    NULL/blank texts contribute nothing.
+
+    KNOWN LIMIT — initial symbols are per UTF-16 code unit (Spark's
+    split-on-'' convention): supplementary-plane code points (emoji,
+    rare CJK extensions) split into surrogate halves in Spark but
+    into single code points in DuckDB's character split, so the
+    cross-engine replay contract holds for BMP text only (all driver
+    corpora are BMP). A byte-level initial alphabet (the GPT-2
+    convention) would make the contract universal — future work."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if min_freq < 1:

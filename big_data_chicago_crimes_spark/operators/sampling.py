@@ -691,7 +691,16 @@ def temperature_mix_exact(
     Returns kept rows with ``__mix_n_total`` / ``__mix_k`` attached for
     census queries. ``domain_col`` values must be NON-NULL (equality
     join, the :func:`temperature_mix` contract); ``key`` must be
-    row-unique."""
+    row-unique.
+
+    Scan economics: one more corpus aggregation than ``quota_sample``
+    (the temperature targets need exact per-domain totals BEFORE the
+    histogram pass — a fixed per-domain quota needs none), so the
+    unweighted path is ~3 column-pruned passes of (domain, key). At
+    100 TB, project the input to those two columns first; deriving the
+    totals from the histogram itself would save the extra pass but
+    couple the census columns to ``_bounded_group_head``'s internals —
+    revisit only if the pass shows up in a real profile."""
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     reserved = {"__mix_n_total", "__mix_k"}
