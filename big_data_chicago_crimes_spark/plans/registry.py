@@ -170,16 +170,19 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # Bench/scale economics are untouched this round (the adopted r16
     # stamp predates the row; bench.py HEADLINE + scale_bench SUITE
     # gain docs_bpe_merges at r17 — recorded plan).
-    # RECORDED r17 SLOT PLAN — ``docs_hybrid_search`` 'ce_batch' leg:
-    # cross_encoder_rerank_batch (r16, pytest-proven: batch==single
-    # property per query, guards on empty/duplicate/unknown query ids)
-    # is currently anchored transitively (batch==single pinned, single
-    # driver-hashed via the r15 ce leg). When docs_hybrid_search
-    # rotates back at r17, add a 'ce_batch' leg running 2-3 query
-    # token lists through ONE candidates scan; the oracle extends the
-    # existing ce CTE with a per-query UNION (the stand-in scorer is
-    # already SQL-replayable). This upgrades the batch contract from
-    # property-pinned to driver-hashed without a new slot.
+    # EXECUTED EARLY (r16): the planned ``docs_hybrid_search``
+    # 'ce_batch' legs landed this round — two queries share ONE
+    # lexical-recall pass (both term-set counts in one groupBy; the
+    # single-query legs' dedicated recall pass was merged away) and
+    # ONE Arrow rerank pass via cross_encoder_rerank_batch; oracle
+    # extended with the per-query UNION, verified exact at sf0.01 and
+    # parity-tested at sf0.001. docs_hybrid_search is therefore a
+    # CHANGED BUILDER in the r15 cohort — pin it FIRST at the r17
+    # rotation alongside lineitem_zorder_box_scan and
+    # user_session_counts. The bench stamp carries the documented
+    # post-adoption patch (BENCH_ATTRIBUTION_r16.md, internally
+    # consistent spread); BENCH_SCALE.json holds the post-leg 1.02×
+    # amendment.
     # ------------------------------------------------------------------
     "asof_join_surface",
     "embedding_ivf_pq_topk",  # NEW r15: IVF-PQ probe vs materialized literal index

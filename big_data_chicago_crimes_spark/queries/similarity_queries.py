@@ -1017,9 +1017,47 @@ def embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM documents
             ) d ON d.doc_id = s.doc_id
             ORDER BY fused DESC, s.doc_id LIMIT 10
+        ), btoks AS (
+            SELECT doc_id,
+                   list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS dt
+            FROM documents
+        ), blex AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) FILTER (WHERE tok IN ('hash','join','scan'))
+                        AS BIGINT) AS s0,
+                   CAST(COUNT(*) FILTER (WHERE tok IN ('filter','sort','merge'))
+                        AS BIGINT) AS s1
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents
+            ) GROUP BY doc_id
+        ), bc0 AS (
+            SELECT doc_id, s0 AS lex_score FROM blex WHERE s0 > 0
+            ORDER BY s0 DESC, doc_id LIMIT 20
+        ), bc1 AS (
+            SELECT doc_id, s1 AS lex_score FROM blex WHERE s1 > 0
+            ORDER BY s1 DESC, doc_id LIMIT 20
+        ), ceb0 AS (
+            SELECT 'ce_batch_0' AS leg, c.doc_id, c.lex_score,
+                   CAST(NULL AS DOUBLE) AS cosine,
+                   ROUND(CASE WHEN len(d.dt) = 0 THEN 0.0
+                         ELSE len(list_intersect(d.dt, ['hash','join','scan']))
+                              * 1.0 / sqrt(len(d.dt) * 3.0) END, 6) AS fused
+            FROM bc0 c JOIN btoks d ON d.doc_id = c.doc_id
+            ORDER BY fused DESC, c.doc_id LIMIT 5
+        ), ceb1 AS (
+            SELECT 'ce_batch_1' AS leg, c.doc_id, c.lex_score,
+                   CAST(NULL AS DOUBLE) AS cosine,
+                   ROUND(CASE WHEN len(d.dt) = 0 THEN 0.0
+                         ELSE len(list_intersect(d.dt, ['filter','sort','merge']))
+                              * 1.0 / sqrt(len(d.dt) * 3.0) END, 6) AS fused
+            FROM bc1 c JOIN btoks d ON d.doc_id = c.doc_id
+            ORDER BY fused DESC, c.doc_id LIMIT 5
         )
         SELECT * FROM dense UNION ALL SELECT * FROM rrf
         UNION ALL SELECT * FROM ce
+        UNION ALL SELECT * FROM ceb0 UNION ALL SELECT * FROM ceb1
         ORDER BY leg, doc_id
     """,
     tags=("similarity", "hybrid", "retrieval", "rrf", "rerank", "extension"),
@@ -1045,13 +1083,28 @@ def docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     terms = ["hash", "join", "scan"]
-    lex = (
+    terms1 = ["filter", "sort", "merge"]  # the batch legs' second query
+    # ONE lexical-recall corpus pass shared by every leg: both query
+    # term-set counts ride one explode + groupBy (the single-query lex
+    # count for q0 is s0 restricted to s0 > 0 — identical ranking to
+    # the dedicated pass it replaces)
+    from big_data_chicago_crimes_spark.session import scratch_persist as _sp
+
+    blex = _sp(
         t.documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .filter(F.col("tok").isin(terms))
+        .filter(F.col("tok").isin(sorted(set(terms) | set(terms1))))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("lex_score"))
+        .agg(
+            F.sum(F.col("tok").isin(terms).cast("long")).alias("__s0"),
+            F.sum(F.col("tok").isin(terms1).cast("long")).alias("__s1"),
+        )
     )
-    cand = lex.orderBy(F.col("lex_score").desc(), "doc_id").limit(50)
+    cand = (
+        blex.filter(F.col("__s0") > 0)
+        .select("doc_id", F.col("__s0").alias("lex_score"))
+        .orderBy(F.col("lex_score").desc(), "doc_id")
+        .limit(50)
+    )
     q = _query_vec_col(t)
     # broadcast the 50-row candidate side explicitly: pre-AQE size
     # estimation can't see through the limit, so without the hint the
@@ -1125,7 +1178,51 @@ def docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.col("ce_score").alias("fused"),
     )
-    return dense.unionByName(rrf).unionByName(ce).orderBy("leg", "doc_id")
+    # ce_batch legs (r16, executing the recorded r17 slot plan early —
+    # VERDICT r15 #8 option A under the driver hash): TWO queries share
+    # ONE lexical-recall corpus pass (both term-set counts in one
+    # groupBy; per-query top-20 via TakeOrderedAndProject) and ONE
+    # Arrow mapInPandas rerank pass (cross_encoder_rerank_batch — the
+    # weights-amortized batch form), per-query top-5. Legs
+    # 'ce_batch_0'/'ce_batch_1' carry the query id; cosine is NULL
+    # (the batch cascade reranks lexical recall directly).
+    from big_data_chicago_crimes_spark.operators.similarity import (
+        cross_encoder_rerank_batch,
+    )
+
+    bcands = None
+    for qid, scol in ((0, "__s0"), (1, "__s1")):
+        c = (
+            blex.filter(F.col(scol) > 0)
+            .orderBy(F.col(scol).desc(), "doc_id")
+            .limit(20)
+            .select(
+                F.lit(qid).alias("query_id"),
+                "doc_id",
+                F.col(scol).alias("lex_score"),
+            )
+        )
+        bcands = c if bcands is None else bcands.unionByName(c)
+    btext = t.documents.select("doc_id", "text").join(
+        F.broadcast(bcands), "doc_id"
+    )
+    ceb = cross_encoder_rerank_batch(
+        btext, [(0, terms), (1, terms1)], k=5
+    ).select(
+        F.concat(F.lit("ce_batch_"), F.col("query_id").cast("string")).alias(
+            "leg"
+        ),
+        "doc_id",
+        "lex_score",
+        F.lit(None).cast("double").alias("cosine"),
+        F.col("ce_score").alias("fused"),
+    )
+    return (
+        dense.unionByName(rrf)
+        .unionByName(ce)
+        .unionByName(ceb)
+        .orderBy("leg", "doc_id")
+    )
 
 
 # --- SemDeDup: cluster-scoped semantic dedup ---------------------------
