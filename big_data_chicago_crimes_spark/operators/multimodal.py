@@ -68,8 +68,30 @@ def decode_media(df: DataFrame) -> DataFrame:
 def sample_frames(df: DataFrame, every_n_bytes: int = 100) -> DataFrame:
     """Frame-sampling stand-in: emit one row per sampled "frame" offset —
     the explode-shaped transform a video pipeline runs after decode.
-    Pure column ops (sequence + explode), no Python."""
-    n = F.length("payload").cast("long")
+    Pure column ops (sequence + explode), no Python.
+
+    Guards (r16 sweep): ``every_n_bytes`` < 1 raises at build — with 0
+    the stride arithmetic silently returned ONE frame at offset 0 for
+    every payload (divide-by-zero → NULL → greatest(NULL, 0) = 0), a
+    wrong answer with no error anywhere. A NULL payload raises at
+    execution: ``sequence`` of a NULL bound would otherwise DROP the
+    row silently, while the sibling decode stage errors on NULL — the
+    two stages must not disagree about bad rows (the dedup-family
+    loud-NULL convention)."""
+    if every_n_bytes < 1:
+        raise ValueError(
+            f"every_n_bytes must be >= 1, got {every_n_bytes}"
+        )
+    payload = F.when(
+        F.col("payload").isNull(),
+        F.raise_error(
+            F.lit(
+                "sample_frames: NULL payload — decode/filter bad media rows "
+                "first (a NULL would silently drop from the frame output)"
+            )
+        ).cast("binary"),
+    ).otherwise(F.col("payload"))
+    n = F.length(payload).cast("long")
     last_frame = F.greatest(F.floor((n - 1) / every_n_bytes), F.lit(0).cast("long"))
     offsets = F.sequence(F.lit(0).cast("long"), last_frame)
     return (
@@ -87,6 +109,13 @@ def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Dat
     the output byte count deterministically from input size and target
     dims. Arrow-batched mapInPandas, production-shaped."""
 
+    if target_w < 1 or target_h < 1:
+        # a non-positive target made cap <= 0 and clip(upper=cap) pinned
+        # EVERY output size to that nonsense cap — silent corruption,
+        # not an error (r16 sweep)
+        raise ValueError(
+            f"target dims must be >= 1, got {target_w}x{target_h}"
+        )
     cap = target_w * target_h * 3
 
     def kernel(batches):

@@ -155,6 +155,11 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     #   NaN-column guard in the r16 sweep (af5b058) — output-identical
     #   on NaN-free data by construction, but the driver hash is the
     #   contract; pin FIRST at the r17 rotation.
+    # - ``multimodal_pipeline_stats``: sample_frames gained the stride
+    #   (every_n_bytes >= 1) and loud-NULL-payload guards and
+    #   resize_media the positive-target guard in the r16 bonus sweep —
+    #   output-identical on valid fixtures (re-verified exact at
+    #   sf0.01), but the builder changed; pin at r17.
     # Audited no-pin: the r16 batch rerank (4b2e0b3) is insertion-only
     # (cross_encoder_rerank itself unchanged ⇒ docs_hybrid_search
     # builder unchanged); the r16 stateful NaT fix touches
