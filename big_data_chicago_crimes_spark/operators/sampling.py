@@ -1193,3 +1193,89 @@ def score_ntile(
     return interior.unionByName(boundary).drop(
         "__lo", "__hi", "__sb", "__before", "__n", "__t_first", "__t_last"
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    rates: DataFrame,
+    domain_col: str,
+    key: str,
+    rate_col: str = "rate",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic WITH-upsampling mixture realization — the family
+    member the no-upsampling contract deliberately excludes from its
+    subsetting operators, stated the way pretraining recipes actually
+    state it: "this domain runs N.M epochs". Every row of a domain with
+    rate r is emitted ``floor(r)`` times, plus once more for the
+    content-hash fraction of rows selected by derandomized stochastic
+    rounding (``hash_unit(key) ≤ frac(r)``), so the domain's expected
+    epoch count is exactly r while every decision stays a pure function
+    of row content: stable under repartition/retry/engine change,
+    replayable in SQL, and MONOTONE in r (raising a domain's rate only
+    ever ADDS copies — tuning epochs never churns the realized set).
+    Output rows carry ``epoch_col`` (1-based copy index), so downstream
+    curriculum ordering can interleave epochs rather than concatenate
+    them.
+
+    Semantics per row: n_copies = floor(r) + (hash_unit(key) ≤ r −
+    floor(r)); rows with n_copies = 0 (possible only when r < 1) drop —
+    the fractional-epoch down-sampling case, same bucket convention as
+    :func:`hash_sample`. An INTEGER rate never drops and never flips:
+    frac = 0 and ``hash_unit`` is never ≤ 0 by construction (its range
+    is (0, 1]), so r = 1.0 is exactly the identity and r = 2.0 exactly
+    two copies — no boundary-luck rows.
+
+    Scale shape: ``rates`` is dim-sized (one row per domain) and
+    broadcast; the corpus pass is ONE scan-side projection — hash,
+    arithmetic, ``explode(sequence(1, n_copies))`` — with no shuffle
+    and no window anywhere. Replicated output lands naturally for a
+    downstream ``global_hash_order`` pass keyed on (key, epoch).
+    Rates must be non-negative and non-NULL (raises at execution, the
+    weighted-quota convention); domains absent from ``rates`` drop via
+    the inner join — pass an explicit rate-1.0 row to keep a domain
+    untouched (silent pass-through would un-state the recipe)."""
+    reserved = {epoch_col, "__eu_rate", "__eu_n"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"epoch_upsample: input already has column(s) {clash} — "
+            "rename them or pass different output column names"
+        )
+    r = F.col(rate_col)
+    guarded = F.when(
+        r.isNull() | (r < 0),
+        F.raise_error(
+            F.lit(
+                f"epoch_upsample: NULL/negative {rate_col!r} — epoch rates "
+                "must be >= 0 (0 drops the domain explicitly)"
+            )
+        ).cast("double"),
+    ).otherwise(r.cast("double"))
+    dim = rates.select(
+        F.col(domain_col), guarded.alias("__eu_rate")
+    )
+    base = F.floor(F.col("__eu_rate")).cast("int")
+    frac = F.col("__eu_rate") - F.floor(F.col("__eu_rate"))
+    # NULL key raises (the hash_split row-preserving convention): a
+    # NULL hash would NULL the copy count and silently drop the row
+    # even at integer rates, breaking the r=1.0-is-identity contract
+    extra = F.when(
+        F.col(key).isNull(),
+        F.raise_error(
+            F.lit(
+                f"epoch_upsample: NULL {key!r} — epoch realization assigns "
+                "every row an explicit copy count; filter or impute first"
+            )
+        ).cast("int"),
+    ).otherwise((hash_unit(key) <= frac).cast("int"))
+    joined = df.join(F.broadcast(dim), domain_col)
+    n = (base + extra).alias("__eu_n")
+    return (
+        joined.select("*", n)
+        .filter(F.col("__eu_n") >= 1)
+        .select(
+            *df.columns,
+            F.explode(F.sequence(F.lit(1), F.col("__eu_n"))).alias(epoch_col),
+        )
+    )

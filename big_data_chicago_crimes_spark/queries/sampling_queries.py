@@ -744,7 +744,23 @@ _WPS_DENOM = float((1 << 48) + 1)  # hash_unit's (h+1)/(2^48+1) mapping
         SELECT 'temp_exact' AS leg, lang, doc_id, CAST(-1.0 AS DOUBLE) AS priority
         FROM ranked CROSS JOIN nm
         WHERE rk <= FLOOR(SQRT(CAST(n_min AS DOUBLE) / n_g) * CAST(n_g AS DOUBLE))
-        ORDER BY leg, lang, doc_id
+        UNION ALL
+        SELECT 'epochs' AS leg, lang, doc_id, CAST(epoch AS DOUBLE) AS priority
+        FROM (
+            SELECT lang, doc_id,
+                   CAST(FLOOR(r) AS INT) +
+                   CASE WHEN (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
+                             / {_WPS_DENOM!r} <= r - FLOOR(r)
+                        THEN 1 ELSE 0 END AS n
+            FROM (
+                SELECT doc_id, lang,
+                       CASE WHEN lang = 'en' THEN 0.3
+                            WHEN lang = 'zh' THEN 2.25
+                            ELSE 1.0 END AS r
+                FROM documents
+            )
+        ), UNNEST(generate_series(1, n)) AS t(epoch)
+        ORDER BY leg, lang, doc_id, priority
     """,
     tags=("sampling", "weighted", "a-res", "extension"),
 )
@@ -806,6 +822,36 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.lit(-1.0).alias("priority"),
     )
-    return glob.unionByName(by_lang).unionByName(temp).orderBy(
-        "leg", "lang", "doc_id"
+    # epochs leg (r16): the WITH-upsampling mixture member — the
+    # recipe "en runs 0.3 epochs, zh 2.25, everything else 1.0"
+    # realized as exact emitted copies (floor(r) + derandomized
+    # stochastic rounding), scan-side explode, no shuffle; the oracle
+    # replays every copy, so the driver hash pins exact multiplicity.
+    # priority carries the 1-based epoch index on this leg.
+    from big_data_chicago_crimes_spark.operators.sampling import epoch_upsample
+
+    rates = (
+        t.documents.select("lang")
+        .distinct()
+        .select(
+            "lang",
+            F.when(F.col("lang") == "en", F.lit(0.3))
+            .when(F.col("lang") == "zh", F.lit(2.25))
+            .otherwise(F.lit(1.0))
+            .alias("rate"),
+        )
+    )
+    ep = epoch_upsample(
+        t.documents.select("doc_id", "lang"), rates, "lang", "doc_id"
+    ).select(
+        F.lit("epochs").alias("leg"),
+        "lang",
+        "doc_id",
+        F.col("epoch").cast("double").alias("priority"),
+    )
+    return (
+        glob.unionByName(by_lang)
+        .unionByName(temp)
+        .unionByName(ep)
+        .orderBy("leg", "lang", "doc_id", "priority")
     )

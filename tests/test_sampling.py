@@ -992,3 +992,86 @@ def test_temperature_mix_exact_guards(spark):
         temperature_mix_exact(
             df, "lang", "doc_id", weight_col="w"
         ).collect()
+
+
+def test_epoch_upsample_matches_python_model(spark):
+    """Copy counts equal the independent model (floor(r) + stochastic-
+    rounding extra via the md5 unit draw), integer rates are exact
+    (identity at 1.0, exactly-two at 2.0 — no boundary-luck rows),
+    epoch indexes are 1..n, membership is repartition-stable, and
+    raising a domain's rate only ever ADDS copies."""
+    import hashlib
+
+    from big_data_chicago_crimes_spark.operators.sampling import epoch_upsample
+
+    rows = [(i, ["web", "wiki", "code"][i % 3]) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+
+    def unit(k):
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16)
+        return (h + 1) / float((1 << 48) + 1)
+
+    def model(rates):
+        out = {}
+        for i, d in rows:
+            r = rates[d]
+            n = int(r) + (1 if unit(i) <= r - int(r) else 0)
+            if n >= 1:
+                out[(d, i)] = n
+        return out
+
+    rates = {"web": 0.5, "wiki": 2.3, "code": 1.0}
+    rdf = spark.createDataFrame(list(rates.items()), "domain string, rate double")
+    got_rows = epoch_upsample(df, rdf, "domain", "doc_id").collect()
+    got = {}
+    epochs = {}
+    for r in got_rows:
+        got[(r.domain, r.doc_id)] = got.get((r.domain, r.doc_id), 0) + 1
+        epochs.setdefault((r.domain, r.doc_id), []).append(r.epoch)
+    assert got == model(rates)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in epochs.values())
+    # integer rates exact: every code row exactly once, every wiki row >= 2
+    assert all(n == 1 for (d, _), n in got.items() if d == "code")
+    assert all(n >= 2 for (d, _), n in got.items() if d == "wiki")
+    # repartition determinism
+    again = {}
+    for r in epoch_upsample(df.repartition(7), rdf, "domain", "doc_id").collect():
+        again[(r.domain, r.doc_id)] = again.get((r.domain, r.doc_id), 0) + 1
+    assert again == got
+    # monotone in rate: raising wiki 2.3 -> 2.7 only adds copies
+    rdf2 = spark.createDataFrame(
+        [("web", 0.5), ("wiki", 2.7), ("code", 1.0)], "domain string, rate double"
+    )
+    more = {}
+    for r in epoch_upsample(df, rdf2, "domain", "doc_id").collect():
+        more[(r.domain, r.doc_id)] = more.get((r.domain, r.doc_id), 0) + 1
+    assert all(more.get(k, 0) >= n for k, n in got.items())
+
+
+def test_epoch_upsample_guards(spark):
+    """Negative/NULL rates and NULL keys raise; reserved-column
+    collisions raise at build; absent domains drop via the inner join
+    (the explicit-recipe contract)."""
+    import pytest as _pytest
+
+    from big_data_chicago_crimes_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(1, "web"), (2, "niche")], "doc_id long, domain string"
+    )
+    bad = spark.createDataFrame([("web", -1.0)], "domain string, rate double")
+    with _pytest.raises(Exception, match="must be >= 0"):
+        epoch_upsample(df, bad, "domain", "doc_id").collect()
+    ok = spark.createDataFrame([("web", 1.0)], "domain string, rate double")
+    out = epoch_upsample(df, ok, "domain", "doc_id").collect()
+    assert [(r.doc_id, r.epoch) for r in out] == [(1, 1)]  # niche dropped
+    clash = df.withColumn("epoch", F.lit(1))
+    with _pytest.raises(ValueError, match="epoch"):
+        epoch_upsample(clash, ok, "domain", "doc_id")
+    nullkey = spark.createDataFrame(
+        [(None, "web")], "doc_id long, domain string"
+    )
+    with _pytest.raises(Exception, match="NULL 'doc_id'"):
+        # fractional rate so the draw is evaluated
+        half = spark.createDataFrame([("web", 0.5)], "domain string, rate double")
+        epoch_upsample(nullkey, half, "domain", "doc_id").collect()
