@@ -867,9 +867,23 @@ def _bpe_merge_fold(seq: Column, a: str, b: str) -> Column:
     )
 
 
-def _bpe_initial_seq(word: Column, eow: str) -> Column:
-    """A word's initial symbol string: ' c1 c2 … <eow> ' (one symbol
-    per character, space-delimited with sentinel spaces at both ends)."""
+def _bpe_initial_seq(word: Column, eow: str, alphabet: str = "char") -> Column:
+    """A word's initial symbol string: ' s1 s2 … <eow> ' (space-
+    delimited with sentinel spaces at both ends). ``alphabet='char'``
+    = one symbol per character; ``alphabet='byte'`` = one symbol per
+    UTF-8 byte as a lowercase hex pair (the GPT-2 byte-level
+    convention, made cross-engine exact by routing through
+    ``lower(hex(encode(word)))`` — both engines produce the identical
+    hex string for any code point, supplementary planes included)."""
+    if alphabet == "byte":
+        spaced = F.trim(
+            F.regexp_replace(
+                F.lower(F.hex(F.encode(word, "UTF-8"))), "(..)", "$1 "
+            )
+        )
+        return F.concat(F.lit(" "), spaced, F.lit(" " + eow + " "))
+    if alphabet != "char":
+        raise ValueError(f"alphabet must be 'char' or 'byte', got {alphabet!r}")
     chars = F.filter(F.split(word, ""), lambda c: c != "")
     return F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" " + eow + " "))
 
@@ -880,6 +894,7 @@ def bpe_train_merges(
     n_merges: int = 8,
     min_freq: int = 1,
     eow: str = "</w>",
+    alphabet: str = "char",
 ) -> DataFrame:
     """Train BPE merge rules over a corpus — the byte-pair-encoding
     tokenizer-training loop of Sennrich, Haddow & Birch 2016 ("Neural
@@ -924,13 +939,17 @@ def bpe_train_merges(
     spaces, so the space-delimited string state is unambiguous).
     NULL/blank texts contribute nothing.
 
-    KNOWN LIMIT — initial symbols are per UTF-16 code unit (Spark's
-    split-on-'' convention): supplementary-plane code points (emoji,
-    rare CJK extensions) split into surrogate halves in Spark but
-    into single code points in DuckDB's character split, so the
-    cross-engine replay contract holds for BMP text only (all driver
-    corpora are BMP). A byte-level initial alphabet (the GPT-2
-    convention) would make the contract universal — future work."""
+    ``alphabet``: 'char' (default — one initial symbol per character)
+    or 'byte' (the GPT-2 convention — one symbol per UTF-8 byte as a
+    lowercase hex pair). KNOWN LIMIT of the char alphabet: initial
+    symbols are per UTF-16 code unit (Spark's split-on-'' convention),
+    so supplementary-plane code points (emoji, rare CJK extensions)
+    split into surrogate halves in Spark but single code points in
+    DuckDB's character split — the cross-engine replay contract holds
+    for BMP text only there (all driver corpora are BMP). The BYTE
+    alphabet has no such limit: both engines route through
+    ``lower(hex(encode(word)))``, identical for every code point, so
+    its replay contract is universal (parity-tested on emoji)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if min_freq < 1:
@@ -945,7 +964,7 @@ def bpe_train_merges(
     vocab = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__cnt"))
     seqs = vocab.select(
         F.col("__cnt"),
-        _bpe_initial_seq(F.col("__w"), eow).alias("__seq"),
+        _bpe_initial_seq(F.col("__w"), eow, alphabet).alias("__seq"),
     ).persist()
 
     # adjacent symbol pairs; guarded for fully-merged one-symbol words
@@ -1000,6 +1019,7 @@ def bpe_encode_counts(
     text_col: str = "text",
     group_cols: list[str] | None = None,
     eow: str = "</w>",
+    alphabet: str = "char",
 ) -> DataFrame:
     """ENCODE with learned BPE rules: the per-group subword-token
     census after applying ``rules`` (the (lhs, rhs) pairs of
@@ -1026,7 +1046,7 @@ def bpe_encode_counts(
         *gcols, F.explode(tokens(text_col)).alias("__w")
     ).filter(F.col("__w") != "")
     vocab = words.groupBy(*gcols, "__w").agg(F.count(F.lit(1)).alias("__cnt"))
-    seq = _bpe_initial_seq(F.col("__w"), eow)
+    seq = _bpe_initial_seq(F.col("__w"), eow, alphabet)
     for a, b in rules:
         seq = _bpe_merge_fold(seq, a, b)
     n_sym = F.size(F.split(F.trim(seq), " "))

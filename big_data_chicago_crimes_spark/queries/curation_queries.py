@@ -321,7 +321,9 @@ def bigram_perplexity_legs(scored: DataFrame) -> DataFrame:
     return src.unionByName(tail).orderBy("leg", "key")
 
 
-def bpe_oracle_sql(n_merges: int, eow: str = "</w>") -> str:
+def bpe_oracle_sql(
+    n_merges: int, eow: str = "</w>", alphabet: str = "char"
+) -> str:
     """The full ITERATIVE BPE training replayed in SQL: an unrolled CTE
     chain, one (pairs → best → fold) stage per merge step. Each stage's
     winner is computed in SQL (max summed freq, (lhs, rhs) binary-order
@@ -336,6 +338,17 @@ def bpe_oracle_sql(n_merges: int, eow: str = "</w>") -> str:
     training state s{n} (the vocabulary carries lang through the
     chain — grouping s0 by (lang, word) leaves every pair sum and
     every fold identical, since pair counts only ever SUM cnt)."""
+    if alphabet == "byte":
+        # GPT-2 byte-level initial alphabet: lowercase hex pairs —
+        # lower(hex(encode(w))) is identical in both engines for every
+        # code point, making this variant's replay contract universal
+        sym_expr = (
+            "trim(regexp_replace(lower(hex(encode(w))), '(..)', '\\1 ', 'g'))"
+        )
+    elif alphabet == "char":
+        sym_expr = "array_to_string(string_split_regex(w, ''), ' ')"
+    else:
+        raise ValueError(f"alphabet must be 'char' or 'byte', got {alphabet!r}")
     stages = []
     finals = []
     for k in range(1, n_merges + 1):
@@ -373,7 +386,7 @@ def bpe_oracle_sql(n_merges: int, eow: str = "</w>") -> str:
             FROM documents WHERE text IS NOT NULL
         ), s0 AS (
             SELECT lang, COUNT(*) AS cnt,
-                   ' ' || array_to_string(string_split_regex(w, ''), ' ')
+                   ' ' || {sym_expr}
                        || ' {eow} ' AS seq
             FROM words WHERE w <> '' GROUP BY lang, w
         ),{chain}

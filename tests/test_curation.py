@@ -656,3 +656,85 @@ def test_bpe_encode_counts_matches_reference_model(spark):
     assert trained == rules
     with _pytest.raises(ValueError, match="rules"):
         bpe_encode_counts(df, [], "text")
+
+
+def test_bpe_byte_alphabet_universal_parity_on_emoji(spark):
+    """The byte-level alphabet closes the char alphabet's documented
+    non-BMP limit: on an emoji/accents corpus (supplementary-plane code
+    points), Spark training matches BOTH the independent byte-level
+    Python model AND the DuckDB oracle replay — the universal
+    cross-engine contract the char alphabet cannot give (Spark splits
+    a non-BMP char into surrogate halves; DuckDB does not)."""
+    import duckdb
+
+    from big_data_chicago_crimes_spark.operators.curation import bpe_train_merges
+    from big_data_chicago_crimes_spark.queries.curation_queries import (
+        bpe_oracle_sql,
+    )
+
+    texts = [
+        ("en", "héllo🙂 héllo🙂 héllo world🙂"),
+        ("en", "héllo world world🙂 naïve"),
+        ("fr", "naïve naïve héllo🙂"),
+    ]
+    df = spark.createDataFrame(texts, "lang string, text string")
+
+    # independent byte-level reference model
+    def ref(texts, n):
+        from collections import Counter
+
+        vocab = Counter()
+        for _, t in texts:
+            for w in t.split():
+                vocab[w] += 1
+        seqs = [
+            ([f"{b:02x}" for b in w.encode("utf-8")] + ["</w>"], c)
+            for w, c in vocab.items()
+        ]
+        merges = []
+        for step in range(1, n + 1):
+            pc = Counter()
+            for syms, c in seqs:
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += c
+            if not pc:
+                break
+            (a, b), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            merges.append((step, a, b, a + b, f))
+            nxt = []
+            for syms, c in seqs:
+                out = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                nxt.append((out, c))
+            seqs = nxt
+        return merges
+
+    got = [
+        (r.step, r.lhs, r.rhs, r.merged, r.freq)
+        for r in bpe_train_merges(df, "text", n_merges=8, alphabet="byte")
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == ref(texts, 8)
+
+    # full DuckDB oracle replay on the same corpus (merge leg only)
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        __import__("pandas").DataFrame(texts, columns=["lang", "text"]),
+    )
+    od = con.execute(bpe_oracle_sql(8, alphabet="byte")).df()
+    merge_rows = od[od["leg"] == "merge"]
+    oracle = [
+        (int(r.step), r.lhs, r.rhs, r.merged, int(r.freq))
+        for r in merge_rows.itertuples()
+    ]
+    assert oracle == got
+    # sanity: the learned symbols are hex-pair concatenations / eow
+    assert all(
+        set(l) <= set("0123456789abcdef") or l == "</w>" for _, l, _, _, _ in got
+    )
