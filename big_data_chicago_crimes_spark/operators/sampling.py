@@ -1252,8 +1252,26 @@ def epoch_upsample(
             )
         ).cast("double"),
     ).otherwise(r.cast("double"))
+    # duplicate domain rows in ``rates`` would silently MULTIPLY every
+    # row's copy count through the join — raise instead (lazy window
+    # over the dim-sized frame, no eager action)
+    from pyspark.sql import Window
+
+    dup = F.count(F.lit(1)).over(Window.partitionBy(domain_col))
     dim = rates.select(
-        F.col(domain_col), guarded.alias("__eu_rate")
+        F.col(domain_col),
+        F.when(
+            dup > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("epoch_upsample: duplicate rate rows for domain "),
+                    F.col(domain_col).cast("string"),
+                    F.lit(" — one rate per domain; aggregate your recipe first"),
+                )
+            ).cast("double"),
+        )
+        .otherwise(guarded)
+        .alias("__eu_rate"),
     )
     base = F.floor(F.col("__eu_rate")).cast("int")
     frac = F.col("__eu_rate") - F.floor(F.col("__eu_rate"))

@@ -1075,3 +1075,18 @@ def test_epoch_upsample_guards(spark):
         # fractional rate so the draw is evaluated
         half = spark.createDataFrame([("web", 0.5)], "domain string, rate double")
         epoch_upsample(nullkey, half, "domain", "doc_id").collect()
+
+
+def test_epoch_upsample_rejects_duplicate_rate_rows(spark):
+    """Two rate rows for one domain would silently multiply every
+    row's copy count through the join — the guard raises instead."""
+    import pytest as _pytest
+
+    from big_data_chicago_crimes_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame([(1, "web")], "doc_id long, domain string")
+    dup = spark.createDataFrame(
+        [("web", 1.0), ("web", 2.0)], "domain string, rate double"
+    )
+    with _pytest.raises(Exception, match="duplicate rate rows"):
+        epoch_upsample(df, dup, "domain", "doc_id").collect()
