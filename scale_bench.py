@@ -110,6 +110,12 @@ SUITE = {
         "docs_sequence_packing",
         "docs_chunk_windows",
         "docs_chunk_pack",
+        # r16: distributed BPE merge training + encode census — the
+        # scale claim under test is that the merge LOOP iterates on the
+        # vocabulary-sized pair table (corpus passes are the one word
+        # census in, one encode pass out), so 10× corpus ≈ scan cost,
+        # not 10× per iteration
+        "docs_bpe_merges",
     ],
     # r7 continuation: the data-mixing/ordering recipes — per-domain
     # quota capping (histogram-bounded exact rank), temperature-flattened
