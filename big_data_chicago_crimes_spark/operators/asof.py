@@ -40,6 +40,17 @@ def asof_join(
     ``right_vals`` column ``v``, a ``v_asof`` column from the matched
     right row (and ``{right_ts}_asof`` for the matched timestamp)."""
     carried = [right_ts, *right_vals]
+    # Reserved-name guard (the cms_estimate convention): a left column
+    # named __side/__ets or matching an *_asof output would merge through
+    # unionByName into the forward-fill chain — left values would
+    # masquerade as right-side fills, a silent wrong answer. Raise loudly.
+    reserved = {"__side", "__ets"} | {f"{c}_asof" for c in carried}
+    clash = sorted(reserved & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns collide with reserved names {clash} — "
+            "rename them before joining"
+        )
     l_tagged = left.withColumn("__side", F.lit(1)).withColumn("__ets", F.col(left_ts))
     # A NULL right_ts can satisfy "largest ts <= left_ts" for NO left
     # row, but the window sorts NULLs FIRST — an unfiltered NULL-ts
@@ -78,6 +89,7 @@ def range_join(
     start_col: str,
     end_col: str,
     bucket_width: float,
+    max_replication: int = 10_000,
 ) -> DataFrame:
     """Point-in-interval join: each point row matched to every interval
     with start ≤ point < end. Inner semantics only: the exact inequality
@@ -91,7 +103,21 @@ def range_join(
     EQUI-join on bucket (hash-partitionable, AQE-optimizable) followed
     by the exact inequality filter. Interval replication factor is
     len/w + 1 — pick ``bucket_width`` near the typical interval length.
+
+    ``max_replication`` bounds the per-interval explode: ONE interval
+    spanning len/w ≫ typical (a sentinel end-date, a corrupt bound, a
+    mis-chosen width) would replicate into millions of rows and OOM an
+    executor with nothing in the error naming the cause. The guard is a
+    per-row codegen branch that raises loudly with the offending span
+    size instead (r16 relational-core sweep).
     """
+    reserved_clash = sorted(
+        {"__bucket"} & (set(points.columns) | set(intervals.columns))
+    )
+    if reserved_clash:
+        raise ValueError(
+            f"range_join: input columns collide with reserved {reserved_clash}"
+        )
     p = points.withColumn(
         "__bucket", F.floor(F.col(point_col) / bucket_width).cast("long")
     )
@@ -101,13 +127,26 @@ def range_join(
     # interval would otherwise replicate across every bucket it spans in
     # the wrong direction (an unbounded blow-up the residual filter only
     # pays for, never surfaces; r14 join-spine review).
+    b_lo = F.floor(F.col(start_col) / bucket_width).cast("long")
+    b_hi = F.floor(F.col(end_col) / bucket_width).cast("long")
+    n_buckets = b_hi - b_lo + F.lit(1)
     iv = intervals.filter(F.col(start_col) < F.col(end_col)).withColumn(
         "__bucket",
         F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / bucket_width).cast("long"),
-                F.floor(F.col(end_col) / bucket_width).cast("long"),
-            )
+            F.when(
+                n_buckets > max_replication,
+                F.raise_error(
+                    F.concat(
+                        F.lit("range_join: one interval spans "),
+                        n_buckets.cast("string"),
+                        F.lit(
+                            f" buckets > max_replication={max_replication} "
+                            f"(bucket_width={bucket_width}) — widen the "
+                            "buckets, clamp the interval, or raise the cap"
+                        ),
+                    )
+                ).cast("array<bigint>"),
+            ).otherwise(F.sequence(b_lo, b_hi))
         ),
     )
     joined = p.join(iv, "__bucket", "inner").drop("__bucket")

@@ -64,6 +64,12 @@ def salted_join(
             "dim replication; right/full outer would emit one null-extended "
             "row per salt replica for every unmatched dim row"
         )
+    clash = sorted({"__salt"} & (set(fact.columns) | set(dim.columns)))
+    if clash:
+        raise ValueError(
+            "salted_join: input columns collide with reserved '__salt' — "
+            "it would be silently overwritten and then dropped"
+        )
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(buckets)).cast("int")
     )

@@ -85,6 +85,11 @@ def top_k_per_group(
 ) -> DataFrame:
     """Top-k rows per group via row_number ≤ k (the canonical Spark
     top-k-per-group: one shuffle on the partition keys, no global sort)."""
+    if "__rn" in df.columns:
+        raise ValueError(
+            "top_k_per_group: input column '__rn' collides with the "
+            "reserved rank column — it would be silently dropped"
+        )
     ranked = rank_within(df, partition_by, order_by, "row_number", "__rn")
     return ranked.filter(F.col("__rn") <= k).drop("__rn")
 

@@ -133,3 +133,54 @@ def test_range_join_reversed_interval_matches_nothing_without_explosion(spark):
         for r in range_join(points, intervals, "p", "s", "e", 10.0).collect()
     }
     assert got == {(5.0, "ok")}
+
+
+def test_asof_join_rejects_reserved_left_columns(spark):
+    """A left column named __side/__ets or matching an *_asof output
+    would merge through unionByName into the forward-fill chain (left
+    values masquerading as right fills) — must raise, not corrupt."""
+    import pytest
+
+    from big_data_chicago_crimes_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame([(1, 1.0, 2.0)], "k int, rts double, v double")
+    for bad in ("__side", "__ets", "v_asof"):
+        left = spark.createDataFrame([(1, 5.0, 0.0)], f"k int, lts double, {bad} double")
+        with pytest.raises(ValueError, match="asof_join.*reserved"):
+            asof_join(left, right, "k", "lts", "rts", ["v"])
+
+
+def test_range_join_raises_on_unbounded_replication(spark):
+    """One interval spanning len/width >> typical (sentinel end-date,
+    corrupt bound) must raise loudly with the span size in the message,
+    not silently explode into millions of bucket replicas."""
+    import pytest
+
+    from big_data_chicago_crimes_spark.operators.asof import range_join
+
+    points = spark.createDataFrame([(5.0,)], "p double")
+    intervals = spark.createDataFrame(
+        [(0.0, 10.0), (0.0, 500.0)], "s double, e double"
+    )
+    with pytest.raises(Exception, match="max_replication"):
+        range_join(points, intervals, "p", "s", "e", 1.0, max_replication=100).collect()
+    # under the cap the same data works and the guard costs nothing
+    ok = range_join(points, intervals, "p", "s", "e", 1.0, max_replication=10_000)
+    assert ok.count() == 2
+
+
+def test_salted_and_topk_reject_reserved_columns(spark):
+    import pytest
+
+    from big_data_chicago_crimes_spark.operators.skew import salted_join
+    from big_data_chicago_crimes_spark.operators.windows import top_k_per_group
+
+    fact = spark.createDataFrame([(1, 0)], "k int, __salt int")
+    dim = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="salted_join.*__salt"):
+        salted_join(fact, dim, "k")
+    with pytest.raises(ValueError, match="salted_join.*__salt"):
+        salted_join(dim, fact, "k")
+    df = spark.createDataFrame([(1, 2, 3)], "g int, v int, __rn int")
+    with pytest.raises(ValueError, match="top_k_per_group.*__rn"):
+        top_k_per_group(df, ["g"], [F.col("v").desc()], 1)
