@@ -168,6 +168,56 @@ def cms_estimate(
     )
 
 
+def cms_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame, name: str = "join_size_est"
+) -> DataFrame:
+    """Equi-join SIZE estimation from two stored sketches (Cormode &
+    Muthukrishnan 2005 §4.2): the inner product a·b = Σ_x f_a(x)·f_b(x)
+    — which IS |A ⋈ B| for an equi-join on x — estimated as
+    ``min over rows r of Σ_w a[r,w]·b[r,w]``.
+
+    Never undercounts (every x contributes f_a(x)·f_b(x) to its own
+    bucket's product; collisions only ADD non-negative cross-terms) and
+    overcounts by at most ``‖a‖₁·‖b‖₁ / width`` per row with probability
+    ``1 - 2^-depth`` — the planner-side primitive for answering "how big
+    would this join be?" at 100 TB WITHOUT running the join or
+    re-reading either input: both operands are stored ``(row, bucket,
+    c)`` tables of ≤ depth × width cells, so the estimate costs one
+    broadcast join of two dim-sized frames, independent of data size.
+    Both sketches must share depth/width/salt (the cms_build defaults).
+
+    Per-row dots are computed over sketch_a's row universe with absent
+    intersections coalesced to 0 — a row whose buckets never overlap
+    yields dot 0 and MUST participate in the min (the estimate is 0:
+    disjoint key sets), which an inner-join-then-min would silently
+    skip. Empty sketch_a (built from an empty/all-NULL input) returns
+    est 0 via the same coalesce, not an empty frame.
+    """
+    per_row = (
+        sketch_a.select(
+            F.col("row"), F.col("bucket"), F.col("c").alias("__cms_ca")
+        )
+        .join(
+            F.broadcast(
+                sketch_b.select(
+                    F.col("row"), F.col("bucket"), F.col("c").alias("__cms_cb")
+                )
+            ),
+            ["row", "bucket"],
+            "left",
+        )
+        .groupBy("row")
+        .agg(
+            F.sum(F.col("__cms_ca") * F.coalesce(F.col("__cms_cb"), F.lit(0))).alias(
+                "__cms_dot"
+            )
+        )
+    )
+    return per_row.agg(
+        F.coalesce(F.min("__cms_dot"), F.lit(0)).cast("bigint").alias(name)
+    )
+
+
 # --- HyperLogLog ---------------------------------------------------------
 #
 # Hashing follows the CMS convention: md5-derived (first 12 hex chars →

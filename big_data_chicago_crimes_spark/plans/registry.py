@@ -84,6 +84,26 @@ REGISTRY: dict[str, Query] = {}
 # - ``docs_token_surface`` / ``docs_quality_surface``: the two r16
 #   funding merges — never sampled under the merged names; every leg
 #   is an r14-green plan (plus the by_source leg's ratio columns).
+# R17 SLOT PLAN (recorded r16, the weighted_priority_sample pattern):
+# ``events_join_size_cms`` — cms_inner_product (operators/sketches.py,
+# landed r16 pytest-proven: Cormode–Muthukrishnan §4.2 equi-join SIZE
+# estimation from two STORED sketches, min-over-rows of per-row bucket
+# dot products; never undercounts, exact-when-wide and
+# disjoint/empty-input edge cases model-tested). Driver row shape: two
+# legs over events user_id multisets — 'purchase_x_error' (cross join
+# size) and 'purchase_self' (second moment / self-join size, the AMS F2
+# use) — each as (pair, exact_join_size, cms_join_size_est,
+# never_undercounts), exact twin = SUM(c_a*c_b) over joined per-key
+# counts; sketch deliberately undersized (width 16) so collisions are
+# organic, the docs_heavy_hitters_cms convention. Oracle replays the
+# md5-bucket geometry exactly like the heavy-hitters oracle (same
+# '0x'||substring(md5('cms'||r||'|'||k),1,8) cell hash) plus
+# LEFT-JOIN-per-row dots with COALESCE(c,0) — the operator computes
+# dots over sketch_a's row universe so a zero-overlap row participates
+# in the min. NOT registered this round: the never-sampled tripwire
+# would force it into the r16 window after that window was executed
+# and stamped; register at the r17 rotation, funded by merge if slots
+# are tight.
 # In-round additions are funded by the established pair-merge pattern
 # (merge two queries ALREADY inside this window into one result that
 # certifies both operators — precedent purchaser_error_overlap —

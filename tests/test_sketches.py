@@ -365,3 +365,49 @@ def test_hll_overlap_estimate_inclusion_exclusion(spark):
     assert 250 < ov < 750, got["g"]
     assert got["d"][3] < 120, got["d"]  # near-0 overlap (clamped at 0 floor)
     assert got["only_a"][1] == 0.0 and got["only_a"][3] == 0.0
+
+
+def test_cms_inner_product_estimates_join_size(spark):
+    """a·b = sum_x fa(x)*fb(x) is the equi-join output size; the CMS
+    estimate is min-of-per-row bucket dot products. Never undercounts;
+    exact when the sketch is wide enough that no buckets collide."""
+    from big_data_chicago_crimes_spark.operators.sketches import cms_inner_product
+
+    a_rows = [("u1",)] * 3 + [("u2",)] * 2 + [("u3",)] * 1
+    b_rows = [("u1",)] * 4 + [("u2",)] * 5 + [("u4",)] * 7
+    exact = 3 * 4 + 2 * 5  # u3/u4 unmatched
+    a = spark.createDataFrame(a_rows, "k string")
+    b = spark.createDataFrame(b_rows, "k string")
+
+    wide = cms_inner_product(
+        cms_build(a, "k", depth=4, width=4096),
+        cms_build(b, "k", depth=4, width=4096),
+    ).collect()[0][0]
+    assert wide == exact
+
+    narrow = cms_inner_product(
+        cms_build(a, "k", depth=4, width=2), cms_build(b, "k", depth=4, width=2)
+    ).collect()[0][0]
+    assert narrow >= exact  # collisions only ADD non-negative cross-terms
+
+
+def test_cms_inner_product_disjoint_and_empty(spark):
+    """A sketch row with zero bucket overlap must contribute dot 0 to
+    the min (disjoint key sets estimate 0) — an inner-join-then-min
+    would silently skip it. Empty input estimates 0, not empty frame."""
+    from big_data_chicago_crimes_spark.operators.sketches import cms_inner_product
+
+    a = spark.createDataFrame([("x1",), ("x2",)], "k string")
+    b = spark.createDataFrame([("y1",), ("y2",)], "k string")
+    est = cms_inner_product(
+        cms_build(a, "k", depth=4, width=4096),
+        cms_build(b, "k", depth=4, width=4096),
+    ).collect()[0][0]
+    assert est == 0
+
+    empty = spark.createDataFrame([], "k string")
+    est0 = cms_inner_product(
+        cms_build(empty, "k", depth=4, width=16),
+        cms_build(b, "k", depth=4, width=16),
+    ).collect()[0][0]
+    assert est0 == 0
