@@ -193,8 +193,10 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # exactly 2 rounds old (the staleness contract's limit), so PIN IT
     # FIRST at the r17 rotation alongside lineitem_zorder_box_scan.
     # Bench/scale economics are untouched this round (the adopted r16
-    # stamp predates the row; bench.py HEADLINE + scale_bench SUITE
-    # gain docs_bpe_merges at r17 — recorded plan).
+    # stamp predates the row; bench.py HEADLINE gains docs_bpe_merges
+    # at r17 — recorded plan). The scale_bench SUITE half executed
+    # EARLY (late r16): measured 1.27× at the 10× tier, amended into
+    # BENCH_SCALE.json, and added to the SUITE.
     # EXECUTED EARLY (r16): the planned ``docs_hybrid_search``
     # 'ce_batch' legs landed this round — two queries share ONE
     # lexical-recall pass (both term-set counts in one groupBy; the
