@@ -8,13 +8,17 @@ the LARGEST right_ts ≤ left_ts.
 Implementation is the scalable union+window composition, not a range
 join and not a per-group ``pd.merge_asof``:
 
-1. tag both sides and union by name (right contributes only key, ts,
-   carried value columns);
-2. one window per key ordered by (ts, side) — right rows sort BEFORE
-   left rows at equal timestamps, giving ≤ (not <) semantics;
-3. ``last(value, ignorenulls=True)`` over an unbounded-preceding frame
-   forward-fills each right value onto subsequent left rows;
-4. keep left rows; inner variant drops unmatched.
+1. tag both sides and union by name (right contributes key, ts, and
+   ONE struct packing all carried value columns);
+2. one window per key ordered by (ts, side, content-hash tie-break) —
+   right rows sort BEFORE left rows at equal timestamps, giving ≤
+   (not <) semantics; equal-(key, ts) right rows resolve
+   deterministically by largest value-hash;
+3. ``last(struct, ignorenulls=True)`` over an unbounded-preceding frame
+   forward-fills each matched right ROW atomically onto subsequent left
+   rows (per-column fills could mix columns across right rows whenever
+   a carried value is NULL);
+4. keep left rows, unpack the struct; inner variant drops unmatched.
 
 Cost: ONE shuffle on the key (the same partitioning both inputs would
 need anyway) + a per-partition sort — no row explosion, no skewed range
@@ -41,10 +45,10 @@ def asof_join(
     right row (and ``{right_ts}_asof`` for the matched timestamp)."""
     carried = [right_ts, *right_vals]
     # Reserved-name guard (the cms_estimate convention): a left column
-    # named __side/__ets or matching an *_asof output would merge through
-    # unionByName into the forward-fill chain — left values would
-    # masquerade as right-side fills, a silent wrong answer. Raise loudly.
-    reserved = {"__side", "__ets"} | {f"{c}_asof" for c in carried}
+    # named __side/__ets/__vals/__tb or matching an *_asof output would
+    # merge through unionByName into the forward-fill chain — left values
+    # would masquerade as right-side fills, a silent wrong answer. Raise.
+    reserved = {"__side", "__ets", "__vals", "__tb"} | {f"{c}_asof" for c in carried}
     clash = sorted(reserved & set(left.columns))
     if clash:
         raise ValueError(
@@ -59,24 +63,41 @@ def asof_join(
     # r14 join-spine review). NULL LEFT ts rows also sort before every
     # (filtered) right row, so they surface unmatched — consistent with
     # "no right row <= NULL" and with merge_asof's treatment.
-    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
-        F.col(key),
-        F.col(right_ts).alias("__ets"),
-        *[F.col(c).alias(f"{c}_asof") for c in carried],
-    ).withColumn("__side", F.lit(0))
+    #
+    # Carried values ride in ONE struct filled atomically (r16 sweep):
+    # per-column last(ignorenulls) fills could MIX columns from different
+    # right rows whenever a carried value is NULL — for right rows
+    # (ts=5, a=1, b=NULL), (ts=3, a=NULL, b=9), a left row at ts=6
+    # filled (a=1, b=9): values from two different matched rows, where
+    # the as-of match is by definition ONE row (a=1, b=NULL from ts=5).
+    # The struct is non-null for every right row (a struct OF nulls is
+    # not null), so ignorenulls skips exactly the left rows.
+    r_tagged = (
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
+            F.col(key),
+            F.col(right_ts).alias("__ets"),
+            F.struct(*[F.col(c).alias(f"{c}_asof") for c in carried]).alias("__vals"),
+        )
+        # Equal-(key, ts) right rows previously filled in partition
+        # order — nondeterministic under retry/repartition. Tie-break on
+        # a content hash: the largest md5(to_json(vals)) row wins,
+        # deterministically and engine-replayably.
+        .withColumn("__tb", F.md5(F.to_json(F.col("__vals"))))
+        .withColumn("__side", F.lit(0))
+    )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ets"), F.col("__side"))
+        .orderBy(F.col("__ets"), F.col("__side"), F.col("__tb"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned
-    for c in carried:
-        filled = filled.withColumn(
-            f"{c}_asof", F.last(f"{c}_asof", ignorenulls=True).over(w)
-        )
-    out = filled.filter(F.col("__side") == 1).drop("__side", "__ets")
+    filled = unioned.withColumn("__vals", F.last("__vals", ignorenulls=True).over(w))
+    out = filled.filter(F.col("__side") == 1).select(
+        *left.columns,
+        *[F.col(f"__vals.{c}_asof").alias(f"{c}_asof") for c in carried],
+    )
     if how == "inner":
         out = out.na.drop(subset=[f"{right_ts}_asof"])
     return out

@@ -180,6 +180,14 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     #   resize_media the positive-target guard in the r16 bonus sweep —
     #   output-identical on valid fixtures (re-verified exact at
     #   sf0.01), but the builder changed; pin at r17.
+    # - ``asof_join_surface``: asof_join rebuilt in the late-r16
+    #   relational sweep — carried values now fill as ONE struct
+    #   atomically (per-column last(ignorenulls) could mix columns from
+    #   DIFFERENT right rows when a carried value was NULL) with a
+    #   content-hash tie-break for equal-(key, ts) right rows.
+    #   Output-identical on the dup-free NULL-carried-free fixture
+    #   (re-verified exact at sf0.01), but the builder changed; pin at
+    #   the r17 rotation.
     # Audited no-pin: the r16 batch rerank (4b2e0b3) is insertion-only
     # (cross_encoder_rerank itself unchanged ⇒ docs_hybrid_search
     # builder unchanged); the r16 stateful NaT fix touches

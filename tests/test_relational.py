@@ -184,3 +184,43 @@ def test_salted_and_topk_reject_reserved_columns(spark):
     df = spark.createDataFrame([(1, 2, 3)], "g int, v int, __rn int")
     with pytest.raises(ValueError, match="top_k_per_group.*__rn"):
         top_k_per_group(df, ["g"], [F.col("v").desc()], 1)
+
+
+def test_asof_join_fills_matched_row_atomically_not_per_column(spark):
+    """Per-column last(ignorenulls) fills mixed columns from DIFFERENT
+    right rows whenever a carried value was NULL: with right rows
+    (ts=3, a=NULL, b=9) and (ts=5, a=1, b=NULL), a left row at ts=6
+    used to fill (a=1, b=9) — two rows' values where the as-of match is
+    ONE row. The struct fill returns (a=1, b=NULL) from ts=5 (r16 sweep)."""
+    from big_data_chicago_crimes_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 6.0)], "k int, lts double")
+    right = spark.createDataFrame(
+        [(1, 3.0, None, 9.0), (1, 5.0, 1.0, None)],
+        "k int, rts double, a double, b double",
+    )
+    row = asof_join(left, right, "k", "lts", "rts", ["a", "b"], how="left").collect()[0]
+    assert row["rts_asof"] == 5.0
+    assert row["a_asof"] == 1.0
+    assert row["b_asof"] is None  # NOT 9.0 from the ts=3 row
+
+
+def test_asof_join_equal_ts_right_rows_resolve_deterministically(spark):
+    """Two right rows at the same (key, ts) used to fill in partition
+    order — retry/repartition-unstable. The content-hash tie-break picks
+    one deterministically, invariant under input partitioning."""
+    from big_data_chicago_crimes_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10.0)], "k int, lts double")
+    rows = [(1, 5.0, 100.0), (1, 5.0, 200.0), (1, 5.0, 300.0)]
+    got = set()
+    for nparts in (1, 2, 3):
+        right = spark.createDataFrame(rows, "k int, rts double, v double").repartition(
+            nparts
+        )
+        got.add(
+            asof_join(left, right, "k", "lts", "rts", ["v"]).collect()[0]["v_asof"]
+        )
+    rev = spark.createDataFrame(rows[::-1], "k int, rts double, v double")
+    got.add(asof_join(left, rev, "k", "lts", "rts", ["v"]).collect()[0]["v_asof"])
+    assert len(got) == 1, f"fill varied with partitioning/order: {got}"
