@@ -183,11 +183,13 @@ CERTIFICATION_PRIORITY: tuple[str, ...] = (
     # - ``asof_join_surface``: asof_join rebuilt in the late-r16
     #   relational sweep — carried values now fill as ONE struct
     #   atomically (per-column last(ignorenulls) could mix columns from
-    #   DIFFERENT right rows when a carried value was NULL) with a
-    #   content-hash tie-break for equal-(key, ts) right rows.
+    #   DIFFERENT right rows when a carried value was NULL), with the
+    #   struct itself as the equal-(key, ts) tie-break (greatest
+    #   carried-value tuple wins; native codegen comparison, A/B'd
+    #   cost-neutral at sf0.1 after an md5-hash variant measured +30%).
     #   Output-identical on the dup-free NULL-carried-free fixture
-    #   (re-verified exact at sf0.01), but the builder changed; pin at
-    #   the r17 rotation.
+    #   (re-verified exact at sf0.01 after BOTH commits), but the
+    #   builder changed; pin at the r17 rotation.
     # Audited no-pin: the r16 batch rerank (4b2e0b3) is insertion-only
     # (cross_encoder_rerank itself unchanged ⇒ docs_hybrid_search
     # builder unchanged); the r16 stateful NaT fix touches
