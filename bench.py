@@ -53,8 +53,8 @@ HEADLINE = [
     "hourly_max_event_count",
     "orders_quarter_pivot",
     "orders_monthly_window_surface",
-    "purchase_top_users",
-    "events_type_stats_census",
+    "events_filter_topk_surface",  # r17 merge: purchase_top_users + events_not_in_filter
+    "events_type_stats_census",  # + null-census columns (former events_null_census, r17)
     "orders_temporal_bucket_surface",  # r12 merge: year_range + season legs
     # joins / TPC-H shapes
     "revenue_by_nation",
@@ -114,6 +114,8 @@ HEADLINE = [
     "docs_weighted_sample",  # derandomized A-Res weighted draw, global + grouped legs (r16)
     "docs_heavy_hitters_cms",  # count-min sketch vs exact top-15 (r13)
     "docs_domain_distinct_hll",  # mergeable HLL distinct census vs exact (r14)
+    "events_join_size_cms",  # CMS inner-product join-size estimation vs exact twin (r17)
+    "docs_bpe_merges",  # distributed BPE tokenizer training, vocab-sized iterations (r16; added per the recorded r17 plan)
     "docs_bigram_perplexity",  # interpolated-bigram LM scoring (r13)
     "docs_temperature_mix",  # sqrt-rate mixture flattening
     "docs_chunk_windows",  # sliding token-window fan-out

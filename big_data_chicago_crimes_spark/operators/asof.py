@@ -13,7 +13,10 @@ join and not a per-group ``pd.merge_asof``:
 2. one window per key ordered by (ts, side, carried-value struct) —
    right rows sort BEFORE left rows at equal timestamps, giving ≤
    (not <) semantics; equal-(key, ts) right rows resolve
-   deterministically to the greatest carried-value tuple;
+   deterministically to the greatest carried-value tuple (carried
+   columns of non-orderable types — maps, or structs containing
+   maps — drop the struct from the ordering and keep (ts, side)
+   only, trading that one determinism guarantee for generality);
 3. ``last(struct, ignorenulls=True)`` over an unbounded-preceding frame
    forward-fills each matched right ROW atomically onto subsequent left
    rows (per-column fills could mix columns across right rows whenever
@@ -29,6 +32,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _is_orderable(dt: T.DataType) -> bool:
+    """Whether Spark can sort on a column of this type: maps are not
+    orderable (analysis error under ORDER BY), arrays/structs are
+    orderable iff their element/field types are."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _is_orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_is_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -90,9 +107,22 @@ def asof_join(
     # meaningful — the greatest carried-value tuple wins. Left rows
     # carry a NULL struct but __side already orders them after every
     # equal-ts right row.
+    #
+    # The struct tie-break requires every carried column to be of an
+    # ORDERABLE type (ADVICE r16): a map-typed carried column (or a
+    # struct containing one) fails at analysis under ORDER BY. Such
+    # columns fall back to (ts, side)-only ordering — matching is still
+    # correct and the fill is still one atomic struct; only the choice
+    # AMONG exactly-duplicate-(key, ts) right rows reverts to partition
+    # order (nondeterministic under retry ONLY for that degenerate
+    # input shape, the pre-r16 behavior for all inputs).
+    order_cols = [F.col("__ets"), F.col("__side")]
+    vals_type = r_tagged.schema["__vals"].dataType
+    if _is_orderable(vals_type):
+        order_cols.append(F.col("__vals"))
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ets"), F.col("__side"), F.col("__vals"))
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.withColumn("__vals", F.last("__vals", ignorenulls=True).over(w))

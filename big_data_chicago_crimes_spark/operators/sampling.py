@@ -1202,6 +1202,7 @@ def epoch_upsample(
     key: str,
     rate_col: str = "rate",
     epoch_col: str = "epoch",
+    max_rate: float = 100.0,
 ) -> DataFrame:
     """Deterministic WITH-upsampling mixture realization — the family
     member the no-upsampling contract deliberately excludes from its
@@ -1234,7 +1235,14 @@ def epoch_upsample(
     Rates must be non-negative and non-NULL (raises at execution, the
     weighted-quota convention); domains absent from ``rates`` drop via
     the inner join — pass an explicit rate-1.0 row to keep a domain
-    untouched (silent pass-through would un-state the recipe)."""
+    untouched (silent pass-through would un-state the recipe).
+
+    ``max_rate`` bounds the per-row copy count (ADVICE r16, the
+    range_join max_replication convention): a fat-fingered rate — 225
+    where 2.25 was meant — would otherwise explode every row of that
+    domain 225× with nothing in the eventual OOM naming the cause.
+    Real recipes upsample single-digit epochs; raise the cap
+    explicitly if yours genuinely doesn't."""
     reserved = {epoch_col, "__eu_rate", "__eu_n"}
     clash = sorted(reserved & set(df.columns))
     if clash:
@@ -1249,6 +1257,19 @@ def epoch_upsample(
             F.lit(
                 f"epoch_upsample: NULL/negative {rate_col!r} — epoch rates "
                 "must be >= 0 (0 drops the domain explicitly)"
+            )
+        ).cast("double"),
+    ).when(
+        r > max_rate,
+        F.raise_error(
+            F.concat(
+                F.lit(f"epoch_upsample: {rate_col!r} "),
+                r.cast("string"),
+                F.lit(
+                    f" > max_rate={max_rate} — each such row would emit "
+                    "that many copies; fix the rate or raise max_rate "
+                    "explicitly"
+                ),
             )
         ).cast("double"),
     ).otherwise(r.cast("double"))

@@ -65,7 +65,11 @@ def _row_salt(r: int) -> str:
 
 
 def cms_build(
-    df: DataFrame, item_col: str, depth: int = 4, width: int = 256
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch from one pass over ``df[item_col]`` instances:
     ``(row, bucket, c)`` with at most ``depth × width`` rows.
@@ -74,6 +78,13 @@ def cms_build(
     explode (codegen'd scalar md5s, no shuffle); the groupBy is a
     bounded hash aggregate whose map-side partials ARE the per-partition
     sketches and whose exchange IS the cell-wise sketch merge.
+
+    ``weight_col`` builds from PRE-AGGREGATED ``(item, count)`` rows
+    instead of raw instances: each row contributes ``weight_col`` (an
+    integral count, NULL-free) occurrences via SUM instead of COUNT.
+    The result is bit-identical to the instance-built sketch — the
+    scale idiom when a per-key count frame already exists (one corpus
+    pass feeds counts AND sketch, events_join_size_cms).
 
     NULL items carry no identity and are dropped — the hll_build
     contract (r15 sweep: md5(NULL) is NULL, so NULL occurrences used to
@@ -91,13 +102,19 @@ def cms_build(
             for r in range(depth)
         ]
     )
+    keep = [weight_col] if weight_col else []
+    occurrences = (
+        F.sum(F.col(weight_col)).cast("bigint")
+        if weight_col
+        else F.count(F.lit(1))
+    )
     return (
         df.filter(F.col(item_col).isNotNull())
-        .select(F.explode(cells).alias("__cell"))
+        .select(*keep, F.explode(cells).alias("__cell"))
         .groupBy(
             F.col("__cell.row").alias("row"), F.col("__cell.bucket").alias("bucket")
         )
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(occurrences.alias("c"))
     )
 
 
@@ -169,7 +186,11 @@ def cms_estimate(
 
 
 def cms_inner_product(
-    sketch_a: DataFrame, sketch_b: DataFrame, name: str = "join_size_est"
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    name: str = "join_size_est",
+    depth: int | None = None,
+    width: int | None = None,
 ) -> DataFrame:
     """Equi-join SIZE estimation from two stored sketches (Cormode &
     Muthukrishnan 2005 §4.2): the inner product a·b = Σ_x f_a(x)·f_b(x)
@@ -192,7 +213,37 @@ def cms_inner_product(
     disjoint key sets), which an inner-join-then-min would silently
     skip. Empty sketch_a (built from an empty/all-NULL input) returns
     est 0 via the same coalesce, not an empty frame.
+
+    Mismatched geometry CANNOT be detected from the stored ``(row,
+    bucket, c)`` shape alone — two sketches built with different
+    width silently join on bucket ids and return a plausible-looking
+    but meaningless estimate (ADVICE r16). Callers that know the
+    intended geometry pass ``depth``/``width``: each sketch's observed
+    cell ranges are then checked against it eagerly (one tiny agg per
+    sketch — sketches are ≤ depth × width rows by construction, but
+    this does force lazy sketch plans early; stored-sketch tables, the
+    intended operand shape, are dim-sized reads). The check is
+    necessarily one-sided: a narrower-than-claimed sketch still passes
+    (its buckets are in range), but the common fat-finger — probing a
+    width-256 sketch against a width-16 one — fails loudly.
     """
+    if depth is not None or width is not None:
+        for side, sk in (("sketch_a", sketch_a), ("sketch_b", sketch_b)):
+            row = sk.agg(
+                F.max("row").alias("max_row"), F.max("bucket").alias("max_bucket")
+            ).first()
+            if row is None or row["max_row"] is None:
+                continue  # empty sketch: nothing to validate
+            if depth is not None and row["max_row"] >= depth:
+                raise ValueError(
+                    f"cms_inner_product: {side} has row {row['max_row']} "
+                    f">= declared depth {depth} — geometry mismatch"
+                )
+            if width is not None and row["max_bucket"] >= width:
+                raise ValueError(
+                    f"cms_inner_product: {side} has bucket {row['max_bucket']} "
+                    f">= declared width {width} — geometry mismatch"
+                )
     per_row = (
         sketch_a.select(
             F.col("row"), F.col("bucket"), F.col("c").alias("__cms_ca")

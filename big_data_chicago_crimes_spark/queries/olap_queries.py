@@ -612,3 +612,161 @@ def nation_balance_window_surface(spark, sf_dir):
         )
         .orderBy("n_name", "quartile")
     )
+
+
+@register(
+    "events_join_size_cms",
+    # The r16-recorded slot plan (registry.py r16 notes) executed:
+    # cms_inner_product (operators/sketches.py, Cormode & Muthukrishnan
+    # 2005 §4.2) certified on events user_id multisets. Sketch
+    # deliberately undersized (depth 4 × width 16 vs 150 distinct
+    # users) so bucket collisions — the thing the min-over-rows
+    # estimate exists to survive — occur organically and the hash pins
+    # REAL overestimates, the docs_heavy_hitters_cms convention.
+    # Production sizing is width ≈ 2/ε; the plan shape is identical at
+    # any width. Funded by the r17 pair-merges
+    # (events_type_stats_census + null census,
+    # events_filter_topk_surface).
+    oracle="""
+        WITH pe AS (
+            SELECT event_type, user_id, COUNT(*) AS c
+            FROM events
+            WHERE event_type IN ('purchase', 'error') AND user_id IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        rows_r AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        sk AS (
+            SELECT event_type, r,
+                   ('0x' || substring(md5('cms' || CAST(r AS VARCHAR) || '|'
+                                          || CAST(user_id AS VARCHAR)),
+                                      1, 8))::BIGINT % 16 AS bucket,
+                   CAST(SUM(c) AS BIGINT) AS c
+            FROM pe CROSS JOIN rows_r
+            GROUP BY 1, 2, 3
+        ),
+        sp AS (SELECT r, bucket, c FROM sk WHERE event_type = 'purchase'),
+        se AS (SELECT r, bucket, c FROM sk WHERE event_type = 'error'),
+        est_cross AS (
+            SELECT CAST(COALESCE(MIN(dot), 0) AS BIGINT) AS est FROM (
+                SELECT a.r, SUM(a.c * COALESCE(b.c, 0)) AS dot
+                FROM sp a LEFT JOIN se b ON a.r = b.r AND a.bucket = b.bucket
+                GROUP BY a.r)
+        ),
+        est_self AS (
+            SELECT CAST(COALESCE(MIN(dot), 0) AS BIGINT) AS est FROM (
+                SELECT a.r, SUM(a.c * COALESCE(b.c, 0)) AS dot
+                FROM sp a LEFT JOIN sp b ON a.r = b.r AND a.bucket = b.bucket
+                GROUP BY a.r)
+        ),
+        exact_cross AS (
+            SELECT CAST(COALESCE(SUM(p.c * e.c), 0) AS BIGINT) AS x
+            FROM (SELECT user_id, c FROM pe WHERE event_type = 'purchase') p
+            JOIN (SELECT user_id, c FROM pe WHERE event_type = 'error') e
+              USING (user_id)
+        ),
+        exact_self AS (
+            SELECT CAST(COALESCE(SUM(c * c), 0) AS BIGINT) AS x
+            FROM pe WHERE event_type = 'purchase'
+        )
+        SELECT 'purchase_self' AS pair,
+               exact_self.x AS exact_join_size,
+               est_self.est AS cms_join_size_est,
+               est_self.est >= exact_self.x AS never_undercounts
+        FROM exact_self, est_self
+        UNION ALL
+        SELECT 'purchase_x_error' AS pair,
+               exact_cross.x AS exact_join_size,
+               est_cross.est AS cms_join_size_est,
+               est_cross.est >= exact_cross.x AS never_undercounts
+        FROM exact_cross, est_cross
+        ORDER BY pair
+    """,
+    tags=("sketch", "cms", "join", "extension"),
+)
+def events_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join SIZE estimation from stored count-min sketches
+    (operators/sketches.py:cms_inner_product — Cormode & Muthukrishnan
+    2005 §4.2: a·b = Σ_x f_a(x)·f_b(x) = |A ⋈ B|): the planner-side
+    "how big would this join be?" primitive, answered WITHOUT running
+    the join. Two legs over events user_id multisets, each as
+    (pair, exact_join_size, cms_join_size_est, never_undercounts):
+
+    - 'purchase_x_error' — the cross pair: how many (purchase, error)
+      row pairs share a user (the size of the purchase ⋈ error
+      equi-join on user_id);
+    - 'purchase_self' — the self-join size Σ f(x)², i.e. the second
+      frequency moment (the Alon–Matias–Szegedy F2 use of the same
+      inner product): the skew statistic a shuffle planner reads.
+
+    Plan: ONE events scan (IN-filter pushed) → one per-(type, user)
+    count aggregate, scratch-persisted; BOTH sketches build from the
+    count frame via the weighted cms_build (bit-identical to
+    instance-built, no second corpus pass) and are dim-sized
+    (≤ depth × width rows) scratch-persists; each estimate is one
+    broadcast join of two sketch tables; the exact twins (the
+    certification freight — production reads the sketches only) ride
+    the SAME persisted count frame: a per-key count join, never a row
+    × row join. Geometry is caller-declared and validated
+    (cms_inner_product depth/width checks, ADVICE r16). The
+    ``never_undercounts`` column pins the estimator's one-sided-error
+    guarantee under the driver hash; ``cms_join_size_est`` itself pins
+    the md5 bucket geometry DuckDB replays with LEFT-JOIN-per-row dots
+    (COALESCE(c, 0): a sketch_a row with zero overlap participates in
+    the min)."""
+    from big_data_chicago_crimes_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+    from big_data_chicago_crimes_spark.session import scratch_persist
+
+    t = load_tables(spark, sf_dir)
+    counts = scratch_persist(
+        t.events.filter(F.col("event_type").isin(["purchase", "error"]))
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cp = counts.filter(F.col("event_type") == "purchase").select("user_id", "c")
+    ce = counts.filter(F.col("event_type") == "error").select("user_id", "c")
+    sk_p = scratch_persist(cms_build(cp, "user_id", depth=4, width=16, weight_col="c"))
+    sk_e = scratch_persist(cms_build(ce, "user_id", depth=4, width=16, weight_col="c"))
+
+    est_self = cms_inner_product(
+        sk_p, sk_p, "cms_join_size_est", depth=4, width=16
+    )
+    est_cross = cms_inner_product(
+        sk_p, sk_e, "cms_join_size_est", depth=4, width=16
+    )
+    exact_self = cp.agg(
+        F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0))
+        .cast("bigint")
+        .alias("exact_join_size")
+    )
+    exact_cross = (
+        cp.alias("a")
+        .join(ce.alias("b"), "user_id")
+        .agg(
+            F.coalesce(F.sum(F.col("a.c") * F.col("b.c")), F.lit(0))
+            .cast("bigint")
+            .alias("exact_join_size")
+        )
+    )
+    legs = [
+        ("purchase_self", exact_self, est_self),
+        ("purchase_x_error", exact_cross, est_cross),
+    ]
+    out = None
+    for pair, exact, est in legs:
+        leg = (
+            exact.crossJoin(F.broadcast(est))
+            .select(
+                F.lit(pair).alias("pair"),
+                "exact_join_size",
+                "cms_join_size_est",
+                (F.col("cms_join_size_est") >= F.col("exact_join_size")).alias(
+                    "never_undercounts"
+                ),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("pair")

@@ -15,9 +15,7 @@ from big_data_chicago_crimes_spark.operators.aggregates import (
     count_by,
     count_then_max,
     pivot_counts,
-    top_k,
 )
-from big_data_chicago_crimes_spark.operators.cleaning import null_census
 from big_data_chicago_crimes_spark.plans.registry import register
 from big_data_chicago_crimes_spark.sources.readers import load_tables
 
@@ -140,43 +138,97 @@ def orders_quarter_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shape) merged into part_catalog_surface in join_queries.py — the
 # identical top_k leg rides the part scan the anti-join leg already
 # pays for. The ``aggregates.top_k`` operator itself stays certified by
-# orders_q3_topk_surface (both legs) / purchase_top_users.
+# orders_q3_topk_surface (both legs); the former purchase_top_users
+# top-k shape lives on as the 'top_users' leg of
+# events_filter_topk_surface (r17 merge).
 
 
 @register(
-    "purchase_top_users",
+    "events_filter_topk_surface",
+    # r17 merge of purchase_top_users (P8 IN-list + O4 top-k,
+    # r15-green) and events_not_in_filter (P9 NOT-IN exclusion,
+    # r15-green) — funding the events_join_size_cms window slot (the
+    # in-cohort pair-merge pattern, precedent docs_token_surface /
+    # orders_temporal_bucket_surface). The two predicates nest: the
+    # IN-set {purchase, signup} is a subset of the NOT-IN complement
+    # of {error, view}, so ONE scan with the NOT-IN predicate pushed
+    # to parquet feeds both legs; GROUPING SETS ((user_id),
+    # (event_type)) computes both groupings in a single aggregate
+    # (map-side expand), the IN-list narrowing rides the (user_id)
+    # set as a conditional count. The aggregate is scratch-persisted
+    # (distinct-users + distinct-types rows) because the top-k leg
+    # needs its own TakeOrderedAndProject — a window rank would drag
+    # every user into one partition at scale. user_id is top-k'd as
+    # BIGINT (ties break numerically) then cast to VARCHAR to share
+    # the leg schema.
     oracle="""
-        SELECT user_id, COUNT(*) AS cnt
-        FROM events
-        WHERE event_type IN ('purchase', 'signup')
-        GROUP BY user_id
-        ORDER BY cnt DESC, user_id LIMIT 10
+        WITH base AS (
+            SELECT event_type, user_id FROM events
+            WHERE event_type NOT IN ('error', 'view')
+        )
+        SELECT 'not_in' AS leg, event_type AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM base GROUP BY event_type
+        UNION ALL
+        SELECT 'top_users' AS leg, CAST(user_id AS VARCHAR) AS key,
+               CAST(cnt AS BIGINT) AS cnt
+        FROM (
+            SELECT user_id,
+                   SUM(CASE WHEN event_type IN ('purchase', 'signup')
+                       THEN 1 ELSE 0 END) AS cnt
+            FROM base GROUP BY user_id
+            HAVING SUM(CASE WHEN event_type IN ('purchase', 'signup')
+                       THEN 1 ELSE 0 END) > 0
+            ORDER BY cnt DESC, user_id LIMIT 10
+        )
+        ORDER BY leg, cnt DESC, key
     """,
-    tags=("topk", "filter", "reference:P8,O4"),
+    tags=("topk", "filter", "reference:P8,P9,O4", "merged"),
 )
-def purchase_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Violent-crimes IN-list + top-k areas (Dataset.py:507-509) →
-    top-10 users by purchase/signup events. Filter pushed to the scan."""
-    t = load_tables(spark, sf_dir)
-    ev = t.events.filter(F.col("event_type").isin(["purchase", "signup"]))
-    return top_k(ev, ["user_id"], 10)
+def events_filter_topk_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + top-k surface: the violent-crimes IN-list + top-k areas
+    shape (Dataset.py:507-509 → 'top_users' leg, top-10 users by
+    purchase/signup events with deterministic numeric tie-break) and
+    the NOT-IN category exclusion (Dataset.py:143-145 → 'not_in' leg,
+    counts per surviving type) certified in one result. ONE events
+    scan with the NOT-IN predicate pushed to the parquet reader (the
+    IN-set nests inside its complement), one GROUPING SETS aggregate
+    for both groupings; the top-k leg is TakeOrderedAndProject over
+    the persisted aggregate, never a global sort."""
+    from big_data_chicago_crimes_spark.session import scratch_persist
 
-
-@register(
-    "events_not_in_filter",
-    oracle="""
-        SELECT event_type, COUNT(*) AS cnt
-        FROM events
-        WHERE event_type NOT IN ('error', 'view')
-        GROUP BY event_type ORDER BY event_type
-    """,
-    tags=("filter", "reference:P9"),
-)
-def events_not_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT-IN category exclusion (Dataset.py:143-145)."""
     t = load_tables(spark, sf_dir)
-    ev = t.events.filter(~F.col("event_type").isin(["error", "view"]))
-    return count_by(ev, "event_type").orderBy("event_type")
+    gs = scratch_persist(
+        t.events.filter(~F.col("event_type").isin(["error", "view"]))
+        .select("event_type", "user_id")
+        .groupingSets([["user_id"], ["event_type"]], "user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_all"),
+            F.sum(
+                F.when(
+                    F.col("event_type").isin(["purchase", "signup"]), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("cnt_in"),
+            F.grouping("event_type").alias("__ge"),
+        )
+    )
+    not_in = gs.filter(F.col("__ge") == 0).select(
+        F.lit("not_in").alias("leg"),
+        F.col("event_type").alias("key"),
+        F.col("cnt_all").alias("cnt"),
+    )
+    top_users = (
+        gs.filter((F.col("__ge") == 1) & (F.col("cnt_in") > 0))
+        .orderBy(F.col("cnt_in").desc(), F.col("user_id").asc())
+        .limit(10)
+        .select(
+            F.lit("top_users").alias("leg"),
+            F.col("user_id").cast("string").alias("key"),
+            F.col("cnt_in").alias("cnt"),
+        )
+    )
+    return not_in.unionByName(top_users).orderBy(
+        "leg", F.col("cnt").desc(), "key"
+    )
 
 
 @register(
@@ -265,23 +317,12 @@ def orders_temporal_bucket_surface(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register(
-    "events_null_census",
-    oracle="""
-        SELECT COUNT(*) FILTER (WHERE event_id IS NULL) AS event_id,
-               COUNT(*) FILTER (WHERE ts IS NULL) AS ts,
-               COUNT(*) FILTER (WHERE user_id IS NULL) AS user_id,
-               COUNT(*) FILTER (WHERE event_type IS NULL) AS event_type,
-               COUNT(*) FILTER (WHERE value IS NULL) AS value,
-               COUNT(*) FILTER (WHERE props IS NULL) AS props
-        FROM events
-    """,
-    tags=("cleaning", "reference:A1"),
-)
-def events_null_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column null census (Dataset.py:79): one pass, one global agg."""
-    t = load_tables(spark, sf_dir)
-    return null_census(t.events)
+# events_null_census (reference:A1) merged into events_type_stats_census
+# above (r17) — the rollup grand-total row's n_null_* columns carry the
+# identical global census. The null_census operator stays library
+# surface (operators/cleaning.py, covered by tests/test_cleaning.py)
+# and shares its aggregate expressions with the merged rollup via
+# null_count_exprs.
 
 
 @register(
@@ -307,6 +348,9 @@ def events_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 @register(
     "events_type_stats_census",
     # r13 merge: the former event_value_stats (A5 multi-expression
@@ -318,6 +362,13 @@ def events_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rolled-up row carries the SAME stats globally plus the exact
     # distinct-type count (A8). grouping() tags the set structurally
     # (the ADVICE-r12 rule — never discriminate by key null-ness).
+    # r17 merge: the former events_null_census (A1 per-column null
+    # census, r15-green) folds into the SAME rollup as six more
+    # aggregate expressions — the grand-total row's n_null_* columns
+    # ARE the former one-row census, the per-type rows get the census
+    # sliced by type for free. One scan instead of two, zero new
+    # shuffles; the freed slot helps fund the r17 window
+    # (user_session_counts pin + events_join_size_cms).
     oracle="""
         SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'all'
                     ELSE 'by_type' END AS leg,
@@ -326,20 +377,32 @@ def events_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(AVG(value), 6) AS avg_value,
                ROUND(MIN(value), 6) AS min_value,
                ROUND(MAX(value), 6) AS max_value,
-               COUNT(DISTINCT event_type) AS n_types
+               COUNT(DISTINCT event_type) AS n_types,
+               COUNT(*) FILTER (WHERE event_id IS NULL) AS n_null_event_id,
+               COUNT(*) FILTER (WHERE ts IS NULL) AS n_null_ts,
+               COUNT(*) FILTER (WHERE user_id IS NULL) AS n_null_user_id,
+               COUNT(*) FILTER (WHERE event_type IS NULL) AS n_null_event_type,
+               COUNT(*) FILTER (WHERE value IS NULL) AS n_null_value,
+               COUNT(*) FILTER (WHERE props IS NULL) AS n_null_props
         FROM events GROUP BY ROLLUP(event_type)
         ORDER BY leg, event_type
     """,
-    tags=("agg", "reference:A5,A8", "merged"),
+    tags=("agg", "cleaning", "reference:A1,A5,A8", "merged"),
 )
 def events_type_stats_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-expression aggregate (A5 — the reference's per-district
-    centroid agg, Dataset.py:272-276) and exact distinct (A8,
-    Dataset.py:210) in one ROLLUP pass: per-type count + avg/min/max
-    rows, plus the grand-total row whose ``n_types`` IS the former
-    ``select(col).distinct()`` count. One scan, one aggregate (the
-    distinct-count's expand rides the same exchange); per-type rows
-    report their trivially-1 distinct count so no column is ever NULL."""
+    centroid agg, Dataset.py:272-276), exact distinct (A8,
+    Dataset.py:210), and the per-column null census (A1, Dataset.py:79
+    — operators/cleaning.py:null_count_exprs, the same expressions
+    ``null_census`` plans) in one ROLLUP pass: per-type count +
+    avg/min/max + null-count rows, plus the grand-total row whose
+    ``n_types`` IS the former ``select(col).distinct()`` count and
+    whose ``n_null_*`` columns ARE the former one-row global census.
+    One scan, one aggregate (the distinct-count's expand rides the same
+    exchange); per-type rows report their trivially-1 distinct count so
+    no column is ever NULL."""
+    from big_data_chicago_crimes_spark.operators.cleaning import null_count_exprs
+
     t = load_tables(spark, sf_dir)
     gs = t.events.rollup("event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -347,6 +410,7 @@ def events_type_stats_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("min_value"),
         F.round(F.max("value"), 6).alias("max_value"),
         F.countDistinct("event_type").alias("n_types"),
+        *null_count_exprs(list(_EVENT_COLS), prefix="n_null_"),
         F.grouping("event_type").alias("__g"),
     )
     return (
@@ -360,6 +424,7 @@ def events_type_stats_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_value",
             "max_value",
             "n_types",
+            *[f"n_null_{c}" for c in _EVENT_COLS],
         )
         .orderBy("leg", "event_type")
     )

@@ -43,7 +43,7 @@ def test_results_stable_under_partitioning(spark, sf_dir):
 
     names = [
         "revenue_by_nation",
-        "purchase_top_users",
+        "events_filter_topk_surface",
         "orders_running_total",
         "docs_exact_dedup",
         "docs_sampling_census",

@@ -29,9 +29,11 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
     assert "SortMergeJoin" not in plan  # at test SF everything fits broadcast
 
 
-def test_isin_filter_pushed_to_scan(spark, sf_dir):
-    plan = formatted_plan(spark, sf_dir, "purchase_top_users")
-    assert "PushedFilters: [In(event_type" in plan
+def test_not_in_filter_pushed_to_scan(spark, sf_dir):
+    # the r17 merge pushes the NOT-IN predicate (the IN-set nests
+    # inside its complement, so one pushed filter serves both legs)
+    plan = formatted_plan(spark, sf_dir, "events_filter_topk_surface")
+    assert "Not(In(event_type" in plan
 
 
 def test_range_filter_pushed_to_scan(spark, sf_dir):
@@ -40,7 +42,7 @@ def test_range_filter_pushed_to_scan(spark, sf_dir):
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
-    plan = formatted_plan(spark, sf_dir, "purchase_top_users")
+    plan = formatted_plan(spark, sf_dir, "events_filter_topk_surface")
     assert "TakeOrderedAndProject" in plan
     # no global Sort node outside the top-k operator
     assert plan.count("Sort (") == 0 or "TakeOrderedAndProject" in plan

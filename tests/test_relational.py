@@ -224,3 +224,28 @@ def test_asof_join_equal_ts_right_rows_resolve_deterministically(spark):
     rev = spark.createDataFrame(rows[::-1], "k int, rts double, v double")
     got.add(asof_join(left, rev, "k", "lts", "rts", ["v"]).collect()[0]["v_asof"])
     assert len(got) == 1, f"fill varied with partitioning/order: {got}"
+
+
+def test_asof_join_map_typed_carried_column_falls_back(spark):
+    """A map-typed carried column is not orderable — the struct
+    tie-break would fail at analysis (ADVICE r16). asof_join must drop
+    the struct from the window ordering (generality over the
+    duplicate-(key, ts) determinism guarantee) and still match/fill
+    correctly and atomically."""
+    from big_data_chicago_crimes_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 6.0), (1, 2.0)], "k int, lts double")
+    right = spark.createDataFrame(
+        [(1, 3.0, {"a": 1}, 9.0), (1, 5.0, {"b": 2}, None)],
+        "k int, rts double, m map<string,int>, v double",
+    )
+    rows = {
+        r["lts"]: r
+        for r in asof_join(
+            left, right, "k", "lts", "rts", ["m", "v"], how="left"
+        ).collect()
+    }
+    assert rows[6.0]["rts_asof"] == 5.0
+    assert rows[6.0]["m_asof"] == {"b": 2}
+    assert rows[6.0]["v_asof"] is None  # atomic: NOT 9.0 from ts=3
+    assert rows[2.0]["rts_asof"] is None  # unmatched left row surfaces

@@ -1075,6 +1075,14 @@ def test_epoch_upsample_guards(spark):
         # fractional rate so the draw is evaluated
         half = spark.createDataFrame([("web", 0.5)], "domain string, rate double")
         epoch_upsample(nullkey, half, "domain", "doc_id").collect()
+    # fat-fingered rate (225 for 2.25) raises loudly instead of
+    # exploding every row 225x (ADVICE r16, range_join max_replication
+    # convention); an explicit cap raise admits it
+    fat = spark.createDataFrame([("web", 225.0)], "domain string, rate double")
+    with _pytest.raises(Exception, match="max_rate"):
+        epoch_upsample(df, fat, "domain", "doc_id").collect()
+    allowed = epoch_upsample(df, fat, "domain", "doc_id", max_rate=300.0).collect()
+    assert len(allowed) == 225
 
 
 def test_epoch_upsample_rejects_duplicate_rate_rows(spark):

@@ -411,3 +411,41 @@ def test_cms_inner_product_disjoint_and_empty(spark):
         cms_build(b, "k", depth=4, width=16),
     ).collect()[0][0]
     assert est0 == 0
+
+
+def test_cms_build_weighted_equals_instance_built(spark):
+    """weight_col builds from pre-aggregated (item, count) rows; the
+    sketch must be bit-identical to the instance-built one (the
+    events_join_size_cms scale idiom: one corpus pass feeds counts AND
+    sketch)."""
+    rows = [("u1",)] * 3 + [("u2",)] * 2 + [("u3",)] * 1
+    inst = spark.createDataFrame(rows, "k string")
+    counts = spark.createDataFrame(
+        [("u1", 3), ("u2", 2), ("u3", 1)], "k string, c long"
+    )
+    a = sorted(cms_build(inst, "k", depth=4, width=16).collect())
+    b = sorted(
+        cms_build(counts, "k", depth=4, width=16, weight_col="c").collect()
+    )
+    assert a == b
+
+
+def test_cms_inner_product_geometry_validation(spark):
+    """Declared-geometry check (ADVICE r16): probing a wide sketch
+    against a declared narrower width fails loudly instead of joining
+    bucket ids into a plausible-looking but meaningless estimate. The
+    check is one-sided by design: matching geometry passes."""
+    import pytest
+
+    from big_data_chicago_crimes_spark.operators.sketches import cms_inner_product
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(64)], "k string")
+    wide = cms_build(a, "k", depth=4, width=256)
+    ok = cms_build(a, "k", depth=4, width=16)
+
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        cms_inner_product(wide, ok, depth=4, width=16)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        cms_inner_product(ok, wide, depth=4, width=16)
+    est = cms_inner_product(ok, ok, depth=4, width=16).collect()[0][0]
+    assert est >= 64  # self inner product >= F2 lower bound (n distinct, c=1 → >= n)
