@@ -407,10 +407,13 @@ _BPE_MERGES = 6
 
 @register(
     "docs_bpe_merges",
-    # NEW r16 operator, registered BEYOND the r16 window (never
-    # sampled this round — bench untouched post-adoption); recorded
-    # r17 slot-plan candidate: a NEW never-sampled row at rotation,
-    # the weighted_priority_sample r15→r16 precedent. The oracle
+    # NEW r16 operator, registered at slot 12 of the r16 window (the
+    # never-sampled tripwire forces new rows inside the first 50), so
+    # it certified in round 16 itself — CORRECTNESS_r16 hash-green
+    # (ADVICE r16: an earlier revision of this comment contradicted
+    # registry.py on the window status; the registry was right). The
+    # adopted r16 BENCH stamp predates the row; bench.py HEADLINE
+    # picked it up at r17 per the recorded plan. The oracle
     # replays the ENTIRE iterative training — the suite's first
     # SQL-replayable iterative-algorithm row (dedup components' oracle
     # recurses to verify a fixpoint; this one replays a LOOP stage by
