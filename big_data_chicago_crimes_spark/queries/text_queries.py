@@ -1010,13 +1010,20 @@ def docs_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_pipeline_end_to_end",
     # The flagship composition: exact dedup → per-domain quota (n=15) →
-    # temperature mixing (alpha=0.5) → sequence packing (capacity 512),
-    # certified END TO END by a chained-CTE oracle that replays every
-    # stage. The point being proven: because every membership decision in
-    # the engine is a content-hash function of the row (never a seeded
-    # RNG, never partition-dependent), a four-stage pipeline is exactly
+    # temperature mixing (alpha=0.5) → {sequence packing (capacity 512)
+    # ∥ epoch upsampling → global curriculum order} — certified END TO
+    # END by a chained-CTE oracle that replays every stage. The point
+    # being proven: because every membership decision in the engine is
+    # a content-hash function of the row (never a seeded RNG, never
+    # partition-dependent), a six-stage pipeline is exactly
     # reproducible by another engine — one divergent row at ANY stage
-    # would cascade into the packing prefix-sums and break the hash.
+    # would cascade into the packing prefix-sums / the rank sums and
+    # break the hash. r17 (VERDICT r16 #8): the 'epochs' leg wires
+    # epoch_upsample + global_hash_order onto the SAME mixed frame —
+    # mixture → epochs → curriculum in one plan; per-(lang, epoch)
+    # SUM(global_rank) pins the entire realized training order under
+    # the driver hash (the row was already in the r17 window, so the
+    # new stages certify this round).
     oracle="""
         WITH dedup AS (
             SELECT MIN(doc_id) AS doc_id
@@ -1055,28 +1062,80 @@ def docs_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), bins AS (
             SELECT lang, bin_id, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens
             FROM packedb GROUP BY lang, bin_id
+        ), rated AS (
+            SELECT doc_id, lang,
+                   CASE lang WHEN 'en' THEN 2.25 WHEN 'zh' THEN 1.5
+                             WHEN 'de' THEN 1.0 WHEN 'es' THEN 0.5
+                             ELSE 3.0 END AS r
+            FROM mixed
+        ), ncopies AS (
+            SELECT doc_id, lang,
+                   CAST(FLOOR(r) AS INTEGER)
+                   + CASE WHEN (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
+                               / 281474976710657.0 <= r - FLOOR(r)
+                          THEN 1 ELSE 0 END AS n
+            FROM rated
+        ), epochs AS (
+            SELECT doc_id, lang,
+                   CAST(unnest(generate_series(1, n)) AS INTEGER) AS epoch
+            FROM ncopies WHERE n >= 1
+        ), curriculum AS (
+            SELECT lang, epoch,
+                   row_number() OVER (ORDER BY
+                       epoch,
+                       ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#'
+                           || CAST(epoch AS VARCHAR)), 1, 8))::BIGINT % 4096,
+                       md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)),
+                       CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)
+                   ) AS global_rank
+            FROM epochs
         )
-        SELECT lang,
+        SELECT 'packed' AS leg, lang, CAST(NULL AS INTEGER) AS epoch,
                CAST(SUM(n_docs) AS BIGINT) AS n_docs,
                CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
                CAST(COUNT(*) AS BIGINT) AS n_bins,
-               CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens
-        FROM bins GROUP BY lang ORDER BY lang
+               CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens,
+               CAST(NULL AS BIGINT) AS rank_sum
+        FROM bins GROUP BY lang
+        UNION ALL
+        SELECT 'epochs' AS leg, lang, epoch,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(NULL AS BIGINT) AS total_tokens,
+               CAST(NULL AS BIGINT) AS n_bins,
+               CAST(NULL AS BIGINT) AS max_bin_tokens,
+               CAST(SUM(global_rank) AS BIGINT) AS rank_sum
+        FROM curriculum GROUP BY lang, epoch
+        ORDER BY leg, lang, epoch
     """,
-    tags=("pipeline", "dedup", "mixing", "packing", "extension"),
+    tags=("pipeline", "dedup", "mixing", "packing", "epochs", "extension"),
 )
 def docs_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full training-data pipeline in one plan: exact dedup (min-id per
-    normalized-text fingerprint) → per-domain quota cap (≤15 docs per
-    source, histogram-bounded rank) → temperature-flattened language
-    mixing (alpha=0.5) → fixed-capacity sequence packing (512-token
-    bins, per-lang prefix-sum fill). Per-lang census of the final packed
-    state. Every stage's membership is a content-hash function of the
-    row, so the composition is engine-portable end to end — the DuckDB
-    oracle replays all four stages and must agree bit-for-bit."""
+    """Full training-data pipeline in one plan, two legs off one
+    mixture: exact dedup (min-id per normalized-text fingerprint) →
+    per-domain quota cap (≤15 docs per source, histogram-bounded rank)
+    → temperature-flattened language mixing (alpha=0.5) → then
+
+    - ``packed``: fixed-capacity sequence packing (512-token bins,
+      per-lang prefix-sum fill) — per-lang census of the packed state;
+    - ``epochs``: the mixture REALIZED as a training stream —
+      per-language epoch rates (en 2.25, zh 1.5, de 1.0, es 0.5,
+      fr 3.0) via :func:`~big_data_chicago_crimes_spark.operators.sampling.epoch_upsample`
+      (floor copies + derandomized stochastic rounding, scan-side
+      explode), then the exact global training order via
+      :func:`~big_data_chicago_crimes_spark.operators.sampling.global_hash_order`
+      (epochs concatenated, hash-shuffled within each epoch;
+      histogram-offset two-level rank, never a global-window funnel).
+      Per-(lang, epoch) copy counts and SUM(global_rank) — the rank
+      sums pin the whole realized permutation.
+
+    Every stage's membership is a content-hash function of the row, so
+    the composition is engine-portable end to end — the DuckDB oracle
+    replays all six stages and must agree bit-for-bit."""
     from big_data_chicago_crimes_spark.functions.text import assign_pack_bins
     from big_data_chicago_crimes_spark.operators.dedup import exact_dedup
     from big_data_chicago_crimes_spark.operators.sampling import (
+        epoch_upsample,
+        global_hash_order,
         quota_sample,
         temperature_mix,
     )
@@ -1093,7 +1152,11 @@ def docs_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session scratch-cache so loop callers release it per build
     # (ADVICE r7) instead of leaking an entry per construction.
     capped = scratch_persist(quota_sample(survivors, ["source"], n=15, key="doc_id"))
-    mixed = temperature_mix(capped, "lang", "doc_id", alpha=0.5, buckets=1000)
+    # Persisted too (r17): the mixture now feeds BOTH legs — packing
+    # and the epoch/curriculum realization — and is recipe-sized.
+    mixed = scratch_persist(
+        temperature_mix(capped, "lang", "doc_id", alpha=0.5, buckets=1000)
+    )
 
     # same packing implementation as docs_sequence_packing — one helper,
     # so the bin arithmetic can never diverge between the two oracles
@@ -1101,7 +1164,7 @@ def docs_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins = packed.groupBy("lang", "bin_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens")
     )
-    return (
+    packed_leg = (
         bins.groupBy("lang")
         .agg(
             F.sum("n_docs").cast("bigint").alias("n_docs"),
@@ -1109,9 +1172,52 @@ def docs_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_bins"),
             F.max("bin_tokens").cast("bigint").alias("max_bin_tokens"),
         )
-        .select("lang", "n_docs", "total_tokens", "n_bins", "max_bin_tokens")
-        .orderBy("lang")
+        .select(
+            F.lit("packed").alias("leg"),
+            "lang",
+            F.lit(None).cast("int").alias("epoch"),
+            "n_docs",
+            "total_tokens",
+            "n_bins",
+            "max_bin_tokens",
+            F.lit(None).cast("bigint").alias("rank_sum"),
+        )
     )
+
+    rates = spark.createDataFrame(
+        [("en", 2.25), ("zh", 1.5), ("de", 1.0), ("es", 0.5), ("fr", 3.0)],
+        "lang string, rate double",
+    )
+    epochs = epoch_upsample(
+        mixed.select("doc_id", "lang"), rates, "lang", "doc_id"
+    )
+    # (doc_id, epoch) is the unique curriculum key — one string so the
+    # rank's content hash is replayable verbatim in SQL
+    keyed = epochs.withColumn(
+        "__ck",
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("#"), F.col("epoch").cast("string")
+        ),
+    )
+    ordered = global_hash_order(keyed, "__ck", ["epoch"])
+    epoch_leg = (
+        ordered.groupBy("lang", "epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("global_rank").cast("bigint").alias("rank_sum"),
+        )
+        .select(
+            F.lit("epochs").alias("leg"),
+            "lang",
+            F.col("epoch").cast("int").alias("epoch"),
+            "n_docs",
+            F.lit(None).cast("bigint").alias("total_tokens"),
+            F.lit(None).cast("bigint").alias("n_bins"),
+            F.lit(None).cast("bigint").alias("max_bin_tokens"),
+            "rank_sum",
+        )
+    )
+    return packed_leg.unionByName(epoch_leg).orderBy("leg", "lang", "epoch")
 
 
 @register(
