@@ -140,6 +140,12 @@ SUITE = {
         "events_by_segment_salted_join",
         "asof_join_surface",
         "events_interval_join_batch",
+        # r17: CMS join-size estimation — the estimate itself is a
+        # broadcast join of two dim-sized sketch tables (cost
+        # independent of data size); the scale terms are the one
+        # filtered events scan -> per-(type, user) count aggregate
+        # both sketches and both exact twins ride
+        "events_join_size_cms",
     ],
     "tpc_joins": [
         "revenue_by_nation",
