@@ -849,9 +849,21 @@ def _bpe_merge_fold(seq: Column, a: str, b: str) -> Column:
     merge when the accumulator ends with `` a `` and the next symbol
     equals ``b``). Shared by training (one rule per step) and encoding
     (the learned rules chained in order); its DuckDB twin is the
-    ``list_reduce`` lambda in ``queries.curation_queries.bpe_oracle_sql``."""
+    ``list_reduce`` lambda in ``queries.curation_queries.bpe_oracle_sql``.
+
+    Fast path (r17): the fold is the IDENTITY on any word whose symbol
+    string does not contain `` a b `` — the contains() test is exactly
+    "at least one merge site exists" (symbol strings are single-space
+    delimited with sentinel spaces at both ends, an invariant the fold
+    itself preserves), and the fold of a site-free string rebuilds it
+    byte-identically (acc starts at ' ', appends 'sym ' per symbol). So
+    the O(len²) per-word string rebuild is gated behind one substring
+    scan; on real corpora most words don't contain a given pair, and
+    each training step touches a shrinking fraction of the vocabulary.
+    Value-identical by construction (property-tested against the
+    unguarded fold)."""
     la = F.lit(a)
-    return F.aggregate(
+    folded = F.aggregate(
         F.split(F.trim(seq), " "),
         F.lit(" "),
         lambda acc, x: F.when(
@@ -865,6 +877,7 @@ def _bpe_merge_fold(seq: Column, a: str, b: str) -> Column:
             ),
         ).otherwise(F.concat(acc, x, F.lit(" "))),
     )
+    return F.when(seq.contains(f" {a} {b} "), folded).otherwise(seq)
 
 
 def _bpe_initial_seq(word: Column, eow: str, alphabet: str = "char") -> Column:
@@ -1046,11 +1059,20 @@ def bpe_encode_counts(
         *gcols, F.explode(tokens(text_col)).alias("__w")
     ).filter(F.col("__w") != "")
     vocab = words.groupBy(*gcols, "__w").agg(F.count(F.lit(1)).alias("__cnt"))
-    seq = _bpe_initial_seq(F.col("__w"), eow, alphabet)
+    # Bind each fold level to a named column (one Project per rule), not
+    # a nested expression chain: _bpe_merge_fold's identity fast path
+    # references its input three times, so inlining ``len(rules)`` folds
+    # would grow the expression tree 3^rules-fold (r17 — measured as a
+    # 5× encode slowdown at 6 rules before this split; Catalyst's
+    # CollapseProject keeps multi-referenced non-cheap aliases in their
+    # own projection, so the chain stays linear).
+    staged = vocab.withColumn(
+        "__seq", _bpe_initial_seq(F.col("__w"), eow, alphabet)
+    )
     for a, b in rules:
-        seq = _bpe_merge_fold(seq, a, b)
-    n_sym = F.size(F.split(F.trim(seq), " "))
-    per_word = vocab.select(*gcols, "__cnt", n_sym.alias("__ns"))
+        staged = staged.withColumn("__seq", _bpe_merge_fold(F.col("__seq"), a, b))
+    n_sym = F.size(F.split(F.trim(F.col("__seq")), " "))
+    per_word = staged.select(*gcols, "__cnt", n_sym.alias("__ns"))
     return per_word.groupBy(*gcols).agg(
         F.sum("__cnt").alias("n_words"),
         F.sum(F.col("__ns").cast("long") * F.col("__cnt")).alias("n_bpe_tokens"),

@@ -516,20 +516,22 @@ def _span_candidate_doc_ids(base: DataFrame, min_span: int, k: int) -> DataFrame
     strided2 = strided.withColumnRenamed("__id", "__id2").withColumnRenamed(
         "__h", "__h2"
     )
-    cand = (
+    # Emit both ids of each candidate pair via ONE explode, not a
+    # two-branch select/unionAll: the union form duplicates the whole
+    # hash-join subtree in the physical plan (the exchanges feeding the
+    # join are reused, but the join probe itself — the corpus-linear
+    # full-gram side — runs twice). explode(array(a, b)) references the
+    # join once; the pair-level distinct is dropped too (partial
+    # aggregation dedups ids map-side — one exchange instead of two).
+    # Same id set (A/B-verified row-identical), ~20% faster at sf0.1
+    # (r17: 1.12-1.28 s → 0.90-1.01 s min-of-4), and the avoided probe
+    # grows with the corpus.
+    return (
         full.join(
             _pin_pair_join_build_side(strided2),
             (F.col("__h") == F.col("__h2")) & (F.col("__id") != F.col("__id2")),
         )
-        .select(
-            F.least(F.col("__id"), F.col("__id2")).alias("__ida"),
-            F.greatest(F.col("__id"), F.col("__id2")).alias("__idb"),
-        )
-        .distinct()
-    )
-    return (
-        cand.select(F.col("__ida").alias("__id"))
-        .unionAll(cand.select(F.col("__idb").alias("__id")))
+        .select(F.explode(F.array(F.col("__id"), F.col("__id2"))).alias("__id"))
         .distinct()
     )
 

@@ -87,7 +87,58 @@ def main() -> int:
                 f" sr {(s.get('shuffleReadBytes') or 0)/1024:6.0f}K"
                 f" sw {(s.get('shuffleWriteBytes') or 0)/1024:6.0f}K  {nm}"
             )
+        if os.environ.get("PROFILE_SQL", ""):
+            sql_nodes(spark, name)
     return 0
+
+
+def sql_nodes(spark, label: str) -> None:
+    """Print the slowest SQL-plan nodes of the most recent executions."""
+    try:
+        execs = rest(spark, "/sql?length=200")
+    except Exception as exc:  # noqa: BLE001
+        print(f"  (sql endpoint unavailable: {exc})")
+        return
+    execs = [e for e in execs if e.get("status") == "COMPLETED"]
+    if not execs:
+        return
+    ex = max(execs, key=lambda e: e["id"])
+    detail = rest(spark, f"/sql/{ex['id']}?details=true&planDescription=false")
+    rows = []
+    for node in detail.get("nodes", []):
+        t_ms = 0.0
+        info = []
+        for m in node.get("metrics", []):
+            v = (m.get("value") or "").split("\n")[-1].strip()
+            mn = m["name"]
+            if ("time" in mn or "duration" in mn) and "total (min" in v:
+                # e.g. "total (min, med, max (stageId: taskId))\n1.2 s (..."
+                pass
+            info.append(f"{mn}={v}")
+            if mn in (
+                "time in aggregation build total (min, med, max (stageId: taskId))",
+            ):
+                pass
+        # simpler: pull the leading "total" duration strings
+        for m in node.get("metrics", []):
+            mn, mv = m["name"], m.get("value") or ""
+            if mn.startswith(("time to", "time in", "duration", "op time", "sort time", "aggregate time", "total time")):
+                first = mv.split("(")[0].strip()
+                mult = {"ms": 0.001, "s": 1.0, "m": 60.0}
+                parts = first.split()
+                if len(parts) == 2 and parts[1] in mult:
+                    try:
+                        t_ms = max(t_ms, float(parts[0]) * mult[parts[1]] * 1000)
+                    except ValueError:
+                        pass
+        rows.append((t_ms, node.get("nodeName"), node.get("nodeId"), info))
+    rows.sort(key=lambda r: -r[0])
+    print(f"  -- SQL nodes (execution {ex['id']}) --")
+    for t_ms, nm, nid, info in rows[:18]:
+        if t_ms <= 0:
+            continue
+        short = "; ".join(i for i in info if "total" in i or "rows" in i)[:160]
+        print(f"  node {nid:>3} {t_ms/1000:7.2f}s  {nm}  {short}")
 
 
 if __name__ == "__main__":

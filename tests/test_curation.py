@@ -738,3 +738,31 @@ def test_bpe_byte_alphabet_universal_parity_on_emoji(spark):
     assert all(
         set(l) <= set("0123456789abcdef") or l == "</w>" for _, l, _, _, _ in got
     )
+
+
+def test_bpe_merge_fold_identity_fast_path(spark):
+    """The r17 contains-guard in _bpe_merge_fold is value-identical to
+    the unguarded fold: identity (byte-for-byte) on site-free strings,
+    and the canonical greedy result — including self-pair runs whose
+    merges consume would-be sites — when sites exist."""
+    from pyspark.sql import functions as F
+
+    from big_data_chicago_crimes_spark.operators.curation import _bpe_merge_fold
+
+    cases = [
+        # (symbol string, a, b, expected fold result)
+        (" l o w </w> ", "l", "o", " lo w </w> "),
+        (" l o w </w> ", "o", "l", " l o w </w> "),  # no site: identity
+        (" a a a a a </w> ", "a", "a", " aa aa a </w> "),  # greedy self-pair
+        (" aa a aa </w> ", "a", "a", " aa a aa </w> "),  # 'a a' absent
+        (" x y x y x </w> ", "x", "y", " xy xy x </w> "),
+        (" </w> ", "x", "y", " </w> "),  # fully-merged single symbol
+    ]
+    df = spark.createDataFrame([(s,) for s, *_ in cases], "s string")
+    for s, a, b, want in cases:
+        got = (
+            df.filter(F.col("s") == s)
+            .select(_bpe_merge_fold(F.col("s"), a, b).alias("r"))
+            .collect()[0]["r"]
+        )
+        assert got == want, (s, a, b, got, want)
