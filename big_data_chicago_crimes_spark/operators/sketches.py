@@ -185,12 +185,50 @@ def cms_estimate(
     )
 
 
+def cms_validate_geometry(
+    sketches: dict[str, DataFrame], depth: int | None, width: int | None
+) -> None:
+    """Validate several sketches' observed cell ranges against a declared
+    geometry in ONE Spark job (a unioned dim-sized agg), instead of one
+    eager ``first()`` per operand per estimate call — the r17 job-count
+    fix for builders that run multiple ``cms_inner_product`` legs over
+    the same stored sketches (each eager action costs a full job launch;
+    four of them dominated the events_join_size_cms build phase). Raises
+    ``ValueError`` naming the offending sketch, exactly like the
+    per-call check. Same one-sided caveat: a narrower-than-claimed
+    sketch still passes."""
+    if depth is None and width is None:
+        return
+    tagged = None
+    for side, sk in sketches.items():
+        one = sk.agg(
+            F.lit(side).alias("__side"),
+            F.max("row").alias("max_row"),
+            F.max("bucket").alias("max_bucket"),
+        )
+        tagged = one if tagged is None else tagged.unionAll(one)
+    for row in tagged.collect():
+        if row["max_row"] is None:
+            continue  # empty sketch: nothing to validate
+        if depth is not None and row["max_row"] >= depth:
+            raise ValueError(
+                f"cms_inner_product: {row['__side']} has row {row['max_row']} "
+                f">= declared depth {depth} — geometry mismatch"
+            )
+        if width is not None and row["max_bucket"] >= width:
+            raise ValueError(
+                f"cms_inner_product: {row['__side']} has bucket "
+                f"{row['max_bucket']} >= declared width {width} — geometry mismatch"
+            )
+
+
 def cms_inner_product(
     sketch_a: DataFrame,
     sketch_b: DataFrame,
     name: str = "join_size_est",
     depth: int | None = None,
     width: int | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Equi-join SIZE estimation from two stored sketches (Cormode &
     Muthukrishnan 2005 §4.2): the inner product a·b = Σ_x f_a(x)·f_b(x)
@@ -227,23 +265,17 @@ def cms_inner_product(
     (its buckets are in range), but the common fat-finger — probing a
     width-256 sketch against a width-16 one — fails loudly.
     """
-    if depth is not None or width is not None:
-        for side, sk in (("sketch_a", sketch_a), ("sketch_b", sketch_b)):
-            row = sk.agg(
-                F.max("row").alias("max_row"), F.max("bucket").alias("max_bucket")
-            ).first()
-            if row is None or row["max_row"] is None:
-                continue  # empty sketch: nothing to validate
-            if depth is not None and row["max_row"] >= depth:
-                raise ValueError(
-                    f"cms_inner_product: {side} has row {row['max_row']} "
-                    f">= declared depth {depth} — geometry mismatch"
-                )
-            if width is not None and row["max_bucket"] >= width:
-                raise ValueError(
-                    f"cms_inner_product: {side} has bucket {row['max_bucket']} "
-                    f">= declared width {width} — geometry mismatch"
-                )
+    if validate and (depth is not None or width is not None):
+        # one job for both operands (one when self-joining: a sketch
+        # passed as both sides is validated once); callers running
+        # several estimates over the same stored sketches should
+        # pre-validate with cms_validate_geometry and pass
+        # validate=False so the check costs one job total, not one per
+        # operand per call
+        sides = {"sketch_a": sketch_a}
+        if sketch_b is not sketch_a:
+            sides["sketch_b"] = sketch_b
+        cms_validate_geometry(sides, depth, width)
     per_row = (
         sketch_a.select(
             F.col("row"), F.col("bucket"), F.col("c").alias("__cms_ca")

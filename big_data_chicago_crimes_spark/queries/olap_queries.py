@@ -716,6 +716,7 @@ def events_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_chicago_crimes_spark.operators.sketches import (
         cms_build,
         cms_inner_product,
+        cms_validate_geometry,
     )
     from big_data_chicago_crimes_spark.session import scratch_persist
 
@@ -731,11 +732,16 @@ def events_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk_p = scratch_persist(cms_build(cp, "user_id", depth=4, width=16, weight_col="c"))
     sk_e = scratch_persist(cms_build(ce, "user_id", depth=4, width=16, weight_col="c"))
 
+    # ONE geometry-validation job for both stored sketches (r17; the
+    # per-call eager checks cost one job per operand per estimate — four
+    # jobs here — and dominated the build phase), then the estimates
+    # skip their per-call re-validation of the same frames.
+    cms_validate_geometry({"sk_p": sk_p, "sk_e": sk_e}, depth=4, width=16)
     est_self = cms_inner_product(
-        sk_p, sk_p, "cms_join_size_est", depth=4, width=16
+        sk_p, sk_p, "cms_join_size_est", depth=4, width=16, validate=False
     )
     est_cross = cms_inner_product(
-        sk_p, sk_e, "cms_join_size_est", depth=4, width=16
+        sk_p, sk_e, "cms_join_size_est", depth=4, width=16, validate=False
     )
     exact_self = cp.agg(
         F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0))

@@ -449,3 +449,29 @@ def test_cms_inner_product_geometry_validation(spark):
         cms_inner_product(ok, wide, depth=4, width=16)
     est = cms_inner_product(ok, ok, depth=4, width=16).collect()[0][0]
     assert est >= 64  # self inner product >= F2 lower bound (n distinct, c=1 → >= n)
+
+
+def test_cms_validate_geometry_batched(spark):
+    """cms_validate_geometry (r17): one job validates several sketches,
+    names the offending side, skips empty sketches and the no-geometry
+    case, and cms_inner_product(validate=False) bypasses its per-call
+    re-check (the pre-validated caller pattern)."""
+    import pytest
+
+    from big_data_chicago_crimes_spark.operators.sketches import (
+        cms_inner_product,
+        cms_validate_geometry,
+    )
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(64)], "k string")
+    wide = cms_build(a, "k", depth=4, width=256)
+    ok = cms_build(a, "k", depth=4, width=16)
+    empty = cms_build(a.filter("k = 'nope'"), "k", depth=4, width=16)
+
+    cms_validate_geometry({"ok": ok, "empty": empty}, depth=4, width=16)
+    cms_validate_geometry({"wide": wide}, depth=None, width=None)  # no-op
+    with pytest.raises(ValueError, match="bad_side.*geometry mismatch"):
+        cms_validate_geometry({"ok": ok, "bad_side": wide}, depth=4, width=16)
+    # validate=False bypasses the per-call check (caller pre-validated)
+    est = cms_inner_product(wide, ok, depth=4, width=16, validate=False)
+    assert est.collect()[0][0] >= 0
