@@ -557,54 +557,60 @@ def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", toks.alias("t")
     )
     n = F.size(F.col("t"))
-    per_doc = base.select(
-        "doc_id",
+
+    # The top-k-gram count is a PER-DOCUMENT statistic: a doc's grams
+    # never need to meet another doc's, so exploding them into a
+    # (doc, g, gram-string) shuffle (r17 profile: 832 KB in → 15.8 MB
+    # shuffled, the suite's largest exchange) moved data that never
+    # leaves its row. Per-row instead (guide §2.3/§8: shuffle nothing
+    # you can decide locally): build each k's gram array, array_sort
+    # it (equal grams become adjacent — binary order, engine-exact),
+    # and one codegen fold reads off the longest equal run = the max
+    # multiplicity. Identical values: same gram multiset per doc (the
+    # try_element_at/concat_ws construction is unchanged, including the
+    # partial-gram edge for docs shorter than k), and max-run-of-equal
+    # == groupBy-count-max. The former inner join dropped NULL-text
+    # docs (explode of a NULL array emits no rows); the explicit
+    # isNotNull filter reproduces exactly that.
+    def max_gram_mult(k: int) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[F.try_element_at(F.col("t"), i + F.lit(j)) for j in range(k)],
+            ),
+        )
+        run = F.aggregate(
+            F.array_sort(grams),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("int").alias("run"),
+                F.lit(0).cast("int").alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        return run.alias(f"m{k}")
+
+    joined = base.filter(F.col("t").isNotNull()).select(
         "lang",
-        n.alias("n"),
         F.round(
             F.lit(1.0) - F.size(F.array_distinct("t")) / n.cast("double"), 6
         ).alias("dup_frac"),
-    )
-
-    def gram_structs(k: int):
-        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-        return F.transform(
-            idx,
-            lambda i: F.struct(
-                F.lit(k).alias("g"),
-                F.concat_ws(
-                    " ",
-                    *[
-                        F.try_element_at(F.col("t"), i + F.lit(j))
-                        for j in range(k)
-                    ],
-                ).alias("gram"),
-            ),
-        )
-
-    grams = base.select(
-        "doc_id",
-        F.explode(
-            F.concat(gram_structs(2), gram_structs(3), gram_structs(4))
-        ).alias("e"),
-    ).select("doc_id", F.col("e.g").alias("g"), F.col("e.gram").alias("gram"))
-    tops = (
-        grams.groupBy("doc_id", "g", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.max(F.when(F.col("g") == 2, F.col("c"))).alias("m2"),
-            F.max(F.when(F.col("g") == 3, F.col("c"))).alias("m3"),
-            F.max(F.when(F.col("g") == 4, F.col("c"))).alias("m4"),
-        )
-    )
-    joined = per_doc.join(tops, "doc_id").select(
-        "lang",
-        "dup_frac",
         *[
             F.round(
                 F.least(
-                    F.lit(float(k)) * F.col(f"m{k}") / F.col("n"), F.lit(1.0)
+                    F.lit(float(k)) * max_gram_mult(k) / n, F.lit(1.0)
                 ),
                 6,
             ).alias(f"top{k}_frac")
