@@ -319,9 +319,17 @@ def lsh_near_dup_pairs(
     sim = cosine_similarity(F.col("va"), F.col("vb"), norm_a=F.col("na"), norm_b=F.col("nb"))
     # spread the exact-verify too: the candidate set lands in one AQE-
     # coalesced partition locally, and the per-pair cosine is the most
-    # expensive per-row stage of the whole operator
+    # expensive per-row stage of the whole operator. Spread the BARE id
+    # pairs and attach vectors after (r17): spreading the joined frame
+    # put both 512-byte vector payloads of every pair through the
+    # round-robin exchange — 38 MB shuffled at sf0.1 where the id pairs
+    # are ~1 MB (guide §2.3: shuffle keys, attach payloads after). The
+    # vector joins are broadcast (dim-sized persisted base), so the
+    # spread partitioning carries through to the cosine projection.
     return (
-        spread_for_compute(cand.join(av, "id_a").join(bv, "id_b"))
+        spread_for_compute(cand)
+        .join(av, "id_a")
+        .join(bv, "id_b")
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

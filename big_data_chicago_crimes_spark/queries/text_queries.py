@@ -776,13 +776,18 @@ def docs_pii_scrub_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins planted phone/ip/email examples through redact_pii/pii_counts
     for the lookaround legs RE2 cannot replay."""
     from big_data_chicago_crimes_spark.functions.text import pii_counts, redact_pii
+    from big_data_chicago_crimes_spark.operators.dedup import spread_for_compute
 
     t = load_tables(spark, sf_dir)
     seeded_text = (
         F.when(F.col("doc_id") % 17 == 0, F.concat("text", F.lit(_PII_PLANT)))
         .otherwise(F.col("text"))
     )
-    exploded = t.documents.select(
+    # spread before the chained-regex projection (r17): the documents
+    # parquet is one row group locally, so without it the whole
+    # six-regex × two-leg scrub ran as a single task (profiled 1.0 s of
+    # the query's 1.5 s wall on one core)
+    exploded = spread_for_compute(t.documents).select(
         "source",
         F.explode(
             F.array(
