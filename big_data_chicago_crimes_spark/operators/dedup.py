@@ -91,11 +91,34 @@ def _parse_byte_conf(v: str) -> int:
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Keep exactly one row (min id) per normalized-text fingerprint.
-    One hash aggregate on the fingerprint; deterministic survivor set."""
+    One hash aggregate on the fingerprint; deterministic survivor set.
+
+    Default: returns the full surviving rows via a min-sized semi join
+    (wide columns never ride the aggregate). ``carry_cols`` (r17):
+    callers that only need a few NARROW survivor columns get them
+    carried THROUGH the aggregate as ``min(struct(id, *carry))`` —
+    ``id_col`` is unique, so the struct min is exactly the min-id row
+    and the carried values are that row's — returning
+    ``(id_col, *carry_cols)`` with no join and one fewer source scan.
+    Carried columns must be of orderable types (no maps)."""
     fp = doc_fingerprint(text_col).alias("fingerprint")
+    if carry_cols is not None:
+        s = F.struct(F.col(id_col), *[F.col(c) for c in carry_cols])
+        return (
+            df.select(fp, s.alias("__s"))
+            .groupBy("fingerprint")
+            .agg(F.min("__s").alias("__s"))
+            .select(
+                F.col(f"__s.{id_col}").alias(id_col),
+                *[F.col(f"__s.{c}").alias(c) for c in carry_cols],
+            )
+        )
     survivors = (
         df.select(fp, F.col(id_col))
         .groupBy("fingerprint")
@@ -2030,6 +2053,7 @@ def exact_dedup_keep_best(
     score_col: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact dedup with a QUALITY keep-policy: per normalized-text
     fingerprint, keep the row with the highest ``score_col`` (ties break
@@ -2067,15 +2091,25 @@ def exact_dedup_keep_best(
             "max-id"
         )
     fp = doc_fingerprint(text_col).alias("fingerprint")
+    # carry_cols (r17, the exact_dedup convention): narrow survivor
+    # columns ride the same max(struct) — (s, ni, id) already decide the
+    # winner uniquely (id is unique), so appended fields are the
+    # winner's values, never comparison keys — skipping the semi join
+    # and one source scan. Must be orderable types.
     key = F.struct(
         F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf"))).alias("s"),
         (-F.col(id_col)).alias("ni"),
         F.col(id_col).alias("id"),
+        *[F.col(c).alias(f"c_{c}") for c in (carry_cols or [])],
     )
     best = (
         df.select(fp, key.alias("k"))
         .groupBy("fingerprint")
         .agg(F.max("k").alias("k"))
-        .select(F.col("k.id").alias(id_col))
     )
-    return df.join(best, id_col, "left_semi")
+    if carry_cols is not None:
+        return best.select(
+            F.col("k.id").alias(id_col),
+            *[F.col(f"k.c_{c}").alias(c) for c in carry_cols],
+        )
+    return df.join(best.select(F.col("k.id").alias(id_col)), id_col, "left_semi")

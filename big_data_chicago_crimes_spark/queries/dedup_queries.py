@@ -88,9 +88,18 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(policy).alias("policy"), "lang", "n_docs", "survivor_id_sum")
         )
 
+    # carry lang through the aggregates (r17): the census needs only
+    # (doc_id, lang), so the semi-join back to documents — and its
+    # second scan — drops from each leg; survivor sets are identical
+    # (struct min/max decide on the unique id before any carried field)
     return (
-        leg(exact_dedup(t.documents), "keep_min")
-        .unionByName(leg(exact_dedup_keep_best(t.documents, "n_chars"), "keep_best"))
+        leg(exact_dedup(t.documents, carry_cols=["lang"]), "keep_min")
+        .unionByName(
+            leg(
+                exact_dedup_keep_best(t.documents, "n_chars", carry_cols=["lang"]),
+                "keep_best",
+            )
+        )
         .orderBy("policy", "lang")
     )
 
