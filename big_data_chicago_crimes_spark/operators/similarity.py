@@ -324,12 +324,20 @@ def lsh_near_dup_pairs(
     # put both 512-byte vector payloads of every pair through the
     # round-robin exchange — 38 MB shuffled at sf0.1 where the id pairs
     # are ~1 MB (guide §2.3: shuffle keys, attach payloads after). The
-    # vector joins are broadcast (dim-sized persisted base), so the
-    # spread partitioning carries through to the cosine projection.
+    # vector attachments must plan as broadcast joins for the spread
+    # partitioning to carry through to the cosine projection; ``base``
+    # is CORPUS-sized (one row per doc — ADVICE r17), so the hint is
+    # pinned explicitly rather than left to the size estimate, with the
+    # same size guard the pair self-joins use (no-op off local mode,
+    # where the spread is off too and AQE keeps choosing).
+    from big_data_chicago_crimes_spark.operators.dedup import (
+        _pin_pair_join_build_side,
+    )
+
     return (
         spread_for_compute(cand)
-        .join(av, "id_a")
-        .join(bv, "id_b")
+        .join(_pin_pair_join_build_side(av), "id_a")
+        .join(_pin_pair_join_build_side(bv), "id_b")
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -186,7 +186,10 @@ def cms_estimate(
 
 
 def cms_validate_geometry(
-    sketches: dict[str, DataFrame], depth: int | None, width: int | None
+    sketches: dict[str, DataFrame],
+    depth: int | None,
+    width: int | None,
+    caller: str = "cms_validate_geometry",
 ) -> None:
     """Validate several sketches' observed cell ranges against a declared
     geometry in ONE Spark job (a unioned dim-sized agg), instead of one
@@ -194,9 +197,10 @@ def cms_validate_geometry(
     fix for builders that run multiple ``cms_inner_product`` legs over
     the same stored sketches (each eager action costs a full job launch;
     four of them dominated the events_join_size_cms build phase). Raises
-    ``ValueError`` naming the offending sketch, exactly like the
-    per-call check. Same one-sided caveat: a narrower-than-claimed
-    sketch still passes."""
+    ``ValueError`` naming the offending sketch; ``caller`` prefixes the
+    message so a direct caller's failure isn't misattributed to
+    cms_inner_product (ADVICE r17). Same one-sided caveat: a
+    narrower-than-claimed sketch still passes."""
     if depth is None and width is None:
         return
     tagged = None
@@ -212,12 +216,12 @@ def cms_validate_geometry(
             continue  # empty sketch: nothing to validate
         if depth is not None and row["max_row"] >= depth:
             raise ValueError(
-                f"cms_inner_product: {row['__side']} has row {row['max_row']} "
+                f"{caller}: {row['__side']} has row {row['max_row']} "
                 f">= declared depth {depth} — geometry mismatch"
             )
         if width is not None and row["max_bucket"] >= width:
             raise ValueError(
-                f"cms_inner_product: {row['__side']} has bucket "
+                f"{caller}: {row['__side']} has bucket "
                 f"{row['max_bucket']} >= declared width {width} — geometry mismatch"
             )
 
@@ -275,7 +279,7 @@ def cms_inner_product(
         sides = {"sketch_a": sketch_a}
         if sketch_b is not sketch_a:
             sides["sketch_b"] = sketch_b
-        cms_validate_geometry(sides, depth, width)
+        cms_validate_geometry(sides, depth, width, caller="cms_inner_product")
     per_row = (
         sketch_a.select(
             F.col("row"), F.col("bucket"), F.col("c").alias("__cms_ca")

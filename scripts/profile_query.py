@@ -109,19 +109,8 @@ def sql_nodes(spark, label: str) -> None:
         t_ms = 0.0
         info = []
         for m in node.get("metrics", []):
-            v = (m.get("value") or "").split("\n")[-1].strip()
-            mn = m["name"]
-            if ("time" in mn or "duration" in mn) and "total (min" in v:
-                # e.g. "total (min, med, max (stageId: taskId))\n1.2 s (..."
-                pass
-            info.append(f"{mn}={v}")
-            if mn in (
-                "time in aggregation build total (min, med, max (stageId: taskId))",
-            ):
-                pass
-        # simpler: pull the leading "total" duration strings
-        for m in node.get("metrics", []):
             mn, mv = m["name"], m.get("value") or ""
+            info.append(f"{mn}={mv.split(chr(10))[-1].strip()}")
             if mn.startswith(("time to", "time in", "duration", "op time", "sort time", "aggregate time", "total time")):
                 first = mv.split("(")[0].strip()
                 mult = {"ms": 0.001, "s": 1.0, "m": 60.0}
