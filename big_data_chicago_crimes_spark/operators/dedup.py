@@ -549,7 +549,20 @@ def _span_candidate_doc_ids(base: DataFrame, min_span: int, k: int) -> DataFrame
     # Same id set (A/B-verified row-identical), ~20% faster at sf0.1
     # (r17: 1.12-1.28 s → 0.90-1.01 s min-of-4), and the avoided probe
     # grows with the corpus.
-    return (
+    #
+    # Persisted (r18): every caller semi-joins this id set against a
+    # corpus UNION (documents + planted twins), and Catalyst pushes the
+    # left-semi join through the union — duplicating this entire
+    # candidate pipeline, the corpus-linear probe included, once per
+    # union branch (sf1 plans showed two full BroadcastHashJoin
+    # subtrees). The persisted frame is the distinct candidate-doc id
+    # LIST — bounded by docs-touched-by-duplication, a fraction of the
+    # corpus at any scale, and far narrower than the gram-rows frame
+    # maximal_span_pairs already pins. Fill once, both branches read
+    # the cache.
+    from big_data_chicago_crimes_spark.session import scratch_persist
+
+    return scratch_persist(
         full.join(
             _pin_pair_join_build_side(strided2),
             (F.col("__h") == F.col("__h2")) & (F.col("__id") != F.col("__id2")),
@@ -584,26 +597,41 @@ def shared_span_pairs(
     corpus-linear: ~len rows on the full side, ~len/s on the strided
     side, hashes only — no substring strings ever shuffle.
 
-    Exact verify over candidate DOCS (not per pair): documents touched
-    by any candidate pair explode their distinct min_span-gram STRINGS
-    once (codegen substring-by-position — measured 90× faster at sf0.1
-    than the first formulation's per-pair interpreted
+    Verify over candidate DOCS (not per pair): documents touched by
+    any candidate pair explode their min_span-gram fingerprints once
+    (codegen substring-by-position — measured 90× faster at sf0.1 than
+    the first formulation's per-pair interpreted
     transform+array_intersect, which recomputed both span arrays for
-    every pair), then one self-join on the exact span string counts
-    distinct shared spans per pair. No hashes in the verify — no false
-    positives; and every qualifying pair has both docs in the candidate
-    set (the pair itself is a candidate by the sampling guarantee), so
-    the span join restricted to candidate docs IS the exact answer.
-    Span strings shuffle only for candidate docs — at web scale a small
-    fraction of the corpus; the candidate stage still shuffles hashes
-    only. Output: (id_a, id_b, n_shared_spans) with id_a < id_b,
-    n_shared_spans = number of DISTINCT shared min_span-char substrings
-    (≥ 1 by construction).
+    every pair), then one grouping on the 128-bit span fingerprint
+    counts distinct shared spans per pair (two seeded xxhash64 halves —
+    see the inline note for the collision budget; the k-gram hashes of
+    the CANDIDATE stage never constrain the answer, only this stage
+    does). Every qualifying pair has both docs in the candidate set
+    (the pair itself is a candidate by the sampling guarantee), so the
+    span grouping restricted to candidate docs IS the answer. Span
+    fingerprints shuffle only for candidate docs — at web scale a
+    small fraction of the corpus. Output: (id_a, id_b, n_shared_spans)
+    with id_a < id_b, n_shared_spans = number of DISTINCT shared
+    min_span-char substrings (≥ 1 by construction).
     """
     if k > min_span:
         raise ValueError(f"k {k} must be <= min_span {min_span}")
     base = _span_base(df, text_col, id_col)
     cand_ids = _span_candidate_doc_ids(base, min_span, k)
+    # Span identity travels as a 128-bit fingerprint (two independently
+    # seeded xxhash64 halves), not the min_span-char string (r18, guide
+    # §2.3 — this exchange was the query's cost: 543 MB of 50-char
+    # strings at the 10× corpus, 117 of 166 executor-seconds in the
+    # write+merge). 16 fixed-width bytes per span cut the exchange ~3×
+    # and turn the aggregate's key compares into long compares. Two
+    # spans are equated iff both halves agree: a false shared span
+    # needs a full 128-bit collision between any two spans anywhere in
+    # the corpus — ~(total spans)²/2¹²⁸, i.e. ~10⁻¹¹ even at 10¹⁴ spans
+    # (100 TB); a single 64-bit half would go birthday-bound there.
+    # Same convention as the hashed gram sets in
+    # char_ngram_jaccard_pairs; per-pair distinct-span counts are
+    # unchanged unless such a collision occurs.
+    span = F.substring(F.col("__t"), F.col("__p"), min_span)
     span_rows = (
         base.join(cand_ids, "__id", "left_semi")
         .withColumn(
@@ -616,17 +644,19 @@ def shared_span_pairs(
             ),
         )
         .select(
-            "__id", F.substring(F.col("__t"), F.col("__p"), min_span).alias("__s")
+            "__id",
+            F.xxhash64(span).alias("__s1"),
+            F.xxhash64(F.lit(1), span).alias("__s2"),
         )
     )
-    # ONE shuffle of the span strings: groupBy(span) + collect_set(id)
-    # replaces distinct + string self-join (three full string shuffles —
-    # measured 3× slower at the 10× corpus). collect_set dedups in-doc
-    # repeats; only spans held by ≥2 docs (i.e. the answer's spans —
-    # rare) reach the pair explode, whose fan-out is bounded by dup-
-    # cluster size², not corpus size.
+    # ONE shuffle of the span fingerprints: groupBy(span) +
+    # collect_set(id) replaces distinct + self-join (three full span
+    # shuffles — measured 3× slower at the 10× corpus). collect_set
+    # dedups in-doc repeats; only spans held by ≥2 docs (i.e. the
+    # answer's spans — rare) reach the pair explode, whose fan-out is
+    # bounded by dup-cluster size², not corpus size.
     shared = (
-        span_rows.groupBy("__s")
+        span_rows.groupBy("__s1", "__s2")
         .agg(F.collect_set("__id").alias("__ids"))
         .filter(F.size("__ids") >= 2)
         .select(F.explode("__ids").alias("__id"), "__ids")

@@ -23,6 +23,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _interval_seconds(window: str) -> int | None:
+    """'6 hours' / '30 minutes' → seconds; None when the phrase is not a
+    single (quantity, unit) pair this parser knows (caller falls back to
+    the un-binned plan — a performance choice, never a semantic one)."""
+    parts = window.strip().split()
+    if len(parts) != 2:
+        return None
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+    }.get(parts[1].lower())
+    try:
+        qty = int(parts[0])
+    except ValueError:
+        return None
+    return qty * mult if mult and qty > 0 else None
+
+
 def purchases_after_views_interval_join(
     purchases: DataFrame,
     views: DataFrame,
@@ -33,7 +53,22 @@ def purchases_after_views_interval_join(
     ``window`` before it (inner, possibly many views per purchase — the
     attribution fan-out; the one-row as-of variant is the batch
     operator's job). Columns are prefixed per side so the same builder
-    works whether inputs are streaming or batch."""
+    works whether inputs are streaming or batch.
+
+    Batch inputs take a BINNED plan (guide §3 — avoid the exploding
+    range join): the time axis is bucketed at the window width, each
+    purchase probes its own bucket and the previous one, and the join
+    becomes an equi-join on (user, bucket) with the original range
+    predicate as residual. Every qualifying view lies in exactly one of
+    the two probed buckets (v_ts ∈ [p_ts − W, p_ts] ⇒ ⌊v/W⌋ ∈ {⌊p/W⌋−1,
+    ⌊p/W⌋}), and each (purchase, view) pair matches exactly one probe
+    row — identical rows, no dedup. Without binning the equi key is
+    user_id alone, so per-user candidates grow quadratically as events
+    per user grow (measured sf1: 26.8M pairs tested, 222K qualifying —
+    99% of the join's work failing the residual); the bucket key bounds
+    candidates to a ≤2-window slice per purchase AND splits hot users
+    across time. Streaming keeps the raw interval condition — that
+    range bound is what lets Spark size and evict the state store."""
     p = purchases.select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
@@ -44,11 +79,31 @@ def purchases_after_views_interval_join(
         p = p.withWatermark("p_ts", watermark)
     if views.isStreaming:
         v = v.withWatermark("v_ts", watermark)
-    cond = (
-        (F.col("p_user") == F.col("v_user"))
-        & (F.col("v_ts") <= F.col("p_ts"))
-        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}"))
+    residual = (F.col("v_ts") <= F.col("p_ts")) & (
+        F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}")
     )
+    win_s = _interval_seconds(window)
+    if not (purchases.isStreaming or views.isStreaming) and win_s is not None:
+        w_us = F.lit(win_s * 1_000_000)
+        probe = p.withColumn(
+            "__b",
+            F.explode(
+                F.array(
+                    F.floor(F.unix_micros("p_ts") / w_us),
+                    F.floor(F.unix_micros("p_ts") / w_us) - 1,
+                )
+            ),
+        )
+        binned = v.withColumn("__vb", F.floor(F.unix_micros("v_ts") / w_us))
+        cond = (
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("__b") == F.col("__vb"))
+            & residual
+        )
+        return probe.join(binned, cond, "inner").select(
+            "p_user", "purchase_id", "p_ts", "v_ts"
+        )
+    cond = (F.col("p_user") == F.col("v_user")) & residual
     return p.join(v, cond, "inner").select("p_user", "purchase_id", "p_ts", "v_ts")
 
 

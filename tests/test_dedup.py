@@ -623,6 +623,37 @@ def test_shared_span_pairs_semantics(spark):
     assert [(a, b) for a, b, _ in got] == [(1, 2)]
 
 
+def test_shared_span_pairs_in_doc_repeats_count_once(spark):
+    """Distinct-shared-span counting under the 128-bit fingerprint keys
+    (r18 — spans shuffle as two seeded xxhash64 halves, not strings): a
+    span repeated INSIDE one doc still counts once per pair, and two
+    different shared spans count as two — the per-pair distinct
+    semantics the string-keyed form had, checked vs the set model."""
+    from big_data_chicago_crimes_spark.operators.dedup import shared_span_pairs
+
+    s1 = "the quick brown fox jumps over the lazy dog again and again!"
+    s2 = "a completely different second shared passage of ample length!"
+    rows = [
+        (1, s1 + " filler " + s1 + " and " + s2),  # s1 twice in-doc
+        (2, "x " + s1 + " y " + s2 + " z"),
+        (3, "no overlap with anything else at all in this one, honest"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b, r.n_shared_spans)
+        for r in shared_span_pairs(df, min_span=50, k=20).collect()
+    )
+    texts = dict(rows)
+    expect = sorted(
+        (a, b, _py_shared_spans(texts[a], texts[b], 50))
+        for a in texts
+        for b in texts
+        if a < b and _py_shared_spans(texts[a], texts[b], 50) >= 1
+    )
+    assert got == expect, (got, expect)
+    assert [(a, b) for a, b, _ in got] == [(1, 2)]
+
+
 def test_shared_span_pairs_stride_boundary(spark):
     """The sampling guarantee at its tightest: a shared span of EXACTLY
     min_span chars placed so its only strided sample position is the
