@@ -39,10 +39,20 @@ def tokens(text: Column | str) -> Column:
 
 
 def token_count(text: Column | str) -> Column:
-    """Whitespace token count (0 for empty/blank strings)."""
+    """Whitespace token count (0 for empty/blank strings).
+
+    Counted as the number of maximal non-space runs (``regexp_count``
+    of ``\\S+``) — identical to ``size(split(trim(t), '\\s+'))`` for
+    every non-blank string (split pieces of a trimmed string ARE its
+    non-space runs) and for the NULL/blank guards, but never
+    materializes the token array just to take its length (r18 — the
+    per-row array allocation was pure GC pressure on corpus-sized
+    scans)."""
     c = F.col(text) if isinstance(text, str) else text
     t = F.trim(c)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.regexp_count(c, F.lit(r"\S+"))
+    )
 
 
 def bpe_ish_token_count(text: Column | str) -> Column:

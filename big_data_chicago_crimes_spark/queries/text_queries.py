@@ -230,23 +230,35 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    low = F.lower(F.col("tok"))
+    low = F.col("__low")
+    # Script chars are counted PER TOKEN and summed (r18). The previous
+    # form computed the two document-level translate/length deltas in
+    # the same select as the token explode, and Catalyst collapsed that
+    # projection ABOVE the Generate — so every TOKEN row re-ran both
+    # translates over the WHOLE document text: O(doc_len) per token,
+    # quadratic per document (stage-attributed: 116 of 117
+    # executor-seconds at the 10× corpus; ~13 µs/token flat at both
+    # tiers, which is why the ratio looked linear while the constant was
+    # 100× too high). Whitespace tokenization partitions every
+    # non-whitespace char into exactly one token, the greek class is
+    # whitespace-free, and translate/lower map per char (final-sigma
+    # case context cannot flip a-z membership), so Σ(per-token count) ≡
+    # document count for ANY input — sum replaces max, same totals.
+    # lower(tok) is projected once and shared by the marker tests and
+    # the latin count.
     scores = spread_for_compute(corpus).select(
         "doc_id",
-        (
-            F.length("text")
-            - F.length(F.translate("text", "αβγδεζηθικλμνξοπρστυφχψω", ""))
-        ).alias("__g"),
-        (
-            F.length(F.lower("text"))
-            - F.length(
-                F.translate(F.lower("text"), "abcdefghijklmnopqrstuvwxyz", "")
-            )
-        ).alias("__l"),
         # explode_OUTER: a zero-token document must survive as an 'und'
         # vote like it does in the oracle (ADVICE r12 — inner explode
         # silently dropped it; the NULL token row's sums coalesce to 0)
         F.explode_outer(tokens("text")).alias("tok"),
+    ).select(
+        "doc_id",
+        F.lower(F.col("tok")).alias("__low"),
+        (
+            F.length("tok")
+            - F.length(F.translate("tok", "αβγδεζηθικλμνξοπρστυφχψω", ""))
+        ).alias("__g"),
     ).groupBy("doc_id").agg(
         *[
             F.coalesce(
@@ -254,8 +266,14 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"s_{lg}")
             for lg in sorted(LANG_MARKERS)
         ],
-        F.max("__g").alias("__g"),
-        F.max("__l").alias("__l"),
+        F.coalesce(F.sum("__g"), F.lit(0)).alias("__g"),
+        F.coalesce(
+            F.sum(
+                F.length(low)
+                - F.length(F.translate(low, "abcdefghijklmnopqrstuvwxyz", ""))
+            ),
+            F.lit(0),
+        ).alias("__l"),
     )
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
