@@ -1891,14 +1891,40 @@ def _blocked_jaccard_pairs(
         pref = ordered.select(
             *[F.col(c) for c in block_cols],
             F.col(id_col),
-            F.explode(F.slice("__og", F.lit(1), plen)).alias("pg"),
-        ).select(*block_cols, id_col, F.col("pg.g").alias("g"))
+            F.size("__og").alias("__pn"),
+            F.posexplode(F.slice("__og", F.lit(1), plen)).alias("__i", "pg"),
+        ).select(*block_cols, id_col, "__pn", "__i", F.col("pg.g").alias("g"))
         a, b = pref.alias("a"), pref.alias("b")
         cond = (F.col("a.g") == F.col("b.g")) & (
             F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
         )
         for c in block_cols:
             cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        # PPJoin refinements (Xiao et al. WWW'08), both LOSSLESS, both
+        # inside the join condition so pruned match rows never reach
+        # the distinct or the verify attach joins (r18; measured at the
+        # 10× corpus: match rows 13.7M → 7.3M, candidate pairs 1.59M →
+        # 1.37M before the verify):
+        # - length filter: J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|);
+        # - positional filter: J ≥ t forces overlap ≥ ⌈t/(1+t)·
+        #   (|A|+|B|)⌉, and a match at (0-based) prefix positions
+        #   (i, j) bounds the overlap by 1 + min(|A|−1−i, |B|−1−j)
+        #   (shared elements under the total order sit at ≥ those
+        #   positions). The pair's FIRST shared element always passes
+        #   (its bound ≥ the true overlap), so no qualifying pair is
+        #   lost.
+        alpha = F.ceil(
+            F.lit(t / (1.0 + t)) * (F.col("a.__pn") + F.col("b.__pn"))
+        )
+        ubound = 1 + F.least(
+            F.col("a.__pn") - 1 - F.col("a.__i"),
+            F.col("b.__pn") - 1 - F.col("b.__i"),
+        )
+        cond = (
+            cond
+            & _length_prefilter(F.col("a.__pn"), F.col("b.__pn"), threshold)
+            & (ubound >= alpha)
+        )
         cands = (
             a.join(b, cond)
             .select(
@@ -1987,11 +2013,22 @@ def token_jaccard_pairs(
     LSH-candidates + exact verification so a hot block never goes
     quadratic. ``prefix_filter`` forces the prefix (True) or all-pairs
     (False) leg for every non-LSH block; None = dispatch by block size
-    (see _blocked_jaccard_pairs)."""
+    (see _blocked_jaccard_pairs).
+
+    Token sets are hashed to int64 before the pair work (r18) — the
+    same convention char_ngram_jaccard_pairs ships: set intersections
+    on longs beat string sets (~1.6× measured there), the verify
+    attach joins shuffle fixed-width longs instead of token strings,
+    and the Jaccard value is unchanged unless two distinct tokens
+    inside one compared pair collide under xxhash64 — ~k²/2⁶⁴ per pair
+    (k ≈ 10² distinct tokens), ~10⁻¹⁶, independent of corpus size."""
+    hashed_tokens = F.array_distinct(
+        F.transform(tokens(text_col), lambda tk: F.xxhash64(tk))
+    )
     return _blocked_jaccard_pairs(
         df,
         block_cols,
-        F.array_distinct(tokens(text_col)),
+        hashed_tokens,
         text_col,
         id_col,
         threshold,
