@@ -759,11 +759,52 @@ def semantic_dedup(
     sim = cosine_similarity(
         F.col("__vl"), F.col("__vr"), norm_a=F.col("__nl"), norm_b=F.col("__nr")
     )
-    pruned = (
-        spread_for_compute(
-            left.join(right, "centroid_id").filter(F.col("__idl") < F.col("__idr"))
+    spark = df.sparkSession
+    if spark.conf.get("spark.bdcc.spreadCompute", "false").lower() == "true":
+        # Local mode (r18): spread the BARE id pairs and attach vectors
+        # after, behind size-guarded broadcast hints — the r17
+        # lsh_near_dup_pairs pattern (guide §2.3). Spreading the joined
+        # frame pushed both per-pair vector payloads through the
+        # round-robin exchange; bare pairs are two longs. The cell-id
+        # pair join and the attach joins all read the persisted
+        # ``assigned`` cache. Off local mode this branch is dead: the
+        # cluster plan below keeps pairs inside their cell partitions
+        # with ZERO id-keyed exchanges, which is why the bare-pair form
+        # is not unconditional (attach joins would shuffle by id there).
+        from big_data_chicago_crimes_spark.operators.dedup import (
+            _pin_pair_join_build_side,
         )
-        .withColumn("__cos", F.round(sim, 6))
+
+        bare = (
+            assigned.select(F.col("__id").alias("__idl"), "centroid_id")
+            .join(
+                assigned.select(F.col("__id").alias("__idr"), "centroid_id"),
+                "centroid_id",
+            )
+            .filter(F.col("__idl") < F.col("__idr"))
+            .select("__idl", "__idr")
+        )
+        lv = assigned.select(
+            F.col("__id").alias("__idl"),
+            F.col("__v").alias("__vl"),
+            F.col("__nrm").alias("__nl"),
+        )
+        rv = assigned.select(
+            F.col("__id").alias("__idr"),
+            F.col("__v").alias("__vr"),
+            F.col("__nrm").alias("__nr"),
+        )
+        paired = (
+            spread_for_compute(bare)
+            .join(_pin_pair_join_build_side(lv), "__idl")
+            .join(_pin_pair_join_build_side(rv), "__idr")
+        )
+    else:
+        paired = left.join(right, "centroid_id").filter(
+            F.col("__idl") < F.col("__idr")
+        )
+    pruned = (
+        paired.withColumn("__cos", F.round(sim, 6))
         .filter(F.col("__cos") >= threshold)
         .select(F.col("__idr").alias("__id"))
         .distinct()
