@@ -697,14 +697,17 @@ def maximal_span_pairs(
     (``_span_candidate_doc_ids`` — hashes only, corpus-linear, sound
     superset: every pair with a span ≥ min_span is a candidate pair,
     so both its docs survive); (2) candidate docs explode their k-gram
-    STRINGS once and self-join on the exact gram (no hashes — no false
-    positives), yielding match positions; (3) per (pair, diagonal), the
-    island id pa − row_number() groups consecutive positions; one
-    aggregate emits each maximal span. Gram strings shuffle only for
-    candidate docs; the island window partitions by (pair, diagonal) —
-    bounded by the longer doc, never corpus-sized. Output filtered to
-    span_len ≥ min_span; pos_* are 1-based; in-doc repeats yield one
-    row per occurrence pair (distinct diagonals), the MEM convention.
+    128-bit fingerprints once (two seeded xxhash64 halves — see the
+    inline collision budget; the 64-bit CANDIDATE hashes never
+    constrain the answer, this stage does) and self-join on the
+    fingerprint, yielding match positions; (3) per (pair, diagonal),
+    the island id pa − row_number() groups consecutive positions; one
+    aggregate emits each maximal span. Gram fingerprints shuffle only
+    for candidate docs; the island window partitions by (pair,
+    diagonal) — bounded by the longer doc, never corpus-sized. Output
+    filtered to span_len ≥ min_span; pos_* are 1-based; in-doc repeats
+    yield one row per occurrence pair (distinct diagonals), the MEM
+    convention.
     """
     from pyspark.sql import Window
 
@@ -724,6 +727,15 @@ def maximal_span_pairs(
     # tighter spread; the avoided work is the SECOND full candidate
     # hash join, so the win grows with the candidate stage's share of
     # the plan (at web scale it dominates).
+    # Gram identity travels as a 128-bit fingerprint (two seeded
+    # xxhash64 halves), not the k-char string (r18 — the persisted
+    # frame was 235 MB of 28-char strings at the 10× corpus, re-read by
+    # three stages, and the self-join compared/shuffled those strings).
+    # Two grams are equated iff both halves agree: a false match needs
+    # a full 128-bit collision between any two grams in the corpus —
+    # ~(total grams)²/2¹²⁸, ~10⁻¹¹ even at 10¹⁴ grams — the same
+    # convention as shared_span_pairs' span fingerprints.
+    gram = F.substring(F.col("__t"), F.col("__p"), k)
     gram_rows = scratch_persist(
         base.join(cand_ids, "__id", "left_semi")
         .withColumn(
@@ -736,17 +748,23 @@ def maximal_span_pairs(
             ),
         )
         .select(
-            "__id", "__p", F.substring(F.col("__t"), F.col("__p"), k).alias("__g")
+            "__id",
+            "__p",
+            F.xxhash64(gram).alias("__g1"),
+            F.xxhash64(F.lit(1), gram).alias("__g2h"),
         )
     )
     other = (
         gram_rows.withColumnRenamed("__id", "__id2")
         .withColumnRenamed("__p", "__p2")
-        .withColumnRenamed("__g", "__g2")
+        .withColumnRenamed("__g1", "__g1b")
+        .withColumnRenamed("__g2h", "__g2hb")
     )
     matches = gram_rows.join(
         other,
-        (F.col("__g") == F.col("__g2")) & (F.col("__id") < F.col("__id2")),
+        (F.col("__g1") == F.col("__g1b"))
+        & (F.col("__g2h") == F.col("__g2hb"))
+        & (F.col("__id") < F.col("__id2")),
     ).select(
         F.col("__id").alias("__ida"),
         F.col("__id2").alias("__idb"),
