@@ -515,25 +515,44 @@ def _span_candidate_doc_ids(base: DataFrame, min_span: int, k: int) -> DataFrame
     touched by any candidate pair (one column, ``__id``)."""
     stride = min_span - k + 1
 
+    # Candidate grams are k-BYTE slices of the text's binary form at
+    # every BYTE position (r18). substring on a STRING walks from byte
+    # 0 to find the char offset (UTF8String is variable-width), so
+    # hashing a gram at every char position cost O(position) each —
+    # quadratic per document (stage-attributed: the probe stages were
+    # 41 of 120 executor-seconds at the 10× corpus). substring on
+    # BINARY is a constant-time byte slice. Soundness is unchanged: a
+    # shared char-span of ≥ min_span chars is a shared byte-span of
+    # ≥ min_span bytes (every char is ≥ 1 byte, identical bytes in
+    # both docs), so it covers ≥ s consecutive byte start positions
+    # and the strided side samples at least one — every qualifying
+    # pair still becomes a candidate, and extra byte-offset matches
+    # only ADD candidates (the callers verify exactly). For ASCII text
+    # the gram set is bit-identical to the char form.
     def gram_rows(positions: Column) -> DataFrame:
         # sequence(1, n) is DESCENDING for n < 1 — guard emits no rows
         return (
-            base.withColumn("__p", F.explode(positions))
+            base.select(
+                "__id",
+                F.col("__t").cast("binary").alias("__tb"),
+                F.octet_length("__t").alias("__bl"),
+            )
+            .withColumn("__p", F.explode(positions))
             .select(
-                F.xxhash64(F.substring(F.col("__t"), F.col("__p"), k)).alias("__h"),
+                F.xxhash64(F.substring(F.col("__tb"), F.col("__p"), k)).alias("__h"),
                 F.col("__id"),
             )
         )
 
     full = gram_rows(
         F.when(
-            F.col("__len") >= k, F.sequence(F.lit(1), F.col("__len") - k + 1)
+            F.col("__bl") >= k, F.sequence(F.lit(1), F.col("__bl") - k + 1)
         )
     )
     strided = gram_rows(
         F.when(
-            F.col("__len") >= k,
-            F.sequence(F.lit(1), F.col("__len") - k + 1, F.lit(stride)),
+            F.col("__bl") >= k,
+            F.sequence(F.lit(1), F.col("__bl") - k + 1, F.lit(stride)),
         )
     )
     strided2 = strided.withColumnRenamed("__id", "__id2").withColumnRenamed(
@@ -631,9 +650,26 @@ def shared_span_pairs(
     # Same convention as the hashed gram sets in
     # char_ngram_jaccard_pairs; per-pair distinct-span counts are
     # unchanged unless such a collision occurs.
-    span = F.substring(F.col("__t"), F.col("__p"), min_span)
+    # Per-row ASCII fast path (r18): substring on a STRING walks bytes
+    # from 0 to locate the char offset (O(position) per span — the
+    # explode turns quadratic per document), while substring on BINARY
+    # is a constant-time slice. When the row is pure ASCII
+    # (octet_length == length) char positions ARE byte positions, so
+    # the byte slice yields the identical byte sequence — and xxhash64
+    # hashes a string's UTF-8 bytes, so the fingerprint is bit-equal to
+    # the string form's. Multibyte rows keep the exact char-walk.
+    span = F.when(
+        F.col("__ascii"), F.substring(F.col("__tb"), F.col("__p"), min_span)
+    ).otherwise(F.substring(F.col("__t"), F.col("__p"), min_span).cast("binary"))
     span_rows = (
         base.join(cand_ids, "__id", "left_semi")
+        .select(
+            "__id",
+            "__t",
+            "__len",
+            F.col("__t").cast("binary").alias("__tb"),
+            (F.octet_length("__t") == F.col("__len")).alias("__ascii"),
+        )
         .withColumn(
             "__p",
             F.explode(
@@ -735,9 +771,22 @@ def maximal_span_pairs(
     # a full 128-bit collision between any two grams in the corpus —
     # ~(total grams)²/2¹²⁸, ~10⁻¹¹ even at 10¹⁴ grams — the same
     # convention as shared_span_pairs' span fingerprints.
-    gram = F.substring(F.col("__t"), F.col("__p"), k)
+    # Per-row ASCII fast path for the gram slices, same rationale and
+    # bit-identical fingerprints as shared_span_pairs' span explode:
+    # byte slice when char positions are byte positions, exact char
+    # walk otherwise.
+    gram = F.when(
+        F.col("__ascii"), F.substring(F.col("__tb"), F.col("__p"), k)
+    ).otherwise(F.substring(F.col("__t"), F.col("__p"), k).cast("binary"))
     gram_rows = scratch_persist(
         base.join(cand_ids, "__id", "left_semi")
+        .select(
+            "__id",
+            "__t",
+            "__len",
+            F.col("__t").cast("binary").alias("__tb"),
+            (F.octet_length("__t") == F.col("__len")).alias("__ascii"),
+        )
         .withColumn(
             "__p",
             F.explode(
