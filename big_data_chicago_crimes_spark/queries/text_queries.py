@@ -592,17 +592,28 @@ def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # isNotNull filter reproduces exactly that.
     def max_gram_mult(k: int) -> Column:
         idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+        # Grams are xxhash64 of the k-token tuple, not the concat_ws
+        # string (r18): tokens are whitespace-split so they contain no
+        # spaces, making concat_ws(' ', ...) injective on tuples — and
+        # Spark's hash chaining SKIPS null children exactly like
+        # concat_ws skips them, so the partial-gram edge (try_element_at
+        # past the array end → NULL) folds identically. Sorting and
+        # run-comparing longs replaces per-gram string allocation,
+        # string sort compares, and string equality in the fold (the
+        # query's one heavy stage: 62 executor-seconds at the 10×
+        # corpus, all in this per-row pass). Two distinct grams of one
+        # doc would have to collide in 64 bits AND sort adjacent to
+        # change a count — ~(grams/doc)²/2⁶⁴ per doc, ~10⁻¹³.
         grams = F.transform(
             idx,
-            lambda i: F.concat_ws(
-                " ",
-                *[F.try_element_at(F.col("t"), i + F.lit(j)) for j in range(k)],
+            lambda i: F.xxhash64(
+                *[F.try_element_at(F.col("t"), i + F.lit(j)) for j in range(k)]
             ),
         )
         run = F.aggregate(
             F.array_sort(grams),
             F.struct(
-                F.lit(None).cast("string").alias("prev"),
+                F.lit(None).cast("bigint").alias("prev"),
                 F.lit(0).cast("int").alias("run"),
                 F.lit(0).cast("int").alias("best"),
             ),
